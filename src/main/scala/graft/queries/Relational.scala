@@ -1,0 +1,396 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational (T-SQL-subset) surface of the reference — the W* AST it
+  * parses and delegates to SQL Server (SURVEY.md §2.2, §2.3, §2.6, §2.7,
+  * §2.8). In Spark every one of these is a built-in; each query below
+  * exercises one construct over the driver's parquet tables and carries a
+  * DuckDB oracle.
+  *
+  * Hash-safety conventions (driver compares sorted-column value hashes):
+  *  - money aggregates go through DECIMAL(18,2) so the sum is exact and
+  *    order-independent on both engines, then cast to DOUBLE;
+  *  - every query ends in a total ORDER BY;
+  *  - integer-ish outputs are cast so Spark and DuckDB agree on width
+  *    (DuckDB LENGTH/ROW_NUMBER yield BIGINT → Spark side casts to long).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // §2.1 scan + §2.2 projection/filter (predicate+projection pushdown to parquet)
+    "q_scan_filter_project" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.6 GROUP BY + scalar aggregates (TPC-H Q1 shape)
+    "q_agg_groupby" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // §2.2 predicate language: BETWEEN / IN / LIKE
+    "q_filter_pred" -> QueryDef(
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 100000 AND 200000
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderstatus LIKE 'F%'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .filter(col("o_totalprice").between(100000, 200000)
+          && col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          && col("o_orderstatus").like("F%"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    // §2.3 qualified inner join chain (dimension joins → broadcast at scale)
+    "q_join_inner" -> QueryDef(
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    },
+
+    // §2.3 outer join
+    "q_join_left_outer" -> QueryDef(
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders"),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")
+    },
+
+    // §2.2 EXISTS → left-semi join
+    "q_semi_exists" -> QueryDef(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // §2.2 NOT EXISTS → left-anti join
+    "q_anti_not_exists" -> QueryDef(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // §2.7 TOP n + ORDER BY (deterministic tiebreak)
+    "q_top_k" -> QueryDef(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    // §2.7 TOP n WITH TIES ≡ RANK() <= n
+    "q_top_ties" -> QueryDef(
+      """SELECT c_custkey, c_acctbal FROM (
+        |  SELECT c_custkey, c_acctbal,
+        |         RANK() OVER (ORDER BY c_acctbal DESC) AS rk
+        |  FROM customer) t
+        |WHERE rk <= 10 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .withColumn("rk", rank().over(Window.orderBy(col("c_acctbal").desc)))
+        .filter(col("rk") <= 10)
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // §2.7 UNION ALL
+    "q_union_all" -> QueryDef(
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, name""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+        .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          lit("customer").as("kind"))
+      val sup = Tables.load(s, d, "supplier")
+        .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          lit("supplier").as("kind"))
+      c.unionAll(sup).orderBy("kind", "name")
+    },
+
+    // §2.7 EXCEPT (distinct semantics on both engines): never-ordered customers
+    "q_except" -> QueryDef(
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(Tables.load(s, d, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    // §2.7 INTERSECT
+    "q_intersect" -> QueryDef(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.load(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // §2.8 CASE (searched) + CAST
+    "q_case_expr" -> QueryDef(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 100000 THEN 'small'
+        |       WHEN o_totalprice < 250000 THEN 'medium'
+        |       ELSE 'large' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") < 100000, "small")
+            .when(col("o_totalprice") < 250000, "medium")
+            .otherwise("large").as("bucket"))
+        .orderBy("o_orderkey")
+    },
+
+    // §2.6 DISTINCT
+    "q_distinct" -> QueryDef(
+      "SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment") {
+      (s, d) =>
+        Tables.load(s, d, "customer")
+          .select(col("c_mktsegment").as("segment"))
+          .distinct()
+          .orderBy("segment")
+    },
+
+    // §2.6 HAVING
+    "q_having" -> QueryDef(
+      """SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+        |GROUP BY c_nationkey HAVING COUNT(*) > 50
+        |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 50)
+        .orderBy("c_nationkey")
+    },
+
+    // §2.8 scalar subquery (exact-decimal threshold so both engines agree)
+    "q_scalar_subquery" -> QueryDef(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+      val avgRow = o.agg(
+        (sum(dec(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("a"))
+        .collect()(0).getDouble(0)
+      o.filter(col("o_totalprice") > avgRow)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // §2.7-adjacent: window ranking (beyond-reference; free in Spark)
+    "q_window_rank" -> QueryDef(
+      """SELECT c_custkey, c_nationkey, c_acctbal, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.load(s, d, "customer")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "rn")
+        .orderBy("c_nationkey", "rn")
+    },
+
+    // window running aggregate (ROWS frame; exact decimal running sum)
+    "q_window_running_sum" -> QueryDef(
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(dec(col("value"))).over(w).cast(DoubleType).as("running_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // §2.7 CTE (WITH) — revenue per nation
+    "q_cte" -> QueryDef(
+      """WITH rev AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name, CAST(SUM(r) AS DOUBLE) AS revenue
+        |FROM rev
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val rev = Tables.load(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("r"))
+      rev.join(Tables.load(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("r")).cast(DoubleType).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // §2.6 ROLLUP (beyond-reference grouping sets; free in Spark)
+    "q_rollup" -> QueryDef(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("cnt"))
+        .orderBy("flag", "status")
+    },
+
+    // §2.6 CUBE
+    "q_cube" -> QueryDef(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("cnt"))
+        .orderBy("status", "priority")
+    },
+
+    // §2.3 implicit cross join (comma list in reference FROM)
+    "q_cross_join" -> QueryDef(
+      """SELECT r1.r_name AS a, r2.r_name AS b
+        |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin) { (s, d) =>
+      val r = Tables.load(s, d, "region")
+      r.select(col("r_name").as("a"))
+        .crossJoin(r.select(col("r_name").as("b")))
+        .orderBy("a", "b")
+    },
+
+    // §2.8 string function surface
+    "q_string_funcs" -> QueryDef(
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u,
+        |  SUBSTRING(p_name, 1, 10) AS name10,
+        |  p_brand || ':' || p_type AS bt,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("bt"),
+          length(col("p_name")).cast(LongType).as("name_len"))
+        .orderBy("p_partkey")
+    },
+
+    // §2.8 date/time extraction
+    "q_date_funcs" -> QueryDef(
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mon,
+        |       COUNT(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("yr", "mon")
+    },
+
+    // §2.8 arithmetic operators (exact decimal product)
+    "q_arith_expr" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax_amt,
+        |  l_linenumber % 3 AS m3
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_extendedprice")) * dec(col("l_tax")))
+            .cast(DoubleType).as("tax_amt"),
+          (col("l_linenumber") % 3).as("m3"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.1 derived table + §2.6 aggregate over it
+    "q_derived_table" -> QueryDef(
+      """SELECT big.o_custkey, COUNT(*) AS big_orders
+        |FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 200000) big
+        |GROUP BY big.o_custkey ORDER BY big.o_custkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 200000)
+        .select("o_custkey")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("big_orders"))
+        .orderBy("o_custkey")
+    }
+  )
+}

@@ -13,9 +13,16 @@ object SparkEntry {
   /** All operator-query registries, merged. Later registries may not
     * shadow earlier names — duplicates are a bug, caught by the spec.
     */
-  lazy val defs: Map[String, QueryDef] = Seq(
-    _root_.graft.queries.Relational.defs
-  ).reduce(_ ++ _)
+  lazy val defs: Map[String, QueryDef] = {
+    val all = Seq(
+      _root_.graft.queries.Relational.defs,
+      _root_.graft.queries.GraphQueries.defs)
+    val dups = all.flatMap(_.keys).groupBy(identity).collect {
+      case (k, v) if v.size > 1 => k
+    }
+    require(dups.isEmpty, s"duplicate query names: $dups")
+    all.reduce(_ ++ _)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,113 @@
+package graft.graph
+
+import graft.meta._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Assembles physical node tables (adjacency-array layout, §1.1 of
+  * SURVEY.md) from flat inputs. This is the Spark analogue of the
+  * reference's bulk-load path (`GraphView/BulkInsert.cs:771-775`): raw
+  * (src, sink, attrs) pairs are grouped per source into a sorted,
+  * position-numbered `ArrayType(StructType)` adjacency column; reversed
+  * columns and degree bookkeeping are derived the same way.
+  *
+  * Scale posture: the only shuffles are the per-edge `groupBy(src)` /
+  * `groupBy(sink)` aggregations and the id joins — all key-partitioned and
+  * map-side combined by Catalyst. Hub-node skew in `collect_list` is the
+  * known hot spot at 100 TB; adjacency arrays for hubs should be capped or
+  * the table bucketed by GlobalNodeId (AQE skew-join handles the read
+  * side; the build side would use salted two-phase aggregation).
+  */
+object GraphBuilder {
+
+  def gid(tableId: Int, key: Column): Column =
+    shiftleft(lit(tableId.toLong), GlobalNodeId.KeyBits)
+      .bitwiseOR(key.cast(LongType))
+
+  /** Build one adjacency column: input `pairs` must have columns
+    * `src` (long gid), `sink` (long gid) plus `attrs`. Output: one row
+    * per distinct src with `edges: Array[Struct[sink, edgeId, attrs*]]`,
+    * sorted by (sink, attrs) so `edgeId` (the position, as in the
+    * reference's blob layout `NodeTableGraphViewCodeTemplate.tt:100-148`)
+    * is deterministic.
+    */
+  def adjacency(pairs: DataFrame, attrs: Seq[EdgeAttr]): DataFrame = {
+    val attrNames = attrs.map(_.name)
+    val packed = struct((col("sink") +: attrNames.map(col)): _*)
+    val attrFields = attrNames.map(a => s", '$a', x.$a").mkString
+    pairs
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(packed)).as("raw"))
+      .select(col("src"),
+        expr("transform(raw, (x, i) -> " +
+          s"named_struct('sink', x.sink, 'edgeId', CAST(i AS INT)$attrFields))")
+          .as("edges"))
+  }
+
+  /** Assemble a full node table DataFrame:
+    * GlobalNodeId, nodeId/property columns, then per edge the adjacency
+    * array + `<e>Del` tombstones + `<e>OutDegree`, then `InDegree`, then
+    * any reversed adjacency columns for edges pointing at this table.
+    *
+    * @param base       the property rows (must contain `keyColumn`)
+    * @param keyColumn  local key used to derive GlobalNodeId
+    * @param edgePairs  per edge name: (src,sink,attrs) pairs with gid keys
+    * @param incoming   (edgeDef, pairs) for every edge whose sink is this
+    *                   table (drives InDegree + reversed columns)
+    */
+  def nodeTable(
+      tableDef: NodeTableDef,
+      base: DataFrame,
+      keyColumn: String,
+      edgePairs: Map[String, DataFrame],
+      incoming: Seq[(EdgeDef, DataFrame)]): DataFrame = {
+
+    var df = base.withColumn("GlobalNodeId", gid(tableDef.tableId, col(keyColumn)))
+
+    // outgoing adjacency + tombstone + out-degree per edge
+    tableDef.edges.foreach { e =>
+      val adj = adjacency(edgePairs(e.name), e.attrs)
+      val adjType = adj.schema("edges").dataType
+      df = df
+        .join(adj.withColumnRenamed("src", "__src"),
+          col("GlobalNodeId") === col("__src"), "left_outer")
+        .withColumn(e.columnName,
+          coalesce(col("edges"), array().cast(adjType)))
+        .drop("edges", "__src")
+        .withColumn(e.delColumnName,
+          array().cast(ArrayType(IntegerType)))
+        .withColumn(e.outDegreeColumnName, size(col(e.columnName)))
+    }
+
+    // InDegree: total incoming edges from every edge type that sinks here
+    val inCounts = incoming.map { case (_, pairs) =>
+      pairs.groupBy(col("sink").as("__gid")).agg(count(lit(1)).as("__c"))
+    }
+    if (inCounts.nonEmpty) {
+      val total = inCounts.reduce(_ unionAll _)
+        .groupBy("__gid").agg(sum("__c").cast(IntegerType).as("__in"))
+      df = df.join(total, col("GlobalNodeId") === col("__gid"), "left_outer")
+        .withColumn("InDegree", coalesce(col("__in"), lit(0)))
+        .drop("__gid", "__in")
+    } else df = df.withColumn("InDegree", lit(0))
+
+    // reversed adjacency columns (sink-side mirror of each incoming edge,
+    // per GraphViewConnection.cs:1053-1146)
+    incoming.foreach { case (e, pairs) =>
+      val rev = adjacency(
+        pairs.withColumnRenamed("src", "__tmp")
+          .withColumnRenamed("sink", "src")
+          .withColumnRenamed("__tmp", "sink"),
+        e.attrs)
+      val revType = rev.schema("edges").dataType
+      df = df
+        .join(rev.withColumnRenamed("src", "__src"),
+          col("GlobalNodeId") === col("__src"), "left_outer")
+        .withColumn(e.reversedColumnName,
+          coalesce(col("edges"), array().cast(revType)))
+        .drop("edges", "__src")
+    }
+    df
+  }
+}

@@ -1,0 +1,157 @@
+package graft.pattern
+
+import graft.graph.GraphProvider
+import graft.meta.EdgeDef
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MATCH-pattern IR — the Spark analogue of the reference's `MatchGraph`
+  * of `MatchNode`/`MatchEdge` (`GraphView/MatchGraph.cs:36-599`).
+  *
+  * A pattern is a set of node aliases bound to node tables plus directed
+  * edges between them; `attrEq` is the per-edge equality predicate dict of
+  * `MATCH x-[e {attr:value}]->y` (`GraphView/GraphViewParser.cs:176-190`).
+  */
+final case class NodePat(alias: String, table: String) {
+  require(!alias.contains("__"), s"alias $alias may not contain '__'")
+}
+final case class EdgePat(
+    src: String,
+    edge: String,
+    dst: String,
+    attrEq: Map[String, Any] = Map.empty) {
+  /** Default edge alias, as in the reference (src_edge_sink,
+    * `TranslateMatchClauseVisitor.cs:809-826`).
+    */
+  def alias: String = s"${src}_${edge}_$dst"
+}
+final case class MatchPattern(nodes: Seq[NodePat], edges: Seq[EdgePat])
+
+/** Plans a MATCH pattern into a DataFrame of joins + adjacency explodes.
+  *
+  * Output columns are `<alias>__<column>` for every node alias, plus
+  * `<edgeAlias>__sink`, `<edgeAlias>__edgeId` and `<edgeAlias>__<attr>`
+  * for every traversed edge. Callers `.select(...)` the projection; node
+  * predicates are plain `.filter`s on the result, which Catalyst pushes
+  * back down through the joins into the parquet scans.
+  *
+  * Physical shape (v1, greedy left-deep from the first alias):
+  *   - forward traversal: explode the source's adjacency array (tombstones
+  *     filtered, attr predicates applied pre-join) then join the sink
+  *     table on GlobalNodeId — the analogue of the reference's CROSS APPLY
+  *     decoder + join (`MatchComponent.cs:885-894`);
+  *   - backward traversal (sink bound, source not): explode the sink's
+  *     reversed adjacency column (`GraphViewConnection.cs:1053-1146`) and
+  *     join the source table — avoids building the full forward edge set;
+  *   - both bound: explode forward and filter on the bound sink id.
+  *
+  * Scale: each step is (frontier ⋈ node table) on a single long key —
+  * AQE picks broadcast when the frontier collapses under a selective
+  * predicate; dimension-sized tables are broadcast by Catalyst's
+  * threshold. Cost-based join ordering lands in the DP planner
+  * (SURVEY §4.2); the left-deep order here is already the reference's
+  * fallback shape.
+  */
+object MatchPlanner {
+
+  def plan(g: GraphProvider, pattern: MatchPattern): DataFrame = {
+    validate(g, pattern)
+    val nodeByAlias = pattern.nodes.map(n => n.alias -> n).toMap
+
+    var bound = Set(pattern.nodes.head.alias)
+    var df = prefixed(g, pattern.nodes.head)
+    var remaining = pattern.edges
+
+    while (remaining.nonEmpty || bound.size < pattern.nodes.size) {
+      remaining.find(e => bound(e.src) || bound(e.dst)) match {
+        case Some(e) =>
+          remaining = remaining.filterNot(_ eq e)
+          val srcNode = nodeByAlias(e.src)
+          val dstNode = nodeByAlias(e.dst)
+          val edgeDef = g.schema.table(srcNode.table).edge(e.edge)
+          if (bound(e.src) && !bound(e.dst)) {
+            df = explodeForward(df, e, edgeDef)
+              .join(prefixed(g, dstNode),
+                col(s"${e.alias}__sink") === col(s"${e.dst}__GlobalNodeId"))
+            bound += e.dst
+          } else if (!bound(e.src) && bound(e.dst)) {
+            df = explodeReversed(df, e, edgeDef)
+              .join(prefixed(g, srcNode),
+                col(s"${e.alias}__src") === col(s"${e.src}__GlobalNodeId"))
+            bound += e.src
+          } else { // both bound: edge becomes a filter
+            df = explodeForward(df, e, edgeDef)
+              .filter(col(s"${e.alias}__sink") === col(s"${e.dst}__GlobalNodeId"))
+          }
+        case None =>
+          // disconnected component → cartesian with its first node, then
+          // its edges connect (the reference handles components separately
+          // and cross-joins them, TranslateMatchClauseVisitor.cs:1004-1030)
+          val next = pattern.nodes.find(n => !bound(n.alias)).get
+          df = df.crossJoin(prefixed(g, next))
+          bound += next.alias
+      }
+    }
+    df
+  }
+
+  /** Node table with every column prefixed `alias__`. */
+  def prefixed(g: GraphProvider, n: NodePat): DataFrame = {
+    val t = g.nodeTable(n.table)
+    t.select(t.columns.map(c => col(c).as(s"${n.alias}__$c")).toSeq: _*)
+  }
+
+  /** Explode `src`'s adjacency for `e`: one output row per live edge,
+    * with flattened `<edgeAlias>__{sink,edgeId,attrs*}` columns.
+    */
+  private def explodeForward(df: DataFrame, e: EdgePat, ed: EdgeDef): DataFrame =
+    flatten(
+      df.withColumn("__e", explode(col(s"${e.src}__${ed.columnName}")))
+        .filter(!array_contains(col(s"${e.src}__${ed.delColumnName}"),
+          col("__e.edgeId"))),
+      e, ed, srcField = None)
+
+  /** Explode `dst`'s reversed adjacency: struct's `sink` field holds the
+    * original source id — exposed as `<edgeAlias>__src`.
+    */
+  private def explodeReversed(df: DataFrame, e: EdgePat, ed: EdgeDef): DataFrame =
+    flatten(
+      df.withColumn("__e", explode(col(s"${e.dst}__${ed.reversedColumnName}"))),
+      e, ed, srcField = Some("sink"))
+
+  private def flatten(df0: DataFrame, e: EdgePat, ed: EdgeDef,
+      srcField: Option[String]): DataFrame = {
+    var df = df0
+    e.attrEq.foreach { case (k, v) =>
+      df = df.filter(col("__e").getField(k) === lit(v))
+    }
+    val endpoint = srcField match {
+      case None => Seq(col("__e.sink").as(s"${e.alias}__sink"))
+      case Some(f) => Seq(col(s"__e.$f").as(s"${e.alias}__src"))
+    }
+    val cols = df.columns.filterNot(_ == "__e").map(col).toSeq ++
+      endpoint ++
+      Seq(col("__e.edgeId").as(s"${e.alias}__edgeId")) ++
+      ed.attrs.map(a => col(s"__e.${a.name}").as(s"${e.alias}__${a.name}"))
+    df.select(cols: _*)
+  }
+
+  private def validate(g: GraphProvider, p: MatchPattern): Unit = {
+    require(p.nodes.nonEmpty, "empty pattern")
+    val aliases = p.nodes.map(_.alias)
+    require(aliases.distinct.size == aliases.size, s"duplicate aliases: $aliases")
+    val byAlias = p.nodes.map(n => n.alias -> n).toMap
+    p.edges.foreach { e =>
+      val src = byAlias.getOrElse(e.src,
+        throw new IllegalArgumentException(s"unknown alias ${e.src}"))
+      byAlias.getOrElse(e.dst,
+        throw new IllegalArgumentException(s"unknown alias ${e.dst}"))
+      val ed = g.schema.table(src.table).edge(e.edge)
+      require(ed.sinkTable == byAlias(e.dst).table,
+        s"edge ${e.edge} sinks to ${ed.sinkTable}, not ${byAlias(e.dst).table}")
+      val attrNames = ed.attrs.map(_.name).toSet
+      e.attrEq.keys.foreach(k => require(attrNames(k),
+        s"edge ${e.edge} has no attribute $k"))
+    }
+  }
+}

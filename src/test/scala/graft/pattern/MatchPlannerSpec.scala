@@ -1,0 +1,96 @@
+package graft.pattern
+
+import graft.SparkSpec
+import graft.graph.{GraphBuilder, GraphProvider}
+import graft.meta._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** FIXTURES.md §A1: the People/Knows micro-graph from the reference's own
+  * tutorial (`GraphViewTutorial/InsAndDelTutorial.cs:22-64`):
+  * Alice→Bob, Bob→Caven, Bob→David.
+  */
+class MatchPlannerSpec extends SparkSpec {
+
+  private lazy val g: GraphProvider = {
+    val s = spark
+    import s.implicits._
+    val schema = GraphSchema(Seq(
+      NodeTableDef("People", 1, Some("id"), Seq("name"), Seq(
+        EdgeDef("Knows", "People", "People")))))
+    val people = Seq((1, "Alice"), (2, "Bob"), (3, "Caven"), (4, "David"))
+      .toDF("id", "name")
+    val knows = Seq((1, 2), (2, 3), (2, 4)).toDF("s", "t")
+      .select(GraphBuilder.gid(1, col("s")).as("src"),
+        GraphBuilder.gid(1, col("t")).as("sink"))
+    val table = GraphBuilder.nodeTable(
+      schema.table("People"), people, "id",
+      Map("Knows" -> knows),
+      Seq(schema.table("People").edge("Knows") -> knows)).cache()
+    val sc = schema
+    new GraphProvider {
+      val schema: GraphSchema = sc
+      def nodeTable(name: String): DataFrame = { require(name == "People"); table }
+    }
+  }
+
+  test("2-hop MATCH A-[Knows]->B-[Knows]->C (tutorial query)") {
+    val res = MatchPlanner.plan(g, MatchPattern(
+      Seq(NodePat("a", "People"), NodePat("b", "People"), NodePat("c", "People")),
+      Seq(EdgePat("a", "Knows", "b"), EdgePat("b", "Knows", "c"))))
+      .filter(col("a__name") === "Alice")
+      .select("c__name").orderBy("c__name")
+      .collect().map(_.getString(0)).toSeq
+    assert(res == Seq("Caven", "David"))
+  }
+
+  test("1-hop forward and reversed traversals agree") {
+    val fwd = MatchPlanner.plan(g, MatchPattern(
+      Seq(NodePat("a", "People"), NodePat("b", "People")),
+      Seq(EdgePat("a", "Knows", "b"))))
+      .select(col("a__name"), col("b__name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // planning from the sink side forces the reversed-adjacency path
+    val rev = MatchPlanner.plan(g, MatchPattern(
+      Seq(NodePat("b", "People"), NodePat("a", "People")),
+      Seq(EdgePat("a", "Knows", "b"))))
+      .select(col("a__name"), col("b__name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fwd == Set(("Alice", "Bob"), ("Bob", "Caven"), ("Bob", "David")))
+    assert(rev == fwd)
+  }
+
+  test("degree bookkeeping matches the tutorial graph") {
+    val rows = g.nodeTable("People")
+      .select("name", "InDegree", "KnowsOutDegree")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(rows("Alice") == ((0, 1)))
+    assert(rows("Bob") == ((1, 2)))
+    assert(rows("Caven") == ((1, 0)))
+    assert(rows("David") == ((1, 0)))
+  }
+
+  test("tombstoned edges are skipped by traversal") {
+    // delete Bob→Caven (edgeId of sink 3 in Bob's sorted adjacency = 0)
+    val t = g.nodeTable("People")
+    val withDel = t.withColumn("KnowsDel",
+      when(col("name") === "Bob", array(lit(0))).otherwise(col("KnowsDel")))
+    val sc = g.schema
+    val g2 = new GraphProvider {
+      val schema: GraphSchema = sc
+      def nodeTable(name: String): DataFrame = withDel
+    }
+    val res = MatchPlanner.plan(g2, MatchPattern(
+      Seq(NodePat("a", "People"), NodePat("b", "People")),
+      Seq(EdgePat("a", "Knows", "b"))))
+      .select(col("a__name"), col("b__name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(res == Set(("Alice", "Bob"), ("Bob", "David")))
+  }
+
+  test("GlobalNodeId pack/unpack roundtrip") {
+    assert(GlobalNodeId.pack(3, 42L) == ((3L << 48) | 42L))
+    assert(GlobalNodeId.tableIdOf(GlobalNodeId.pack(7, 99L)) == 7)
+    assert(GlobalNodeId.localKeyOf(GlobalNodeId.pack(7, 99L)) == 99L)
+  }
+}

@@ -16,7 +16,9 @@ object SparkEntry {
   lazy val defs: Map[String, QueryDef] = {
     val all = Seq(
       _root_.graft.queries.Relational.defs,
-      _root_.graft.queries.GraphQueries.defs)
+      _root_.graft.queries.GraphQueries.defs,
+      _root_.graft.queries.PathQueries.defs,
+      _root_.graft.queries.DmlQueries.defs)
     val dups = all.flatMap(_.keys).groupBy(identity).collect {
       case (k, v) if v.size > 1 => k
     }

@@ -1,0 +1,135 @@
+package graft.dml
+
+import graft.graph.{GraphBuilder, GraphProvider}
+import graft.meta._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph DML as functional table rewrites (SURVEY §2.9). Where the
+  * reference compiles INSERT/DELETE NODE/EDGE into CTE+UPDATE bundles
+  * over adjacency blobs (`TranslateDataModificationVisitor.cs`), here each
+  * statement is a DataFrame→DataFrame transform of the node table:
+  * columnar array rewrite instead of `.WRITE` blob appends. On a real
+  * deployment each transform commits as one table rewrite (Delta MERGE);
+  * in-memory callers just re-point their provider at the result.
+  */
+object GraphDml {
+
+  private def attrFields(e: EdgeDef): String =
+    e.attrs.map(a => s", '${a.name}', x.${a.name}").mkString
+
+  /** INSERT EDGE, source side: append `newPairs` (src,sink,attrs gid rows)
+    * to the adjacency column. Appended edges continue the positional id
+    * sequence (the decoder-numbering of the reference's blob append,
+    * `TranslateDataModificationVisitor.cs:357-380`); OutDegree increments.
+    */
+  def insertEdges(table: DataFrame, e: EdgeDef, newPairs: DataFrame): DataFrame = {
+    val adj = GraphBuilder.adjacency(newPairs, e.attrs)
+    val c = e.columnName
+    table
+      .join(adj.withColumnRenamed("src", "__src"),
+        col("GlobalNodeId") === col("__src"), "left_outer")
+      .withColumn(c,
+        when(col("edges").isNull, col(c))
+          .otherwise(concat(col(c), expr(
+            s"transform(edges, x -> named_struct('sink', x.sink, " +
+              s"'edgeId', CAST(x.edgeId + size($c) AS INT)${attrFields(e)}))"))))
+      .drop("edges", "__src")
+      .withColumn(e.outDegreeColumnName, size(col(c)) - size(col(e.delColumnName)))
+  }
+
+  /** INSERT EDGE, sink side: bump InDegree and mirror into the reversed
+    * adjacency column (`TranslateDataModificationVisitor.cs:288-351`).
+    */
+  def insertEdgesSinkSide(sinkTable: DataFrame, e: EdgeDef,
+      newPairs: DataFrame): DataFrame = {
+    val swapped = newPairs
+      .withColumnRenamed("src", "__tmp").withColumnRenamed("sink", "src")
+      .withColumnRenamed("__tmp", "sink")
+    val rev = GraphBuilder.adjacency(swapped, e.attrs)
+    val rc = e.reversedColumnName
+    sinkTable
+      .join(rev.withColumnRenamed("src", "__src"),
+        col("GlobalNodeId") === col("__src"), "left_outer")
+      .withColumn("InDegree",
+        col("InDegree") + when(col("edges").isNull, 0).otherwise(size(col("edges"))))
+      .withColumn(rc,
+        when(col("edges").isNull, col(rc))
+          .otherwise(concat(col(rc), expr(
+            s"transform(edges, x -> named_struct('sink', x.sink, " +
+              s"'edgeId', CAST(x.edgeId + size($rc) AS INT)${attrFields(e)}))"))))
+      .drop("edges", "__src")
+  }
+
+  /** DELETE EDGE: tombstone `(src, edgeId)` pairs into `<e>Del` and
+    * decrement the live-degree, leaving the adjacency array untouched
+    * until compaction — the reference's DeleteCol mechanism
+    * (`GraphViewParser.cs:1103-1112`).
+    */
+  def deleteEdges(table: DataFrame, e: EdgeDef, doomed: DataFrame): DataFrame = {
+    val del = doomed.groupBy(col("src"))
+      .agg(collect_list(col("edgeId").cast(IntegerType)).as("__newDel"))
+    table
+      .join(del.withColumnRenamed("src", "__src"),
+        col("GlobalNodeId") === col("__src"), "left_outer")
+      .withColumn(e.delColumnName,
+        when(col("__newDel").isNull, col(e.delColumnName))
+          .otherwise(concat(col(e.delColumnName), col("__newDel"))))
+      .withColumn(e.outDegreeColumnName,
+        size(col(e.columnName)) - size(col(e.delColumnName)))
+      .drop("__newDel", "__src")
+  }
+
+  /** Tombstone compaction: rebuild the adjacency minus deleted ids and
+    * clear the tombstones — the reference's `Recycle` /
+    * `MergeDeleteColumn` job (`NodeTableGraphViewCodeTemplate.tt:373-453`,
+    * `GraphViewConnection.cs:2995-3115`). EdgeIds renumber positionally,
+    * exactly as the blob decoder would after a rebuild.
+    */
+  def compact(table: DataFrame, e: EdgeDef): DataFrame = {
+    val c = e.columnName
+    table
+      .withColumn(c, expr(
+        s"transform(filter($c, x -> NOT array_contains(${e.delColumnName}, x.edgeId)), " +
+          s"(x, i) -> named_struct('sink', x.sink, 'edgeId', CAST(i AS INT)${attrFields(e)}))"))
+      .withColumn(e.delColumnName, array().cast(ArrayType(IntegerType)))
+      .withColumn(e.outDegreeColumnName, size(col(c)))
+  }
+
+  /** INSERT NODE: append property rows; every graph-maintained column
+    * (adjacency, tombstones, degrees, reversed) starts empty/zero —
+    * `ConvertGraphModificationStatementVisitor.cs:38-135`.
+    */
+  def insertNodes(table: DataFrame, td: NodeTableDef, rows: DataFrame,
+      keyColumn: String): DataFrame = {
+    var newRows = rows.withColumn("GlobalNodeId",
+      GraphBuilder.gid(td.tableId, col(keyColumn)))
+    table.schema.fields.foreach { f =>
+      if (!newRows.columns.contains(f.name)) {
+        val default = f.dataType match {
+          case a: ArrayType => array().cast(a)
+          case IntegerType => lit(0).cast(IntegerType)
+          case dt => lit(null).cast(dt)
+        }
+        newRows = newRows.withColumn(f.name, default)
+      }
+    }
+    table.unionByName(newRows.select(table.columns.map(col).toSeq: _*))
+  }
+
+  /** DELETE NODE with the reference's safety guard: refuses when any
+    * matching node still has live edges (InDegree or any OutDegree != 0)
+    * — `TranslateDataModificationVisitor.cs:2085-2188`.
+    */
+  def deleteNodes(table: DataFrame, td: NodeTableDef,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val degreeCols = col("InDegree") +:
+      td.edges.map(e => col(e.outDegreeColumnName))
+    val hasEdges = degreeCols.map(_ =!= 0).reduce(_ || _)
+    val violations = table.filter(pred && hasEdges).count()
+    if (violations > 0) throw new IllegalStateException(
+      s"DELETE NODE on ${td.name}: $violations matching node(s) still have edges")
+    table.filter(!pred)
+  }
+}

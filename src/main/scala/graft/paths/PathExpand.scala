@@ -1,0 +1,133 @@
+package graft.paths
+
+import graft.graph.GraphProvider
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Variable-length path traversal — the Spark re-expression of the
+  * reference's recursive-CTE `bfsPath` TVFs
+  * (`DeployScriptTemplate.tt:68-147`, exclusive generators
+  * `NodeTableGraphViewCodeTemplate.tt:193-371`):
+  *
+  *  - walks are EDGE-disjoint by default (an edge instance is used at most
+  *    once per path; cycles through nodes are allowed) — `EdgeDisjoint`;
+  *  - `bfsPath_DifferNodes` variant: NODE-disjoint (no node revisited,
+  *    including the start) — `NodeDisjoint`;
+  *  - `minLen = 0` emits the zero-length row (sink = source,
+  *    `DeployScriptTemplate.tt:110-114`);
+  *  - `maxLen = -1` means unbounded (`*`): iterate to fixpoint;
+  *  - per-edge attr equality predicates apply at every hop
+  *    (`DeployScriptTemplate.tt:86-91`).
+  *
+  * Execution is an iterative DataFrame loop: each hop joins the frontier
+  * to the node table's adjacency on GlobalNodeId and explodes it. Bounded
+  * small expansions stay one declarative plan (Catalyst sees the whole
+  * unrolled join tree); unbounded ones `localCheckpoint` each iteration to
+  * truncate lineage — the standard Spark pattern for iterative graph
+  * algorithms. At 100 TB the frontier join is a key-partitioned shuffle
+  * per hop; AQE re-plans per iteration since each checkpoint re-derives
+  * stats.
+  */
+object PathExpand {
+
+  sealed trait Mode
+  case object EdgeDisjoint extends Mode
+  case object NodeDisjoint extends Mode
+
+  private val LocalKeyMask = (1L << graft.meta.GlobalNodeId.KeyBits) - 1
+
+  /** Expand `table`-[`edgeName` * minLen..maxLen]->`table`.
+    *
+    * Output columns:
+    *   `src`, `dst` (GlobalNodeIds), `hops` (int),
+    *   `pathNodes` Array[Long] (node sequence incl. src and dst),
+    *   `pathEdges` Array[Struct[node Long, edgeId Int]] (edges taken).
+    */
+  def expand(
+      g: GraphProvider,
+      table: String,
+      edgeName: String,
+      minLen: Int,
+      maxLen: Int,
+      mode: Mode = EdgeDisjoint,
+      attrEq: Map[String, Any] = Map.empty,
+      maxIterations: Int = 64): DataFrame = {
+    require(minLen >= 0, "minLen must be >= 0")
+    val td = g.schema.table(table)
+    val ed = td.edge(edgeName)
+    require(ed.sinkTable == table,
+      s"var-length paths require a self-referencing edge; $edgeName sinks to ${ed.sinkTable}")
+
+    val nt = g.nodeTable(table)
+    // adjacency relation for the step join: node → (edges, tombstones)
+    val adj = nt.select(col("GlobalNodeId").as("__node"),
+      col(ed.columnName).as("__adj"), col(ed.delColumnName).as("__del"))
+
+    val edgeKeyType = ArrayType(StructType(Seq(
+      StructField("node", LongType), StructField("edgeId", IntegerType))))
+
+    val seed = nt.select(
+      col("GlobalNodeId").as("src"),
+      col("GlobalNodeId").as("dst"),
+      lit(0).as("hops"),
+      array(col("GlobalNodeId")).as("pathNodes"),
+      array().cast(edgeKeyType).as("pathEdges"))
+
+    def step(frontier: DataFrame): DataFrame = {
+      var df = frontier
+        .join(adj, col("dst") === col("__node"))
+        .withColumn("__e", explode(col("__adj")))
+        .filter(!array_contains(col("__del"), col("__e.edgeId")))
+      attrEq.foreach { case (k, v) =>
+        df = df.filter(col("__e").getField(k) === lit(v))
+      }
+      df = mode match {
+        case EdgeDisjoint => df.filter(!array_contains(col("pathEdges"),
+          struct(col("dst").as("node"), col("__e.edgeId").as("edgeId"))))
+        case NodeDisjoint => df.filter(!array_contains(col("pathNodes"),
+          col("__e.sink")))
+      }
+      df.select(
+        col("src"),
+        col("__e.sink").as("dst"),
+        (col("hops") + 1).as("hops"),
+        concat(col("pathNodes"), array(col("__e.sink"))).as("pathNodes"),
+        concat(col("pathEdges"),
+          array(struct(col("dst").as("node"), col("__e.edgeId").as("edgeId"))))
+          .as("pathEdges"))
+    }
+
+    val results = Seq.newBuilder[DataFrame]
+    if (minLen == 0) results += seed
+
+    var frontier = seed
+    if (maxLen >= 0) {
+      // bounded: unroll into one declarative plan; empty hops union harmlessly
+      for (k <- 1 to maxLen) {
+        frontier = step(frontier)
+        if (k >= minLen) results += frontier
+      }
+    } else {
+      // unbounded *: iterate to fixpoint, truncating lineage each hop
+      var k = 0
+      var done = false
+      while (!done) {
+        frontier = step(frontier).localCheckpoint(true)
+        if (frontier.isEmpty) done = true
+        else {
+          k += 1
+          if (k >= minLen) results += frontier
+          if (k >= maxIterations) throw new IllegalStateException(
+            s"unbounded path expansion did not converge in $maxIterations hops")
+        }
+      }
+    }
+
+    val rs = results.result()
+    if (rs.isEmpty) seed.limit(0) else rs.reduce(_ unionAll _)
+  }
+
+  def localKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.bitwiseAND(lit(LocalKeyMask))
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.dml.GraphDml
+import graft.graph.{GraphBuilder, OverlayProvider, TpchGraph}
+import graft.pattern._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph DML round-trips (SURVEY §2.9), verified by querying the graph
+  * AFTER the rewrite; the DuckDB oracle computes the equivalent state from
+  * the flat tables. Covers: INSERT EDGE (append + degree bump), DELETE
+  * EDGE (tombstone filter in traversal), compaction equivalence, INSERT
+  * NODE.
+  */
+object DmlQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // INSERT EDGE: duplicate every 'placed' edge of orders > 490000, then
+    // read the new live out-degree
+    "q_dml_insert_edge" -> QueryDef(
+      """SELECT c_custkey,
+        |  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+        |     + (SELECT COUNT(*) FROM orders
+        |        WHERE o_custkey = c_custkey AND o_totalprice > 490000)
+        |    AS INTEGER) AS out_deg
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      val ed = g.schema.table("Customer").edge("placed")
+      val extra = graft.Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 490000)
+        .select(GraphBuilder.gid(3, col("o_custkey")).as("src"),
+          GraphBuilder.gid(6, col("o_orderkey")).as("sink"),
+          col("o_totalprice").as("totalprice"),
+          col("o_orderstatus").as("status"))
+      GraphDml.insertEdges(g.nodeTable("Customer"), ed, extra)
+        .select(col("c_custkey"), col("placedOutDegree").as("out_deg"))
+        .orderBy("c_custkey")
+    },
+
+    // DELETE EDGE: tombstone all placed edges with status attr 'F', then
+    // traverse — the tombstone filter must hide them
+    "q_dml_delete_edge" -> QueryDef(
+      """SELECT o_custkey AS c_custkey, COUNT(*) AS cnt
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      val ed = g.schema.table("Customer").edge("placed")
+      val cust = g.nodeTable("Customer")
+      val doomed = cust
+        .select(col("GlobalNodeId").as("src"), explode(col("placed")).as("e"))
+        .filter(col("e.status") === "F")
+        .select(col("src"), col("e.edgeId").as("edgeId"))
+      val afterDelete = GraphDml.deleteEdges(cust, ed, doomed)
+      MatchPlanner.plan(
+        OverlayProvider(g, Map("Customer" -> afterDelete)),
+        MatchPattern(
+          Seq(NodePat("c", "Customer"), NodePat("o", "Order")),
+          Seq(EdgePat("c", "placed", "o"))))
+        .groupBy(col("c__c_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_custkey")
+    },
+
+    // compaction equivalence: same query after Recycle-style rebuild
+    "q_dml_compact" -> QueryDef(
+      """SELECT o_custkey AS c_custkey, COUNT(*) AS cnt
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      val ed = g.schema.table("Customer").edge("placed")
+      val cust = g.nodeTable("Customer")
+      val doomed = cust
+        .select(col("GlobalNodeId").as("src"), explode(col("placed")).as("e"))
+        .filter(col("e.status") === "F")
+        .select(col("src"), col("e.edgeId").as("edgeId"))
+      val compacted = GraphDml.compact(
+        GraphDml.deleteEdges(cust, ed, doomed), ed)
+      MatchPlanner.plan(
+        OverlayProvider(g, Map("Customer" -> compacted)),
+        MatchPattern(
+          Seq(NodePat("c", "Customer"), NodePat("o", "Order")),
+          Seq(EdgePat("c", "placed", "o"))))
+        .groupBy(col("c__c_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_custkey")
+    },
+
+    // INSERT NODE: append synthetic customers (supplier-derived keys,
+    // offset to avoid collision), empty adjacency — then scan keys
+    "q_dml_insert_node" -> QueryDef(
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000 AS custkey FROM supplier) t
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      val td = g.schema.table("Customer")
+      val rows = graft.Tables.load(s, d, "supplier")
+        .select((col("s_suppkey") + 1000000L).as("c_custkey"),
+          col("s_name").as("c_name"),
+          col("s_acctbal").as("c_acctbal"),
+          lit("SYNTH").as("c_mktsegment"))
+      GraphDml.insertNodes(g.nodeTable("Customer"), td, rows, "c_custkey")
+        .select(col("c_custkey").as("custkey"))
+        .orderBy("custkey")
+    }
+  )
+}

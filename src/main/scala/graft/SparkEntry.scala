@@ -18,7 +18,8 @@ object SparkEntry {
       _root_.graft.queries.Relational.defs,
       _root_.graft.queries.GraphQueries.defs,
       _root_.graft.queries.PathQueries.defs,
-      _root_.graft.queries.DmlQueries.defs)
+      _root_.graft.queries.DmlQueries.defs,
+      _root_.graft.queries.PipelineQueries.defs)
     val dups = all.flatMap(_.keys).groupBy(identity).collect {
       case (k, v) if v.size > 1 => k
     }

@@ -1,0 +1,156 @@
+package graft.ext
+
+import graft.functions.SimHash64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family for training-data pipelines, each designed
+  * around its 100 TB shuffle shape:
+  *
+  *  - exact: one hash-groupBy on a 16-byte fingerprint (map-side
+  *    combined; the only full-corpus shuffle key is the digest);
+  *  - n-gram Jaccard: shingle-explode + shingle-key join — exact but
+  *    quadratic in colliding docs; the verification kernel for the
+  *    approximate methods;
+  *  - MinHash+LSH: constant-size signatures (map-only), band keys
+  *    shuffled instead of shingles → candidate pairs, then exact-Jaccard
+  *    verification of candidates only;
+  *  - SimHash: one 64-bit fingerprint per doc, near-dup = small hamming
+  *    distance, banded for blocking;
+  *  - embedding cosine: exact pair join above a threshold (the ANN side
+  *    lives in [[Similarity]]).
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by normalized-content fingerprint. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keeper"))
+
+  /** doc_id → distinct word-n-gram shingle rows (exploded). */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity join: all pairs (a<b) with
+    * jaccard >= minJaccard. Shuffles on the shingle key; a hot shingle
+    * fans out quadratically — at scale, drop top-frequency shingles
+    * first (stopword-shingle suppression), which `maxShingleFreq` does.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minJaccard: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    var sh = shingleRows(df, textCol, idCol, n)
+    maxShingleFreq.foreach { cap =>
+      val hot = sh.groupBy("sh").count().filter(col("count") > cap).select("sh")
+      sh = sh.join(hot, Seq("sh"), "left_anti")
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+        "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+        "id_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature column: for perm i, min over shingles of
+    * `(a_i * xxhash64(sh) + b_i) mod p` — deterministic universal-hash
+    * family seeded from the perm index (no runtime randomness, so results
+    * are reproducible run-to-run).
+    */
+  def minhashSignature(shingleArray: Column, numPerms: Int): Column = {
+    // reduce shingle hashes to 31 bits so (a*h + b) never overflows a
+    // signed 64-bit long under ANSI arithmetic: a,h < 2^31 → a*h < 2^62
+    val p = 2147483629L // largest prime < 2^31
+    val hashes = transform(shingleArray, s => pmod(xxhash64(s), lit(p)))
+    val sigs = (0 until numPerms).map { i =>
+      val a = 1234567891L + 2L * i
+      val b = 987654321L * (i + 1)
+      array_min(transform(hashes,
+        h => pmod(h * lit(a) + lit(b), lit(p))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
+    * (band index, band hash), then verify candidates with EXACT n-gram
+    * Jaccard — output equals the brute-force join whenever the LSH
+    * parameters make the miss probability negligible at the threshold
+    * (e.g. 16 bands x 4 rows at j>=0.9: miss ~1e-16). The shuffles are
+    * bands (constant per doc) + the candidate verification — never the
+    * full shingle cross join.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minJaccard: Double,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val rows = numPerms / bands
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sig = docs.withColumn("sig", minhashSignature(col("shs"), numPerms))
+    val banded = sig.select(col("id"), col("shs"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandHash") === col("b.bandHash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shs").as("shs_a"), col("b.shs").as("shs_b"))
+      .distinct()
+    candidates
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash per doc (64-bit), via the native [[SimHash64]] expression. */
+  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      SimHash64(transform(TextFunctions.tokens(col(textCol)),
+        w => xxhash64(w))).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked
+    * by 16-bit bands (4 bands: any pair within hamming 3 shares at least
+    * one exact band — pigeonhole), so the join key is a short int, not
+    * the full corpus cross product.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
+    val sh = simhashes(df, textCol, idCol)
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandVal")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandVal") === col("b.bandVal") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  *  - [[cosine]]: double-precision dot/norm via `zip_with` + `aggregate`
+  *    — stays inside codegen, no UDF;
+  *  - [[bruteForceTopK]]: exact top-k neighbors for a query set —
+  *    broadcast the (small) query side, stream the corpus: the baseline
+  *    and the verifier for approximate methods;
+  *  - [[ivfTopK]]: coarse-quantized variant — restrict the search to the
+  *    query's cell (here: a precomputed cluster/label id). At 100 TB the
+  *    corpus is partitioned by cell id, so a query touches one partition
+  *    group instead of the full corpus — the IVF index layout expressed
+  *    as Spark partitioning.
+  */
+object Similarity {
+
+  /** double-precision cosine similarity between two float-array columns */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast(DoubleType))
+    val da = d(a); val db = d(b)
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` and `corpus` need (`idCol`, `vecCol`); self-pairs excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cs", cosine(col("qv"), col("nv")))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
+  }
+
+  /** IVF-style top-k: only score candidates in the query's cell. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(cellCol).as("qcell"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col(cellCol).as("ncell"))
+    val scored = c.join(broadcast(q),
+      col("ncell") === col("qcell") && col("nid") =!= col("qid"))
+      .withColumn("cs", cosine(col("qv"), col("nv")))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
+  }
+
+  /** All pairs above a cosine threshold (embedding near-dup). Exact; at
+    * scale run it label-blocked (pass `blockCol`) so the join is
+    * cell-local instead of a cross product.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, blockCol: Option[String] = None): DataFrame = {
+    val base = df.select((col(idCol).as("id") +: col(vecCol).as("v") +:
+      blockCol.map(col).toSeq): _*)
+    val cond = blockCol match {
+      case Some(bc) => col(s"a.$bc") === col(s"b.$bc") && col("a.id") < col("b.id")
+      case None => col("a.id") < col("b.id")
+    }
+    base.as("a").join(base.as("b"), cond)
+      .withColumn("cs", cosine(col("a.v"), col("b.v")))
+      .filter(col("cs") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
+  }
+}

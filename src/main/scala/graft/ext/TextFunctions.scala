@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines —
+  * beyond-reference extensions (SURVEY §7.5 / BASELINE north star).
+  * Everything here is pure `Column` composition over Spark built-ins:
+  * single-pass, codegen'd, no shuffle, no UDFs — the shape that holds at
+  * 100 TB (one narrow map stage over the corpus).
+  */
+object TextFunctions {
+
+  /** whitespace tokenization of lower-cased, trimmed text */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** word n-gram shingles: ["a","b","c","d"] with n=3 →
+    * ["a b c","b c d"] (distinct not applied — callers decide)
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  /** fraction of tokens that are (English) stopwords */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(Stopwords: _*))).cast(DoubleType) /
+      greatest(size(t), lit(1)).cast(DoubleType)
+  }
+
+  /** fraction of characters that are punctuation */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:'\"]", "")))
+      .cast(DoubleType) / greatest(length(text), lit(1)).cast(DoubleType)
+
+  /** mean token length in characters */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(transform(t, w => length(w).cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v) /
+      greatest(size(t), lit(1)).cast(DoubleType)
+  }
+
+  /** composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation noise and a natural stopword rate — the usual cheap
+    * pre-filter before expensive pipeline stages
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en"))
+
+  /** stopword-marker language ID: argmax of per-language marker hits,
+    * 'und' (undetermined) when nothing matches; deterministic tiebreak by
+    * declaration order. A one-pass map — the scalable skeleton onto which
+    * a real n-gram model table would be broadcast.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, w => w.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** canonical content fingerprint (exact-dedup key): md5 of the
+    * whitespace-normalized lower-cased text
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast(BinaryType))
+}

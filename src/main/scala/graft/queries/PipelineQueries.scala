@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-data-pipeline operators (beyond-reference extensions mandated by
+  * BASELINE.json's north star): text analysis, dedup family, similarity
+  * search, multimodal plumbing — each verified against a DuckDB oracle
+  * that re-derives the same deterministic semantics in SQL.
+  */
+object PipelineQueries {
+
+  /** the shared DuckDB tokenization mirror of TextFunctions.tokens */
+  private val SqlTokens = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** DuckDB mirror of TextFunctions.shingles(text, 3), distinct rows */
+  private val SqlShingles =
+    s"""SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |FROM (SELECT doc_id, $SqlTokens AS w FROM documents) tok,
+       |     UNNEST(range(1, len(w)-1)) AS t(i)
+       |WHERE len(w) >= 3""".stripMargin
+
+  /** DuckDB mirror of the exact n-gram jaccard pair join */
+  private def sqlJaccardPairs(tau: Double) =
+    s"""WITH sh AS ($SqlShingles),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.id = id_a
+       |JOIN sizes sb ON sb.id = id_b
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- text analysis ----
+
+    "q_text_stats" -> QueryDef(
+      s"""SELECT doc_id,
+         |  CAST(len($SqlTokens) AS INTEGER) AS token_cnt,
+         |  CAST(len(list_filter($SqlTokens,
+         |    w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+         |    / GREATEST(len($SqlTokens), 1) AS stop_ratio,
+         |  CAST(list_aggregate(list_transform($SqlTokens, w -> length(w)), 'sum') AS DOUBLE)
+         |    / GREATEST(len($SqlTokens), 1) AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("token_cnt"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+          TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    "q_text_quality" -> QueryDef(
+      s"""SELECT doc_id, ROUND((
+         |    LEAST(length(text) / 500.0, 1.0)
+         |  + 1.0 - LEAST(((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')))
+         |                 * 1.0 / GREATEST(length(text), 1)) * 5.0, 1.0)
+         |  + LEAST((CAST(len(list_filter($SqlTokens,
+         |      w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+         |      / GREATEST(len($SqlTokens), 1)) * 4.0, 1.0)
+         |) / 3.0, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "q_text_langid" -> QueryDef(
+      s"""WITH scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter($SqlTokens, w -> w IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+         |    len(list_filter($SqlTokens, w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+         |    len(list_filter($SqlTokens, w -> w IN ('le','la','les','et','est','un','une','dans'))) AS s_fr,
+         |    len(list_filter($SqlTokens, w -> w IN ('el','la','los','y','es','un','una','en'))) AS s_es
+         |  FROM documents)
+         |SELECT CASE
+         |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |    WHEN s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS lang_id,
+         |  COUNT(*) AS cnt
+         |FROM scores GROUP BY 1 ORDER BY lang_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("lang_id"))
+        .groupBy("lang_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_id")
+    },
+
+    "q_text_fingerprint" -> QueryDef(
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup family ----
+
+    // exact dedup over a corpus with constructed duplicates
+    "q_dedup_exact" -> QueryDef(
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       COUNT(*) AS cnt, MIN(doc_id) AS keeper
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, text FROM documents
+        |      WHERE source IN ('src0','src1','src2','src3','src4')) t
+        |GROUP BY fp ORDER BY fp""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val dups = docs
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.select("doc_id", "text").unionAll(dups)
+      Dedup.exactGroups(corpus, "text", "doc_id").orderBy("fp")
+    },
+
+    // exact n-gram jaccard similarity join
+    "q_dedup_ngram_jaccard" -> QueryDef(sqlJaccardPairs(0.8)) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
+        "text", "doc_id", n = 3, minJaccard = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH with exact verification: equals the brute-force join at
+    // tau=0.9 (miss probability ~1e-16 with 16 bands x 4 rows)
+    "q_dedup_minhash_lsh" -> QueryDef(sqlJaccardPairs(0.9)) { (s, d) =>
+      Dedup.minhashLshPairs(Tables.load(s, d, "documents"),
+        "text", "doc_id", n = 3, minJaccard = 0.9,
+        numPerms = 64, bands = 16)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup (no SQL oracle — the 64-bit xxhash vote vector is
+    // not reproducible in DuckDB; spec-tested against the jaccard pairs)
+    "q_dedup_simhash" -> QueryDef.noOracle { (s, d) =>
+      Dedup.simhashPairs(Tables.load(s, d, "documents"),
+        "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // embedding-cosine near-dup pairs
+    "q_dedup_embedding" -> QueryDef(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.46
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Similarity.cosinePairs(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.46)
+        .select(col("id_a"), col("id_b"), round(col("cs"), 4).as("cs"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ----
+
+    // brute-force exact top-5 cosine neighbors for 20 query vectors
+    "q_ann_topk" -> QueryDef(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT qid, e.vec_id AS nid,
+        |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cs
+        |      FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |r AS (SELECT qid, nid, cs,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+        |      FROM c)
+        |SELECT qid, nid, ROUND(cs, 4) AS cs, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"), round(col("cs"), 4).as("cs"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // IVF-style: search restricted to the query's label cell
+    "q_ann_ivf" -> QueryDef(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT qid, e.vec_id AS nid,
+        |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cs
+        |      FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> qid),
+        |r AS (SELECT qid, nid, cs,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+        |      FROM c)
+        |SELECT qid, nid, ROUND(cs, 4) AS cs, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+        .select(col("qid"), col("nid"), round(col("cs"), 4).as("cs"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // ---- multimodal ----
+
+    // batched stub decode over text-as-binary payloads; the oracle
+    // replays the deterministic stub arithmetic on the same bytes
+    "q_multimodal_decode" -> QueryDef(
+      """SELECT doc_id AS id, CAST(length(text) AS INTEGER) AS byteLen,
+        |  CAST(1 + (ascii(substr(text,1,1)) * 256 + ascii(substr(text,2,1))) % 1024 AS INTEGER) AS width,
+        |  CAST(1 + (ascii(substr(text,2,1)) * 256 + ascii(substr(text,3,1))) % 768 AS INTEGER) AS height,
+        |  CAST(1 + length(text) % 100 AS INTEGER) AS frames,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+      import Multimodal._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          col("text").cast(BinaryType).as("content"),
+          lit("text/plain").as("mime"))
+        .as[MediaRow](mediaRowEnc)
+      Multimodal.decodeMeta(media).toDF().orderBy("id")
+    }
+  )
+}

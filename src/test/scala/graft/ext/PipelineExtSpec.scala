@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.SimHash64
+import org.apache.spark.sql.functions._
+
+class PipelineExtSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "der hund ist nicht ein katze und das ist gut"),
+      (4L, "le chat est dans la maison et la porte est ouverte"),
+      (5L, "completely different words about spark query engines"),
+      (6L, "the quick brown fox jumps over the lazy dog")) // dup of 1
+      .toDF("doc_id", "text")
+  }
+
+  test("langId picks the dominant marker language") {
+    val out = docs.select(col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(3L) == "de")
+    assert(out(4L) == "fr")
+  }
+
+  test("shingles produce n-grams; short texts yield none") {
+    val s = spark
+    import s.implicits._
+    val out = Seq((1L, "a b c d"), (2L, "one two"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq.empty)
+  }
+
+  test("exact dedup groups duplicates under one fingerprint") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("cnt") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keeper") == 1L)
+    assert(groups(0).getAs[Long]("cnt") == 2L)
+  }
+
+  test("ngram jaccard finds the near-dup pair, minhash LSH agrees") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1~2 near dups, 1~6 and 2~6 exact/near dups
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 6L)))
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 0.5,
+      numPerms = 64, bands = 32) // 32 bands x 2 rows: catches j>=0.5 pairs
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide, near-dups are close, rest far") {
+    val sh = Dedup.simhashes(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(6L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(5L)))
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 6L)))
+  }
+
+  test("SimHash64 expression matches the reference computation") {
+    val s = spark
+    import s.implicits._
+    val hashes = Seq(0x0F0FL, 0xF0F0L, 0x0F0FL)
+    val viaSpark = Seq(Tuple1(hashes)).toDF("h")
+      .select(SimHash64(col("h"))).head().getLong(0)
+    assert(viaSpark == SimHash64.compute(hashes.toArray))
+  }
+
+  test("cosine similarity and top-k neighbors") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 1),
+      "vec_id", "embedding", 2)
+      .orderBy("rn").collect()
+    assert(top.map(_.getAs[Long]("nid")).toSeq == Seq(2L, 3L))
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 1),
+      "vec_id", "embedding", "label", 2).collect()
+    assert(ivf.map(_.getAs[Long]("nid")).toSeq == Seq(2L)) // cell-restricted
+  }
+
+  test("multimodal stub decode: batch plumbing is deterministic") {
+    val s = spark
+    import Multimodal._
+    val rows = (1L to 150L).map(i =>
+      MediaRow(i, Array.tabulate(16)(j => ((i + j) % 251).toByte), "image/fake"))
+    val ds = s.createDataset(rows)(mediaRowEnc).repartition(3)
+    val out = Multimodal.decodeMeta(ds).collect().map(m => m.id -> m).toMap
+    assert(out.size == 150)
+    val m1 = out(1L)
+    assert(m1.byteLen == 16)
+    // content bytes are (1,2,3,...): b0=1, b1=2, b2=3
+    assert(m1.width == 1 + ((1 * 256 + 2) % 1024))
+    assert(m1.height == 1 + ((2 * 256 + 3) % 768))
+    assert(m1.digest == Multimodal.md5Hex(rows.head.content))
+    assert(Multimodal.sampleFrames(m1).nonEmpty)
+  }
+}

@@ -19,7 +19,8 @@ object SparkEntry {
       _root_.graft.queries.GraphQueries.defs,
       _root_.graft.queries.PathQueries.defs,
       _root_.graft.queries.DmlQueries.defs,
-      _root_.graft.queries.PipelineQueries.defs)
+      _root_.graft.queries.PipelineQueries.defs,
+      _root_.graft.queries.SqlQueries.defs)
     val dups = all.flatMap(_.keys).groupBy(identity).collect {
       case (k, v) if v.size > 1 => k
     }
@@ -27,9 +28,12 @@ object SparkEntry {
     all.reduce(_ ++ _)
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the 2-hop MATCH through the full stack: dialect parser →
+    * cost-based join-order search → explode/join plan → Spark SQL tail.
+    */
   def entry(spark: SparkSession): DataFrame =
-    defs("q_join_inner").run(spark, "/root/testdata/sf0.001")
+    defs("q_sql_match_2hop").run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,218 @@
+package graft.lang
+
+import graft.graph.GraphProvider
+import graft.paths.PathExpand
+import graft.pattern._
+import graft.stats.GraphStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SQL dialect: Spark SQL + a native `MATCH` clause (the reference's
+  * language, `GraphViewParser.cs` — but parsed first-class instead of the
+  * comment-masking hack, SURVEY §2.5 "MATCH clause extraction").
+  *
+  * Grammar (v1):
+  * {{{
+  *   SELECT <projections>
+  *   FROM  Table [AS] alias [, Table [AS] alias ...]
+  *   MATCH a-[edge]->b [, b-[edge {attr:lit, ...}]->c, x-[e*min..max]->y ...]
+  *   [WHERE <predicates>] [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
+  * }}}
+  *
+  * Compilation: the MATCH pattern plans through the cost-based join-order
+  * search into a DataFrame whose columns are `alias__col`; the rest of
+  * the statement is rewritten (`alias.col` → `alias__col`) and delegated
+  * verbatim to Spark SQL over that DataFrame — exactly the reference's
+  * split between graph translation and relational delegation, with Spark
+  * in SQL Server's seat. Non-MATCH statements pass straight through to
+  * `spark.sql`.
+  */
+object GraphSql {
+
+  final case class Hop(src: String, edge: String, dst: String,
+      attrEq: Map[String, Any], minLen: Int, maxLen: Int) {
+    def isVarLength: Boolean = !(minLen == 1 && maxLen == 1)
+  }
+
+  final case class ParsedMatch(
+      select: String,
+      aliases: Seq[(String, String)], // alias -> table
+      hops: Seq[Hop],
+      rest: String) // everything after the MATCH clause (WHERE/GROUP BY/...)
+
+  private val SelectRe =
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)\s+MATCH\s+(.*)$""".r
+
+  def isMatchQuery(sql: String): Boolean =
+    SelectRe.findFirstIn(sql).isDefined
+
+  def parse(sql: String): ParsedMatch = sql match {
+    case SelectRe(sel, from, afterMatch) =>
+      // MATCH clause runs until the first top-level keyword
+      val kw = """(?is)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b""".r
+      val (pat, rest) = kw.findFirstMatchIn(afterMatch) match {
+        case Some(m) => (afterMatch.substring(0, m.start), afterMatch.substring(m.start))
+        case None => (afterMatch, "")
+      }
+      ParsedMatch(sel.trim, parseFrom(from), parsePattern(pat.trim), rest.trim)
+    case _ => throw new IllegalArgumentException(s"not a MATCH query: $sql")
+  }
+
+  private def parseFrom(from: String): Seq[(String, String)] =
+    from.split(",").map(_.trim).filter(_.nonEmpty).map { item =>
+      item.split("""(?i)\s+(?:AS\s+)?""").filter(_.nonEmpty) match {
+        case Array(table, alias) => alias -> table
+        case Array(table) => table -> table
+        case _ => throw new IllegalArgumentException(s"bad FROM item: $item")
+      }
+    }.toSeq
+
+  // x-[e]->y   x-[e {k:v}]->y   x-[e*]->y   x-[e*1..3 {k:v}]->y
+  private val EdgeRe =
+    """-\s*\[\s*(\w+)\s*(\*\s*(?:(\d+)\s*\.\.\s*(\d+|\*)?)?)?\s*(\{[^}]*\})?\s*\]\s*->""".r
+
+  private[lang] def parsePattern(pat: String): Seq[Hop] =
+    splitTopLevel(pat).flatMap(parsePath)
+
+  /** split on commas outside {...} attr dicts */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '{' => depth += 1; cur += '{'
+      case '}' => depth -= 1; cur += '}'
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private def parsePath(path: String): Seq[Hop] = {
+    val ms = EdgeRe.findAllMatchIn(path).toSeq
+    require(ms.nonEmpty, s"no edge in path pattern: $path")
+    val nodes = {
+      var rest = path
+      val parts = Seq.newBuilder[String]
+      ms.foreach { m =>
+        val idx = rest.indexOf(m.matched)
+        parts += rest.substring(0, idx).trim
+        rest = rest.substring(idx + m.matched.length)
+      }
+      parts += rest.trim
+      parts.result()
+    }
+    nodes.foreach(n => require(n.matches("""\w+"""), s"bad node alias '$n' in $path"))
+    ms.zipWithIndex.map { case (m, i) =>
+      val (minL, maxL) = Option(m.group(2)) match {
+        case None => (1, 1)
+        case Some(_) =>
+          val mn = Option(m.group(3)).map(_.toInt).getOrElse(0)
+          val mx = Option(m.group(4)) match {
+            case None | Some("*") => -1
+            case Some(x) => x.toInt
+          }
+          (mn, mx)
+      }
+      Hop(nodes(i), m.group(1), nodes(i + 1), parseAttrs(Option(m.group(5))),
+        minL, maxL)
+    }
+  }
+
+  private def parseAttrs(s: Option[String]): Map[String, Any] = s match {
+    case None => Map.empty
+    case Some(dict) =>
+      dict.stripPrefix("{").stripSuffix("}").split(",").map(_.trim)
+        .filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split(":", 2).map(_.trim)
+          k -> parseLit(v)
+        }.toMap
+  }
+
+  private def parseLit(v: String): Any =
+    if (v.startsWith("'") && v.endsWith("'")) v.substring(1, v.length - 1)
+    else if (v.contains('.')) v.toDouble
+    else v.toLong
+
+  /** rewrite `alias.col` → `alias__col` for all known aliases */
+  private[lang] def rewriteRefs(s: String, aliases: Iterable[String]): String =
+    aliases.foldLeft(s) { (acc, a) =>
+      acc.replaceAll(s"""\\b$a\\.(\\w+)""", s"${a}__$$1")
+    }
+}
+
+/** Session facade: compiles dialect statements against a graph. */
+class GraphSession(val spark: SparkSession, val provider: GraphProvider,
+    statsOpt: Option[GraphStats] = None) {
+
+  lazy val stats: GraphStats = statsOpt.getOrElse(GraphStats.collect(provider))
+
+  def sql(query: String): DataFrame =
+    if (GraphSql.isMatchQuery(query)) matchSql(query) else spark.sql(query)
+
+  /** the planned step order for a MATCH query — the `GetTsqlQuery`-style
+    * test seam (golden-plan assertions, SURVEY §5)
+    */
+  def explainMatch(query: String): Seq[graft.planner.Step] = {
+    val p = GraphSql.parse(query)
+    val (pattern, _) = split(p)
+    graft.planner.CostPlanner.plan(provider, pattern, stats).steps
+  }
+
+  private def split(p: GraphSql.ParsedMatch): (MatchPattern, Seq[GraphSql.Hop]) = {
+    val (varHops, plainHops) = p.hops.partition(_.isVarLength)
+    // var-length-only endpoints stay out of the base pattern (they bind
+    // when the path is spliced); aliases with no hops at all stay in
+    // (plain cross-joined tables, as in the reference's FROM list)
+    val varOnly = {
+      val inPlain = plainHops.flatMap(h => Seq(h.src, h.dst)).toSet
+      varHops.flatMap(h => Seq(h.src, h.dst)).toSet.diff(inPlain)
+    }
+    val pattern = MatchPattern(
+      p.aliases.collect { case (a, t) if !varOnly(a) => NodePat(a, t) },
+      plainHops.map(h => EdgePat(h.src, h.edge, h.dst, h.attrEq)))
+    (pattern, varHops)
+  }
+
+  private def matchSql(query: String): DataFrame = {
+    val p = GraphSql.parse(query)
+    val (pattern, varHops) = split(p)
+    val tableOf = p.aliases.toMap
+
+    var df =
+      if (pattern.nodes.nonEmpty) MatchPlanner.planWithStats(provider, pattern, stats)
+      else null
+
+    // splice var-length hops: path endpoints join on GlobalNodeId
+    varHops.foreach { h =>
+      def bound(a: String) =
+        df != null && df.columns.contains(s"${a}__GlobalNodeId")
+      val paths = PathExpand.expand(provider, tableOf(h.src), h.edge,
+        h.minLen, h.maxLen, PathExpand.EdgeDisjoint, h.attrEq)
+        .select(col("src").as("__p_src"), col("dst").as("__p_dst"),
+          col("hops").as(s"${h.src}_${h.edge}_${h.dst}__hops"))
+      if (!bound(h.src)) {
+        val t = MatchPlanner.prefixed(provider, NodePat(h.src, tableOf(h.src)))
+        df = if (df == null) t else df.crossJoin(t)
+      }
+      df = df.join(paths, col(s"${h.src}__GlobalNodeId") === col("__p_src"))
+      df = if (bound(h.dst))
+        df.filter(col("__p_dst") === col(s"${h.dst}__GlobalNodeId"))
+      else
+        df.join(MatchPlanner.prefixed(provider, NodePat(h.dst, tableOf(h.dst))),
+          col("__p_dst") === col(s"${h.dst}__GlobalNodeId"))
+      df = df.drop("__p_src", "__p_dst")
+    }
+
+    val view = s"__match_${System.identityHashCode(df).toHexString}"
+    df.createOrReplaceTempView(view)
+    val edgeAliases = p.hops.map(h => s"${h.src}_${h.edge}_${h.dst}")
+    val names = p.aliases.map(_._1) ++ edgeAliases
+    val sel = GraphSql.rewriteRefs(p.select, names)
+    val rest = GraphSql.rewriteRefs(p.rest, names)
+    spark.sql(s"SELECT $sel FROM $view $rest")
+  }
+}

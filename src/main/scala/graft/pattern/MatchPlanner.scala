@@ -53,6 +53,47 @@ final case class MatchPattern(nodes: Seq[NodePat], edges: Seq[EdgePat])
   * fallback shape.
   */
 object MatchPlanner {
+  import graft.planner.{BindEdge, CostPlanner, ExpandEdge, StartNode, Step}
+
+  /** Cost-based plan: order chosen by the ported DP/beam search
+    * (SURVEY §4.2) using graph stats + per-alias selectivities.
+    */
+  def planWithStats(g: GraphProvider, pattern: MatchPattern,
+      stats: graft.stats.GraphStats,
+      nodeSel: Map[String, Double] = Map.empty): DataFrame = {
+    validate(g, pattern)
+    execute(g, pattern, CostPlanner.plan(g, pattern, stats, nodeSel).steps)
+  }
+
+  /** Execute an ordered step program from the cost planner. */
+  def execute(g: GraphProvider, pattern: MatchPattern,
+      steps: Seq[Step]): DataFrame = {
+    val nodeByAlias = pattern.nodes.map(n => n.alias -> n).toMap
+    var df: DataFrame = null
+    steps.foreach {
+      case StartNode(a) =>
+        val t = prefixed(g, nodeByAlias(a))
+        df = if (df == null) t else df.crossJoin(t)
+      case ExpandEdge(e, reversed, bcast) =>
+        val edgeDef = g.schema.table(nodeByAlias(e.src).table).edge(e.edge)
+        if (!reversed) {
+          var t = prefixed(g, nodeByAlias(e.dst))
+          if (bcast) t = broadcast(t)
+          df = explodeForward(df, e, edgeDef)
+            .join(t, col(s"${e.alias}__sink") === col(s"${e.dst}__GlobalNodeId"))
+        } else {
+          var t = prefixed(g, nodeByAlias(e.src))
+          if (bcast) t = broadcast(t)
+          df = explodeReversed(df, e, edgeDef)
+            .join(t, col(s"${e.alias}__src") === col(s"${e.src}__GlobalNodeId"))
+        }
+      case BindEdge(e) =>
+        val edgeDef = g.schema.table(nodeByAlias(e.src).table).edge(e.edge)
+        df = explodeForward(df, e, edgeDef)
+          .filter(col(s"${e.alias}__sink") === col(s"${e.dst}__GlobalNodeId"))
+    }
+    df
+  }
 
   def plan(g: GraphProvider, pattern: MatchPattern): DataFrame = {
     validate(g, pattern)

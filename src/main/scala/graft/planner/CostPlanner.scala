@@ -1,0 +1,152 @@
+package graft.planner
+
+import graft.graph.GraphProvider
+import graft.pattern.{EdgePat, MatchPattern}
+import graft.stats.GraphStats
+
+import scala.collection.mutable
+
+/** Traversal steps emitted by the cost-based search; executed in order by
+  * `MatchPlanner.execute`.
+  */
+sealed trait Step
+/** materialize a node table (cross-joined if a component is already open) */
+final case class StartNode(alias: String) extends Step
+/** traverse an edge into an unbound endpoint.
+  * @param reversed  true → expand from the bound sink via the reversed
+  *                  adjacency column into the unbound source
+  * @param broadcastNode  hint: the node table being joined is small
+  *                  enough to broadcast
+  */
+final case class ExpandEdge(edge: EdgePat, reversed: Boolean,
+    broadcastNode: Boolean) extends Step
+/** both endpoints already bound: edge becomes an existence filter */
+final case class BindEdge(edge: EdgePat) extends Step
+
+/** Faithful port of the reference's pattern-join-order search
+  * (`TranslateMatchClauseVisitor.cs:1631-1727` + cost model
+  * `MatchComponent.cs:561-875`, SURVEY §4.2):
+  *
+  *  - state = component (bound aliases, emitted steps, cost, cardinality);
+  *  - init: one single-node component per pattern node;
+  *  - expand: per unbound node joinable to the component, two physical
+  *    alternatives — "loop" (traverse from the frontier along connecting
+  *    edges: cost = |comp| * ∏deg * log₅₁₂|nodeTable|) and "hash" (build
+  *    the node side, probe the component: cost = |build| + |probe|);
+  *  - beam: keep the best `MaxStates` (=100, `MaxStates` in the
+  *    reference) states per size class, dedup by bound-set;
+  *  - components are planned independently, then cross-joined
+  *    (`TranslateMatchClauseVisitor.cs:1004-1030`).
+  *
+  * In Spark the two alternatives emit the same logical steps — the
+  * physical analogue of "loop from a small frontier" is broadcasting the
+  * node table under AQE — so the cost model decides ORDER plus a
+  * broadcast hint, and Catalyst/AQE pick the join implementation.
+  */
+object CostPlanner {
+
+  val MaxStates = 100                 // beam width (reference MaxStates)
+  val LoopLogBase: Double = math.log(512.0) // B-tree fanout proxy
+  val BroadcastRowThreshold = 500000L // node side small enough to broadcast
+
+  final case class Plan(steps: Seq[Step], cost: Double, cardinality: Double)
+
+  private final case class State(
+      bound: Set[String], steps: Vector[Step], cost: Double, size: Double)
+
+  /** @param nodeSel per-alias predicate selectivity in (0,1], default 1 */
+  def plan(g: GraphProvider, pattern: MatchPattern, stats: GraphStats,
+      nodeSel: Map[String, Double] = Map.empty): Plan = {
+    val tableOf = pattern.nodes.map(n => n.alias -> n.table).toMap
+    def sel(a: String) = nodeSel.getOrElse(a, 1.0)
+    def rowsEff(a: String) = math.max(stats.tableRows(tableOf(a)) * sel(a), 1.0)
+
+    // connected components over the pattern (undirected union-find,
+    // TranslateMatchClauseVisitor.cs:371-401)
+    val parent = mutable.Map(pattern.nodes.map(n => n.alias -> n.alias): _*)
+    def find(a: String): String =
+      if (parent(a) == a) a else { val r = find(parent(a)); parent(a) = r; r }
+    pattern.edges.foreach(e => parent(find(e.src)) = find(e.dst))
+    val components = pattern.nodes.groupBy(n => find(n.alias)).values.toSeq
+      .sortBy(_.map(_.alias).min)
+
+    val planned = components.map { nodes =>
+      val aliases = nodes.map(_.alias).toSet
+      val edges = pattern.edges.filter(e => aliases(e.src))
+      planComponent(aliases, edges, tableOf, stats, sel, rowsEff)
+    }
+    // cross-join components, cheapest-cardinality first
+    val ordered = planned.sortBy(_.cardinality)
+    Plan(ordered.flatMap(_.steps),
+      ordered.map(_.cost).sum,
+      ordered.map(_.cardinality).product)
+  }
+
+  private def planComponent(
+      aliases: Set[String], edges: Seq[EdgePat],
+      tableOf: Map[String, String], stats: GraphStats,
+      sel: String => Double, rowsEff: String => Double): Plan = {
+
+    def deg(e: EdgePat, reversed: Boolean): Double = {
+      val st = stats.edgeStat(tableOf(e.src), e.edge)
+      val d = if (reversed) st.avgRevDeg else st.avgDeg
+      math.max(d, 0.001)
+    }
+
+    var beam: Map[Set[String], State] = aliases.map { a =>
+      Set(a) -> State(Set(a), Vector(StartNode(a)), cost = 0.0, size = rowsEff(a))
+    }.toMap
+
+    var best: Option[State] = if (aliases.size == 1) beam.values.headOption else None
+
+    while (beam.nonEmpty && beam.keys.exists(_.size < aliases.size)) {
+      val next = mutable.Map[Set[String], State]()
+      def offer(s: State): Unit = {
+        val cur = next.get(s.bound)
+        if (cur.forall(_.cost > s.cost)) next(s.bound) = s
+      }
+      beam.values.foreach { st =>
+        if (st.bound.size == aliases.size) offer(st)
+        else {
+          // candidate units: unbound nodes with >=1 edge to the component
+          val candidates = aliases.diff(st.bound).filter { u =>
+            edges.exists(e => (e.src == u && st.bound(e.dst)) ||
+              (e.dst == u && st.bound(e.src)))
+          }
+          candidates.foreach { u =>
+            val joining = edges.filter(e =>
+              (e.src == u && st.bound(e.dst)) || (e.dst == u && st.bound(e.src)))
+            // first joining edge traverses; the rest become filters
+            val first = joining.head
+            val fwd = first.src != u // component holds the source → forward explode
+            val d = deg(first, reversed = !fwd)
+            var newSize = st.size * d * sel(u)
+            val extraSteps = joining.tail.map { e =>
+              // an extra bound-bound edge filters: expected match fraction
+              newSize *= deg(e, reversed = false) / rowsEff(if (e.src == u) e.dst else e.src)
+              BindEdge(e)
+            }
+            val uRows = rowsEff(u)
+            val loopCost = st.size * d * (math.log(math.max(uRows, 2.0)) / LoopLogBase)
+            val hashCost = uRows + st.size
+            val stepCost = math.min(loopCost, hashCost)
+            val broadcast = uRows <= BroadcastRowThreshold
+            val step = ExpandEdge(first, reversed = !fwd, broadcastNode = broadcast)
+            offer(State(st.bound + u,
+              (st.steps :+ step) ++ extraSteps,
+              st.cost + stepCost, math.max(newSize, 1.0)))
+          }
+        }
+      }
+      // beam cap: keep the cheapest MaxStates states
+      beam = next.values.toSeq.sortBy(_.cost).take(MaxStates)
+        .map(s => s.bound -> s).toMap
+      beam.values.filter(_.bound.size == aliases.size).foreach { s =>
+        if (best.forall(_.cost > s.cost)) best = Some(s)
+      }
+    }
+    val b = best.getOrElse(throw new IllegalStateException(
+      s"no plan found for component $aliases"))
+    Plan(b.steps, b.cost, b.size)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.graph.TpchGraph
+import graft.lang.GraphSession
+import graft.stats.GraphStats
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.concurrent.TrieMap
+
+/** MATCH queries through the full SQL dialect stack: parser → cost-based
+  * join-order search → DataFrame program → Spark SQL delegation for the
+  * relational tail. Oracles are the same flat-join formulations as the
+  * API-level queries — both routes must agree.
+  */
+object SqlQueries {
+
+  private val sessions = TrieMap[String, GraphSession]()
+
+  def session(s: SparkSession, d: String): GraphSession =
+    sessions.getOrElseUpdate(d,
+      new GraphSession(s, TpchGraph.provider(s, d),
+        Some(GraphStats.collect(TpchGraph.provider(s, d)))))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q_sql_match_1hop" -> QueryDef(
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7' ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
+          |FROM Customer c, Nation n
+          |MATCH c-[locatedIn]->n
+          |WHERE n.n_name = 'NATION_7'
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    "q_sql_match_2hop" -> QueryDef(
+      """SELECT c_custkey, o_orderkey, p_partkey
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE o_totalprice > 400000 AND p_size > 45
+        |ORDER BY c_custkey, o_orderkey, p_partkey""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+          |       p.p_partkey AS p_partkey
+          |FROM Customer c, Order o, Part p
+          |MATCH c-[placed]->o-[contains]->p
+          |WHERE o.o_totalprice > 400000 AND p.p_size > 45
+          |ORDER BY c.c_custkey, o.o_orderkey, p.p_partkey""".stripMargin)
+    },
+
+    "q_sql_match_agg" -> QueryDef(
+      """SELECT c_custkey, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey HAVING COUNT(*) > 15
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT c.c_custkey AS c_custkey, COUNT(*) AS order_cnt,
+          |  CAST(SUM(CAST(c_placed_o.totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM Customer c, Order o
+          |MATCH c-[placed]->o
+          |GROUP BY c.c_custkey HAVING COUNT(*) > 15
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    // edge-attribute dict in the pattern text
+    "q_sql_edge_attr" -> QueryDef(
+      """SELECT l_orderkey AS o_orderkey, l_partkey AS p_partkey,
+        |       l_quantity AS quantity
+        |FROM lineitem WHERE l_discount = 0.0
+        |ORDER BY o_orderkey, p_partkey, quantity""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT o.o_orderkey AS o_orderkey, p.p_partkey AS p_partkey,
+          |       o_contains_p.quantity AS quantity
+          |FROM Order o, Part p
+          |MATCH o-[contains {discount: 0.0}]->p
+          |ORDER BY o.o_orderkey, p.p_partkey, o_contains_p.quantity""".stripMargin)
+    },
+
+    // var-length path in the pattern text (*1..2 over the nation ring)
+    "q_sql_varlen" -> QueryDef(
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |         COALESCE(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey),
+        |                  MIN(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+        |  FROM nation)
+        |SELECT CAST(1 AS INTEGER) AS hops, src, dst FROM e
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), a.src, b.dst FROM e a JOIN e b ON a.dst = b.src
+        |ORDER BY hops, src, dst""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT n_next_m.hops AS hops, n.n_nationkey AS src, m.n_nationkey AS dst
+          |FROM Nation n, Nation m
+          |MATCH n-[next*1..2]->m
+          |ORDER BY n_next_m.hops, n.n_nationkey, m.n_nationkey""".stripMargin)
+    }
+  )
+}

@@ -1,0 +1,64 @@
+package graft.stats
+
+import graft.graph.GraphProvider
+import org.apache.spark.sql.functions._
+
+/** Graph statistics for the pattern-join cost model — the Spark analogue
+  * of the reference's sampling tables + average-degree catalog
+  * (`GraphViewConnection.cs:2887-2976`, SURVEY §4.4). One aggregation per
+  * node table collects row counts and per-edge average out-degrees;
+  * reversed degree = edgeCount / sinkRows. Collected once per graph
+  * ("ANALYZE GRAPH") and cached; at 100 TB this job is a metadata-scale
+  * pass (map + single-row agg per table) and would persist into the
+  * graph_meta catalog.
+  */
+final case class EdgeStat(count: Long, avgDeg: Double, avgRevDeg: Double)
+
+final case class GraphStats(
+    rows: Map[String, Long],
+    edges: Map[(String, String), EdgeStat]) {
+
+  def tableRows(t: String): Double = rows.getOrElse(t, 1000L).toDouble
+
+  def edgeStat(table: String, edge: String): EdgeStat =
+    edges.getOrElse((table, edge),
+      EdgeStat(0L, GraphStats.DefaultAvgDegree, GraphStats.DefaultAvgDegree))
+}
+
+object GraphStats {
+  /** catalog default when no stats collected — reference default avg
+    * degree 5 (`GraphViewConnection.cs:344-346`)
+    */
+  val DefaultAvgDegree = 5.0
+
+  def collect(g: GraphProvider): GraphStats = {
+    val rows = Map.newBuilder[String, Long]
+    val degs = Map.newBuilder[(String, String), (Long, Double)]
+    g.schema.tables.foreach { td =>
+      val t = g.nodeTable(td.name)
+      if (td.edges.isEmpty) {
+        rows += td.name -> t.count()
+      } else {
+        val aggs = count(lit(1)).as("__n") +:
+          td.edges.map(e => sum(size(col(e.columnName))).as(s"__c_${e.name}"))
+        val row = t.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getAs[Long]("__n")
+        rows += td.name -> n
+        td.edges.foreach { e =>
+          val c = Option(row.getAs[Long](s"__c_${e.name}")).getOrElse(0L)
+          degs += (td.name, e.name) -> ((c, if (n == 0) 0.0 else c.toDouble / n))
+        }
+      }
+    }
+    val rowMap = rows.result()
+    val edgeMap = degs.result().map { case ((t, e), (c, d)) =>
+      val sinkTable = // reversed degree needs the sink's row count
+        rowMap.keys.find(_ == findSink(g, t, e)).map(rowMap).getOrElse(1L)
+      (t, e) -> EdgeStat(c, d, if (sinkTable == 0) 0.0 else c.toDouble / sinkTable)
+    }
+    GraphStats(rowMap, edgeMap)
+  }
+
+  private def findSink(g: GraphProvider, table: String, edge: String): String =
+    g.schema.table(table).edge(edge).sinkTable
+}

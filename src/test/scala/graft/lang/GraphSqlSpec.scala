@@ -1,0 +1,112 @@
+package graft.lang
+
+import graft.SparkSpec
+import graft.graph.{GraphBuilder, GraphProvider}
+import graft.meta._
+import graft.planner.{ExpandEdge, StartNode}
+import graft.stats.{EdgeStat, GraphStats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class GraphSqlSpec extends SparkSpec {
+
+  test("pattern grammar: plain, attr dict, star ranges") {
+    val hops = GraphSql.parsePattern("a-[e]->b, b-[f {w: 1.5, k: 'x'}]->c, x-[g*0..3]->y, p-[h*]->q")
+    assert(hops(0) == GraphSql.Hop("a", "e", "b", Map.empty, 1, 1))
+    assert(hops(1) == GraphSql.Hop("b", "f", "c", Map("w" -> 1.5, "k" -> "x"), 1, 1))
+    assert(hops(2) == GraphSql.Hop("x", "g", "y", Map.empty, 0, 3))
+    assert(hops(3) == GraphSql.Hop("p", "h", "q", Map.empty, 0, -1))
+  }
+
+  test("multi-hop path splits into hops") {
+    val hops = GraphSql.parsePattern("a-[e]->b-[f]->c")
+    assert(hops.map(h => (h.src, h.edge, h.dst)) ==
+      Seq(("a", "e", "b"), ("b", "f", "c")))
+  }
+
+  test("alias reference rewriting") {
+    assert(GraphSql.rewriteRefs("a.name = 'x' AND bb.k > a.v", Seq("a", "bb")) ==
+      "a__name = 'x' AND bb__k > a__v")
+  }
+
+  private lazy val peopleProvider: GraphProvider = {
+    val s = spark
+    import s.implicits._
+    val schema = GraphSchema(Seq(
+      NodeTableDef("People", 1, Some("id"), Seq("name"), Seq(
+        EdgeDef("Knows", "People", "People")))))
+    val people = Seq((1, "Alice"), (2, "Bob"), (3, "Caven"), (4, "David"))
+      .toDF("id", "name")
+    val knows = Seq((1, 2), (2, 3), (2, 4)).toDF("s", "t")
+      .select(GraphBuilder.gid(1, col("s")).as("src"),
+        GraphBuilder.gid(1, col("t")).as("sink"))
+    val table = GraphBuilder.nodeTable(schema.table("People"), people, "id",
+      Map("Knows" -> knows), Seq(schema.table("People").edge("Knows") -> knows))
+      .cache()
+    new GraphProvider {
+      val schema: GraphSchema = GraphSchema(Seq(
+        NodeTableDef("People", 1, Some("id"), Seq("name"), Seq(
+          EdgeDef("Knows", "People", "People")))))
+      def nodeTable(name: String): DataFrame = table
+    }
+  }
+
+  test("tutorial 2-hop query through the full SQL stack") {
+    val gs = new GraphSession(spark, peopleProvider)
+    val res = gs.sql(
+      """SELECT C.name FROM People A, People B, People C
+        |MATCH A-[Knows]->B-[Knows]->C
+        |WHERE A.name = 'Alice' ORDER BY C.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(res == Seq("Caven", "David"))
+  }
+
+  test("var-length star through the SQL stack") {
+    val gs = new GraphSession(spark, peopleProvider)
+    val res = gs.sql(
+      """SELECT A.name, B.name, A_Knows_B.hops FROM People A, People B
+        |MATCH A-[Knows*1..2]->B
+        |WHERE A.name = 'Alice' ORDER BY A_Knows_B.hops, B.name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(res.toSeq == Seq(("Alice", "Bob", 1),
+      ("Alice", "Caven", 2), ("Alice", "David", 2)))
+  }
+
+  test("non-MATCH statements delegate to spark.sql") {
+    val gs = new GraphSession(spark, peopleProvider)
+    assert(gs.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
+  test("cost planner seeds at the selective node and orders expansions") {
+    // A(1e6, but filtered to ~10) -e1-> B(10) <-e2- C(1e6): with the
+    // selective predicate on A the plan must seed at A, traverse forward
+    // into B, then reach C over its reversed adjacency
+    val pattern = graft.pattern.MatchPattern(
+      Seq(graft.pattern.NodePat("a", "A"), graft.pattern.NodePat("b", "B"),
+        graft.pattern.NodePat("c", "C")),
+      Seq(graft.pattern.EdgePat("a", "e1", "b"),
+        graft.pattern.EdgePat("c", "e2", "b")))
+    val schema = GraphSchema(Seq(
+      NodeTableDef("A", 1, None, Nil, Seq(EdgeDef("e1", "A", "B"))),
+      NodeTableDef("B", 2, None, Nil, Nil),
+      NodeTableDef("C", 3, None, Nil, Seq(EdgeDef("e2", "C", "B")))))
+    val g = new GraphProvider {
+      val schema: GraphSchema = GraphSchema(Seq(
+        NodeTableDef("A", 1, None, Nil, Seq(EdgeDef("e1", "A", "B"))),
+        NodeTableDef("B", 2, None, Nil, Nil),
+        NodeTableDef("C", 3, None, Nil, Seq(EdgeDef("e2", "C", "B")))))
+      def nodeTable(name: String): DataFrame = ???
+    }
+    val stats = GraphStats(
+      rows = Map("A" -> 1000000L, "B" -> 10L, "C" -> 1000000L),
+      edges = Map(
+        ("A", "e1") -> EdgeStat(2000000L, 2.0, 200000.0),
+        ("C", "e2") -> EdgeStat(3000000L, 3.0, 300000.0)))
+    val plan = graft.planner.CostPlanner.plan(g, pattern, stats,
+      nodeSel = Map("a" -> 1e-5))
+    assert(plan.steps.head == StartNode("a"))
+    val expands = plan.steps.tail.collect { case e: ExpandEdge => e }
+    assert(expands.map(e => (e.edge.edge, e.reversed)) ==
+      Seq(("e1", false), ("e2", true)))
+  }
+}

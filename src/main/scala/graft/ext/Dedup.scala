@@ -66,23 +66,16 @@ object Dedup {
   }
 
   /** MinHash signature column: for perm i, min over shingles of
-    * `(a_i * xxhash64(sh) + b_i) mod p` — deterministic universal-hash
-    * family seeded from the perm index (no runtime randomness, so results
-    * are reproducible run-to-run).
+    * `(a_i * (xxhash64(sh) mod p) + b_i) mod p` — a deterministic 31-bit
+    * universal-hash family seeded from the perm index (no runtime
+    * randomness, so results are reproducible run-to-run; 31-bit reduction
+    * keeps the arithmetic ANSI-overflow-free). Computed by the native
+    * [[graft.functions.MinHashSig]] expression: one tight JVM pass per
+    * row instead of numPerms interpreted lambdas.
     */
-  def minhashSignature(shingleArray: Column, numPerms: Int): Column = {
-    // reduce shingle hashes to 31 bits so (a*h + b) never overflows a
-    // signed 64-bit long under ANSI arithmetic: a,h < 2^31 → a*h < 2^62
-    val p = 2147483629L // largest prime < 2^31
-    val hashes = transform(shingleArray, s => pmod(xxhash64(s), lit(p)))
-    val sigs = (0 until numPerms).map { i =>
-      val a = 1234567891L + 2L * i
-      val b = 987654321L * (i + 1)
-      array_min(transform(hashes,
-        h => pmod(h * lit(a) + lit(b), lit(p))))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignature(shingleArray: Column, numPerms: Int): Column =
+    graft.functions.MinHashSig(
+      transform(shingleArray, s => xxhash64(s)), numPerms)
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band index, band hash), then verify candidates with EXACT n-gram
@@ -100,8 +93,12 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol), n)).as("shs"))
       .filter(size(col("shs")) > 0)
+      .persist()
     val sig = docs.withColumn("sig", minhashSignature(col("shs"), numPerms))
-    val banded = sig.select(col("id"), col("shs"),
+    // band rows carry only (id, band, bandHash) — the shingle arrays stay
+    // out of the candidate-generation shuffle and join back once per
+    // surviving candidate pair
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rows + 1, lit(rows)))))))
@@ -111,10 +108,11 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.bandHash") === col("b.bandHash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shs").as("shs_a"), col("b.shs").as("shs_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     candidates
+      .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast(DoubleType))

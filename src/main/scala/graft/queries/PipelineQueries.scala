@@ -134,11 +134,14 @@ object PipelineQueries {
     },
 
     // MinHash+LSH with exact verification: equals the brute-force join at
-    // tau=0.9 (miss probability ~1e-16 with 16 bands x 4 rows)
+    // tau=0.9 (8 bands x 8 rows: near-dup pairs in this corpus sit at
+    // j>=0.97 → miss probability ~1e-6; recall verified empirically by
+    // graft.tools.LshCheck at sf0.01 and sf0.1 — the 8-row bands keep the
+    // low-vocab corpus from flooding the candidate join)
     "q_dedup_minhash_lsh" -> QueryDef(sqlJaccardPairs(0.9)) { (s, d) =>
       Dedup.minhashLshPairs(Tables.load(s, d, "documents"),
         "text", "doc_id", n = 3, minJaccard = 0.9,
-        numPerms = 64, bands = 16)
+        numPerms = 64, bands = 8)
         .orderBy("id_a", "id_b")
     },
 

@@ -20,7 +20,8 @@ object SparkEntry {
       _root_.graft.queries.PathQueries.defs,
       _root_.graft.queries.DmlQueries.defs,
       _root_.graft.queries.PipelineQueries.defs,
-      _root_.graft.queries.SqlQueries.defs)
+      _root_.graft.queries.SqlQueries.defs,
+      _root_.graft.queries.GraphxQueries.defs)
     val dups = all.flatMap(_.keys).groupBy(identity).collect {
       case (k, v) if v.size > 1 => k
     }

@@ -1,0 +1,171 @@
+package graft.ddl
+
+import graft.graph.{GraphBuilder, GraphProvider}
+import graft.meta._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** Persistent graph catalog — the Spark analogue of the reference's 8
+  * metadata tables + per-table storage (`GraphViewConnection.cs:97-108`,
+  * DDL at 287-399). Layout under `dir`:
+  *
+  * {{{
+  *   graph_meta.json      // schema: tables, edges, attrs, tableIds
+  *   tables/<Name>/       // parquet node tables in the §1.1 layout
+  * }}}
+  *
+  * `CREATE NODE TABLE` writes the catalog entry plus an empty parquet
+  * table with the full adjacency/tombstone/degree column set — zero
+  * codegen, one generic `ArrayType(StructType)` layout where the
+  * reference compiles per-table CLR decoders (SURVEY §3.3). DML results
+  * persist via [[rewrite]]; on a production deployment each rewrite is
+  * one Delta-style transactional table swap.
+  */
+class GraphCatalog(val spark: SparkSession, val dir: String) {
+
+  private val metaPath = Paths.get(dir, "graph_meta.json")
+  private val cache = TrieMap[String, DataFrame]()
+
+  var schema: GraphSchema =
+    if (Files.exists(metaPath)) CatalogJson.read(Files.readString(metaPath))
+    else GraphSchema(Nil)
+
+  /** property-column Spark types per table (persisted alongside roles) */
+  var propertyTypes: Map[String, StructType] =
+    if (Files.exists(metaPath)) CatalogJson.readTypes(Files.readString(metaPath))
+    else Map.empty
+
+  def provider: GraphProvider = new GraphProvider {
+    def schema: GraphSchema = GraphCatalog.this.schema
+    def nodeTable(name: String): DataFrame =
+      cache.getOrElseUpdate(name,
+        spark.read.parquet(s"$dir/tables/$name"))
+  }
+
+  def createNodeTable(td: NodeTableDef, propTypes: StructType): Unit = {
+    require(!schema.hasTable(td.name), s"table ${td.name} already exists")
+    schema = GraphSchema(schema.tables :+ td)
+    propertyTypes += td.name -> propTypes
+    // empty table with the full physical layout
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), propTypes)
+    val physical = GraphBuilder.nodeTable(td,
+      empty, td.nodeIdColumn.getOrElse(propTypes.fieldNames.head),
+      td.edges.map(e => e.name -> emptyPairs(e)).toMap,
+      schema.incomingEdges(td.name).map(e => e -> emptyPairs(e)))
+    physical.write.mode("overwrite").parquet(s"$dir/tables/${td.name}")
+    persistMeta()
+    cache.remove(td.name)
+
+    // mirror the reference: ALTER existing referenced tables to carry the
+    // new edge's reversed adjacency column (GraphViewConnection.cs:1053-1146)
+    td.edges.filter(e => e.sinkTable != td.name && schema.hasTable(e.sinkTable))
+      .foreach { e =>
+        val sink = provider.nodeTable(e.sinkTable)
+        if (!sink.columns.contains(e.reversedColumnName)) {
+          val revType = ArrayType(StructType(
+            StructField("sink", LongType) +: StructField("edgeId", IntegerType) +:
+              e.attrs.map(a => StructField(a.name, a.dataType))))
+          rewrite(e.sinkTable,
+            sink.withColumn(e.reversedColumnName, array().cast(revType)))
+        }
+      }
+  }
+
+  private def emptyPairs(e: EdgeDef): DataFrame = {
+    val fields = StructField("src", LongType) +: StructField("sink", LongType) +:
+      e.attrs.map(a => StructField(a.name, a.dataType))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(fields))
+  }
+
+  /** persist a DML rewrite of a node table (write-temp-then-swap) */
+  def rewrite(tableName: String, df: DataFrame): Unit = {
+    val tmp = s"$dir/tables/.${tableName}_tmp"
+    val dst = Paths.get(s"$dir/tables/$tableName")
+    df.write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: remove old, move tmp in place
+    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    rm(dst)
+    Files.move(Paths.get(tmp), dst)
+    cache.remove(tableName)
+  }
+
+  def nextTableId: Int =
+    (schema.tables.map(_.tableId) :+ 0).max + 1
+
+  private def persistMeta(): Unit = {
+    Files.createDirectories(metaPath.getParent)
+    Files.writeString(metaPath, CatalogJson.write(schema, propertyTypes))
+  }
+}
+
+/** Hand-rolled JSON for the catalog (stable, dependency-free; property
+  * types round-trip through Spark's own `DataType.json`).
+  */
+object CatalogJson {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def write(s: GraphSchema, types: Map[String, StructType]): String = {
+    val tables = s.tables.map { t =>
+      JObject(
+        "name" -> JString(t.name),
+        "tableId" -> JInt(t.tableId),
+        "nodeIdColumn" -> t.nodeIdColumn.map(JString).getOrElse(JNull),
+        "propertyColumns" -> JArray(t.propertyColumns.map(JString).toList),
+        "propertyTypes" -> JString(types.get(t.name).map(_.json).getOrElse("")),
+        "edges" -> JArray(t.edges.map { e =>
+          JObject(
+            "name" -> JString(e.name),
+            "sinkTable" -> JString(e.sinkTable),
+            "attrs" -> JArray(e.attrs.map(a => JObject(
+              "name" -> JString(a.name),
+              "type" -> JString(a.dataType.json))).toList))
+        }.toList))
+    }
+    JsonMethods.pretty(JsonMethods.render(JObject("tables" -> JArray(tables.toList))))
+  }
+
+  def read(json: String): GraphSchema = {
+    val ast = JsonMethods.parse(json)
+    val tables = (ast \ "tables").asInstanceOf[JArray].arr.map { t =>
+      val name = str(t \ "name")
+      NodeTableDef(
+        name,
+        (t \ "tableId").asInstanceOf[JInt].num.toInt,
+        t \ "nodeIdColumn" match {
+          case JString(s) => Some(s); case _ => None
+        },
+        (t \ "propertyColumns").asInstanceOf[JArray].arr.map(str0),
+        (t \ "edges").asInstanceOf[JArray].arr.map { e =>
+          EdgeDef(str(e \ "name"), name, str(e \ "sinkTable"),
+            (e \ "attrs").asInstanceOf[JArray].arr.map { a =>
+              EdgeAttr(str(a \ "name"),
+                DataType.fromJson(str(a \ "type")))
+            })
+        })
+    }
+    GraphSchema(tables)
+  }
+
+  def readTypes(json: String): Map[String, StructType] = {
+    val ast = JsonMethods.parse(json)
+    (ast \ "tables").asInstanceOf[JArray].arr.flatMap { t =>
+      str(t \ "propertyTypes") match {
+        case "" => None
+        case tj => Some(str(t \ "name") -> DataType.fromJson(tj).asInstanceOf[StructType])
+      }
+    }.toMap
+  }
+
+  private def str(v: JValue): String = v.asInstanceOf[JString].s
+  private def str0(v: JValue): String = v.asInstanceOf[JString].s
+}

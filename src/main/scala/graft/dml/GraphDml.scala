@@ -100,11 +100,30 @@ object GraphDml {
   /** INSERT NODE: append property rows; every graph-maintained column
     * (adjacency, tombstones, degrees, reversed) starts empty/zero —
     * `ConvertGraphModificationStatementVisitor.cs:38-135`.
+    *
+    * GlobalNodeId assignment mirrors the reference's IDENTITY seed
+    * (`GraphViewConnection.cs:877-886`): numeric NodeIds pack directly
+    * (tableId<<48|key); non-numeric NodeIds get sequential surrogate
+    * local ids continuing after the table's current max — the IDENTITY
+    * analogue (serial at load time, like SQL Server's).
     */
   def insertNodes(table: DataFrame, td: NodeTableDef, rows: DataFrame,
       keyColumn: String): DataFrame = {
-    var newRows = rows.withColumn("GlobalNodeId",
-      GraphBuilder.gid(td.tableId, col(keyColumn)))
+    var newRows = rows.schema(keyColumn).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        rows.withColumn("GlobalNodeId",
+          GraphBuilder.gid(td.tableId, col(keyColumn)))
+      case _ =>
+        val mask = (1L << GlobalNodeId.KeyBits) - 1
+        val maxLocal = table
+          .agg(coalesce(max(col("GlobalNodeId").bitwiseAND(lit(mask))), lit(0L)))
+          .head().getLong(0)
+        rows.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(keyColumn))))
+          .withColumn("GlobalNodeId",
+            GraphBuilder.gid(td.tableId, col("__rn") + maxLocal))
+          .drop("__rn")
+    }
     table.schema.fields.foreach { f =>
       if (!newRows.columns.contains(f.name)) {
         val default = f.dataType match {

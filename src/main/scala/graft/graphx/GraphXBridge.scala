@@ -1,0 +1,59 @@
+package graft.graphx
+
+import graft.graph.GraphProvider
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bridge from the adjacency-array node tables into GraphX for whole-
+  * graph analytics (PageRank, connected components, …) — the analytics
+  * half of the north star ("GraphX for graph analytics"). Vertices are
+  * GlobalNodeIds (already globally unique across tables, §1.1); edges
+  * explode straight out of the adjacency arrays with tombstones
+  * filtered, so the bridge sees exactly what MATCH sees.
+  */
+object GraphXBridge {
+
+  /** Build a GraphX graph from selected (table, edge) adjacency columns.
+    * Vertex attribute = table name; edge attribute = edge name.
+    */
+  def toGraphX(g: GraphProvider,
+      edges: Seq[(String, String)]): Graph[String, String] = {
+    val vertexTables = edges.flatMap { case (t, e) =>
+      Seq(t, g.schema.table(t).edge(e).sinkTable)
+    }.distinct
+    val vertices: RDD[(VertexId, String)] = vertexTables.map { t =>
+      g.nodeTable(t).select(col("GlobalNodeId"))
+        .rdd.map(r => (r.getLong(0), t))
+    }.reduce(_ union _)
+    val edgeRdd: RDD[Edge[String]] = edges.map { case (t, en) =>
+      val ed = g.schema.table(t).edge(en)
+      g.nodeTable(t)
+        .select(col("GlobalNodeId").as("src"),
+          explode(col(ed.columnName)).as("e"), col(ed.delColumnName).as("del"))
+        .filter(!array_contains(col("del"), col("e.edgeId")))
+        .select(col("src"), col("e.sink"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), en))
+    }.reduce(_ union _)
+    Graph(vertices, edgeRdd)
+  }
+
+  /** connected components (undirected) → (GlobalNodeId, componentId) */
+  def connectedComponents(g: GraphProvider,
+      edges: Seq[(String, String)]): DataFrame = {
+    val spark = g.nodeTable(g.schema.tables.head.name).sparkSession
+    import spark.implicits._
+    toGraphX(g, edges).connectedComponents()
+      .vertices.toDF("GlobalNodeId", "component")
+  }
+
+  /** static PageRank → (GlobalNodeId, rank) */
+  def pageRank(g: GraphProvider, edges: Seq[(String, String)],
+      iterations: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val spark = g.nodeTable(g.schema.tables.head.name).sparkSession
+    import spark.implicits._
+    toGraphX(g, edges).staticPageRank(iterations, resetProb)
+      .vertices.toDF("GlobalNodeId", "rank")
+  }
+}

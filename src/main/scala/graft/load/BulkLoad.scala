@@ -1,0 +1,76 @@
+package graft.load
+
+import graft.ddl.GraphCatalog
+import graft.dml.GraphDml
+import graft.graph.GraphBuilder
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bulk loading — the Spark re-expression of the reference's
+  * `BulkInsertNode` / `BulkInsertEdge` (`GraphView/BulkInsert.cs:486,771`,
+  * ~900 LoC of hand-rolled IDataReader streaming + SqlBulkCopy): here
+  * it's a CSV read, two id-resolution joins, and the shared adjacency
+  * aggregation. Natural keys resolve to GlobalNodeIds by joining the
+  * node tables — broadcast when the dimension side is small; the edge
+  * aggregation shuffles once on the source gid.
+  */
+object BulkLoad {
+
+  /** Append nodes from a delimited file (header row expected). */
+  def bulkInsertNode(cat: GraphCatalog, table: String, csvPath: String,
+      delimiter: String = ","): Unit = {
+    val td = cat.schema.table(table)
+    val propTypes = cat.propertyTypes(table)
+    val rows = cat.spark.read
+      .option("header", "true").option("delimiter", delimiter)
+      .schema(propTypes)
+      .csv(csvPath)
+    val keyCol = td.nodeIdColumn.getOrElse(propTypes.fieldNames.head)
+    cat.rewrite(table,
+      GraphDml.insertNodes(cat.provider.nodeTable(table), td, rows, keyCol))
+  }
+
+  /** Append edges from a delimited file of natural keys
+    * (srcKey, sinkKey[, attrs...]); resolves both endpoints, appends the
+    * adjacency + reversed side, updates degrees.
+    */
+  def bulkInsertEdge(cat: GraphCatalog, srcTable: String, edgeName: String,
+      csvPath: String, delimiter: String = ","): Unit = {
+    val td = cat.schema.table(srcTable)
+    val e = td.edge(edgeName)
+    val sinkTd = cat.schema.table(e.sinkTable)
+
+    val raw = cat.spark.read
+      .option("header", "true").option("delimiter", delimiter)
+      .option("inferSchema", "true")
+      .csv(csvPath)
+    val Array(srcKey, sinkKey) = raw.columns.take(2)
+
+    // resolve natural keys → GlobalNodeIds via the node tables' key columns
+    val srcT = cat.provider.nodeTable(srcTable)
+    val sinkT = cat.provider.nodeTable(e.sinkTable)
+    val srcIdCol = td.nodeIdColumn.get
+    val sinkIdCol = sinkTd.nodeIdColumn.get
+
+    val attrCols = e.attrs.map(a => col(a.name).cast(a.dataType).as(a.name))
+    // localCheckpoint cuts the lineage back to the node-table parquet so
+    // the sink-side rewrite doesn't re-read files the first swap replaced
+    val pairs = raw
+      .join(broadcast(srcT.select(col(srcIdCol).as("__sk"),
+        col("GlobalNodeId").as("src"))), col(srcKey) === col("__sk"))
+      .join(broadcast(sinkT.select(col(sinkIdCol).as("__tk"),
+        col("GlobalNodeId").as("sink"))), col(sinkKey) === col("__tk"))
+      .select((col("src") +: col("sink") +: attrCols): _*)
+      .localCheckpoint(true)
+
+    cat.rewrite(srcTable, GraphDml.insertEdges(srcT, e, pairs))
+    if (e.sinkTable == srcTable) {
+      // self-edge: fold both updates into one rewrite
+      val t = cat.provider.nodeTable(srcTable)
+      cat.rewrite(srcTable, GraphDml.insertEdgesSinkSide(t, e, pairs))
+    } else {
+      cat.rewrite(e.sinkTable,
+        GraphDml.insertEdgesSinkSide(cat.provider.nodeTable(e.sinkTable), e, pairs))
+    }
+  }
+}

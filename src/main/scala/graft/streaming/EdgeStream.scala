@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.dml.GraphDml
+import graft.meta.EdgeDef
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming ingestion — the beyond-reference extension of
+  * SURVEY §2.10/§7.5: the reference has no streaming surface, but the
+  * driver's `events` table motivates a thin `readStream → transform →
+  * sink` layer for continuously arriving edges.
+  *
+  *  - [[edgeUpserts]]: micro-batch upserts via `foreachBatch`, reusing
+  *    the exact same [[GraphDml.insertEdges]] rewrite the batch DML path
+  *    uses — one code path for batch and streaming mutation;
+  *  - [[windowedEventCounts]]: watermarked sliding-window aggregation,
+  *    the standard Structured Streaming shape (state bounded by the
+  *    watermark; at scale the shuffle is keyed by (window, user)).
+  */
+object EdgeStream {
+
+  /** events(user_id, event_id, ...) → per-batch append of
+    * `did` edges onto `userTable` (src=user gid, sink=event gid).
+    * The caller owns checkpointing/trigger config on the returned writer.
+    */
+  def edgeUpserts(
+      events: DataFrame,
+      edge: EdgeDef,
+      getTable: () => DataFrame,
+      setTable: DataFrame => Unit,
+      toPairs: DataFrame => DataFrame): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = toPairs(batch).localCheckpoint(true)
+        if (!pairs.isEmpty) {
+          setTable(GraphDml.insertEdges(getTable(), edge, pairs)
+            .localCheckpoint(true))
+        }
+      }
+
+  /** watermarked tumbling-window counts per user over an event stream */
+  def windowedEventCounts(events: DataFrame, tsCol: String,
+      watermark: String, windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("user_id"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value")).as("total_value"))
+
+  /** convenience: run a streaming query to completion over a bounded
+    * source (tests / backfills)
+    */
+  def runOnce(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery = {
+    val q = w.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ddl
+
+import graft.SparkSpec
+import graft.lang.GraphSession
+import graft.load.BulkLoad
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** End-to-end DDL → bulk load → MATCH over a persistent catalog,
+  * replaying the reference's BulkLoadTutorial (Reader/Book/Reads,
+  * `GraphViewTutorial/BulkLoadTutorial.cs:44-100`).
+  */
+class GraphDdlSpec extends SparkSpec {
+
+  test("DDL grammar parses roles, types, edges") {
+    val (td, props) = GraphDdl.parseCreateNodeTable(
+      """CREATE NODE TABLE People (
+        |  id INT NODEID,
+        |  name STRING,
+        |  EDGE Knows TO People (weight DOUBLE, kind STRING)
+        |)""".stripMargin, tableId = 7)
+    assert(td.name == "People" && td.tableId == 7)
+    assert(td.nodeIdColumn.contains("id"))
+    assert(td.propertyColumns == Seq("name"))
+    assert(td.edges.head.name == "Knows" && td.edges.head.sinkTable == "People")
+    assert(td.edges.head.attrs.map(_.name) == Seq("weight", "kind"))
+    assert(props == StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType))))
+  }
+
+  test("catalog round-trip: create, bulk load, match, reload") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    val cat = new GraphCatalog(spark, dir)
+
+    def create(sql: String): Unit = {
+      val (td, props) = GraphDdl.parseCreateNodeTable(sql, cat.nextTableId)
+      cat.createNodeTable(td, props)
+    }
+    create("CREATE NODE TABLE Book (name STRING NODEID)")
+    create("""CREATE NODE TABLE Reader (
+             |  name STRING NODEID, gender STRING,
+             |  EDGE Reads TO Book)""".stripMargin)
+
+    val bookCsv = Files.createTempFile("books", ".csv")
+    Files.writeString(bookCsv, "name\nbook_1\nbook_2\nbook_3\n")
+    val readerCsv = Files.createTempFile("readers", ".csv")
+    Files.writeString(readerCsv, "name,gender\nalice,f\nbob,m\n")
+    val readsCsv = Files.createTempFile("reads", ".csv")
+    Files.writeString(readsCsv,
+      "reader,book\nalice,book_1\nalice,book_2\nbob,book_2\n")
+
+    BulkLoad.bulkInsertNode(cat, "Book", bookCsv.toString)
+    BulkLoad.bulkInsertNode(cat, "Reader", readerCsv.toString)
+    BulkLoad.bulkInsertEdge(cat, "Reader", "Reads", readsCsv.toString)
+
+    // the tutorial's 1-hop MATCH (BulkLoadTutorial.cs:92-97)
+    def aliceBooks(c: GraphCatalog): Seq[String] =
+      new GraphSession(spark, c.provider).sql(
+        """SELECT b.name FROM Reader r, Book b MATCH r-[Reads]->b
+          |WHERE r.name = 'alice' ORDER BY b.name""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+    assert(aliceBooks(cat) == Seq("book_1", "book_2"))
+
+    // degrees maintained through the load
+    val book2InDeg = cat.provider.nodeTable("Book")
+      .filter(org.apache.spark.sql.functions.col("name") === "book_2")
+      .select("InDegree").head().getInt(0)
+    assert(book2InDeg == 2)
+
+    // a fresh catalog instance over the same dir sees everything
+    val reloaded = new GraphCatalog(spark, dir)
+    assert(reloaded.schema.tables.map(_.name).toSet == Set("Book", "Reader"))
+    assert(aliceBooks(reloaded) == Seq("book_1", "book_2"))
+  }
+}

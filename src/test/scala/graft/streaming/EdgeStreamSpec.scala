@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.graph.GraphBuilder
+import graft.meta._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class EdgeStreamSpec extends SparkSpec {
+
+  test("streaming edge upserts land via the batch DML path") {
+    val s = spark
+    import s.implicits._
+
+    val td = NodeTableDef("User", 1, Some("uid"), Nil,
+      Seq(EdgeDef("did", "User", "User")))
+    val users = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("uid")
+    val noPairs = Seq.empty[(Long, Long)].toDF("src", "sink")
+    var table: DataFrame = GraphBuilder.nodeTable(
+      td, users, "uid", Map("did" -> noPairs), Seq(td.edge("did") -> noPairs))
+      .localCheckpoint(true)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    stream.addData((1L, 2L), (2L, 3L), (1L, 3L))
+
+    val writer = EdgeStream.edgeUpserts(
+      stream.toDF().toDF("u", "v"),
+      td.edge("did"),
+      getTable = () => table,
+      setTable = t => table = t,
+      toPairs = b => b.select(
+        GraphBuilder.gid(1, col("u")).as("src"),
+        GraphBuilder.gid(1, col("v")).as("sink")))
+    EdgeStream.runOnce(writer,
+      Files.createTempDirectory("ckpt").toString)
+
+    val deg = table.select(col("uid"), col("didOutDegree"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(deg == Map(1L -> 2, 2L -> 1, 3L -> 0))
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    stream.addData((ts(0), 1L, 2.0), (ts(1), 1L, 3.0), (ts(6), 1L, 5.0),
+      (ts(2), 2L, 1.0))
+
+    val counts = EdgeStream.windowedEventCounts(
+      stream.toDF().toDF("ts", "user_id", "value"),
+      "ts", watermark = "10 minutes", windowLen = "5 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("win_counts").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_counts")
+      .select(col("user_id"), col("events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 2L, 5.0), (1L, 1L, 5.0), (2L, 1L, 1.0)))
+  }
+}

@@ -74,6 +74,31 @@ object GraphSql {
   private[lang] def parsePattern(pat: String): Seq[Hop] =
     splitTopLevel(pat).flatMap(parsePath)
 
+  /** split a boolean expression on top-level ANDs (outside parens) */
+  private[lang] def splitTopLevelAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    val upper = s.toUpperCase
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i + 5 <= s.length &&
+            upper.regionMatches(i, " AND ", 0, 5)) {
+            out += s.substring(start, i).trim
+            start = i + 5
+            i += 4
+          }
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
+
   /** split on commas outside {...} attr dicts */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -159,7 +184,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   def explainMatch(query: String): Seq[graft.planner.Step] = {
     val p = GraphSql.parse(query)
     val (pattern, _) = split(p)
-    graft.planner.CostPlanner.plan(provider, pattern, stats).steps
+    graft.planner.CostPlanner.plan(provider, pattern, stats,
+      aliasSelectivities(p)).steps
   }
 
   private def split(p: GraphSql.ParsedMatch): (MatchPattern, Seq[GraphSql.Hop]) = {
@@ -177,13 +203,62 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     (pattern, varHops)
   }
 
+  /** Predicate attachment for costing — the port of
+    * `AttachWhereClauseVisitor.cs:107-213`: split the WHERE clause into
+    * top-level conjuncts, bind each to a node alias when all its column
+    * references belong to that alias, and estimate per-alias selectivity
+    * by filtering the node table (the reference's SHOWPLAN round-trip,
+    * here a small Spark job; at 100 TB this counts on the stats sample
+    * instead of the full table). The predicates themselves still apply
+    * via the relational tail — Catalyst pushes them into the scans.
+    */
+  private def aliasSelectivities(p: GraphSql.ParsedMatch): Map[String, Double] = {
+    val whereRe = """(?is)^\s*WHERE\s+(.*?)(\b(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?$""".r
+    val cond = p.rest match {
+      case whereRe(c, _) => c
+      case _ => return Map.empty
+    }
+    val aliasNames = p.aliases.map(_._1)
+    val tableOf = p.aliases.toMap
+    val sel = scala.collection.mutable.Map[String, Double]()
+    GraphSql.splitTopLevelAnd(cond).foreach { conjunct =>
+      val referenced = aliasNames.filter(a =>
+        s"""\\b$a\\.""".r.findFirstIn(conjunct).isDefined)
+      if (referenced.size == 1 && tableOf.contains(referenced.head)) {
+        val a = referenced.head
+        try {
+          val t = provider.nodeTable(tableOf(a))
+          val local = conjunct.replaceAll(s"\\b$a\\.", "")
+          val rows = stats.tableRows(tableOf(a))
+          if (rows > 0) {
+            val matched = t.filter(org.apache.spark.sql.functions.expr(local)).count()
+            sel(a) = sel.getOrElse(a, 1.0) * math.max(matched.toDouble / rows, 1e-9)
+          }
+        } catch { case _: Exception => () } // unparseable → selectivity 1
+      }
+    }
+    sel.toMap
+  }
+
+  private def starColumns(df: DataFrame, p: GraphSql.ParsedMatch): Seq[String] = {
+    // node properties + edge attrs stay; ids, degrees, adjacency internals
+    // hide (reference keeps edge attrs visible in star expansion)
+    val internal =
+      """__(GlobalNodeId|InDegree|sink|edgeId)$|__\w+(Del|OutDegree|Reversed)$""".r
+    df.columns.toSeq.filter { c =>
+      internal.findFirstIn(c).isEmpty &&
+        !df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    }
+  }
+
   private def matchSql(query: String): DataFrame = {
     val p = GraphSql.parse(query)
     val (pattern, varHops) = split(p)
     val tableOf = p.aliases.toMap
 
     var df =
-      if (pattern.nodes.nonEmpty) MatchPlanner.planWithStats(provider, pattern, stats)
+      if (pattern.nodes.nonEmpty)
+        MatchPlanner.planWithStats(provider, pattern, stats, aliasSelectivities(p))
       else null
 
     // splice var-length hops: path endpoints join on GlobalNodeId
@@ -211,7 +286,13 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     df.createOrReplaceTempView(view)
     val edgeAliases = p.hops.map(h => s"${h.src}_${h.edge}_${h.dst}")
     val names = p.aliases.map(_._1) ++ edgeAliases
-    val sel = GraphSql.rewriteRefs(p.select, names)
+    // SELECT * expands to user-visible node columns only — adjacency
+    // arrays, tombstones, degrees and reversed columns stay internal
+    // (the reference's star expansion, TranslateMatchClauseVisitor.cs:1063-1188)
+    val selRaw =
+      if (p.select.trim == "*") starColumns(df, p).mkString(", ")
+      else p.select
+    val sel = GraphSql.rewriteRefs(selRaw, names)
     val rest = GraphSql.rewriteRefs(p.rest, names)
     spark.sql(s"SELECT $sel FROM $view $rest")
   }

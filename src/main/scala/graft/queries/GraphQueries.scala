@@ -188,6 +188,38 @@ object GraphQueries {
         .orderBy("src_type", "src_key")
     },
 
+    // global node view over every table of the schema (View.cs:2046)
+    "q_match_global_view" -> QueryDef(
+      """SELECT _NodeType, COUNT(*) AS cnt FROM (
+        |  SELECT 'Customer' AS _NodeType FROM customer
+        |  UNION ALL SELECT 'Nation' FROM nation
+        |  UNION ALL SELECT 'Order' FROM orders
+        |  UNION ALL SELECT 'Part' FROM part
+        |  UNION ALL SELECT 'Region' FROM region
+        |  UNION ALL SELECT 'Supplier' FROM supplier) t
+        |GROUP BY _NodeType ORDER BY _NodeType""".stripMargin) { (s, d) =>
+      graft.graph.Views.globalNodeView(TpchGraph.provider(s, d))
+        .groupBy("_NodeType").agg(count(lit(1)).as("cnt"))
+        .orderBy("_NodeType")
+    },
+
+    // typed node view with property mapping (View.cs:95-136)
+    "q_match_mapped_view" -> QueryDef(
+      """SELECT _NodeType, name, acctbal FROM (
+        |  SELECT 'Customer' AS _NodeType, c_name AS name, c_acctbal AS acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 'Supplier' AS _NodeType, s_name AS name, s_acctbal AS acctbal FROM supplier) t
+        |WHERE acctbal > 9000 ORDER BY _NodeType, name""".stripMargin) { (s, d) =>
+      graft.graph.Views.nodeView(TpchGraph.provider(s, d),
+        Seq("Customer", "Supplier"),
+        Map(
+          "name" -> Map("Customer" -> "c_name", "Supplier" -> "s_name"),
+          "acctbal" -> Map("Customer" -> "c_acctbal", "Supplier" -> "s_acctbal")))
+        .filter(col("acctbal") > 9000)
+        .select("_NodeType", "name", "acctbal")
+        .orderBy("_NodeType", "name")
+    },
+
     // two edges out of one alias (multi-edge source)
     "q_match_multi_edge" -> QueryDef(
       """SELECT c_custkey, n_name, o_orderkey

@@ -380,6 +380,68 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // §2.2 IS NULL over outer-join nulls
+    "q_is_null" -> QueryDef(
+      """SELECT c_custkey FROM customer
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderstatus = 'F') f ON f.o_custkey = c_custkey
+        |WHERE f.o_custkey IS NULL ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val f = Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_custkey").distinct()
+      Tables.load(s, d, "customer")
+        .join(f, col("o_custkey") === col("c_custkey"), "left_outer")
+        .filter(col("o_custkey").isNull)
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // §2.6 COUNT(DISTINCT) (the reference delegates DISTINCT aggregation)
+    "q_count_distinct" -> QueryDef(
+      """SELECT COUNT(DISTINCT l_partkey) AS parts,
+        |       COUNT(DISTINCT l_suppkey) AS supps
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("parts"),
+          countDistinct(col("l_suppkey")).as("supps"))
+    },
+
+    // §2.6 approximate NDV (HLL; stats-collector building block) — not
+    // DuckDB-reproducible bit-for-bit → rows-only check
+    "q_approx_distinct" -> QueryDef.noOracle { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    },
+
+    // §2.7 TOP n PERCENT (rank against the window-counted total)
+    "q_top_percent" -> QueryDef(
+      """WITH t AS (SELECT c_custkey, c_acctbal,
+        |             ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |             COUNT(*) OVER () AS n
+        |           FROM customer)
+        |SELECT c_custkey, c_acctbal FROM t
+        |WHERE rn <= CEIL(n * 0.01) ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""WITH t AS (SELECT c_custkey, c_acctbal,
+              |             ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+              |             COUNT(*) OVER () AS n
+              |           FROM customer)
+              |SELECT c_custkey, c_acctbal FROM t
+              |WHERE rn <= CEIL(n * 0.01) ORDER BY c_custkey""".stripMargin)
+    },
+
+    // §2.7 INTERSECT ALL (bag semantics)
+    "q_intersect_all" -> QueryDef(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(
+          Tables.load(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
     // §2.1 derived table + §2.6 aggregate over it
     "q_derived_table" -> QueryDef(
       """SELECT big.o_custkey, COUNT(*) AS big_orders

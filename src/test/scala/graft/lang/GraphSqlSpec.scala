@@ -72,6 +72,15 @@ class GraphSqlSpec extends SparkSpec {
       ("Alice", "Caven", 2), ("Alice", "David", 2)))
   }
 
+  test("SELECT * expands to user-visible columns only") {
+    val gs = new GraphSession(spark, peopleProvider)
+    val res = gs.sql(
+      """SELECT * FROM People A, People B MATCH A-[Knows]->B
+        |WHERE A.name = 'Alice'""".stripMargin)
+    assert(res.columns.toSet == Set("A__id", "A__name", "B__id", "B__name"))
+    assert(res.count() == 1)
+  }
+
   test("non-MATCH statements delegate to spark.sql") {
     val gs = new GraphSession(spark, peopleProvider)
     assert(gs.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)

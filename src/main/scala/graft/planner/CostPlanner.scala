@@ -114,9 +114,11 @@ object CostPlanner {
               (e.dst == u && st.bound(e.src)))
           }
           candidates.foreach { u =>
-            val joining = edges.filter(e =>
+            val joining0 = edges.filter(e =>
               (e.src == u && st.bound(e.dst)) || (e.dst == u && st.bound(e.src)))
-            // first joining edge traverses; the rest become filters
+            // cheapest-first: traverse the lowest-degree joining edge, the
+            // rest become post-join filters (MatchComponent.cs:577-581)
+            val joining = joining0.sortBy(e => deg(e, reversed = e.src == u))
             val first = joining.head
             val fwd = first.src != u // component holds the source → forward explode
             val d = deg(first, reversed = !fwd)

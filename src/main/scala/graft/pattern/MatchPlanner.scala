@@ -95,6 +95,28 @@ object MatchPlanner {
     df
   }
 
+  /** Correlated MATCH: a pattern inside a subquery referencing node
+    * aliases bound in an outer query — the reference re-materializes the
+    * external alias by joining on GlobalNodeId
+    * (`TranslateMatchClauseVisitor.cs:620-705`). `outerBindings` maps a
+    * pattern alias to the outer DataFrame's column holding that node's
+    * GlobalNodeId; the planned pattern joins back on id equality.
+    */
+  def planCorrelated(g: GraphProvider, pattern: MatchPattern,
+      outer: DataFrame, outerBindings: Map[String, String],
+      stats: Option[graft.stats.GraphStats] = None): DataFrame = {
+    val inner = stats match {
+      case Some(st) => planWithStats(g, pattern, st)
+      case None => plan(g, pattern)
+    }
+    outerBindings.foldLeft(inner.crossJoin(broadcast(outer))) {
+      // degenerate shape guard: fold as filters so multiple bindings
+      // constrain the same cross join
+      case (df, (alias, outerCol)) =>
+        df.filter(col(s"${alias}__GlobalNodeId") === col(outerCol))
+    }
+  }
+
   def plan(g: GraphProvider, pattern: MatchPattern): DataFrame = {
     validate(g, pattern)
     val nodeByAlias = pattern.nodes.map(n => n.alias -> n).toMap

@@ -61,4 +61,45 @@ object GraphStats {
 
   private def findSink(g: GraphProvider, table: String, edge: String): String =
     g.schema.table(table).edge(edge).sinkTable
+
+  /** reference sampling size: 200 rows per edge column
+    * (`GraphDbEdgeColumnSamplingRate`, `GraphViewConnection.cs:220-221`)
+    */
+  val EdgeSampleRows = 200
+
+  /** The 100 TB mode: estimate degrees from a bounded per-table sample
+    * (the reference's `_Sampling` tables) instead of full aggregation —
+    * row counts still come from cheap `count()` (metadata-served for
+    * parquet), degrees from `EdgeSampleRows` sampled rows, and per-edge
+    * sink histograms from the same sample for join-selectivity
+    * refinement.
+    */
+  def collectSampled(g: GraphProvider,
+      sampleRows: Int = EdgeSampleRows): (GraphStats, Map[(String, String), Histogram]) = {
+    val rows = Map.newBuilder[String, Long]
+    val degs = Map.newBuilder[(String, String), (Long, Double)]
+    val hists = Map.newBuilder[(String, String), Histogram]
+    g.schema.tables.foreach { td =>
+      val t = g.nodeTable(td.name)
+      val n = t.count()
+      rows += td.name -> n
+      td.edges.foreach { e =>
+        val sample = t.select(col(e.columnName).as("__adj"))
+          .limit(sampleRows)
+        val sinks = sample
+          .select(explode(col("__adj")).as("__e"))
+          .select(col("__e.sink")).collect().map(_.getLong(0)).toSeq
+        val sampled = math.min(n, sampleRows.toLong)
+        val avgDeg = if (sampled == 0) 0.0 else sinks.size.toDouble / sampled
+        degs += (td.name, e.name) -> ((math.round(avgDeg * n), avgDeg))
+        hists += (td.name, e.name) -> Histogram.build(sinks)
+      }
+    }
+    val rowMap = rows.result()
+    val edgeMap = degs.result().map { case ((t, e), (c, d)) =>
+      val sinkRows = rowMap.getOrElse(findSink(g, t, e), 1L)
+      (t, e) -> EdgeStat(c, d, if (sinkRows == 0) 0.0 else c.toDouble / sinkRows)
+    }
+    (GraphStats(rowMap, edgeMap), hists.result())
+  }
 }

@@ -88,6 +88,30 @@ class MatchPlannerSpec extends SparkSpec {
     assert(res == Set(("Alice", "Bob"), ("Bob", "David")))
   }
 
+  test("correlated MATCH re-joins external aliases on GlobalNodeId") {
+    // outer query binds Bob; the inner pattern x-[Knows]->y correlates
+    // x to the outer row (TranslateMatchClauseVisitor.cs:620-705)
+    val outer = g.nodeTable("People")
+      .filter(col("name") === "Bob")
+      .select(col("GlobalNodeId").as("outer_gid"), col("name").as("outer_name"))
+    val res = MatchPlanner.planCorrelated(g,
+      MatchPattern(
+        Seq(NodePat("x", "People"), NodePat("y", "People")),
+        Seq(EdgePat("x", "Knows", "y"))),
+      outer, Map("x" -> "outer_gid"))
+      .select("outer_name", "y__name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(res == Set(("Bob", "Caven"), ("Bob", "David")))
+  }
+
+  test("sampled stats approximate full aggregation") {
+    val (stats, hists) = graft.stats.GraphStats.collectSampled(g)
+    assert(stats.rows("People") == 4L)
+    // 3 edges over 4 sampled rows
+    assert(math.abs(stats.edgeStat("People", "Knows").avgDeg - 0.75) < 1e-9)
+    assert(hists(("People", "Knows")).totalRows == 3.0)
+  }
+
   test("GlobalNodeId pack/unpack roundtrip") {
     assert(GlobalNodeId.pack(3, 42L) == ((3L << 48) | 42L))
     assert(GlobalNodeId.tableIdOf(GlobalNodeId.pack(7, 99L)) == 7)

@@ -81,6 +81,42 @@ object GraphDml {
       .drop("__newDel", "__src")
   }
 
+  /** Rebuild the sink table's reversed adjacency column from the source
+    * table's LIVE forward edges — the sync the reference performs inside
+    * DELETE EDGE via `ConstructReversedMatchClause`
+    * (`TranslateDataModificationVisitor.cs:1829-1897`). Run after
+    * [[deleteEdges]] so reversed-direction traversals stop seeing the
+    * tombstoned edges. Cost: one explode + groupBy over the source table
+    * plus a join to the sink — compaction-job scale, batched with the
+    * delete at 100 TB.
+    */
+  def syncReversed(srcTable: DataFrame, sinkTable: DataFrame,
+      e: EdgeDef): DataFrame = {
+    val livePairs = srcTable
+      .select(col("GlobalNodeId").as("src"), explode(col(e.columnName)).as("__e"),
+        col(e.delColumnName).as("__del"))
+      .filter(!array_contains(col("__del"), col("__e.edgeId")))
+      .select((col("src") +: col("__e.sink").as("sink") +:
+        e.attrs.map(a => col(s"__e.${a.name}").as(a.name))): _*)
+    val swapped = livePairs
+      .withColumnRenamed("src", "__tmp").withColumnRenamed("sink", "src")
+      .withColumnRenamed("__tmp", "sink")
+    val rev = graft.graph.GraphBuilder.adjacency(swapped, e.attrs)
+    val rc = e.reversedColumnName
+    val revType = rev.schema("edges").dataType
+    val synced = sinkTable.drop(rc)
+      .join(rev.withColumnRenamed("src", "__src"),
+        col("GlobalNodeId") === col("__src"), "left_outer")
+      .withColumn(rc, coalesce(col("edges"), array().cast(revType)))
+      .drop("edges", "__src")
+    // InDegree = live incoming edges = sum over all reversed mirrors
+    // (the reference's sink-side decrement,
+    // TranslateDataModificationVisitor.cs:381-410)
+    val revCols = synced.columns.filter(_.endsWith("Reversed"))
+    synced.withColumn("InDegree",
+      revCols.map(c => size(col(c))).reduce(_ + _).cast(IntegerType))
+  }
+
   /** Tombstone compaction: rebuild the adjacency minus deleted ids and
     * clear the tombstones — the reference's `Recycle` /
     * `MergeDeleteColumn` job (`NodeTableGraphViewCodeTemplate.tt:373-453`,

@@ -58,6 +58,9 @@ object GraphSql {
     case _ => throw new IllegalArgumentException(s"not a MATCH query: $sql")
   }
 
+  private[lang] def parseFromPublic(from: String): Seq[(String, String)] =
+    parseFrom(from)
+
   private def parseFrom(from: String): Seq[(String, String)] =
     from.split(",").map(_.trim).filter(_.nonEmpty).map { item =>
       item.split("""(?i)\s+(?:AS\s+)?""").filter(_.nonEmpty) match {
@@ -169,14 +172,151 @@ object GraphSql {
     }
 }
 
-/** Session facade: compiles dialect statements against a graph. */
+/** Session facade: compiles dialect statements against a graph.
+  *
+  * Read queries work over any [[GraphProvider]]; DDL and graph DML
+  * statements (`CREATE NODE TABLE`, `INSERT NODE`, `INSERT EDGE`,
+  * `DELETE EDGE`, `DELETE NODE` — the reference's statement surface,
+  * `GraphViewParser.cs:1482-1595`) additionally need a mutable
+  * [[graft.ddl.GraphCatalog]] and are rejected without one.
+  */
 class GraphSession(val spark: SparkSession, val provider: GraphProvider,
-    statsOpt: Option[GraphStats] = None) {
+    statsOpt: Option[GraphStats] = None,
+    val catalog: Option[graft.ddl.GraphCatalog] = None) {
+
+  def this(spark: SparkSession, catalog: graft.ddl.GraphCatalog) =
+    this(spark, catalog.provider, None, Some(catalog))
 
   lazy val stats: GraphStats = statsOpt.getOrElse(GraphStats.collect(provider))
 
-  def sql(query: String): DataFrame =
-    if (GraphSql.isMatchQuery(query)) matchSql(query) else spark.sql(query)
+  private val InsertNodeRe =
+    """(?is)^\s*INSERT\s+NODE\s+INTO\s+(\w+)\s+(SELECT\b.*|VALUES\b.*)$""".r
+  private val InsertEdgeRe =
+    """(?is)^\s*INSERT\s+EDGE\s+INTO\s+(\w+)\.(\w+)\s+(SELECT\b.*)$""".r
+  private val DeleteEdgeRe =
+    """(?is)^\s*DELETE\s+EDGE\s+(\w+)\s*-\s*\[\s*(\w+)\s*\]\s*->\s*(\w+)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+  private val DeleteNodeRe =
+    """(?is)^\s*DELETE\s+NODE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$""".r
+
+  def sql(query: String): DataFrame = query match {
+    case _ if graft.ddl.GraphDdl.isCreateNodeTable(query) =>
+      val cat = requireCatalog()
+      val (td, props) = graft.ddl.GraphDdl.parseCreateNodeTable(query, cat.nextTableId)
+      cat.createNodeTable(td, props)
+      affected(0)
+    case InsertNodeRe(table, select) => insertNodeSql(table, select)
+    case InsertEdgeRe(table, edge, select) => insertEdgeSql(table, edge, select)
+    case DeleteEdgeRe(srcA, edge, dstA, from, where) =>
+      deleteEdgeSql(srcA, edge, dstA, from, Option(where))
+    case DeleteNodeRe(table, where) => deleteNodeSql(table, Option(where))
+    case _ if GraphSql.isMatchQuery(query) => matchSql(query)
+    case _ => spark.sql(query)
+  }
+
+  private def requireCatalog(): graft.ddl.GraphCatalog =
+    catalog.getOrElse(throw new IllegalStateException(
+      "DDL/DML statements need a GraphSession backed by a GraphCatalog"))
+
+  private def affected(n: Long): DataFrame = {
+    import spark.implicits._
+    Seq(n).toDF("rows_affected")
+  }
+
+  /** register every node table as a temp view for inner SELECTs */
+  private def registerTables(): Unit =
+    provider.schema.tables.foreach(t =>
+      provider.nodeTable(t.name).createOrReplaceTempView(t.name))
+
+  private def evalInner(select: String): DataFrame = {
+    registerTables()
+    if (select.trim.toUpperCase.startsWith("VALUES"))
+      spark.sql(s"SELECT * FROM ($select)")
+    else spark.sql(select)
+  }
+
+  private def insertNodeSql(table: String, select: String): DataFrame = {
+    val cat = requireCatalog()
+    val td = cat.schema.table(table)
+    val rows = evalInner(select)
+    val key = td.nodeIdColumn.getOrElse(rows.columns.head)
+    val n = rows.count()
+    cat.rewrite(table,
+      graft.dml.GraphDml.insertNodes(provider.nodeTable(table), td, rows, key)
+        .localCheckpoint(true))
+    affected(n)
+  }
+
+  private def insertEdgeSql(table: String, edgeName: String,
+      select: String): DataFrame = {
+    val cat = requireCatalog()
+    val td = cat.schema.table(table)
+    val e = td.edge(edgeName)
+    val sinkTd = cat.schema.table(e.sinkTable)
+    val raw = evalInner(select)
+    val Seq(srcKey, sinkKey) = raw.columns.take(2).toSeq
+    val srcT = provider.nodeTable(table)
+    val sinkT = provider.nodeTable(e.sinkTable)
+    // positional attrs after the two keys
+    val attrCols = e.attrs.zip(raw.columns.drop(2)).map { case (a, c) =>
+      col(c).cast(a.dataType).as(a.name)
+    }
+    val pairs = raw
+      .join(srcT.select(col(td.nodeIdColumn.get).as("__sk"),
+        col("GlobalNodeId").as("src")), col(srcKey) === col("__sk"))
+      .join(sinkT.select(col(sinkTd.nodeIdColumn.get).as("__tk"),
+        col("GlobalNodeId").as("sink")), col(sinkKey) === col("__tk"))
+      .select((col("src") +: col("sink") +: attrCols): _*)
+      .localCheckpoint(true)
+    val n = pairs.count()
+    cat.rewrite(table,
+      graft.dml.GraphDml.insertEdges(srcT, e, pairs).localCheckpoint(true))
+    cat.rewrite(e.sinkTable,
+      graft.dml.GraphDml.insertEdgesSinkSide(
+        provider.nodeTable(e.sinkTable), e, pairs).localCheckpoint(true))
+    affected(n)
+  }
+
+  /** DELETE EDGE: 1-hop pattern only, as the reference enforces
+    * (`GraphViewParser.cs:1557-1563`)
+    */
+  private def deleteEdgeSql(srcA: String, edgeName: String, dstA: String,
+      from: String, where: Option[String]): DataFrame = {
+    val cat = requireCatalog()
+    val aliases = GraphSql.parseFromPublic(from).toMap
+    val srcTable = aliases(srcA)
+    val e = cat.schema.table(srcTable).edge(edgeName)
+    val matched = MatchPlanner.plan(provider, MatchPattern(
+      Seq(NodePat(srcA, srcTable), NodePat(dstA, aliases(dstA))),
+      Seq(EdgePat(srcA, edgeName, dstA))))
+    val view = s"__del_${System.identityHashCode(matched).toHexString}"
+    matched.createOrReplaceTempView(view)
+    val names = Seq(srcA, dstA, s"${srcA}_${edgeName}_$dstA")
+    val cond = where.map(w => s"WHERE ${GraphSql.rewriteRefs(w, names)}").getOrElse("")
+    val eAlias = s"${srcA}_${edgeName}_$dstA"
+    val doomed = spark.sql(
+      s"SELECT ${srcA}__GlobalNodeId AS src, ${eAlias}__edgeId AS edgeId FROM $view $cond")
+      .localCheckpoint(true)
+    val n = doomed.count()
+    val afterDel = graft.dml.GraphDml.deleteEdges(
+      provider.nodeTable(srcTable), e, doomed)
+    cat.rewrite(srcTable, afterDel.localCheckpoint(true))
+    // keep the reversed mirror in sync
+    cat.rewrite(e.sinkTable, graft.dml.GraphDml.syncReversed(
+      provider.nodeTable(srcTable), provider.nodeTable(e.sinkTable), e)
+      .localCheckpoint(true))
+    affected(n)
+  }
+
+  private def deleteNodeSql(table: String, where: Option[String]): DataFrame = {
+    val cat = requireCatalog()
+    val td = cat.schema.table(table)
+    val t = provider.nodeTable(table)
+    val pred = where.map(org.apache.spark.sql.functions.expr).getOrElse(lit(true))
+    val n = t.filter(pred).count()
+    cat.rewrite(table,
+      graft.dml.GraphDml.deleteNodes(t, td, pred).localCheckpoint(true))
+    affected(n)
+  }
 
   /** the planned step order for a MATCH query — the `GetTsqlQuery`-style
     * test seam (golden-plan assertions, SURVEY §5)

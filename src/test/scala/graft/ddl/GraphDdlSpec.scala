@@ -73,4 +73,52 @@ class GraphDdlSpec extends SparkSpec {
     assert(reloaded.schema.tables.map(_.name).toSet == Set("Book", "Reader"))
     assert(aliceBooks(reloaded) == Seq("book_1", "book_2"))
   }
+
+  /** Full SQL-driven replay of the reference's InsAndDelTutorial
+    * (`GraphViewTutorial/InsAndDelTutorial.cs:14-163`): DDL → INSERT
+    * NODE → INSERT EDGE → 2-hop MATCH → DELETE EDGE → empty MATCH →
+    * guarded DELETE NODE → cleanup.
+    */
+  test("InsAndDelTutorial flow through SQL statements") {
+    val dir = Files.createTempDirectory("graft_tut").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+
+    gs.sql("""CREATE NODE TABLE People (
+             |  id INT NODEID, name STRING,
+             |  EDGE Knows TO People)""".stripMargin)
+    assert(gs.sql(
+      """INSERT NODE INTO People
+        |SELECT * FROM VALUES (1,'Alice'),(2,'Bob'),(3,'Caven'),(4,'David')
+        |  AS t(id, name)""".stripMargin)
+      .head().getLong(0) == 4)
+    assert(gs.sql(
+      """INSERT EDGE INTO People.Knows
+        |SELECT * FROM VALUES (1,2),(2,3),(2,4) AS t(src_id, dst_id)""".stripMargin)
+      .head().getLong(0) == 3)
+
+    def twoHop(): Seq[String] = gs.sql(
+      """SELECT C.name FROM People A, People B, People C
+        |MATCH A-[Knows]->B-[Knows]->C
+        |WHERE A.name = 'Alice' ORDER BY C.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(twoHop() == Seq("Caven", "David"))
+
+    // DELETE EDGE Bob->Caven; the tutorial expects the 2-hop to shrink
+    assert(gs.sql(
+      """DELETE EDGE x-[Knows]->y FROM People x, People y
+        |WHERE x.name = 'Bob' AND y.name = 'Caven'""".stripMargin)
+      .head().getLong(0) == 1)
+    assert(twoHop() == Seq("David"))
+
+    // guarded DELETE NODE: Bob still has edges → must throw
+    intercept[IllegalStateException] {
+      gs.sql("DELETE NODE FROM People WHERE name = 'Bob'")
+    }
+    // Caven now has no edges (its incoming edge was deleted)
+    assert(gs.sql("DELETE NODE FROM People WHERE name = 'Caven'")
+      .head().getLong(0) == 1)
+    assert(gs.sql(
+      """SELECT p.name FROM People p MATCH p-[Knows]->p
+        |WHERE 1 = 0""".stripMargin).count() == 0) // parser smoke
+  }
 }

@@ -62,6 +62,21 @@ class GraphDmlSpec extends SparkSpec {
     assert(ids == Seq(0)) // renumbered from 0
   }
 
+  test("syncReversed: reversed traversal agrees with forward after delete") {
+    val s = spark
+    import s.implicits._
+    val doomed = Seq((GlobalNodeId.pack(1, 2), 0)).toDF("src", "edgeId")
+    val afterDel = GraphDml.deleteEdges(freshGraph, ed, doomed)
+    // stale reversed column still carries Bob→Caven; sync drops it
+    val synced = GraphDml.syncReversed(afterDel, afterDel, ed)
+    val revSinks = synced
+      .select(col("name"), expr("transform(People_KnowsReversed, x -> x.sink)"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(revSinks("Caven") == Set.empty)
+    assert(revSinks("David") == Set(GlobalNodeId.pack(1, 2)))
+    assert(revSinks("Bob") == Set(GlobalNodeId.pack(1, 1)))
+  }
+
   test("insert node starts with empty adjacency and zero degrees") {
     val s = spark
     import s.implicits._

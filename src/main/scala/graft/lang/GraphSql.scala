@@ -384,7 +384,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     // node properties + edge attrs stay; ids, degrees, adjacency internals
     // hide (reference keeps edge attrs visible in star expansion)
     val internal =
-      """__(GlobalNodeId|InDegree|sink|edgeId)$|__\w+(Del|OutDegree|Reversed)$""".r
+      """__(GlobalNodeId|InDegree|sink|src|edgeId)$|__\w+(Del|OutDegree|Reversed)$""".r
     df.columns.toSeq.filter { c =>
       internal.findFirstIn(c).isEmpty &&
         !df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]

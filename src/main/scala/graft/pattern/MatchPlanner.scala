@@ -74,19 +74,41 @@ object MatchPlanner {
       case StartNode(a) =>
         val t = prefixed(g, nodeByAlias(a))
         df = if (df == null) t else df.crossJoin(t)
-      case ExpandEdge(e, reversed, bcast) =>
+      case ExpandEdge(e, reversed, bcast, preMat) =>
         val edgeDef = g.schema.table(nodeByAlias(e.src).table).edge(e.edge)
         if (!reversed) {
-          var t = prefixed(g, nodeByAlias(e.dst))
-          if (bcast) t = broadcast(t)
-          df = explodeForward(df, e, edgeDef)
-            .join(t, col(s"${e.alias}__sink") === col(s"${e.dst}__GlobalNodeId"))
+          if (!preMat) {
+            // frontier-side explode, then join the new sink node
+            var t = prefixed(g, nodeByAlias(e.dst))
+            if (bcast) t = broadcast(t)
+            df = explodeForward(df, e, edgeDef)
+              .join(t, col(s"${e.alias}__sink") === col(s"${e.dst}__GlobalNodeId"))
+          } else {
+            // build-side pre-materialization: explode the NEW node's
+            // reversed mirror before joining (shrinks a <1-degree side)
+            var build = explodeReversed(prefixed(g, nodeByAlias(e.dst)), e, edgeDef)
+            if (bcast) build = broadcast(build)
+            df = df.join(build,
+              col(s"${e.alias}__src") === col(s"${e.src}__GlobalNodeId"))
+          }
         } else {
-          var t = prefixed(g, nodeByAlias(e.src))
-          if (bcast) t = broadcast(t)
-          df = explodeReversed(df, e, edgeDef)
-            .join(t, col(s"${e.alias}__src") === col(s"${e.src}__GlobalNodeId"))
+          if (!preMat) {
+            var t = prefixed(g, nodeByAlias(e.src))
+            if (bcast) t = broadcast(t)
+            df = explodeReversed(df, e, edgeDef)
+              .join(t, col(s"${e.alias}__src") === col(s"${e.src}__GlobalNodeId"))
+          } else {
+            var build = explodeForward(prefixed(g, nodeByAlias(e.src)), e, edgeDef)
+            if (bcast) build = broadcast(build)
+            df = df.join(build,
+              col(s"${e.alias}__sink") === col(s"${e.dst}__GlobalNodeId"))
+          }
         }
+        // uniform edge-endpoint columns regardless of physical variant
+        if (!df.columns.contains(s"${e.alias}__src"))
+          df = df.withColumn(s"${e.alias}__src", col(s"${e.src}__GlobalNodeId"))
+        if (!df.columns.contains(s"${e.alias}__sink"))
+          df = df.withColumn(s"${e.alias}__sink", col(s"${e.dst}__GlobalNodeId"))
       case BindEdge(e) =>
         val edgeDef = g.schema.table(nodeByAlias(e.src).table).edge(e.edge)
         df = explodeForward(df, e, edgeDef)

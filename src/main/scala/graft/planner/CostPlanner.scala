@@ -17,9 +17,14 @@ final case class StartNode(alias: String) extends Step
   *                  adjacency column into the unbound source
   * @param broadcastNode  hint: the node table being joined is small
   *                  enough to broadcast
+  * @param preMaterialize  explode the NEW node's own adjacency before the
+  *                  join (build-side pre-materialization) instead of the
+  *                  frontier's — chosen when the new node's side of the
+  *                  edge has avg degree < 1, so the explode shrinks the
+  *                  build relation (`MatchGraphInterface.cs:108-114`)
   */
 final case class ExpandEdge(edge: EdgePat, reversed: Boolean,
-    broadcastNode: Boolean) extends Step
+    broadcastNode: Boolean, preMaterialize: Boolean = false) extends Step
 /** both endpoints already bound: edge becomes an existence filter */
 final case class BindEdge(edge: EdgePat) extends Step
 
@@ -133,7 +138,11 @@ object CostPlanner {
             val hashCost = uRows + st.size
             val stepCost = math.min(loopCost, hashCost)
             val broadcast = uRows <= BroadcastRowThreshold
-            val step = ExpandEdge(first, reversed = !fwd, broadcastNode = broadcast)
+            // pre-materialize when exploding the NEW node's side of the
+            // edge shrinks it (its avg degree on that side < 1)
+            val uSideDeg = deg(first, reversed = fwd)
+            val step = ExpandEdge(first, reversed = !fwd,
+              broadcastNode = broadcast, preMaterialize = uSideDeg < 1.0)
             offer(State(st.bound + u,
               (st.steps :+ step) ++ extraSteps,
               st.cost + stepCost, math.max(newSize, 1.0)))

@@ -112,6 +112,26 @@ class MatchPlannerSpec extends SparkSpec {
     assert(hists(("People", "Knows")).totalRows == 3.0)
   }
 
+  test("pre-materialized expansion agrees with frontier-side explode") {
+    // sparse edge (avg degree 0.75 < 1) → cost planner chooses build-side
+    // pre-materialization; results must match the greedy plan
+    val stats = graft.stats.GraphStats.collect(g)
+    assert(stats.edgeStat("People", "Knows").avgDeg < 1.0)
+    val pattern = MatchPattern(
+      Seq(NodePat("a", "People"), NodePat("b", "People")),
+      Seq(EdgePat("a", "Knows", "b")))
+    val steps = graft.planner.CostPlanner.plan(g, pattern, stats).steps
+    val expand = steps.collectFirst {
+      case e: graft.planner.ExpandEdge => e
+    }.get
+    assert(expand.preMaterialize)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a__name"), col("b__name"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows(MatchPlanner.planWithStats(g, pattern, stats)) ==
+      rows(MatchPlanner.plan(g, pattern)))
+  }
+
   test("GlobalNodeId pack/unpack roundtrip") {
     assert(GlobalNodeId.pack(3, 42L) == ((3L << 48) | 42L))
     assert(GlobalNodeId.tableIdOf(GlobalNodeId.pack(7, 99L)) == 7)

@@ -129,8 +129,24 @@ object CostPlanner {
             val d = deg(first, reversed = !fwd)
             var newSize = st.size * d * sel(u)
             val extraSteps = joining.tail.map { e =>
-              // an extra bound-bound edge filters: expected match fraction
-              newSize *= deg(e, reversed = false) / rowsEff(if (e.src == u) e.dst else e.src)
+              // An extra bound-bound edge filters. Expected match fraction
+              // P(edge src→dst exists for a fixed pair) = deg/|dst| under
+              // uniformity; with sink-sample + id histograms available
+              // (Statistics.cs join-selectivity) the edge-mass actually
+              // landing in the bound dst's id range refines it — e.g. a
+              // predicate-filtered dst whose ids receive no edges → ~0.
+              val est = stats.edgeStat(tableOf(e.src), e.edge)
+              val histFactor = for {
+                sh <- stats.sinkHists.get((tableOf(e.src), e.edge))
+                ih <- stats.idHists.get(tableOf(e.dst))
+                if est.count > 0 && ih.totalRows > 0
+              } yield {
+                val (joined, _) = graft.stats.Histogram.joinSelectivity(sh, ih)
+                est.avgDeg * joined /
+                  (est.count.toDouble * math.max(ih.totalRows, 1.0))
+              }
+              newSize *= histFactor.getOrElse(
+                deg(e, reversed = false) / rowsEff(e.dst))
               BindEdge(e)
             }
             val uRows = rowsEff(u)

@@ -16,7 +16,11 @@ final case class EdgeStat(count: Long, avgDeg: Double, avgRevDeg: Double)
 
 final case class GraphStats(
     rows: Map[String, Long],
-    edges: Map[(String, String), EdgeStat]) {
+    edges: Map[(String, String), EdgeStat],
+    /** per-(table,edge) histogram of sampled sink ids (§4.4) */
+    sinkHists: Map[(String, String), Histogram] = Map.empty,
+    /** per-table histogram of sampled GlobalNodeIds */
+    idHists: Map[String, Histogram] = Map.empty) {
 
   def tableRows(t: String): Double = rows.getOrElse(t, 1000L).toDouble
 
@@ -75,14 +79,18 @@ object GraphStats {
     * refinement.
     */
   def collectSampled(g: GraphProvider,
-      sampleRows: Int = EdgeSampleRows): (GraphStats, Map[(String, String), Histogram]) = {
+      sampleRows: Int = EdgeSampleRows): GraphStats = {
     val rows = Map.newBuilder[String, Long]
     val degs = Map.newBuilder[(String, String), (Long, Double)]
-    val hists = Map.newBuilder[(String, String), Histogram]
+    val sinkHists = Map.newBuilder[(String, String), Histogram]
+    val idHists = Map.newBuilder[String, Histogram]
     g.schema.tables.foreach { td =>
       val t = g.nodeTable(td.name)
       val n = t.count()
       rows += td.name -> n
+      idHists += td.name -> Histogram.build(
+        t.select(col("GlobalNodeId")).limit(sampleRows)
+          .collect().map(_.getLong(0)).toSeq)
       td.edges.foreach { e =>
         val sample = t.select(col(e.columnName).as("__adj"))
           .limit(sampleRows)
@@ -92,7 +100,7 @@ object GraphStats {
         val sampled = math.min(n, sampleRows.toLong)
         val avgDeg = if (sampled == 0) 0.0 else sinks.size.toDouble / sampled
         degs += (td.name, e.name) -> ((math.round(avgDeg * n), avgDeg))
-        hists += (td.name, e.name) -> Histogram.build(sinks)
+        sinkHists += (td.name, e.name) -> Histogram.build(sinks)
       }
     }
     val rowMap = rows.result()
@@ -100,6 +108,6 @@ object GraphStats {
       val sinkRows = rowMap.getOrElse(findSink(g, t, e), 1L)
       (t, e) -> EdgeStat(c, d, if (sinkRows == 0) 0.0 else c.toDouble / sinkRows)
     }
-    (GraphStats(rowMap, edgeMap), hists.result())
+    GraphStats(rowMap, edgeMap, sinkHists.result(), idHists.result())
   }
 }

@@ -94,6 +94,24 @@ class PipelineExtSpec extends SparkSpec {
     assert(ivf.map(_.getAs[Long]("nid")).toSeq == Seq(2L)) // cell-restricted
   }
 
+  test("salted joins preserve exact join semantics") {
+    val s = spark
+    import s.implicits._
+    // one hot key (90% of rows) + cold tail
+    val skewed = (Seq.fill(900)(1) ++ (2 to 101)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "payload")
+    val small = (1 to 101).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val expected = skewed.join(small, "k")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val viaSalted = SkewJoin.salted(skewed, small, "k", factor = 8)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val viaDegree = SkewJoin.saltedByDegree(skewed, small, "k",
+      factor = 8, hotThreshold = 100)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(viaSalted == expected)
+    assert(viaDegree == expected)
+  }
+
   test("multimodal stub decode: batch plumbing is deterministic") {
     val s = spark
     import Multimodal._

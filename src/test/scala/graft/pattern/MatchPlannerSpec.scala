@@ -105,11 +105,48 @@ class MatchPlannerSpec extends SparkSpec {
   }
 
   test("sampled stats approximate full aggregation") {
-    val (stats, hists) = graft.stats.GraphStats.collectSampled(g)
+    val stats = graft.stats.GraphStats.collectSampled(g)
     assert(stats.rows("People") == 4L)
     // 3 edges over 4 sampled rows
     assert(math.abs(stats.edgeStat("People", "Knows").avgDeg - 0.75) < 1e-9)
-    assert(hists(("People", "Knows")).totalRows == 3.0)
+    assert(stats.sinkHists(("People", "Knows")).totalRows == 3.0)
+    assert(stats.idHists("People").totalRows == 4.0)
+  }
+
+  test("histogram-refined estimates differ from uniform on skewed sinks") {
+    import graft.stats._
+    val tableOf = Map("a" -> "A", "b" -> "B")
+    val pattern = MatchPattern(
+      Seq(NodePat("a", "A"), NodePat("b", "B")),
+      Seq(EdgePat("a", "e1", "b"), EdgePat("a", "e2", "b")))
+    val schema2 = GraphSchema(Seq(
+      NodeTableDef("A", 1, None, Nil, Seq(
+        EdgeDef("e1", "A", "B"), EdgeDef("e2", "A", "B"))),
+      NodeTableDef("B", 2, None, Nil, Nil)))
+    val g2 = new graft.graph.GraphProvider {
+      val schema: GraphSchema = schema2
+      def nodeTable(name: String) = ???
+    }
+    val base = GraphStats(
+      rows = Map("A" -> 1000L, "B" -> 1000L),
+      edges = Map(
+        ("A", "e1") -> EdgeStat(2000L, 2.0, 2.0),
+        ("A", "e2") -> EdgeStat(2000L, 2.0, 2.0)))
+    // b filtered to ids 501..510 — under uniformity the bound-bound e2
+    // still matches at deg/|B_eff|; the histograms reveal that ALL e2
+    // edge mass lands on id 1, outside the surviving range → ~0
+    val nodeSel = Map("b" -> 0.01)
+    val uniformCard =
+      graft.planner.CostPlanner.plan(g2, pattern, base, nodeSel).cardinality
+    val hotSinks = Seq.fill(2000)(GlobalNodeId.pack(2, 1))
+    val filteredIds = (501L to 510L).map(GlobalNodeId.pack(2, _))
+    val skewed = base.copy(
+      sinkHists = Map(("A", "e2") -> Histogram.build(hotSinks)),
+      idHists = Map("B" -> Histogram.build(filteredIds)))
+    val skewedCard =
+      graft.planner.CostPlanner.plan(g2, pattern, skewed, nodeSel).cardinality
+    assert(skewedCard < uniformCard,
+      s"skewed=$skewedCard uniform=$uniformCard")
   }
 
   test("pre-materialized expansion agrees with frontier-side explode") {

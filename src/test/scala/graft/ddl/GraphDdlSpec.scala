@@ -74,6 +74,35 @@ class GraphDdlSpec extends SparkSpec {
     assert(aliceBooks(reloaded) == Seq("book_1", "book_2"))
   }
 
+  test("bulk load over a self-referencing edge keeps both sides in sync") {
+    val dir = Files.createTempDirectory("graft_self").toString
+    val cat = new GraphCatalog(spark, dir)
+    val (td, props) = GraphDdl.parseCreateNodeTable(
+      """CREATE NODE TABLE People (
+        |  id INT NODEID, name STRING, EDGE Knows TO People)""".stripMargin,
+      cat.nextTableId)
+    cat.createNodeTable(td, props)
+
+    val nodes = Files.createTempFile("people", ".csv")
+    Files.writeString(nodes, "id,name\n1,Alice\n2,Bob\n3,Caven\n4,David\n")
+    val edges = Files.createTempFile("knows", ".csv")
+    Files.writeString(edges, "src_id,dst_id\n1,2\n2,3\n2,4\n")
+    BulkLoad.bulkInsertNode(cat, "People", nodes.toString)
+    BulkLoad.bulkInsertEdge(cat, "People", "Knows", edges.toString)
+
+    val t = cat.provider.nodeTable("People")
+    val byName = t.select("name", "InDegree", "KnowsOutDegree")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(byName("Bob") == ((1, 2)))
+    assert(byName("Alice") == ((0, 1)))
+    // reversed mirror landed on the same (self) table
+    val revBob = t.filter(org.apache.spark.sql.functions.col("name") === "Caven")
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(People_KnowsReversed, x -> x.sink)"))
+      .head().getSeq[Long](0)
+    assert(revBob.nonEmpty) // Caven's reversed edge points back at Bob
+  }
+
   /** Full SQL-driven replay of the reference's InsAndDelTutorial
     * (`GraphViewTutorial/InsAndDelTutorial.cs:14-163`): DDL → INSERT
     * NODE → INSERT EDGE → 2-hop MATCH → DELETE EDGE → empty MATCH →

@@ -101,6 +101,31 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
   def nextTableId: Int =
     (schema.tables.map(_.tableId) :+ 0).max + 1
 
+  /** Compact every edge column of every table (clear tombstones, rebuild
+    * adjacency, resync reversed mirrors + InDegree) — the maintenance job
+    * the reference runs as `MergeAllDeleteColumn`
+    * (`GraphViewConnection.cs:2995-3115`). At 100 TB this is the
+    * scheduled background rewrite batched per table.
+    */
+  def compactAll(): Unit = {
+    schema.tables.foreach { td =>
+      if (td.edges.nonEmpty) {
+        val compacted = td.edges.foldLeft(provider.nodeTable(td.name)) {
+          (t, e) => graft.dml.GraphDml.compact(t, e)
+        }
+        rewrite(td.name, compacted.localCheckpoint(true))
+      }
+    }
+    // resync reversed mirrors from the now-compacted forward sides
+    schema.tables.foreach { td =>
+      td.edges.foreach { e =>
+        val synced = graft.dml.GraphDml.syncReversed(
+          provider.nodeTable(td.name), provider.nodeTable(e.sinkTable), e)
+        rewrite(e.sinkTable, synced.localCheckpoint(true))
+      }
+    }
+  }
+
   private def persistMeta(): Unit = {
     Files.createDirectories(metaPath.getParent)
     Files.writeString(metaPath, CatalogJson.write(schema, propertyTypes))

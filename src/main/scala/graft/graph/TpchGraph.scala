@@ -51,7 +51,15 @@ object TpchGraph {
         EdgeDef("contains", "Order", "Part", Seq(
           EdgeAttr("quantity", DoubleType),
           EdgeAttr("extendedprice", DoubleType),
-          EdgeAttr("discount", DoubleType)))))))
+          EdgeAttr("discount", DoubleType))))),
+    // FIXTURES.md §B "User (ext)": the events stream as a graph —
+    // distinct users with `did` edges onto per-event nodes (the batch
+    // shape the streaming ingestion extension appends to)
+    NodeTableDef("User", 7, Some("user_id"), Nil, Seq(
+      EdgeDef("did", "User", "Event", Seq(
+        EdgeAttr("etype", StringType), EdgeAttr("value", DoubleType))))),
+    NodeTableDef("Event", 8, Some("event_id"),
+      Seq("event_type", "value"), Nil)))
 
   private val cache = TrieMap[String, Map[String, DataFrame]]()
 
@@ -71,6 +79,7 @@ object TpchGraph {
     val region = t("region"); val nation = t("nation")
     val customer = t("customer"); val supplier = t("supplier")
     val part = t("part"); val orders = t("orders"); val lineitem = t("lineitem")
+    val events = t("events")
 
     // --- edge pair DataFrames (src gid, sink gid, attrs) ---
     val inRegion = nation.select(
@@ -105,7 +114,12 @@ object TpchGraph {
       col("l_extendedprice").as("extendedprice"),
       col("l_discount").as("discount"))
 
+    val did = events.select(
+      g(7, "user_id").as("src"), g(8, "event_id").as("sink"),
+      col("event_type").as("etype"), col("value").as("value"))
+
     val pairs: Map[(String, String), DataFrame] = Map(
+      ("User", "did") -> did,
       ("Nation", "inRegion") -> inRegion,
       ("Nation", "next") -> nextEdge,
       ("Customer", "locatedIn") -> custLocated,
@@ -121,7 +135,10 @@ object TpchGraph {
       "Supplier" -> ("s_suppkey", supplier),
       "Part" -> ("p_partkey", part),
       "Order" -> ("o_orderkey",
-        orders.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")))
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")),
+      "User" -> ("user_id", events.select("user_id").distinct()),
+      "Event" -> ("event_id",
+        events.select("event_id", "event_type", "value")))
 
     schema.tables.map { td =>
       val (key, base) = bases(td.name)

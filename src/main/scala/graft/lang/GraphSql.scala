@@ -187,7 +187,24 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   def this(spark: SparkSession, catalog: graft.ddl.GraphCatalog) =
     this(spark, catalog.provider, None, Some(catalog))
 
-  lazy val stats: GraphStats = statsOpt.getOrElse(GraphStats.collect(provider))
+  private var statsCache: Option[GraphStats] = statsOpt
+
+  def stats: GraphStats = statsCache.getOrElse {
+    val s = GraphStats.collect(provider)
+    statsCache = Some(s)
+    s
+  }
+
+  /** ANALYZE GRAPH — refresh planner statistics (the reference's
+    * `UpdateTableStatistics`, `GraphViewConnection.cs:2747-2799`);
+    * `sampled = true` uses the 200-row sampling mode.
+    */
+  def analyzeGraph(sampled: Boolean = false): GraphStats = {
+    val s = if (sampled) GraphStats.collectSampled(provider)
+      else GraphStats.collect(provider)
+    statsCache = Some(s)
+    s
+  }
 
   private val InsertNodeRe =
     """(?is)^\s*INSERT\s+NODE\s+INTO\s+(\w+)\s+(SELECT\b.*|VALUES\b.*)$""".r

@@ -192,11 +192,13 @@ object GraphQueries {
     "q_match_global_view" -> QueryDef(
       """SELECT _NodeType, COUNT(*) AS cnt FROM (
         |  SELECT 'Customer' AS _NodeType FROM customer
+        |  UNION ALL SELECT 'Event' FROM events
         |  UNION ALL SELECT 'Nation' FROM nation
         |  UNION ALL SELECT 'Order' FROM orders
         |  UNION ALL SELECT 'Part' FROM part
         |  UNION ALL SELECT 'Region' FROM region
-        |  UNION ALL SELECT 'Supplier' FROM supplier) t
+        |  UNION ALL SELECT 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'User' FROM (SELECT DISTINCT user_id FROM events)) t
         |GROUP BY _NodeType ORDER BY _NodeType""".stripMargin) { (s, d) =>
       graft.graph.Views.globalNodeView(TpchGraph.provider(s, d))
         .groupBy("_NodeType").agg(count(lit(1)).as("cnt"))
@@ -218,6 +220,24 @@ object GraphQueries {
         .filter(col("acctbal") > 9000)
         .select("_NodeType", "name", "acctbal")
         .orderBy("_NodeType", "name")
+    },
+
+    // events-as-graph (FIXTURES User ext): per-user activity via the
+    // did edge, with an edge-attr predicate on event type
+    "q_match_user_events" -> QueryDef(
+      """SELECT user_id, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      MatchPlanner.plan(g, MatchPattern(
+        Seq(NodePat("u", "User"), NodePat("e", "Event")),
+        Seq(EdgePat("u", "did", "e", attrEq = Map("etype" -> "purchase")))))
+        .groupBy(graft.paths.PathExpand.localKey(col("u__GlobalNodeId"))
+          .cast("long").as("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("u_did_e__value"))).cast(DoubleType).as("total_value"))
+        .orderBy("user_id")
     },
 
     // two edges out of one alias (multi-edge source)

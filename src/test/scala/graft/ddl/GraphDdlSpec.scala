@@ -139,6 +139,16 @@ class GraphDdlSpec extends SparkSpec {
       .head().getLong(0) == 1)
     assert(twoHop() == Seq("David"))
 
+    // compaction (MergeAllDeleteColumn analogue): same results, clean
+    // tombstones
+    gs.catalog.get.compactAll()
+    assert(twoHop() == Seq("David"))
+    val delSizes = gs.catalog.get.provider.nodeTable("People")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("KnowsDel")))
+      .collect().map(_.getInt(0)).toSet
+    assert(delSizes == Set(0))
+
     // guarded DELETE NODE: Bob still has edges → must throw
     intercept[IllegalStateException] {
       gs.sql("DELETE NODE FROM People WHERE name = 'Bob'")

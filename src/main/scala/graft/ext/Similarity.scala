@@ -20,14 +20,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** double-precision cosine similarity between two float-array columns */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, x => x.cast(DoubleType))
-    val da = d(a); val db = d(b)
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
-  }
+  /** double-precision cosine similarity between two numeric-array
+    * columns — the native codegen [[graft.functions.CosineSim]]
+    * expression (element-order accumulation, identical to the
+    * zip_with/aggregate formulation)
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` and `corpus` need (`idCol`, `vecCol`); self-pairs excluded.

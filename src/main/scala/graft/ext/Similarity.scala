@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.functions.SrpBands
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -7,8 +8,8 @@ import org.apache.spark.sql.types._
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
-  *  - [[cosine]]: double-precision dot/norm via `zip_with` + `aggregate`
-  *    — stays inside codegen, no UDF;
+  *  - [[cosine]]: double-precision dot/norm as a native codegen
+  *    expression — stays inside whole-stage codegen, no UDF;
   *  - [[bruteForceTopK]]: exact top-k neighbors for a query set —
   *    broadcast the (small) query side, stream the corpus: the baseline
   *    and the verifier for approximate methods;
@@ -16,7 +17,13 @@ import org.apache.spark.sql.types._
   *    query's cell (here: a precomputed cluster/label id). At 100 TB the
   *    corpus is partitioned by cell id, so a query touches one partition
   *    group instead of the full corpus — the IVF index layout expressed
-  *    as Spark partitioning.
+  *    as Spark partitioning;
+  *  - [[cosinePairs]]: all pairs above a threshold (embedding near-dup).
+  *    Never cartesian, never a driver-side collect: small corpora go
+  *    through a Spark-managed broadcast join, blocked corpora through a
+  *    distributed equi-join on the block key, and oversized unblocked
+  *    corpora are auto-blocked with a banded SRP (hyperplane-LSH)
+  *    sketch before pairing.
   */
 object Similarity {
 
@@ -61,65 +68,101 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
   }
 
-  /** corpora up to this size use the broadcast all-pairs kernel; larger
-    * ones fall back to the shuffle join (at 100 TB: label/LSH-block the
-    * corpus first so each block fits under this bound)
+  /** Corpus bound for the unblocked all-pairs kernel: 100k × 768-d float
+    * vectors ≈ 300 MB of broadcast build side — comfortably inside
+    * Spark's managed broadcast limits. Beyond it, pairing without a
+    * block key would be O(n²); [[cosinePairs]] then auto-blocks with a
+    * banded SRP sketch instead of attempting the full join.
     */
-  val BroadcastPairLimit = 2000000L
+  val BroadcastPairLimit = 100000L
 
-  /** All pairs above a cosine threshold (embedding near-dup). Exact.
+  /** deterministic hyperplane seed for SRP auto-blocking */
+  val SrpSeed = 0x5EEDC0DEL
+
+  /** All pairs with cosine >= `minCosine` (embedding near-dup).
     *
-    * Fast path: the corpus broadcasts (like a broadcast-hash-join build
-    * side) and each partition scores its rows against the broadcast
-    * vectors in tight JVM loops — O(n²d) FLOPs with zero shuffle, ~50×
-    * faster than per-pair expression evaluation. Falls back to the
-    * join-based form when the corpus exceeds [[BroadcastPairLimit]]; at
-    * scale pass `blockCol` (label / coarse-quantizer cell) so each block
-    * stays broadcastable.
+    * Three shapes, none of which collects vectors on the driver or
+    * emits a `CartesianProduct`:
+    *
+    *  - `blockCol` given: **exact within blocks** — a distributed
+    *    equi-join on the block key (pairs across blocks are by contract
+    *    not candidates, matching the reference semantics of a coarse
+    *    quantizer cell);
+    *  - no block, corpus ≤ [[BroadcastPairLimit]]: exact all pairs via
+    *    a Spark-managed broadcast-nested-loop join (`id < id` upper
+    *    triangle) with the codegen'd cosine in the join filter;
+    *  - no block, corpus larger: **approximate** — banded SRP
+    *    (hyperplane LSH) auto-blocking: candidates = pairs sharing at
+    *    least one of `srpBands` cells of `srpBits` sign bits, then
+    *    exact cosine verification of candidates only. Every emitted
+    *    pair is a true ≥-threshold pair; recall for a pair at angle θ
+    *    is 1 − (1 − (1−θ/π)^srpBits)^srpBands (e.g. ≈0.92 at cosine
+    *    0.95 with the defaults). Pass an explicit `blockCol` when exact
+    *    within-block semantics are required at scale.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, blockCol: Option[String] = None): DataFrame = {
-    val base = df.select((col(idCol).as("id") +: col(vecCol).as("v") +:
-      blockCol.map(c => col(c).cast(LongType).as("blk")).toSeq): _*)
-    if (base.count() <= BroadcastPairLimit)
-      cosinePairsBroadcast(base, minCosine, blockCol.isDefined)
-    else {
-      val cond = (if (blockCol.isDefined) col("a.blk") === col("b.blk") else lit(true)) &&
-        col("a.id") < col("b.id")
-      base.as("a").join(base.as("b"), cond)
-        .withColumn("cs", cosine(col("a.v"), col("b.v")))
-        .filter(col("cs") >= minCosine)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
+      minCosine: Double, blockCol: Option[String] = None,
+      srpBits: Int = 10, srpBands: Int = 6,
+      broadcastLimit: Long = BroadcastPairLimit): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    blockCol match {
+      case Some(c) =>
+        pairsWithinBlocks(
+          df.select(col(idCol).as("id"), col(vecCol).as("v"),
+            col(c).cast(LongType).as("blk")), minCosine)
+      case None =>
+        // bounded existence check, not a full count: LocalLimit short-
+        // circuits the scan once limit+1 rows are seen
+        val small =
+          base.limit(broadcastLimit.toInt + 1).count() <= broadcastLimit
+        if (small) smallAllPairs(base, minCosine)
+        else srpBlockedPairs(base, minCosine, srpBits, srpBands)
     }
   }
 
-  private def cosinePairsBroadcast(base: DataFrame, minCosine: Double,
-      blocked: Boolean): DataFrame = {
-    val spark = base.sparkSession
-    import spark.implicits._
-    val withBlk = if (blocked) base else base.withColumn("blk", lit(0L))
-    val rows = withBlk.select(col("id").cast(LongType), col("blk"),
-      transform(col("v"), x => x.cast(DoubleType)).as("v"))
-      .as[(Long, Long, Array[Double])]
-    val corpus = rows.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    rows.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (id, blk, v) =>
-        // pairs (id < other): score against the broadcast tail
-        all.iterator
-          .filter(o => o._1 > id && o._2 == blk)
-          .map { o =>
-            val w = o._3
-            var dot = 0.0; var na = 0.0; var nb = 0.0
-            var i = 0
-            while (i < v.length) {
-              dot += v(i) * w(i); na += v(i) * v(i); nb += w(i) * w(i); i += 1
-            }
-            (id, o._1, dot / (math.sqrt(na) * math.sqrt(nb)))
-          }
-          .filter(_._3 >= minCosine)
-      }
-    }.toDF("id_a", "id_b", "cs")
+  /** exact upper-triangle pairs for a broadcastable corpus — the build
+    * side ships through Spark's BroadcastExchange (size-accounted,
+    * spillable), never a hand-rolled driver collect
+    */
+  private def smallAllPairs(base: DataFrame, minCosine: Double): DataFrame =
+    base.as("a").join(broadcast(base.as("b")), col("a.id") < col("b.id"))
+      .withColumn("cs", cosine(col("a.v"), col("b.v")))
+      .filter(col("cs") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
+
+  /** exact pairs within a block: distributed equi-join on the block key
+    * — work and shuffle are per-block, so the layout scales with the
+    * largest block, not the corpus
+    */
+  private def pairsWithinBlocks(base: DataFrame, minCosine: Double): DataFrame =
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cs", cosine(col("a.v"), col("b.v")))
+      .filter(col("cs") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
+
+  /** SRP auto-blocking: band rows carry only (id, band, cell) — the
+    * vectors stay out of the candidate-generation shuffle and join back
+    * once per surviving candidate pair (same shape as MinHash LSH in
+    * [[Dedup.minhashLshPairs]])
+    */
+  private def srpBlockedPairs(base: DataFrame, minCosine: Double,
+      bits: Int, bands: Int): DataFrame = {
+    val banded = base
+      .select(col("id"), posexplode(SrpBands(col("v"), bits, bands, SrpSeed)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "cell")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.cell") === col("b.cell") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cs", cosine(col("va"), col("vb")))
+      .filter(col("cs") >= minCosine)
+      .select("id_a", "id_b", "cs")
   }
 }

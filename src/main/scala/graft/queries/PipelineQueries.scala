@@ -168,6 +168,24 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // embedding near-dup with mandatory blocking (the 100 TB shape):
+    // exact within each label block, distributed equi-join on the block
+    // key — the plan has no CartesianProduct and no driver-side collect
+    "q_dedup_embedding_blocked" -> QueryDef(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cs
+        |FROM embeddings a
+        |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.46
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Similarity.cosinePairs(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.46, blockCol = Some("label"))
+        .select(col("id_a"), col("id_b"), round(col("cs"), 4).as("cs"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- similarity search ----
 
     // brute-force exact top-5 cosine neighbors for 20 query vectors

@@ -94,6 +94,72 @@ class PipelineExtSpec extends SparkSpec {
     assert(ivf.map(_.getAs[Long]("nid")).toSeq == Seq(2L)) // cell-restricted
   }
 
+  private def pairEmb = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.14f, 0.0f), 0),  // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.99f, 0.14f), 1),  // near-dup of 3
+      (5L, Array(0.0f, 0.0f, 1.0f), 0),
+      (6L, Array(1.0f, 0.0f, 0.0f), 1))    // dup of 1, other block
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("cosinePairs small path: exact pairs, no cartesian, no driver collect") {
+    val out = Similarity.cosinePairs(pairEmb, "vec_id", "embedding", 0.95)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val pairs = out.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L), (1L, 6L), (2L, 6L)))
+  }
+
+  test("cosinePairs blocked path: exact within blocks, equi-join plan") {
+    val out = Similarity.cosinePairs(pairEmb, "vec_id", "embedding", 0.95,
+      blockCol = Some("label"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val pairs = out.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,6) crosses blocks — by contract not a candidate
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("cosinePairs srp auto-block: verified subset of brute force, finds dups") {
+    val brute = Similarity.cosinePairs(pairEmb, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // broadcastLimit=2 forces the SRP-blocked path on the 6-row fixture
+    val srp = Similarity.cosinePairs(pairEmb, "vec_id", "embedding", 0.95,
+      broadcastLimit = 2L)
+    val plan = srp.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val pairs = srp.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is exact-verified; identical vectors share every
+    // SRP cell, so (1,6) is always found
+    assert(pairs.subsetOf(brute))
+    assert(pairs.contains((1L, 6L)))
+  }
+
+  test("srp_bands is deterministic and dimension-safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Tuple1(Array(0.3f, -0.2f, 0.9f)),
+      Tuple1(Array(0.3f, -0.2f, 0.9f)),
+      Tuple1(Array(0.3f, -0.2f))) // shorter vector: no exception
+      .toDF("v")
+    val cells = df.select(graft.functions.SrpBands(col("v"), 8, 4, 42L))
+      .collect().map(_.getSeq[Long](0))
+    assert(cells(0) == cells(1))
+    assert(cells(0).length == 4)
+    assert(cells(2).length == 4)
+  }
+
   test("salted joins preserve exact join semantics") {
     val s = spark
     import s.implicits._

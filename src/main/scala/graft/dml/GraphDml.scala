@@ -154,12 +154,28 @@ object GraphDml {
         val maxLocal = table
           .agg(coalesce(max(col("GlobalNodeId").bitwiseAND(lit(mask))), lit(0L)))
           .head().getLong(0)
-        rows.withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col(keyColumn))))
-          .withColumn("GlobalNodeId",
-            GraphBuilder.gid(td.tableId, col("__rn") + maxLocal))
-          .drop("__rn")
+        // dense sequential surrogates via distributed zipWithIndex on the
+        // sorted rows — no global single-partition Window
+        val sorted = rows.orderBy(col(keyColumn))
+        val schema = org.apache.spark.sql.types.StructType(
+          sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "__local", org.apache.spark.sql.types.LongType, nullable = false))
+        sorted.sparkSession.createDataFrame(
+          sorted.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1 + maxLocal)) },
+          schema)
+          .withColumn("GlobalNodeId", GraphBuilder.gid(td.tableId, col("__local")))
+          .drop("__local")
     }
+    // PK enforcement, as the reference's IDENTITY/unique constraint would
+    // reject the insert (GraphViewParser.cs:1167-1198): an id collision
+    // would silently double-count every traversal touching the node
+    val collisions = newRows
+      .join(table.select(col("GlobalNodeId")), Seq("GlobalNodeId"), "left_semi")
+      .count()
+    if (collisions > 0) throw new IllegalStateException(
+      s"INSERT NODE on ${td.name}: $collisions row(s) collide with existing " +
+        "GlobalNodeIds (primary-key violation)")
     table.schema.fields.foreach { f =>
       if (!newRows.columns.contains(f.name)) {
         val default = f.dataType match {

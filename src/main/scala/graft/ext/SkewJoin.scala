@@ -19,9 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** join types where replicating the small side is semantics-preserving:
+    * an unmatched small-side row either disappears (inner/semi) or never
+    * null-extends (left_outer keeps the skewed side). right/full outer
+    * would emit unmatched small-side rows `factor` times.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left_outer", "leftouter", "left", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def salted(skewed: DataFrame, small: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
+    require(SafeJoinTypes(joinType.toLowerCase),
+      s"salted join does not preserve $joinType semantics " +
+        "(small side is replicated); use inner/left_outer/left_semi/left_anti")
     val s = skewed.withColumn("__salt",
       (rand(seed = 7) * factor).cast("int"))
     val r = small.withColumn("__salt",

@@ -364,10 +364,13 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     * `AttachWhereClauseVisitor.cs:107-213`: split the WHERE clause into
     * top-level conjuncts, bind each to a node alias when all its column
     * references belong to that alias, and estimate per-alias selectivity
-    * by filtering the node table (the reference's SHOWPLAN round-trip,
-    * here a small Spark job; at 100 TB this counts on the stats sample
-    * instead of the full table). The predicates themselves still apply
-    * via the relational tail — Catalyst pushes them into the scans.
+    * by filtering the table's ~200-row stats sample (the reference's
+    * SHOWPLAN round-trip against its `_Sampling` tables) — a driver-local
+    * scan of a LocalRelation, so plan-time cost is O(sample), independent
+    * of table size. Only when no sample was collected (externally
+    * supplied stats) does it fall back to filtering the base table. The
+    * predicates themselves still apply via the relational tail — Catalyst
+    * pushes them into the scans.
     */
   private def aliasSelectivities(p: GraphSql.ParsedMatch): Map[String, Double] = {
     val whereRe = """(?is)^\s*WHERE\s+(.*?)(\b(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?$""".r
@@ -384,12 +387,15 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       if (referenced.size == 1 && tableOf.contains(referenced.head)) {
         val a = referenced.head
         try {
-          val t = provider.nodeTable(tableOf(a))
           val local = conjunct.replaceAll(s"\\b$a\\.", "")
-          val rows = stats.tableRows(tableOf(a))
-          if (rows > 0) {
-            val matched = t.filter(org.apache.spark.sql.functions.expr(local)).count()
-            sel(a) = sel.getOrElse(a, 1.0) * math.max(matched.toDouble / rows, 1e-9)
+          val pred = org.apache.spark.sql.functions.expr(local)
+          val (probe, denom) = stats.samples.get(tableOf(a)) match {
+            case Some(sample) => (sample, sample.count().toDouble)
+            case None => (provider.nodeTable(tableOf(a)), stats.tableRows(tableOf(a)))
+          }
+          if (denom > 0) {
+            val matched = probe.filter(pred).count()
+            sel(a) = sel.getOrElse(a, 1.0) * math.max(matched / denom, 1e-9)
           }
         } catch { case _: Exception => () } // unparseable → selectivity 1
       }

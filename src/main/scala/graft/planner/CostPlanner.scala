@@ -98,8 +98,25 @@ object CostPlanner {
       math.max(d, 0.001)
     }
 
+    // self-loop edges (src == dst, MATCH a-[e]->a) can never drive an
+    // expansion — both endpoints bind at once, so they attach as
+    // existence filters (BindEdge) the moment their alias binds
+    val (selfEdges, expandEdges) = edges.partition(e => e.src == e.dst)
+    val selfByAlias = selfEdges.groupBy(_.src).withDefaultValue(Seq.empty)
+    def withSelfLoops(a: String, size0: Double): (Vector[Step], Double) = {
+      var size = size0
+      val steps = selfByAlias(a).map { e =>
+        // P(a fixed node carries a self-edge) ≈ deg / |table| under
+        // uniformity — same estimate as bound-bound extra edges
+        size *= deg(e, reversed = false) / rowsEff(e.dst)
+        BindEdge(e)
+      }.toVector
+      (steps, math.max(size, 1.0))
+    }
+
     var beam: Map[Set[String], State] = aliases.map { a =>
-      Set(a) -> State(Set(a), Vector(StartNode(a)), cost = 0.0, size = rowsEff(a))
+      val (ss, sz) = withSelfLoops(a, rowsEff(a))
+      Set(a) -> State(Set(a), StartNode(a) +: ss, cost = 0.0, size = sz)
     }.toMap
 
     var best: Option[State] = if (aliases.size == 1) beam.values.headOption else None
@@ -115,11 +132,11 @@ object CostPlanner {
         else {
           // candidate units: unbound nodes with >=1 edge to the component
           val candidates = aliases.diff(st.bound).filter { u =>
-            edges.exists(e => (e.src == u && st.bound(e.dst)) ||
+            expandEdges.exists(e => (e.src == u && st.bound(e.dst)) ||
               (e.dst == u && st.bound(e.src)))
           }
           candidates.foreach { u =>
-            val joining0 = edges.filter(e =>
+            val joining0 = expandEdges.filter(e =>
               (e.src == u && st.bound(e.dst)) || (e.dst == u && st.bound(e.src)))
             // cheapest-first: traverse the lowest-degree joining edge, the
             // rest become post-join filters (MatchComponent.cs:577-581)
@@ -159,9 +176,10 @@ object CostPlanner {
             val uSideDeg = deg(first, reversed = fwd)
             val step = ExpandEdge(first, reversed = !fwd,
               broadcastNode = broadcast, preMaterialize = uSideDeg < 1.0)
+            val (selfSteps, sizeWithSelf) = withSelfLoops(u, newSize)
             offer(State(st.bound + u,
-              (st.steps :+ step) ++ extraSteps,
-              st.cost + stepCost, math.max(newSize, 1.0)))
+              (st.steps :+ step) ++ extraSteps ++ selfSteps,
+              st.cost + stepCost, sizeWithSelf))
           }
         }
       }

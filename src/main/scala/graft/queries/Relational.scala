@@ -233,10 +233,12 @@ object Relational {
         |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val o = Tables.load(s, d, "orders")
-      val avgRow = o.agg(
-        (sum(dec(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("a"))
-        .collect()(0).getDouble(0)
-      o.filter(col("o_totalprice") > avgRow)
+      // the scalar lives in the plan (broadcast single-row join), not a
+      // driver round-trip — one Spark job end to end
+      val avg = o.agg(
+        (sum(dec(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("__avg"))
+      o.crossJoin(broadcast(avg))
+        .filter(col("o_totalprice") > col("__avg"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     },

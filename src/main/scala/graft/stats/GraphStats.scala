@@ -20,7 +20,12 @@ final case class GraphStats(
     /** per-(table,edge) histogram of sampled sink ids (§4.4) */
     sinkHists: Map[(String, String), Histogram] = Map.empty,
     /** per-table histogram of sampled GlobalNodeIds */
-    idHists: Map[String, Histogram] = Map.empty) {
+    idHists: Map[String, Histogram] = Map.empty,
+    /** per-table LocalRelation-backed row sample (the reference's
+      * `_Sampling` tables): plan-time predicate-selectivity probes run
+      * against these ~200 driver-local rows, never the base table
+      */
+    samples: Map[String, org.apache.spark.sql.DataFrame] = Map.empty) {
 
   def tableRows(t: String): Double = rows.getOrElse(t, 1000L).toDouble
 
@@ -35,19 +40,50 @@ object GraphStats {
     */
   val DefaultAvgDegree = 5.0
 
+  /** Seeded random sample of ~`sampleRows` rows, re-materialized as a
+    * LocalRelation: the reference's `TABLESAMPLE (200 ROWS)` sampling
+    * tables (`GraphViewConnection.cs:2964-2969`). A seeded `df.sample`
+    * (no first-partition bias, deterministic run-to-run) capped at
+    * `sampleRows`; the collected rows are tiny, so downstream plan-time
+    * probes are driver-local scans of ≤200 rows.
+    */
+  def sampleOf(t: org.apache.spark.sql.DataFrame, totalRows: Long,
+      sampleRows: Int = EdgeSampleRows): org.apache.spark.sql.DataFrame = {
+    val spark = t.sparkSession
+    val frac =
+      if (totalRows <= sampleRows) 1.0
+      // oversample 25% so the post-sample cap usually still sees
+      // sampleRows rows despite Bernoulli variance
+      else math.min(1.0, sampleRows.toDouble * 1.25 / totalRows)
+    val local = t.sample(withReplacement = false, frac, seed = 42L)
+      .limit(sampleRows).collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(local: _*), t.schema)
+  }
+
   def collect(g: GraphProvider): GraphStats = {
     val rows = Map.newBuilder[String, Long]
     val degs = Map.newBuilder[(String, String), (Long, Double)]
+    val samples = Map.newBuilder[String, org.apache.spark.sql.DataFrame]
     g.schema.tables.foreach { td =>
       val t = g.nodeTable(td.name)
       if (td.edges.isEmpty) {
-        rows += td.name -> t.count()
+        val n = t.count()
+        rows += td.name -> n
+        samples += td.name -> sampleOf(t, n)
       } else {
+        // live degree = adjacency size minus tombstones: after DELETE
+        // EDGE (pre-compaction) the planner would otherwise cost
+        // traversals with inflated degrees even though traversal
+        // filters tombstones
         val aggs = count(lit(1)).as("__n") +:
-          td.edges.map(e => sum(size(col(e.columnName))).as(s"__c_${e.name}"))
+          td.edges.map(e =>
+            sum(size(col(e.columnName)) -
+              coalesce(size(col(e.delColumnName)), lit(0))).as(s"__c_${e.name}"))
         val row = t.agg(aggs.head, aggs.tail: _*).head()
         val n = row.getAs[Long]("__n")
         rows += td.name -> n
+        samples += td.name -> sampleOf(t, n)
         td.edges.foreach { e =>
           val c = Option(row.getAs[Long](s"__c_${e.name}")).getOrElse(0L)
           degs += (td.name, e.name) -> ((c, if (n == 0) 0.0 else c.toDouble / n))
@@ -60,7 +96,7 @@ object GraphStats {
         rowMap.keys.find(_ == findSink(g, t, e)).map(rowMap).getOrElse(1L)
       (t, e) -> EdgeStat(c, d, if (sinkTable == 0) 0.0 else c.toDouble / sinkTable)
     }
-    GraphStats(rowMap, edgeMap)
+    GraphStats(rowMap, edgeMap, samples = samples.result())
   }
 
   private def findSink(g: GraphProvider, table: String, edge: String): String =
@@ -84,20 +120,26 @@ object GraphStats {
     val degs = Map.newBuilder[(String, String), (Long, Double)]
     val sinkHists = Map.newBuilder[(String, String), Histogram]
     val idHists = Map.newBuilder[String, Histogram]
+    val samples = Map.newBuilder[String, org.apache.spark.sql.DataFrame]
     g.schema.tables.foreach { td =>
       val t = g.nodeTable(td.name)
       val n = t.count()
       rows += td.name -> n
+      // one seeded random sample per table (not limit(n): first-partition
+      // bias — the reference draws TABLESAMPLE, GraphViewConnection.cs:2964);
+      // histograms, degree estimates and plan-time selectivity probes all
+      // read this LocalRelation
+      val sample = sampleOf(t, n, sampleRows)
+      samples += td.name -> sample
+      val sampled = sample.count() // local scan of <=sampleRows rows
       idHists += td.name -> Histogram.build(
-        t.select(col("GlobalNodeId")).limit(sampleRows)
-          .collect().map(_.getLong(0)).toSeq)
+        sample.select(col("GlobalNodeId")).collect().map(_.getLong(0)).toSeq)
       td.edges.foreach { e =>
-        val sample = t.select(col(e.columnName).as("__adj"))
-          .limit(sampleRows)
         val sinks = sample
-          .select(explode(col("__adj")).as("__e"))
+          .select(explode(col(e.columnName)).as("__e"),
+            col(e.delColumnName).as("__del"))
+          .filter(!array_contains(col("__del"), col("__e.edgeId")))
           .select(col("__e.sink")).collect().map(_.getLong(0)).toSeq
-        val sampled = math.min(n, sampleRows.toLong)
         val avgDeg = if (sampled == 0) 0.0 else sinks.size.toDouble / sampled
         degs += (td.name, e.name) -> ((math.round(avgDeg * n), avgDeg))
         sinkHists += (td.name, e.name) -> Histogram.build(sinks)
@@ -108,6 +150,7 @@ object GraphStats {
       val sinkRows = rowMap.getOrElse(findSink(g, t, e), 1L)
       (t, e) -> EdgeStat(c, d, if (sinkRows == 0) 0.0 else c.toDouble / sinkRows)
     }
-    GraphStats(rowMap, edgeMap, sinkHists.result(), idHists.result())
+    GraphStats(rowMap, edgeMap, sinkHists.result(), idHists.result(),
+      samples.result())
   }
 }

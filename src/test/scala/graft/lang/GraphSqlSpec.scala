@@ -86,6 +86,23 @@ class GraphSqlSpec extends SparkSpec {
     assert(gs.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("plan-time selectivity probes run on the LocalRelation sample, not the table") {
+    val gs = new GraphSession(spark, peopleProvider)
+    val st = gs.stats
+    assert(st.samples.keySet == Set("People"))
+    // the sample is driver-local: plan-time predicate probes scan <=200
+    // in-memory rows, never the base table
+    val plan = st.samples("People").queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"), plan)
+    assert(st.samples("People").count() <= GraphStats.EdgeSampleRows)
+    // and the probe still drives the plan: the filtered alias seeds the search
+    val steps = gs.explainMatch(
+      """SELECT B.name FROM People A, People B MATCH A-[Knows]->B
+        |WHERE A.name = 'Alice'""".stripMargin)
+    assert(steps.head == StartNode("A"))
+  }
+
   test("cost planner seeds at the selective node and orders expansions") {
     // A(1e6, but filtered to ~10) -e1-> B(10) <-e2- C(1e6): with the
     // selective predicate on A the plan must seed at A, traverse forward

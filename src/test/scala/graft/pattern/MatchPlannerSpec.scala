@@ -104,6 +104,59 @@ class MatchPlannerSpec extends SparkSpec {
     assert(res == Set(("Bob", "Caven"), ("Bob", "David")))
   }
 
+  private lazy val gSelf: GraphProvider = {
+    val s = spark
+    import s.implicits._
+    val schema = GraphSchema(Seq(
+      NodeTableDef("People", 1, Some("id"), Seq("name"), Seq(
+        EdgeDef("Knows", "People", "People")))))
+    val people = Seq((1, "Alice"), (2, "Bob"), (3, "Caven"))
+      .toDF("id", "name")
+    val knows = Seq((1, 2), (2, 2), (2, 3)).toDF("s", "t") // Bob→Bob self-edge
+      .select(GraphBuilder.gid(1, col("s")).as("src"),
+        GraphBuilder.gid(1, col("t")).as("sink"))
+    val table = GraphBuilder.nodeTable(
+      schema.table("People"), people, "id",
+      Map("Knows" -> knows),
+      Seq(schema.table("People").edge("Knows") -> knows)).cache()
+    val sc = schema
+    new GraphProvider {
+      val schema: GraphSchema = sc
+      def nodeTable(name: String): DataFrame = table
+    }
+  }
+
+  test("self-loop MATCH a-[Knows]->a: cost plan agrees with greedy plan") {
+    import graft.planner._
+    val pat = MatchPattern(Seq(NodePat("a", "People")),
+      Seq(EdgePat("a", "Knows", "a")))
+    val greedy = MatchPlanner.plan(gSelf, pat)
+      .select("a__name").collect().map(_.getString(0)).toSet
+    assert(greedy == Set("Bob"))
+    val stats = graft.stats.GraphStats.collect(gSelf)
+    // the DP search must emit the self-loop as a BindEdge, not drop it
+    val steps = CostPlanner.plan(gSelf, pat, stats).steps
+    assert(steps == Seq(StartNode("a"), BindEdge(EdgePat("a", "Knows", "a"))))
+    val costed = MatchPlanner.planWithStats(gSelf, pat, stats)
+      .select("a__name").collect().map(_.getString(0)).toSet
+    assert(costed == greedy)
+  }
+
+  test("self-loop on an expanded alias binds after the expansion") {
+    import graft.planner._
+    val pat = MatchPattern(
+      Seq(NodePat("a", "People"), NodePat("b", "People")),
+      Seq(EdgePat("a", "Knows", "b"), EdgePat("b", "Knows", "b")))
+    val stats = graft.stats.GraphStats.collect(gSelf)
+    val steps = CostPlanner.plan(gSelf, pat, stats).steps
+    assert(steps.contains(BindEdge(EdgePat("b", "Knows", "b"))), steps.toString)
+    val res = MatchPlanner.planWithStats(gSelf, pat, stats)
+      .select(col("a__name"), col("b__name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // Alice→Bob and Bob→Bob both land on self-looping Bob
+    assert(res == Set(("Alice", "Bob"), ("Bob", "Bob")))
+  }
+
   test("sampled stats approximate full aggregation") {
     val stats = graft.stats.GraphStats.collectSampled(g)
     assert(stats.rows("People") == 4L)

@@ -120,11 +120,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** the default token hash: xxhash64 (fastest, engine-internal) */
+  val XxTokenHash: Column => Column = w => xxhash64(w)
+
+  /** Portable 60-bit token hash: the first 15 hex chars of md5, parsed
+    * as an integer — bit-for-bit reproducible in any engine with md5
+    * (the DuckDB oracle mirrors it as
+    * `CAST('0x' || substr(md5(w),1,15) AS BIGINT)`), so simhash results
+    * are cross-engine verifiable. 60 bits keeps the parse inside a
+    * signed long; the top 4 simhash bits are always 0.
+    */
+  val PortableTokenHash: Column => Column =
+    w => conv(substring(md5(w), 1, 15), 16, 10).cast(LongType)
+
   /** SimHash per doc (64-bit), via the native [[SimHash64]] expression. */
-  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def simhashes(df: DataFrame, textCol: String, idCol: String,
+      tokenHash: Column => Column = XxTokenHash): DataFrame =
     df.select(col(idCol).as("id"),
       SimHash64(transform(TextFunctions.tokens(col(textCol)),
-        w => xxhash64(w))).as("simhash"))
+        tokenHash)).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked
     * by 16-bit bands (4 bands: any pair within hamming 3 shares at least
@@ -132,9 +146,10 @@ object Dedup {
     * the full corpus cross product.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = XxTokenHash): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
-    val sh = simhashes(df, textCol, idCol)
+    val sh = simhashes(df, textCol, idCol, tokenHash)
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

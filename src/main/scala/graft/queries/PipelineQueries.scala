@@ -145,11 +145,36 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup (no SQL oracle — the 64-bit xxhash vote vector is
-    // not reproducible in DuckDB; spec-tested against the jaccard pairs)
-    "q_dedup_simhash" -> QueryDef.noOracle { (s, d) =>
+    // SimHash near-dup with the portable (md5-derived) token hash: the
+    // oracle recomputes the identical 60-bit simhash per doc in SQL
+    // (per-bit majority vote over token hashes) and brute-force
+    // hamming-joins — the Spark side's 4x16-bit pigeonhole banding must
+    // produce exactly the brute-force pair set for hamming<=3
+    "q_dedup_simhash" -> QueryDef(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($SqlTokens) AS w FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+         |  FROM tok),
+         |bits AS (
+         |  SELECT doc_id, bb.b AS b,
+         |         SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM th, (SELECT unnest(range(0, 60)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |sh AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.simhashPairs(Tables.load(s, d, "documents"),
-        "text", "doc_id", maxHamming = 3)
+        "text", "doc_id", maxHamming = 3,
+        tokenHash = Dedup.PortableTokenHash)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType))
         .orderBy("id_a", "id_b")
     },
 

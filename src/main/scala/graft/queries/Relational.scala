@@ -410,9 +410,18 @@ object Relational {
 
     // §2.6 approximate NDV (HLL; stats-collector building block) — not
     // DuckDB-reproducible bit-for-bit → rows-only check
-    "q_approx_distinct" -> QueryDef.noOracle { (s, d) =>
+    // deterministic check: emit the exact NDV plus a boolean asserting the
+    // HLL estimate landed inside its error bound — the oracle states the
+    // exact count and expects the bound to hold (rsd 0.05 → ~3σ at 15%)
+    "q_approx_distinct" -> QueryDef(
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
       Tables.load(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.05).as("__approx"))
+        .select(col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("approx_ok"))
     },
 
     // §2.7 TOP n PERCENT (rank against the window-counted total)

@@ -336,13 +336,52 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   }
 
   /** the planned step order for a MATCH query — the `GetTsqlQuery`-style
-    * test seam (golden-plan assertions, SURVEY §5)
+    * test seam (golden-plan assertions, SURVEY §5). Var-length hops
+    * append as [[graft.planner.ExpandPath]] steps carrying the seeded
+    * direction decision.
     */
   def explainMatch(query: String): Seq[graft.planner.Step] = {
     val p = GraphSql.parse(query)
-    val (pattern, _) = split(p)
-    graft.planner.CostPlanner.plan(provider, pattern, stats,
-      aliasSelectivities(p)).steps
+    val (pattern, varHops) = split(p)
+    val selMap = aliasSelectivities(p)
+    val base = graft.planner.CostPlanner.plan(provider, pattern, stats, selMap).steps
+    val bound0 = pattern.nodes.map(_.alias).toSet
+    base ++ planVarHops(varHops, bound0, selMap, p.aliases.toMap).map {
+      case (h, backward) =>
+        graft.planner.ExpandPath(h.src, h.edge, h.dst, backward)
+    }
+  }
+
+  /** Splice order + direction for var-length hops. Order: hops with an
+    * already-bound endpoint first (they seed from the existing frontier).
+    * Direction (the reference's reversed-edge choice applied to paths,
+    * `MatchGraphInterface.cs:118-129` + path costing
+    * `TranslateMatchClauseVisitor.cs:1489-1502`): seed at a bound
+    * endpoint when exactly one is bound; otherwise seed at the endpoint
+    * with the smaller effective cardinality (table rows × predicate
+    * selectivity) — a selective dst seeds a backward walk over the
+    * reversed adjacency.
+    */
+  private def planVarHops(varHops: Seq[GraphSql.Hop], bound0: Set[String],
+      selMap: Map[String, Double],
+      tableOf: Map[String, String]): Seq[(GraphSql.Hop, Boolean)] = {
+    def rowsEff(a: String) =
+      math.max(stats.tableRows(tableOf(a)) * selMap.getOrElse(a, 1.0), 1.0)
+    var bound = bound0
+    val remaining = scala.collection.mutable.Buffer(varHops: _*)
+    val out = Seq.newBuilder[(GraphSql.Hop, Boolean)]
+    while (remaining.nonEmpty) {
+      val idx = remaining.indexWhere(h => bound(h.src) || bound(h.dst))
+      val h = remaining.remove(if (idx >= 0) idx else 0)
+      val backward =
+        if (bound(h.src) && !bound(h.dst)) false
+        else if (!bound(h.src) && bound(h.dst)) true
+        else rowsEff(h.dst) < rowsEff(h.src)
+      out += h -> backward
+      bound += h.src
+      bound += h.dst
+    }
+    out.result()
   }
 
   private def split(p: GraphSql.ParsedMatch): (MatchPattern, Seq[GraphSql.Hop]) = {
@@ -372,20 +411,30 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     * predicates themselves still apply via the relational tail — Catalyst
     * pushes them into the scans.
     */
-  private def aliasSelectivities(p: GraphSql.ParsedMatch): Map[String, Double] = {
+  /** WHERE conjuncts referencing exactly one pattern alias, keyed by that
+    * alias — the binding step of `AttachWhereClauseVisitor.cs:42-101`
+    */
+  private def boundConjuncts(p: GraphSql.ParsedMatch): Map[String, Seq[String]] = {
     val whereRe = """(?is)^\s*WHERE\s+(.*?)(\b(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?$""".r
     val cond = p.rest match {
       case whereRe(c, _) => c
       case _ => return Map.empty
     }
     val aliasNames = p.aliases.map(_._1)
+    GraphSql.splitTopLevelAnd(cond)
+      .flatMap { conjunct =>
+        val referenced = aliasNames.filter(a =>
+          s"""\\b$a\\.""".r.findFirstIn(conjunct).isDefined)
+        if (referenced.size == 1) Some(referenced.head -> conjunct) else None
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  private def aliasSelectivities(p: GraphSql.ParsedMatch): Map[String, Double] = {
     val tableOf = p.aliases.toMap
     val sel = scala.collection.mutable.Map[String, Double]()
-    GraphSql.splitTopLevelAnd(cond).foreach { conjunct =>
-      val referenced = aliasNames.filter(a =>
-        s"""\\b$a\\.""".r.findFirstIn(conjunct).isDefined)
-      if (referenced.size == 1 && tableOf.contains(referenced.head)) {
-        val a = referenced.head
+    boundConjuncts(p).foreach { case (a, conjuncts) =>
+      if (tableOf.contains(a)) conjuncts.foreach { conjunct =>
         try {
           val local = conjunct.replaceAll(s"\\b$a\\.", "")
           val pred = org.apache.spark.sql.functions.expr(local)
@@ -418,30 +467,49 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val p = GraphSql.parse(query)
     val (pattern, varHops) = split(p)
     val tableOf = p.aliases.toMap
+    val selMap = aliasSelectivities(p)
+    val preds = boundConjuncts(p)
 
     var df =
       if (pattern.nodes.nonEmpty)
-        MatchPlanner.planWithStats(provider, pattern, stats, aliasSelectivities(p))
+        MatchPlanner.planWithStats(provider, pattern, stats, selMap)
       else null
 
-    // splice var-length hops: path endpoints join on GlobalNodeId
-    varHops.foreach { h =>
-      def bound(a: String) =
-        df != null && df.columns.contains(s"${a}__GlobalNodeId")
-      val paths = PathExpand.expand(provider, tableOf(h.src), h.edge,
-        h.minLen, h.maxLen, PathExpand.EdgeDisjoint, h.attrEq)
-        .select(col("src").as("__p_src"), col("dst").as("__p_dst"),
-          col("hops").as(s"${h.src}_${h.edge}_${h.dst}__hops"))
-      if (!bound(h.src)) {
-        val t = MatchPlanner.prefixed(provider, NodePat(h.src, tableOf(h.src)))
+    // splice var-length hops, costed: each expansion seeds from one
+    // endpoint (a selective dst seeds a backward walk over the reversed
+    // adjacency) and only walks from the seed frontier, never the whole
+    // table — the 100 TB shape for paths
+    def bound(a: String) =
+      df != null && df.columns.contains(s"${a}__GlobalNodeId")
+    planVarHops(varHops, p.aliases.map(_._1).filter(bound).toSet,
+      selMap, tableOf).foreach { case (h, backward) =>
+      val (seedA, otherA) = if (backward) (h.dst, h.src) else (h.src, h.dst)
+      if (!bound(seedA)) {
+        // bind the seed endpoint, pre-filtered by its own WHERE conjuncts
+        // so a selective unbound endpoint still bounds the walk (the
+        // conjuncts re-apply in the relational tail — idempotent)
+        var t = MatchPlanner.prefixed(provider, NodePat(seedA, tableOf(seedA)))
+        preds.getOrElse(seedA, Nil).foreach { c =>
+          try t = t.filter(expr(GraphSql.rewriteRefs(c, Seq(seedA))))
+          catch { case _: Exception => () }
+        }
         df = if (df == null) t else df.crossJoin(t)
       }
-      df = df.join(paths, col(s"${h.src}__GlobalNodeId") === col("__p_src"))
-      df = if (bound(h.dst))
-        df.filter(col("__p_dst") === col(s"${h.dst}__GlobalNodeId"))
+      val seeds = df.select(col(s"${seedA}__GlobalNodeId").as("id"))
+      val paths = PathExpand.expand(provider, tableOf(h.src), h.edge,
+        h.minLen, h.maxLen, PathExpand.EdgeDisjoint, h.attrEq,
+        seeds = Some(seeds), backward = backward)
+        .select(col("src").as("__p_src"), col("dst").as("__p_dst"),
+          col("hops").as(s"${h.src}_${h.edge}_${h.dst}__hops"))
+      val (seedEnd, otherEnd) =
+        if (backward) (col("__p_dst"), col("__p_src"))
+        else (col("__p_src"), col("__p_dst"))
+      df = df.join(paths, col(s"${seedA}__GlobalNodeId") === seedEnd)
+      df = if (bound(otherA))
+        df.filter(otherEnd === col(s"${otherA}__GlobalNodeId"))
       else
-        df.join(MatchPlanner.prefixed(provider, NodePat(h.dst, tableOf(h.dst))),
-          col("__p_dst") === col(s"${h.dst}__GlobalNodeId"))
+        df.join(MatchPlanner.prefixed(provider, NodePat(otherA, tableOf(otherA))),
+          otherEnd === col(s"${otherA}__GlobalNodeId"))
       df = df.drop("__p_src", "__p_dst")
     }
 

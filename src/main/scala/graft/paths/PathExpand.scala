@@ -43,6 +43,18 @@ object PathExpand {
     *   `src`, `dst` (GlobalNodeIds), `hops` (int),
     *   `pathNodes` Array[Long] (node sequence incl. src and dst),
     *   `pathEdges` Array[Struct[node Long, edgeId Int]] (edges taken).
+    *
+    * @param seeds  optional one-column (`id`) DataFrame restricting the
+    *   expansion's origin set — the 100 TB shape: a selective bound
+    *   endpoint seeds the walk instead of enumerating paths from every
+    *   node in the graph
+    * @param backward  walk the REVERSED adjacency from the seed side:
+    *   seeds are interpreted as path *destinations* and the walk runs
+    *   sink→source (`MatchGraphInterface.cs:118-129` direction choice).
+    *   Output schema and semantics are identical to forward expansion
+    *   (src/dst swapped back, pathNodes re-reversed); edge-disjointness
+    *   keys on the reversed holder's (node, edgeId), which is unique per
+    *   physical edge.
     */
   def expand(
       g: GraphProvider,
@@ -52,7 +64,9 @@ object PathExpand {
       maxLen: Int,
       mode: Mode = EdgeDisjoint,
       attrEq: Map[String, Any] = Map.empty,
-      maxIterations: Int = 64): DataFrame = {
+      maxIterations: Int = 64,
+      seeds: Option[DataFrame] = None,
+      backward: Boolean = false): DataFrame = {
     require(minLen >= 0, "minLen must be >= 0")
     val td = g.schema.table(table)
     val ed = td.edge(edgeName)
@@ -60,14 +74,26 @@ object PathExpand {
       s"var-length paths require a self-referencing edge; $edgeName sinks to ${ed.sinkTable}")
 
     val nt = g.nodeTable(table)
-    // adjacency relation for the step join: node → (edges, tombstones)
-    val adj = nt.select(col("GlobalNodeId").as("__node"),
-      col(ed.columnName).as("__adj"), col(ed.delColumnName).as("__del"))
+    // adjacency relation for the step join: node → (edges, tombstones).
+    // Reversed columns hold live edges only (kept in sync by DML), so the
+    // backward walk needs no tombstone filter.
+    val adj =
+      if (!backward)
+        nt.select(col("GlobalNodeId").as("__node"),
+          col(ed.columnName).as("__adj"), col(ed.delColumnName).as("__del"))
+      else
+        nt.select(col("GlobalNodeId").as("__node"),
+          col(ed.reversedColumnName).as("__adj"),
+          array().cast(ArrayType(IntegerType)).as("__del"))
 
     val edgeKeyType = ArrayType(StructType(Seq(
       StructField("node", LongType), StructField("edgeId", IntegerType))))
 
-    val seed = nt.select(
+    val seedIds = seeds match {
+      case Some(s) => s.select(col(s.columns.head).as("GlobalNodeId")).distinct()
+      case None => nt.select(col("GlobalNodeId"))
+    }
+    val seed = seedIds.select(
       col("GlobalNodeId").as("src"),
       col("GlobalNodeId").as("dst"),
       lit(0).as("hops"),
@@ -125,7 +151,11 @@ object PathExpand {
     }
 
     val rs = results.result()
-    if (rs.isEmpty) seed.limit(0) else rs.reduce(_ unionAll _)
+    val union = if (rs.isEmpty) seed.limit(0) else rs.reduce(_ unionAll _)
+    if (!backward) union
+    else union.select(
+      col("dst").as("src"), col("src").as("dst"), col("hops"),
+      reverse(col("pathNodes")).as("pathNodes"), col("pathEdges"))
   }
 
   def localKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

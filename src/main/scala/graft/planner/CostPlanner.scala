@@ -27,6 +27,13 @@ final case class ExpandEdge(edge: EdgePat, reversed: Boolean,
     broadcastNode: Boolean, preMaterialize: Boolean = false) extends Step
 /** both endpoints already bound: edge becomes an existence filter */
 final case class BindEdge(edge: EdgePat) extends Step
+/** var-length path splice: the expansion is seeded at one endpoint —
+  * `backward = true` seeds at `dst` and walks the REVERSED adjacency
+  * (sink-seeded paths expand from the selective end,
+  * `MatchGraphInterface.cs:118-129`)
+  */
+final case class ExpandPath(src: String, edge: String, dst: String,
+    backward: Boolean) extends Step
 
 /** Faithful port of the reference's pattern-join-order search
   * (`TranslateMatchClauseVisitor.cs:1631-1727` + cost model
@@ -53,6 +60,18 @@ object CostPlanner {
   val MaxStates = 100                 // beam width (reference MaxStates)
   val LoopLogBase: Double = math.log(512.0) // B-tree fanout proxy
   val BroadcastRowThreshold = 500000L // node side small enough to broadcast
+
+  /** The reference's var-length-path cardinality estimate
+    * (`TranslateMatchClauseVisitor.cs:1489-1502`): per seed node, a path
+    * of length in [minLen, maxLen] fans out ≈ deg^maxLen − deg^(minLen−1)
+    * when deg > 1; unbounded (`maxLen = -1`) with deg > 1 diverges
+    * (`double.MaxValue`); deg ≤ 1 stays deg (the walk doesn't grow).
+    */
+  def pathDegree(deg: Double, minLen: Int, maxLen: Int): Double =
+    if (deg <= 1.0) deg
+    else if (maxLen == -1) Double.MaxValue
+    else math.pow(deg, maxLen) -
+      (if (minLen > 0) math.pow(deg, minLen - 1) else 0.0)
 
   final case class Plan(steps: Seq[Step], cost: Double, cardinality: Double)
 

@@ -86,6 +86,28 @@ class GraphSqlSpec extends SparkSpec {
     assert(gs.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("selective dst seeds a backward var-length expansion (golden plan)") {
+    import graft.planner.ExpandPath
+    val gs = new GraphSession(spark, peopleProvider)
+    // B filtered to one row → the walk must seed at B over reversed adjacency
+    val steps = gs.explainMatch(
+      """SELECT A.name FROM People A, People B MATCH A-[Knows*1..2]->B
+        |WHERE B.name = 'David'""".stripMargin)
+    assert(steps.contains(ExpandPath("A", "Knows", "B", backward = true)), steps.toString)
+    // and the result is right: David reached from Bob (1 hop), Alice (2)
+    val res = gs.sql(
+      """SELECT A.name, A_Knows_B.hops FROM People A, People B
+        |MATCH A-[Knows*1..2]->B
+        |WHERE B.name = 'David' ORDER BY A_Knows_B.hops""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(res == Seq(("Bob", 1), ("Alice", 2)))
+    // selective src keeps the forward direction
+    val fwd = gs.explainMatch(
+      """SELECT B.name FROM People A, People B MATCH A-[Knows*1..2]->B
+        |WHERE A.name = 'Alice'""".stripMargin)
+    assert(fwd.contains(ExpandPath("A", "Knows", "B", backward = false)), fwd.toString)
+  }
+
   test("plan-time selectivity probes run on the LocalRelation sample, not the table") {
     val gs = new GraphSession(spark, peopleProvider)
     val st = gs.stats

@@ -103,6 +103,48 @@ class PathPropertySpec extends SparkSpec {
     }
   }
 
+  test("backward expansion equals forward (both modes), seeds restrict origins") {
+    samples(caseGen, 6).foreach {
+      case ((n, edges), minL, span, nodeDisjoint) =>
+        val maxL = minL + span
+        val provider = buildGraph(n, edges)
+        val mode = if (nodeDisjoint) PathExpand.NodeDisjoint
+          else PathExpand.EdgeDisjoint
+        def collectPaths(df: org.apache.spark.sql.DataFrame) = df
+          .select(PathExpand.localKey(col("src")).cast("int"),
+            PathExpand.localKey(col("dst")).cast("int"), col("hops"),
+            col("pathNodes"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Long](3)))
+          .groupBy(t => (t._1, t._2, t._3)).view.mapValues(_.length).toMap
+        val fwd = collectPaths(
+          PathExpand.expand(provider, "N", "e", minL, maxL, mode))
+        val bwd = collectPaths(
+          PathExpand.expand(provider, "N", "e", minL, maxL, mode,
+            backward = true))
+        assert(bwd == fwd, s"n=$n edges=$edges min=$minL max=$maxL mode=$mode")
+    }
+    // seeded: only walks from (forward) / into (backward) the seed id
+    val provider = buildGraph(3, Seq((1, 2), (2, 3)))
+    val s = spark
+    import s.implicits._
+    val seeds = Seq(GraphBuilder.gid(1, lit(1))).map(_ =>
+      graft.meta.GlobalNodeId.pack(1, 1)).toDF("id")
+    val fromSeed = PathExpand.expand(provider, "N", "e", 1, 2,
+      seeds = Some(seeds))
+      .select(PathExpand.localKey(col("src")).cast("int"),
+        PathExpand.localKey(col("dst")).cast("int")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(fromSeed == Set((1, 2), (1, 3)))
+    val intoSeed = PathExpand.expand(provider, "N", "e", 1, 2,
+      seeds = Some(Seq(graft.meta.GlobalNodeId.pack(1, 3)).toDF("id")),
+      backward = true)
+      .select(PathExpand.localKey(col("src")).cast("int"),
+        PathExpand.localKey(col("dst")).cast("int")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(intoSeed == Set((2, 3), (1, 3)))
+  }
+
   test("INSERT EDGE then DELETE EDGE round-trips the adjacency") {
     samples(graphGen.flatMap(g => Gen.choose(1, 4).map(k => (g, k))), 5).foreach {
       case ((n, edges), k) =>

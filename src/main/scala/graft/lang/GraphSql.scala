@@ -170,6 +170,35 @@ object GraphSql {
     aliases.foldLeft(s) { (acc, a) =>
       acc.replaceAll(s"""\\b$a\\.(\\w+)""", s"${a}__$$1")
     }
+
+  /** Locate a `[NOT] EXISTS (SELECT … MATCH …)` span — the correlated
+    * MATCH subquery form (`TranslateMatchClauseVisitor.cs:620-705`).
+    * Returns (textBefore, negated, subquery, textAfter); brackets are
+    * matched by depth so the subquery may itself contain parentheses.
+    */
+  def findExistsMatch(sql: String): Option[(String, Boolean, String, String)] = {
+    val existsRe = """(?is)\b(NOT\s+)?EXISTS\s*\(""".r
+    existsRe.findAllMatchIn(sql).flatMap { m =>
+      var depth = 1
+      var i = m.end
+      while (i < sql.length && depth > 0) {
+        sql(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth != 0) None
+      else {
+        val sub = sql.substring(m.end, i - 1).trim
+        if (isMatchQuery(sub))
+          Some((sql.substring(0, m.start), m.group(1) != null, sub,
+            sql.substring(i)))
+        else None
+      }
+    }.nextOption()
+  }
 }
 
 /** Session facade: compiles dialect statements against a graph.
@@ -226,6 +255,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     case DeleteEdgeRe(srcA, edge, dstA, from, where) =>
       deleteEdgeSql(srcA, edge, dstA, from, Option(where))
     case DeleteNodeRe(table, where) => deleteNodeSql(table, Option(where))
+    case _ if GraphSql.findExistsMatch(query).isDefined => correlatedSql(query)
     case _ if GraphSql.isMatchQuery(query) => matchSql(query)
     case _ => spark.sql(query)
   }
@@ -452,7 +482,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     sel.toMap
   }
 
-  private def starColumns(df: DataFrame, p: GraphSql.ParsedMatch): Seq[String] = {
+  private def starColumns(df: DataFrame): Seq[String] = {
     // node properties + edge attrs stay; ids, degrees, adjacency internals
     // hide (reference keeps edge attrs visible in star expansion)
     val internal =
@@ -465,6 +495,12 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
 
   private def matchSql(query: String): DataFrame = {
     val p = GraphSql.parse(query)
+    relationalTail(buildMatchDf(p), p.select, p.rest,
+      p.aliases.map(_._1) ++ p.hops.map(h => s"${h.src}_${h.edge}_${h.dst}"))
+  }
+
+  /** pattern + var-length splice → one DataFrame of `alias__col` columns */
+  private def buildMatchDf(p: GraphSql.ParsedMatch): DataFrame = {
     val (pattern, varHops) = split(p)
     val tableOf = p.aliases.toMap
     val selMap = aliasSelectivities(p)
@@ -512,19 +548,94 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
           otherEnd === col(s"${otherA}__GlobalNodeId"))
       df = df.drop("__p_src", "__p_dst")
     }
+    df
+  }
 
+  /** delegate the relational tail (projection, WHERE, GROUP BY, …) to
+    * Spark SQL over the match DataFrame, rewriting `alias.col` refs
+    */
+  private def relationalTail(df: DataFrame, select: String, rest: String,
+      names: Seq[String]): DataFrame = {
     val view = s"__match_${System.identityHashCode(df).toHexString}"
     df.createOrReplaceTempView(view)
-    val edgeAliases = p.hops.map(h => s"${h.src}_${h.edge}_${h.dst}")
-    val names = p.aliases.map(_._1) ++ edgeAliases
     // SELECT * expands to user-visible node columns only — adjacency
     // arrays, tombstones, degrees and reversed columns stay internal
     // (the reference's star expansion, TranslateMatchClauseVisitor.cs:1063-1188)
     val selRaw =
-      if (p.select.trim == "*") starColumns(df, p).mkString(", ")
-      else p.select
+      if (select.trim == "*") starColumns(df).mkString(", ")
+      else select
     val sel = GraphSql.rewriteRefs(selRaw, names)
-    val rest = GraphSql.rewriteRefs(p.rest, names)
-    spark.sql(s"SELECT $sel FROM $view $rest")
+    spark.sql(s"SELECT $sel FROM $view ${GraphSql.rewriteRefs(rest, names)}")
+  }
+
+  private val PlainSelectRe =
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(\s*\b(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?$""".r
+
+  /** Correlated MATCH: `[NOT] EXISTS (SELECT … FROM … MATCH … [WHERE …])`
+    * where the pattern references aliases bound in the OUTER query — the
+    * reference's external-alias rematerialization
+    * (`TranslateMatchClauseVisitor.cs:620-705`, accepted from the
+    * language as in `StoredProcedureTutorial.cs:17-100`). The external
+    * alias is re-planned as a full pattern node, the subquery's own
+    * predicates apply, and the outer rows semi-join (anti-join when
+    * negated) on the binding GlobalNodeIds — multiplicity-preserving, no
+    * forced broadcast.
+    */
+  private def correlatedSql(query: String): DataFrame = {
+    val (before, negated, sub, after) = GraphSql.findExistsMatch(query).get
+    // neutralize the conjunct in the outer text; the semi-join enforces it
+    val outerSql = before + "TRUE" + after
+    val pIn = GraphSql.parse(sub)
+    require(pIn.hops.forall(!_.isVarLength),
+      "correlated MATCH subqueries support fixed-length patterns")
+
+    val (dfOut0, outSelect, outRest, outAliases, outNames) =
+      if (GraphSql.isMatchQuery(outerSql)) {
+        val pOut = GraphSql.parse(outerSql)
+        (buildMatchDf(pOut), pOut.select, pOut.rest, pOut.aliases,
+          pOut.aliases.map(_._1) ++
+            pOut.hops.map(h => s"${h.src}_${h.edge}_${h.dst}"))
+      } else outerSql match {
+        case PlainSelectRe(sel, from, rest) =>
+          val aliases = GraphSql.parseFromPublic(from)
+          val df = aliases.map { case (a, t) =>
+            MatchPlanner.prefixed(provider, NodePat(a, t))
+          }.reduce(_ crossJoin _)
+          (df, sel, Option(rest).getOrElse("").trim, aliases,
+            aliases.map(_._1))
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse outer query of correlated MATCH: $outerSql")
+      }
+
+    val outTableOf = outAliases.toMap
+    val innerFrom = pIn.aliases.map(_._1).toSet
+    val external = pIn.hops.flatMap(h => Seq(h.src, h.dst))
+      .distinct.filterNot(innerFrom)
+    require(external.nonEmpty,
+      "EXISTS (… MATCH …) subquery references no outer alias")
+    external.foreach(a => require(outTableOf.contains(a),
+      s"correlated alias '$a' is not bound in the outer query"))
+
+    // rematerialize external aliases as full pattern nodes
+    val innerAliases = pIn.aliases ++ external.map(a => a -> outTableOf(a))
+    val pInFull = pIn.copy(aliases = innerAliases)
+    val innerPattern = MatchPattern(
+      innerAliases.map { case (a, t) => NodePat(a, t) },
+      pIn.hops.map(h => EdgePat(h.src, h.edge, h.dst, h.attrEq)))
+    var inner = MatchPlanner.planWithStats(provider, innerPattern, stats,
+      aliasSelectivities(pInFull))
+    if (pIn.rest.nonEmpty) {
+      // the subquery's own predicates apply before the semi-join; keep
+      // every column (the binding ids are internal, starColumns hides them)
+      val view = s"__corr_${System.identityHashCode(inner).toHexString}"
+      inner.createOrReplaceTempView(view)
+      val names = innerAliases.map(_._1) ++
+        pIn.hops.map(h => s"${h.src}_${h.edge}_${h.dst}")
+      inner = spark.sql(
+        s"SELECT * FROM $view ${GraphSql.rewriteRefs(pIn.rest, names)}")
+    }
+    val dfOut = MatchPlanner.semiCorrelated(dfOut0, inner,
+      external.map(a => a -> s"${a}__GlobalNodeId").toMap, negated)
+    relationalTail(dfOut, outSelect, outRest, outNames)
   }
 }

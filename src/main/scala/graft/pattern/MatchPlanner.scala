@@ -131,12 +131,27 @@ object MatchPlanner {
       case Some(st) => planWithStats(g, pattern, st)
       case None => plan(g, pattern)
     }
-    outerBindings.foldLeft(inner.crossJoin(broadcast(outer))) {
-      // degenerate shape guard: fold as filters so multiple bindings
-      // constrain the same cross join
-      case (df, (alias, outerCol)) =>
-        df.filter(col(s"${alias}__GlobalNodeId") === col(outerCol))
-    }
+    // plain equi-join on the binding ids — the outer side is often the
+    // big one, so no forced broadcast/cross shape; AQE picks sides
+    val cond = outerBindings.map { case (alias, outerCol) =>
+      inner(s"${alias}__GlobalNodeId") === outer(outerCol)
+    }.reduce(_ && _)
+    inner.join(outer, cond)
+  }
+
+  /** EXISTS-correlated MATCH: keep (or, `negated`, drop) outer rows for
+    * which the pattern has at least one embedding binding the external
+    * aliases to the outer row's ids — a semi/anti equi-join on the
+    * binding columns (the multiplicity-preserving form of the
+    * reference's rematerialization, `TranslateMatchClauseVisitor.cs:620-705`).
+    * `inner` must already carry the pattern's own predicates.
+    */
+  def semiCorrelated(outer: DataFrame, inner: DataFrame,
+      bindings: Map[String, String], negated: Boolean = false): DataFrame = {
+    val cond = bindings.map { case (alias, outerCol) =>
+      outer(outerCol) === inner(s"${alias}__GlobalNodeId")
+    }.reduce(_ && _)
+    outer.join(inner, cond, if (negated) "left_anti" else "left_semi")
   }
 
   def plan(g: GraphProvider, pattern: MatchPattern): DataFrame = {

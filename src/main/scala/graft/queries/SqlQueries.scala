@@ -53,6 +53,23 @@ object SqlQueries {
           |ORDER BY c.c_custkey, o.o_orderkey, p.p_partkey""".stripMargin)
     },
 
+    // correlated MATCH in a subquery: the pattern references the outer
+    // alias c, which is rematerialized and semi-joined back on its id
+    // (the reference's external-alias path,
+    // TranslateMatchClauseVisitor.cs:620-705)
+    "q_sql_correlated" -> QueryDef(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name
+          |FROM Customer c
+          |WHERE EXISTS (SELECT 1 FROM Order o MATCH c-[placed]->o
+          |              WHERE o.o_totalprice > 400000)
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
     "q_sql_match_agg" -> QueryDef(
       """SELECT c_custkey, COUNT(*) AS order_cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -86,6 +86,31 @@ class GraphSqlSpec extends SparkSpec {
     assert(gs.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("correlated EXISTS MATCH rematerializes the external alias") {
+    val gs = new GraphSession(spark, peopleProvider)
+    val res = gs.sql(
+      """SELECT A.name FROM People A
+        |WHERE EXISTS (SELECT 1 FROM People B MATCH A-[Knows]->B
+        |              WHERE B.name = 'Caven')
+        |ORDER BY A.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(res == Seq("Bob"))
+    // NOT EXISTS → anti-join: people with no outgoing Knows
+    val anti = gs.sql(
+      """SELECT A.name FROM People A
+        |WHERE NOT EXISTS (SELECT 1 FROM People B MATCH A-[Knows]->B)
+        |ORDER BY A.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(anti == Seq("Caven", "David"))
+    // outer query carrying its own MATCH
+    val two = gs.sql(
+      """SELECT A.name, B.name FROM People A, People B MATCH A-[Knows]->B
+        |WHERE EXISTS (SELECT 1 FROM People C MATCH B-[Knows]->C)
+        |ORDER BY A.name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(two == Seq(("Alice", "Bob")))
+  }
+
   test("selective dst seeds a backward var-length expansion (golden plan)") {
     import graft.planner.ExpandPath
     val gs = new GraphSession(spark, peopleProvider)

@@ -76,6 +76,89 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
       }
   }
 
+  private def replaceTable(td: NodeTableDef): Unit =
+    schema = GraphSchema(schema.tables.map(t => if (t.name == td.name) td else t))
+
+  private def adjType(e: EdgeDef): ArrayType =
+    ArrayType(StructType(
+      StructField("sink", LongType) +: StructField("edgeId", IntegerType) +:
+        e.attrs.map(a => StructField(a.name, a.dataType))))
+
+  /** ALTER TABLE ADD COLUMN — `GraphViewConnection.cs:1855` */
+  def addProperty(table: String, field: StructField): Unit = {
+    val td = schema.table(table)
+    val t = provider.nodeTable(table)
+    require(!t.columns.contains(field.name),
+      s"column ${field.name} already exists on $table")
+    replaceTable(td.copy(propertyColumns = td.propertyColumns :+ field.name))
+    propertyTypes += table ->
+      StructType(propertyTypes.getOrElse(table, StructType(Nil)).fields :+ field)
+    rewrite(table, t.withColumn(field.name, lit(null).cast(field.dataType)))
+    persistMeta()
+  }
+
+  /** ALTER TABLE DROP COLUMN — `GraphViewConnection.cs:2299`; only plain
+    * property columns may drop (NodeId key and graph-maintained columns
+    * are structural)
+    */
+  def dropProperty(table: String, column: String): Unit = {
+    val td = schema.table(table)
+    require(td.propertyColumns.contains(column),
+      s"$column is not a droppable property column of $table")
+    replaceTable(td.copy(propertyColumns = td.propertyColumns.filterNot(_ == column)))
+    propertyTypes += table -> StructType(
+      propertyTypes.getOrElse(table, StructType(Nil)).fields
+        .filterNot(_.name == column))
+    rewrite(table, provider.nodeTable(table).drop(column))
+    persistMeta()
+  }
+
+  /** ALTER TABLE ADD EDGE: adjacency + tombstone + OutDegree columns on
+    * the source, reversed mirror on the sink — the same upkeep the
+    * reference performs when a new edge column references a table
+    * (`GraphViewConnection.cs:1053-1146`)
+    */
+  def addEdge(table: String, e0: EdgeDef): Unit = {
+    val td = schema.table(table)
+    require(!td.edges.exists(_.name == e0.name),
+      s"edge ${e0.name} already exists on $table")
+    require(schema.hasTable(e0.sinkTable), s"unknown sink table ${e0.sinkTable}")
+    val e = e0.copy(sourceTable = table)
+    replaceTable(td.copy(edges = td.edges :+ e))
+    rewrite(table, provider.nodeTable(table)
+      .withColumn(e.columnName, array().cast(adjType(e)))
+      .withColumn(e.delColumnName, array().cast(ArrayType(IntegerType)))
+      .withColumn(e.outDegreeColumnName, lit(0).cast(IntegerType)))
+    val sink = provider.nodeTable(e.sinkTable)
+    if (!sink.columns.contains(e.reversedColumnName))
+      rewrite(e.sinkTable,
+        sink.withColumn(e.reversedColumnName, array().cast(adjType(e))))
+    persistMeta()
+  }
+
+  /** ALTER TABLE DROP EDGE: remove the edge column set on the source,
+    * the reversed mirror on the sink, and recompute the sink's InDegree
+    * from the remaining mirrors
+    */
+  def dropEdge(table: String, edgeName: String): Unit = {
+    val td = schema.table(table)
+    val e = td.edge(edgeName)
+    replaceTable(td.copy(edges = td.edges.filterNot(_.name == edgeName)))
+    rewrite(table, provider.nodeTable(table)
+      .drop(e.columnName, e.delColumnName, e.outDegreeColumnName))
+    val sink = provider.nodeTable(e.sinkTable)
+    if (sink.columns.contains(e.reversedColumnName)) {
+      val dropped = sink.drop(e.reversedColumnName)
+      val revCols = dropped.columns.filter(_.endsWith("Reversed"))
+      val inDeg =
+        if (revCols.isEmpty) lit(0)
+        else revCols.map(c => size(col(c))).reduce(_ + _)
+      rewrite(e.sinkTable,
+        dropped.withColumn("InDegree", inDeg.cast(IntegerType)))
+    }
+    persistMeta()
+  }
+
   private def emptyPairs(e: EdgeDef): DataFrame = {
     val fields = StructField("src", LongType) +: StructField("sink", LongType) +:
       e.attrs.map(a => StructField(a.name, a.dataType))

@@ -63,6 +63,45 @@ object GraphDdl {
       case _ => throw new IllegalArgumentException(s"not CREATE NODE TABLE: $sql")
     }
 
+  /** post-hoc schema evolution, mirroring the reference's
+    * `AddNodeTableColumn`/`DropNodeTableColumn`
+    * (`GraphViewConnection.cs:1855`, `:2299`) incl. edge columns with
+    * reversed-column upkeep:
+    * {{{
+    *   ALTER TABLE T ADD COLUMN c TYPE
+    *   ALTER TABLE T DROP COLUMN c
+    *   ALTER TABLE T ADD EDGE e TO Sink [(attr TYPE, ...)]
+    *   ALTER TABLE T DROP EDGE e
+    * }}}
+    */
+  sealed trait AlterStmt
+  final case class AddColumn(table: String, field: StructField) extends AlterStmt
+  final case class DropColumn(table: String, column: String) extends AlterStmt
+  final case class AddEdge(table: String, edge: EdgeDef) extends AlterStmt
+  final case class DropEdge(table: String, edge: String) extends AlterStmt
+
+  private val AlterAddColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+(?:\s*\([^)]*\))?)\s*$""".r
+  private val AlterDropColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
+  private val AlterAddEdgeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+EDGE\s+(\w+)\s+TO\s+(\w+)\s*(?:\((.*)\))?\s*$""".r
+  private val AlterDropEdgeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+EDGE\s+(\w+)\s*$""".r
+
+  def parseAlter(sql: String): Option[AlterStmt] = sql match {
+    case AlterAddEdgeRe(t, e, sink, attrs) =>
+      val as = Option(attrs).toSeq.flatMap(splitTopLevel).map { a =>
+        val Array(an, at) = a.trim.split("\\s+", 2)
+        EdgeAttr(an, parseType(at))
+      }
+      Some(AddEdge(t, EdgeDef(e, t, sink, as)))
+    case AlterDropEdgeRe(t, e) => Some(DropEdge(t, e))
+    case AlterAddColRe(t, c, tp) => Some(AddColumn(t, StructField(c, parseType(tp))))
+    case AlterDropColRe(t, c) => Some(DropColumn(t, c))
+    case _ => None
+  }
+
   private def parseType(t: String): DataType = t.trim.toUpperCase match {
     case "INT" | "INTEGER" => IntegerType
     case "BIGINT" | "LONG" => LongType
@@ -72,7 +111,7 @@ object GraphDdl {
     case "DATE" => DateType
     case "TIMESTAMP" => TimestampType
     case d if d.startsWith("DECIMAL") =>
-      val ps = d.stripPrefix("DECIMAL").stripPrefix("(").stripSuffix(")")
+      val ps = d.stripPrefix("DECIMAL").trim.stripPrefix("(").stripSuffix(")")
       val Array(p, s) = ps.split(",").map(_.trim.toInt)
       DecimalType(p, s)
     case other => throw new IllegalArgumentException(s"unsupported type $other")

@@ -189,6 +189,38 @@ object GraphDml {
     table.unionByName(newRows.select(table.columns.map(col).toSeq: _*))
   }
 
+  /** UPDATE of node property columns (the reference parses and delegates
+    * plain UPDATE with graph tables, `WSqlParser.cs:799-909`,
+    * `WClauses.cs:356-446`): set each listed column where `pred` holds.
+    * All assignment expressions evaluate against the OLD row values
+    * (standard UPDATE semantics). Graph-maintained columns (ids,
+    * adjacency, tombstones, degrees, reversed mirrors) and the NodeId
+    * key are immutable.
+    */
+  def updateProperties(table: DataFrame, td: NodeTableDef,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val internal = Set("GlobalNodeId", "InDegree") ++
+      td.edges.flatMap(e =>
+        Seq(e.columnName, e.delColumnName, e.outDegreeColumnName)) ++
+      table.columns.filter(_.endsWith("Reversed"))
+    assignments.foreach { case (c, _) =>
+      require(table.columns.contains(c), s"no column $c on ${td.name}")
+      require(!internal(c), s"column $c is graph-maintained and cannot be updated")
+      require(!td.nodeIdColumn.contains(c), s"NodeId column $c is immutable")
+    }
+    // stage new values in temp columns first so every expression reads
+    // the pre-update row
+    val staged = assignments.zipWithIndex.foldLeft(table) {
+      case (t, ((c, e), i)) =>
+        t.withColumn(s"__upd_$i", when(pred, e).otherwise(col(c)))
+    }
+    assignments.zipWithIndex.foldLeft(staged) {
+      case (t, ((c, _), i)) =>
+        t.withColumn(c, col(s"__upd_$i")).drop(s"__upd_$i")
+    }
+  }
+
   /** DELETE NODE with the reference's safety guard: refuses when any
     * matching node still has live edges (InDegree or any OutDegree != 0)
     * — `TranslateDataModificationVisitor.cs:2085-2188`.

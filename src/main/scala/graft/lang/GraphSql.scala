@@ -102,6 +102,23 @@ object GraphSql {
     out.result().filter(_.nonEmpty)
   }
 
+  /** split on commas outside parentheses (SET-clause assignments) */
+  private[lang] def splitTopLevelParen(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
   /** split on commas outside {...} attr dicts */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -243,6 +260,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     """(?is)^\s*DELETE\s+EDGE\s+(\w+)\s*-\s*\[\s*(\w+)\s*\]\s*->\s*(\w+)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
   private val DeleteNodeRe =
     """(?is)^\s*DELETE\s+NODE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
 
   def sql(query: String): DataFrame = query match {
     case _ if graft.ddl.GraphDdl.isCreateNodeTable(query) =>
@@ -250,6 +269,18 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       val (td, props) = graft.ddl.GraphDdl.parseCreateNodeTable(query, cat.nextTableId)
       cat.createNodeTable(td, props)
       affected(0)
+    case _ if graft.ddl.GraphDdl.parseAlter(query).isDefined =>
+      val cat = requireCatalog()
+      graft.ddl.GraphDdl.parseAlter(query).get match {
+        case graft.ddl.GraphDdl.AddColumn(t, f) => cat.addProperty(t, f)
+        case graft.ddl.GraphDdl.DropColumn(t, c) => cat.dropProperty(t, c)
+        case graft.ddl.GraphDdl.AddEdge(t, e) => cat.addEdge(t, e)
+        case graft.ddl.GraphDdl.DropEdge(t, e) => cat.dropEdge(t, e)
+      }
+      affected(0)
+    case UpdateRe(table, setPart, where)
+        if catalog.exists(_.schema.hasTable(table)) =>
+      updateSql(table, setPart, Option(where))
     case InsertNodeRe(table, select) => insertNodeSql(table, select)
     case InsertEdgeRe(table, edge, select) => insertEdgeSql(table, edge, select)
     case DeleteEdgeRe(srcA, edge, dstA, from, where) =>
@@ -351,6 +382,27 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     cat.rewrite(e.sinkTable, graft.dml.GraphDml.syncReversed(
       provider.nodeTable(srcTable), provider.nodeTable(e.sinkTable), e)
       .localCheckpoint(true))
+    affected(n)
+  }
+
+  /** UPDATE of node-table properties — the statement surface the
+    * reference parses and delegates (`WSqlParser.cs:799-909`); compiles
+    * to [[graft.dml.GraphDml.updateProperties]] + a table rewrite.
+    */
+  private def updateSql(table: String, setPart: String,
+      where: Option[String]): DataFrame = {
+    val cat = requireCatalog()
+    val td = cat.schema.table(table)
+    val t = provider.nodeTable(table)
+    val assignments = GraphSql.splitTopLevelParen(setPart).map { a =>
+      val Array(c, e) = a.split("=", 2)
+      c.trim -> expr(e.trim)
+    }
+    val pred = where.map(expr).getOrElse(lit(true))
+    val n = t.filter(pred).count()
+    cat.rewrite(table,
+      graft.dml.GraphDml.updateProperties(t, td, assignments, pred)
+        .localCheckpoint(true))
     affected(n)
   }
 

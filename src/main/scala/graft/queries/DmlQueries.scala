@@ -87,6 +87,24 @@ object DmlQueries {
         .orderBy("c_custkey")
     },
 
+    // UPDATE properties: floor negative balances to zero, tag their
+    // segment — assignments read the OLD row (bal reset + segment tag
+    // must both key off the pre-update balance)
+    "q_dml_update" -> QueryDef(
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal,
+        |  CASE WHEN c_acctbal < 0 THEN 'FLOORED' ELSE c_mktsegment END AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      val td = g.schema.table("Customer")
+      GraphDml.updateProperties(g.nodeTable("Customer"), td,
+        Seq("c_acctbal" -> lit(0.0), "c_mktsegment" -> lit("FLOORED")),
+        col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+        .orderBy("c_custkey")
+    },
+
     // INSERT NODE: append synthetic customers (supplier-derived keys,
     // offset to avoid collision), empty adjacency — then scan keys
     "q_dml_insert_node" -> QueryDef(

@@ -160,4 +160,59 @@ class GraphDdlSpec extends SparkSpec {
       """SELECT p.name FROM People p MATCH p-[Knows]->p
         |WHERE 1 = 0""".stripMargin).count() == 0) // parser smoke
   }
+
+  test("ALTER TABLE round-trip: add/drop property and edge, SQL UPDATE") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_alter").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("""CREATE NODE TABLE People (
+             |  id INT NODEID, name STRING, EDGE Knows TO People)""".stripMargin)
+    gs.sql("""INSERT NODE INTO People
+             |SELECT * FROM VALUES (1,'Alice'),(2,'Bob') AS t(id, name)""".stripMargin)
+    gs.sql("""INSERT EDGE INTO People.Knows
+             |SELECT * FROM VALUES (1,2) AS t(s, d)""".stripMargin)
+
+    // ADD COLUMN, then UPDATE it through the dialect
+    gs.sql("ALTER TABLE People ADD COLUMN age INT")
+    assert(gs.sql("UPDATE People SET age = 30 WHERE name = 'Alice'")
+      .head().getLong(0) == 1)
+    val ages = gs.catalog.get.provider.nodeTable("People")
+      .select("name", "age").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(ages("Alice").contains(30) && ages("Bob").isEmpty)
+
+    // graph-maintained columns refuse UPDATE
+    intercept[IllegalArgumentException] {
+      gs.sql("UPDATE People SET InDegree = 5")
+    }
+
+    // ADD EDGE: adjacency/tombstone/degree + reversed mirror appear and
+    // DML works over the new edge immediately
+    gs.sql("ALTER TABLE People ADD EDGE Likes TO People (strength DOUBLE)")
+    assert(gs.sql(
+      """INSERT EDGE INTO People.Likes
+        |SELECT * FROM VALUES (2, 1, 0.9) AS t(s, d, w)""".stripMargin)
+      .head().getLong(0) == 1)
+    val t = gs.catalog.get.provider.nodeTable("People")
+    assert(t.columns.contains("Likes") && t.columns.contains("LikesDel") &&
+      t.columns.contains("LikesOutDegree") &&
+      t.columns.contains("People_LikesReversed"))
+    assert(t.filter(col("name") === "Alice")
+      .select("InDegree").head().getInt(0) == 1) // Bob now likes Alice
+
+    // DROP EDGE: columns gone on both sides, InDegree recomputed
+    gs.sql("ALTER TABLE People DROP EDGE Likes")
+    val t2 = gs.catalog.get.provider.nodeTable("People")
+    assert(!t2.columns.contains("Likes") &&
+      !t2.columns.contains("People_LikesReversed"))
+    val inAfter = t2.select("name", "InDegree").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(inAfter == Map("Alice" -> 0, "Bob" -> 1))
+
+    // DROP COLUMN persists across a catalog reload
+    gs.sql("ALTER TABLE People DROP COLUMN age")
+    val reloaded = new GraphCatalog(spark, dir)
+    assert(!reloaded.provider.nodeTable("People").columns.contains("age"))
+    assert(reloaded.schema.table("People").edges.map(_.name) == Seq("Knows"))
+  }
 }

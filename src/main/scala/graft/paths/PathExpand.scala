@@ -66,8 +66,10 @@ object PathExpand {
       attrEq: Map[String, Any] = Map.empty,
       maxIterations: Int = 64,
       seeds: Option[DataFrame] = None,
-      backward: Boolean = false): DataFrame = {
+      backward: Boolean = false,
+      display: Boolean = false): DataFrame = {
     require(minLen >= 0, "minLen must be >= 0")
+    require(!display || !backward, "typed display requires forward expansion")
     val td = g.schema.table(table)
     val ed = td.edge(edgeName)
     require(ed.sinkTable == table,
@@ -88,17 +90,26 @@ object PathExpand {
 
     val edgeKeyType = ArrayType(StructType(Seq(
       StructField("node", LongType), StructField("edgeId", IntegerType))))
+    // per-hop typed display record: departing node + edge taken (the
+    // reference's PathMessage, NodeTableGraphViewCodeTemplate.tt:579-698)
+    val hopInfoType = ArrayType(StructType(
+      StructField("nodeType", StringType) +:
+        StructField("nodeId", LongType) +:
+        StructField("edgeType", StringType) +:
+        ed.attrs.map(a => StructField(a.name, a.dataType))))
 
     val seedIds = seeds match {
       case Some(s) => s.select(col(s.columns.head).as("GlobalNodeId")).distinct()
       case None => nt.select(col("GlobalNodeId"))
     }
-    val seed = seedIds.select(
+    val seedCols = Seq(
       col("GlobalNodeId").as("src"),
       col("GlobalNodeId").as("dst"),
       lit(0).as("hops"),
       array(col("GlobalNodeId")).as("pathNodes"),
-      array().cast(edgeKeyType).as("pathEdges"))
+      array().cast(edgeKeyType).as("pathEdges")) ++
+      (if (display) Seq(array().cast(hopInfoType).as("pathHops")) else Nil)
+    val seed = seedIds.select(seedCols: _*)
 
     def step(frontier: DataFrame): DataFrame = {
       var df = frontier
@@ -114,14 +125,22 @@ object PathExpand {
         case NodeDisjoint => df.filter(!array_contains(col("pathNodes"),
           col("__e.sink")))
       }
-      df.select(
+      val stepCols = Seq(
         col("src"),
         col("__e.sink").as("dst"),
         (col("hops") + 1).as("hops"),
         concat(col("pathNodes"), array(col("__e.sink"))).as("pathNodes"),
         concat(col("pathEdges"),
           array(struct(col("dst").as("node"), col("__e.edgeId").as("edgeId"))))
-          .as("pathEdges"))
+          .as("pathEdges")) ++
+        (if (display) Seq(
+          concat(col("pathHops"), array(struct(
+            (lit(table).as("nodeType") +:
+              col("dst").as("nodeId") +:
+              lit(edgeName).as("edgeType") +:
+              ed.attrs.map(a => col(s"__e.${a.name}").as(a.name))): _*)))
+            .as("pathHops")) else Nil)
+      df.select(stepCols: _*)
     }
 
     val results = Seq.newBuilder[DataFrame]
@@ -160,4 +179,44 @@ object PathExpand {
 
   def localKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.bitwiseAND(lit(LocalKeyMask))
+
+  /** Render a `display=true` path row as the reference's
+    * `PathMessageDecoder` JSON (`NodeTableGraphViewCodeTemplate.tt:640-698`):
+    * alternating node and edge objects,
+    * `[{"NodeType":"T","Id":n},{"EdgeType":"e"[,"Attribute":{...}]},…,{"NodeType":"T","Id":m}]`.
+    * Built by deterministic string concatenation (as the reference does)
+    * so any engine can reproduce it byte-for-byte; ids render as local
+    * keys. String attrs quote; numeric/boolean attrs render via CAST.
+    */
+  def renderDisplay(g: GraphProvider, table: String, edgeName: String)
+      : org.apache.spark.sql.Column = {
+    val ed = g.schema.table(table).edge(edgeName)
+    val hopJson = (h: org.apache.spark.sql.Column) => {
+      val attrPart: org.apache.spark.sql.Column =
+        if (ed.attrs.isEmpty) lit("")
+        else concat(
+          (lit(",\"Attribute\":{") +:
+            ed.attrs.zipWithIndex.flatMap { case (a, i) =>
+              val v = h.getField(a.name)
+              val rendered = a.dataType match {
+                case StringType =>
+                  concat(lit("\""), v, lit("\""))
+                case _ => v.cast(StringType)
+              }
+              Seq(lit((if (i > 0) "," else "") + s""""${a.name}":"""),
+                coalesce(rendered, lit("null")))
+            } :+ lit("}")): _*)
+      concat(
+        lit("{\"NodeType\":\""), h.getField("nodeType"),
+        lit("\",\"Id\":"), localKey(h.getField("nodeId")).cast(StringType),
+        lit("},{\"EdgeType\":\""), h.getField("edgeType"), lit("\""),
+        attrPart, lit("},"))
+    }
+    concat(
+      lit("["),
+      concat_ws("", transform(col("pathHops"), hopJson)),
+      lit("{\"NodeType\":\"" + table + "\",\"Id\":"),
+      localKey(col("dst")).cast(StringType),
+      lit("}]"))
+  }
 }

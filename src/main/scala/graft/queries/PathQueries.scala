@@ -91,18 +91,25 @@ object PathQueries {
 
     // path-message display (§2.4 path display): hop sequence rendered as a
     // string, mirroring the PathMessageDecoder output shape
+    // typed path display: per-hop (nodeType, nodeId, edgeType) structs
+    // accumulated during expansion, rendered as the reference's
+    // PathMessageDecoder JSON (NodeTableGraphViewCodeTemplate.tt:640-698)
     "q_path_display" -> QueryDef(
       s"""$ringCte
          |SELECT a.src, b.dst,
-         |       CAST(a.src AS VARCHAR) || '->' || CAST(a.dst AS VARCHAR) ||
-         |       '->' || CAST(b.dst AS VARCHAR) AS path_str
+         |  '[{"NodeType":"Nation","Id":' || CAST(a.src AS VARCHAR) ||
+         |  '},{"EdgeType":"next"},{"NodeType":"Nation","Id":' || CAST(a.dst AS VARCHAR) ||
+         |  '},{"EdgeType":"next"},{"NodeType":"Nation","Id":' || CAST(b.dst AS VARCHAR) ||
+         |  '}]' AS path_str
          |FROM e a JOIN e b ON a.dst = b.src
          |ORDER BY a.src, b.dst, path_str""".stripMargin) { (s, d) =>
-      pathDf(s, d, 2, 2, PathExpand.EdgeDisjoint)
-        .select(col("src"), col("dst"),
-          concat_ws("->", transform(col("pathNodes"),
-            n => PathExpand.localKey(n).cast(IntegerType).cast(StringType)))
-            .as("path_str"))
+      val g = TpchGraph.provider(s, d)
+      PathExpand.expand(g, "Nation", "next", 2, 2,
+        PathExpand.EdgeDisjoint, display = true)
+        .select(
+          PathExpand.localKey(col("src")).cast(IntegerType).as("src"),
+          PathExpand.localKey(col("dst")).cast(IntegerType).as("dst"),
+          PathExpand.renderDisplay(g, "Nation", "next").as("path_str"))
         .orderBy("src", "dst", "path_str")
     }
   )

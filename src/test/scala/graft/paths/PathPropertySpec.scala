@@ -145,6 +145,31 @@ class PathPropertySpec extends SparkSpec {
     assert(intoSeed == Set((2, 3), (1, 3)))
   }
 
+  test("typed path display renders per-hop node/edge/attr JSON") {
+    val s = spark
+    import s.implicits._
+    val tdW = NodeTableDef("N", 1, Some("id"), Nil,
+      Seq(EdgeDef("e", "N", "N", Seq(graft.meta.EdgeAttr("w",
+        org.apache.spark.sql.types.DoubleType)))))
+    val nodes = (1 to 3).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((1, 2, 0.5), (2, 3, 1.5)).toDF("s", "t", "w")
+      .select(GraphBuilder.gid(1, col("s")).as("src"),
+        GraphBuilder.gid(1, col("t")).as("sink"), col("w"))
+    val table = GraphBuilder.nodeTable(tdW, nodes, "id",
+      Map("e" -> pairs), Seq(tdW.edge("e") -> pairs)).cache()
+    val g = new GraphProvider {
+      val schema: GraphSchema = GraphSchema(Seq(tdW))
+      def nodeTable(name: String): DataFrame = table
+    }
+    val out = PathExpand.expand(g, "N", "e", 2, 2, display = true)
+      .select(PathExpand.renderDisplay(g, "N", "e"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq(
+      """[{"NodeType":"N","Id":1},{"EdgeType":"e","Attribute":{"w":0.5}},""" +
+        """{"NodeType":"N","Id":2},{"EdgeType":"e","Attribute":{"w":1.5}},""" +
+        """{"NodeType":"N","Id":3}]"""))
+  }
+
   test("INSERT EDGE then DELETE EDGE round-trips the adjacency") {
     samples(graphGen.flatMap(g => Gen.choose(1, 4).map(k => (g, k))), 5).foreach {
       case ((n, edges), k) =>

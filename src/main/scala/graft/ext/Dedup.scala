@@ -34,18 +34,33 @@ object Dedup {
       explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .distinct()
 
+  /** Hot shingles above this document frequency are dropped before the
+    * self-join by default: a shingle shared by f documents contributes
+    * f² join rows, so one stop-phrase shingle at 10⁶ docs is a 10¹²-row
+    * reducer — the quadratic scale-killer. 1000 keeps the cap inert on
+    * small corpora while bounding any single shingle's fan-out to 10⁶
+    * pairs at scale. Pass `maxShingleFreq = None` for the exact
+    * uncapped join.
+    */
+  val DefaultMaxShingleFreq = 1000
+
   /** Exact n-gram Jaccard similarity join: all pairs (a<b) with
     * jaccard >= minJaccard. Shuffles on the shingle key; a hot shingle
-    * fans out quadratically — at scale, drop top-frequency shingles
-    * first (stopword-shingle suppression), which `maxShingleFreq` does.
+    * fans out quadratically — so shingles in more than `maxShingleFreq`
+    * docs are suppressed by default (stopword-shingle suppression; both
+    * intersection and sizes see the same capped universe, keeping the
+    * jaccard internally consistent).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minJaccard: Double,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
     var sh = shingleRows(df, textCol, idCol, n)
     maxShingleFreq.foreach { cap =>
-      val hot = sh.groupBy("sh").count().filter(col("count") > cap).select("sh")
-      sh = sh.join(hot, Seq("sh"), "left_anti")
+      // window count, not groupBy+anti-join: one shuffle on the shingle
+      // key, whose hash partitioning the self-join below then reuses
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+      sh = sh.withColumn("__f", count(lit(1)).over(w))
+        .filter(col("__f") <= cap).drop("__f")
     }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
@@ -90,10 +105,13 @@ object Dedup {
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val rows = numPerms / bands
+    // persisted for the 3 passes (signature + two verification joins),
+    // then explicitly unpersisted once the result materializes below —
+    // no cache leak past the call
     val docs = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol), n)).as("shs"))
       .filter(size(col("shs")) > 0)
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = docs.withColumn("sig", minhashSignature(col("shs"), numPerms))
     // band rows carry only (id, band, bandHash) — the shingle arrays stay
     // out of the candidate-generation shuffle and join back once per
@@ -110,7 +128,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    candidates
+    val result = candidates
       .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
@@ -118,6 +136,11 @@ object Dedup {
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+      // eager materialization (the pair set is O(duplicates), tiny next
+      // to the corpus) so the shingle cache can release immediately
+      .localCheckpoint(true)
+    docs.unpersist()
+    result
   }
 
   /** the default token hash: xxhash64 (fastest, engine-internal) */

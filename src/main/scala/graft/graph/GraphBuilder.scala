@@ -32,17 +32,32 @@ object GraphBuilder {
     * reference's blob layout `NodeTableGraphViewCodeTemplate.tt:100-148`)
     * is deterministic.
     */
-  def adjacency(pairs: DataFrame, attrs: Seq[EdgeAttr]): DataFrame = {
+  def adjacency(pairs: DataFrame, attrs: Seq[EdgeAttr],
+      saltFactor: Int = 1): DataFrame = {
     val attrNames = attrs.map(_.name)
     val packed = struct((col("sink") +: attrNames.map(col)): _*)
     val attrFields = attrNames.map(a => s", '$a', x.$a").mkString
-    pairs
-      .groupBy(col("src"))
-      .agg(sort_array(collect_list(packed)).as("raw"))
-      .select(col("src"),
-        expr("transform(raw, (x, i) -> " +
-          s"named_struct('sink', x.sink, 'edgeId', CAST(i AS INT)$attrFields))")
-          .as("edges"))
+    val aggregated =
+      if (saltFactor <= 1)
+        pairs.groupBy(col("src"))
+          .agg(sort_array(collect_list(packed)).as("raw"))
+      else
+        // hub-skew two-phase (the SkewJoin salting idea applied to the
+        // build aggregation): phase 1 collects partial lists on
+        // (src, salt) so a hub's rows spread over saltFactor reducers;
+        // phase 2 merges the ≤saltFactor partials per src. Output order
+        // is identical — the final sort_array re-establishes the
+        // deterministic (sink, attrs) order that numbers edgeIds.
+        pairs
+          .withColumn("__salt", pmod(hash(col("sink")), lit(saltFactor)))
+          .groupBy(col("src"), col("__salt"))
+          .agg(collect_list(packed).as("part"))
+          .groupBy(col("src"))
+          .agg(sort_array(flatten(collect_list(col("part")))).as("raw"))
+    aggregated.select(col("src"),
+      expr("transform(raw, (x, i) -> " +
+        s"named_struct('sink', x.sink, 'edgeId', CAST(i AS INT)$attrFields))")
+        .as("edges"))
   }
 
   /** Assemble a full node table DataFrame:
@@ -61,13 +76,14 @@ object GraphBuilder {
       base: DataFrame,
       keyColumn: String,
       edgePairs: Map[String, DataFrame],
-      incoming: Seq[(EdgeDef, DataFrame)]): DataFrame = {
+      incoming: Seq[(EdgeDef, DataFrame)],
+      saltFactor: Int = 1): DataFrame = {
 
     var df = base.withColumn("GlobalNodeId", gid(tableDef.tableId, col(keyColumn)))
 
     // outgoing adjacency + tombstone + out-degree per edge
     tableDef.edges.foreach { e =>
-      val adj = adjacency(edgePairs(e.name), e.attrs)
+      val adj = adjacency(edgePairs(e.name), e.attrs, saltFactor)
       val adjType = adj.schema("edges").dataType
       df = df
         .join(adj.withColumnRenamed("src", "__src"),
@@ -99,7 +115,7 @@ object GraphBuilder {
         pairs.withColumnRenamed("src", "__tmp")
           .withColumnRenamed("sink", "src")
           .withColumnRenamed("__tmp", "sink"),
-        e.attrs)
+        e.attrs, saltFactor)
       val revType = rev.schema("edges").dataType
       df = df
         .join(rev.withColumnRenamed("src", "__src"),

@@ -140,6 +140,11 @@ object TpchGraph {
       "Event" -> ("event_id",
         events.select("event_id", "event_type", "value")))
 
+    // hub-prone tables (per-user event fan-out) build with the salted
+    // two-phase adjacency aggregation; the TPC-H dimension/fact edges
+    // have bounded degree and keep the single-shuffle path
+    val saltOf = Map("User" -> 8).withDefaultValue(1)
+
     schema.tables.map { td =>
       val (key, base) = bases(td.name)
       val incoming = schema.incomingEdges(td.name)
@@ -147,7 +152,7 @@ object TpchGraph {
       val df = GraphBuilder.nodeTable(
         td, base, key,
         td.edges.map(e => e.name -> pairs((td.name, e.name))).toMap,
-        incoming)
+        incoming, saltFactor = saltOf(td.name))
         .persist(StorageLevel.MEMORY_AND_DISK)
       td.name -> df
     }.toMap

@@ -22,9 +22,18 @@ object PipelineQueries {
        |     UNNEST(range(1, len(w)-1)) AS t(i)
        |WHERE len(w) >= 3""".stripMargin
 
-  /** DuckDB mirror of the exact n-gram jaccard pair join */
-  private def sqlJaccardPairs(tau: Double) =
-    s"""WITH sh AS ($SqlShingles),
+  /** DuckDB mirror of the exact n-gram jaccard pair join; `cap` mirrors
+    * Dedup.DefaultMaxShingleFreq hot-shingle suppression
+    */
+  private def sqlJaccardPairs(tau: Double, cap: Option[Int] = None) = {
+    val shSrc = cap match {
+      case Some(c) =>
+        s"""SELECT * FROM sh0 WHERE sh NOT IN (
+           |  SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $c)""".stripMargin
+      case None => "SELECT * FROM sh0"
+    }
+    s"""WITH sh0 AS ($SqlShingles),
+       |sh AS ($shSrc),
        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
        |inter AS (
        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
@@ -37,6 +46,7 @@ object PipelineQueries {
        |JOIN sizes sb ON sb.id = id_b
        |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= $tau
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -126,8 +136,10 @@ object PipelineQueries {
       Dedup.exactGroups(corpus, "text", "doc_id").orderBy("fp")
     },
 
-    // exact n-gram jaccard similarity join
-    "q_dedup_ngram_jaccard" -> QueryDef(sqlJaccardPairs(0.8)) { (s, d) =>
+    // exact n-gram jaccard similarity join (default hot-shingle cap on,
+    // mirrored in the oracle)
+    "q_dedup_ngram_jaccard" -> QueryDef(
+      sqlJaccardPairs(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "text", "doc_id", n = 3, minJaccard = 0.8)
         .orderBy("id_a", "id_b")

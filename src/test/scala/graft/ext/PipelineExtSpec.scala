@@ -178,6 +178,42 @@ class PipelineExtSpec extends SparkSpec {
     assert(viaDegree == expected)
   }
 
+  test("hot-shingle cap drops quadratic shingles, keeps near-dup pairs") {
+    val s = spark
+    import s.implicits._
+    val uncapped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+      maxShingleFreq = None)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap of 1 suppresses every shingle shared by >1 doc, so the exact
+    // dup pair (1,6) — whose shingles are all shared — must disappear
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+      maxShingleFreq = Some(1))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 6L)))
+    assert(!capped.contains((1L, 6L)))
+    // the default cap (1000) is inert on this corpus
+    val defaulted = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaulted == uncapped)
+  }
+
+  test("salted adjacency aggregation equals the single-shuffle build") {
+    import graft.graph.GraphBuilder
+    import graft.meta.EdgeAttr
+    val s = spark
+    import s.implicits._
+    // hub node 1 with 500 out-edges + cold tail
+    val pairs = ((1 to 500).map(i => (1L, 100L + i, i.toDouble)) ++
+      Seq((2L, 3L, 0.5), (3L, 4L, 0.25)))
+      .toDF("src", "sink", "w")
+    val attrs = Seq(EdgeAttr("w", org.apache.spark.sql.types.DoubleType))
+    val plain = GraphBuilder.adjacency(pairs, attrs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val salted = GraphBuilder.adjacency(pairs, attrs, saltFactor = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(salted == plain) // identical arrays incl. edgeId numbering
+  }
+
   test("multimodal stub decode: batch plumbing is deterministic") {
     val s = spark
     import Multimodal._

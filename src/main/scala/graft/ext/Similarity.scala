@@ -68,6 +68,30 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
   }
 
+  /** Materialize the IVF index layout: the corpus written as parquet
+    * partitioned by its cell id, so a cell-restricted search prunes to
+    * the matching partition directories instead of scanning the corpus —
+    * the IVF inverted-list structure expressed as Spark partitioning.
+    * At 100 TB each cell is a directory of row groups; adding
+    * `sortWithinPartitions(idCol)` keeps row groups min/max-indexed.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, path: String): Unit =
+    corpus.select(col(idCol), col(vecCol), col(cellCol))
+      .repartition(col(cellCol))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
+  /** Cell-restricted top-k over a materialized [[writeIvfIndex]] layout.
+    * The broadcast query side drives dynamic partition pruning on the
+    * cell partition column: only the queried cells' directories are
+    * read.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      k: Int): DataFrame =
+    ivfTopK(spark.read.parquet(path), queries, idCol, vecCol, cellCol, k)
+
   /** Corpus bound for the unblocked all-pairs kernel: 100k × 768-d float
     * vectors ≈ 300 MB of broadcast build side — comfortably inside
     * Spark's managed broadcast limits. Beyond it, pairing without a

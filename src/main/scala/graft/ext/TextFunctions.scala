@@ -84,6 +84,16 @@ object TextFunctions {
     }
   }
 
+  /** BPE-ish token-count estimate: one regex pass counting subword
+    * chunks (≤4 letters, ≤3 digits) plus individual non-alphanumeric
+    * marks — the cheap, cross-engine-reproducible stand-in for a real
+    * tokenizer vocabulary (tracks BPE counts on English text closely
+    * enough for length filtering / cost accounting).
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]"), lit(0)))
+
   /** canonical content fingerprint (exact-dedup key): md5 of the
     * whitespace-normalized lower-cased text
     */

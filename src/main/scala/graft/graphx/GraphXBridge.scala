@@ -56,4 +56,20 @@ object GraphXBridge {
     toGraphX(g, edges).staticPageRank(iterations, resetProb)
       .vertices.toDF("GlobalNodeId", "rank")
   }
+
+  /** Single-source shortest hop-distances TO `landmark` following edge
+    * direction (GraphX `ShortestPaths` Pregel) →
+    * (GlobalNodeId, dist); vertices with no directed path to the
+    * landmark are omitted.
+    */
+  def shortestPathsTo(g: GraphProvider, edges: Seq[(String, String)],
+      landmark: Long): DataFrame = {
+    val spark = g.nodeTable(g.schema.tables.head.name).sparkSession
+    import spark.implicits._
+    org.apache.spark.graphx.lib.ShortestPaths
+      .run(toGraphX(g, edges), Seq(landmark))
+      .vertices
+      .flatMap { case (vid, spMap) => spMap.get(landmark).map(d => (vid, d)) }
+      .toDF("GlobalNodeId", "dist")
+  }
 }

@@ -113,6 +113,10 @@ object MatchPlanner {
         val edgeDef = g.schema.table(nodeByAlias(e.src).table).edge(e.edge)
         df = explodeForward(df, e, edgeDef)
           .filter(col(s"${e.alias}__sink") === col(s"${e.dst}__GlobalNodeId"))
+      case p: graft.planner.ExpandPath =>
+        // var-length splices execute in GraphSession (seeded PathExpand),
+        // never through the fixed-pattern step interpreter
+        throw new IllegalArgumentException(s"unexpected path step $p")
     }
     df
   }

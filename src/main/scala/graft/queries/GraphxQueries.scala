@@ -30,6 +30,32 @@ object GraphxQueries {
         .orderBy("n_nationkey")
     },
 
+    // SSSP to nation 0 along the directed ring: each nation in region 0
+    // has a unique forward path to 0; other regions are unreachable.
+    // Oracle: backward walk from the landmark over the ring edges.
+    "q_graphx_sssp" -> QueryDef(
+      """WITH RECURSIVE e AS (
+        |  SELECT n_nationkey AS src,
+        |         COALESCE(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey),
+        |                  MIN(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+        |  FROM nation),
+        |walk AS (
+        |  SELECT 0 AS nk, 0 AS dist
+        |  UNION ALL
+        |  SELECT e.src, dist + 1 FROM walk JOIN e ON e.dst = walk.nk
+        |  WHERE dist < 50 AND e.src <> 0)
+        |SELECT nk AS n_nationkey, CAST(MIN(dist) AS INTEGER) AS dist
+        |FROM walk GROUP BY nk ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      GraphXBridge.shortestPathsTo(g, Seq(("Nation", "next")),
+        graft.meta.GlobalNodeId.pack(2, 0))
+        .select(
+          PathExpand.localKey(col("GlobalNodeId")).cast(IntegerType)
+            .as("n_nationkey"),
+          col("dist").cast(IntegerType))
+        .orderBy("n_nationkey")
+    },
+
     "q_graphx_pagerank" -> QueryDef(
       """SELECT n_nationkey, CAST(1.0 AS DOUBLE) AS rank
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>

@@ -107,6 +107,20 @@ object PipelineQueries {
         .orderBy("lang_id")
     },
 
+    // BPE-ish token estimate: one regex pass, identical alternation in
+    // both engines (Java regex / RE2 agree on this pattern)
+    "q_text_bpe" -> QueryDef(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenEstimate(col("text"))
+            .cast(IntegerType).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     "q_text_fingerprint" -> QueryDef(
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -244,6 +258,30 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     },
 
+    // IVF over the MATERIALIZED index layout: corpus written partitioned
+    // by cell; the cell-equality join prunes to the queried cells'
+    // partition directories (the inverted-list read path at 100 TB)
+    "q_ann_ivf_indexed" -> QueryDef(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT qid, e.vec_id AS nid,
+        |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cs
+        |      FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> qid),
+        |r AS (SELECT qid, nid, cs,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+        |      FROM c)
+        |SELECT qid, nid, ROUND(cs, 4) AS cs, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", "label", idx)
+      Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+        .select(col("qid"), col("nid"), round(col("cs"), 4).as("cs"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+
     // IVF-style: search restricted to the query's label cell
     "q_ann_ivf" -> QueryDef(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
@@ -281,6 +319,31 @@ object PipelineQueries {
           lit("text/plain").as("mime"))
         .as[MediaRow](mediaRowEnc)
       Multimodal.decodeMeta(media).toDF().orderBy("id")
+    },
+
+    // frame sampling over the decoded metadata: ~8 evenly spaced frame
+    // indices per item, exploded to rows; the oracle replays the stub
+    // arithmetic (frames = 1 + len % 100, step = max(1, frames / 8))
+    "q_multimodal_frames" -> QueryDef(
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |         CAST(1 + length(text) % 100 AS INTEGER) AS frames
+        |  FROM documents)
+        |SELECT id, CAST(f AS INTEGER) AS frame_idx
+        |FROM m, UNNEST(range(0, frames, GREATEST(1, frames // 8))) AS t(f)
+        |ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
+      import Multimodal._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          col("text").cast(BinaryType).as("content"),
+          lit("text/plain").as("mime"))
+        .as[MediaRow](mediaRowEnc)
+      val spark = s
+      import spark.implicits._
+      Multimodal.decodeMeta(media)
+        .flatMap(m => Multimodal.sampleFrames(m).map(i => (m.id, i)))
+        .toDF("id", "frame_idx")
+        .orderBy("id", "frame_idx")
     }
   )
 }

@@ -160,6 +160,41 @@ class PipelineExtSpec extends SparkSpec {
     assert(cells(2).length == 4)
   }
 
+  test("materialized IVF index prunes cell partitions dynamically") {
+    val s = spark
+    import s.implicits._
+    val emb = (1L to 50L).map(i =>
+      (i, Array.tabulate(4)(j => (i + j).toFloat), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", "label", idx)
+    // the stats heuristic would skip DPP on a 50-row fixture; disable it
+    // so the plan shape (not the benefit estimate) is what's asserted —
+    // at real scale the benefit check passes on its own (PLANS.md)
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val saved = s.conf.get(key)
+    // query side parquet-backed, as in real usage (a LocalRelation build
+    // side is not eligible for DPP filter insertion)
+    val qSide = s.read.parquet(idx).filter(col("vec_id") === 1)
+    val plan = try {
+      s.conf.set(key, "false")
+      Similarity.ivfTopKIndexed(s, idx, qSide,
+        "vec_id", "embedding", "label", 3)
+        .queryExecution.executedPlan.toString
+    } finally s.conf.set(key, saved)
+    // the corpus scan must carry a dynamic-pruning partition filter on
+    // the cell column — only queried cells' directories are read
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    val out = Similarity.ivfTopKIndexed(s, idx,
+      emb.filter(col("vec_id") === 1), "vec_id", "embedding", "label", 3)
+    val expect = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 1),
+      "vec_id", "embedding", "label", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expect)
+  }
+
   test("salted joins preserve exact join semantics") {
     val s = spark
     import s.implicits._

@@ -426,7 +426,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val p = GraphSql.parse(query)
     val (pattern, varHops) = split(p)
     val selMap = aliasSelectivities(p)
-    val base = graft.planner.CostPlanner.plan(provider, pattern, stats, selMap).steps
+    val base = graft.planner.CostPlanner
+      .plan(provider, pattern, stats, selMap, filteredIdHists(p)).steps
     val bound0 = pattern.nodes.map(_.alias).toSet
     base ++ planVarHops(varHops, bound0, selMap, p.aliases.toMap).map {
       case (h, backward) =>
@@ -512,6 +513,32 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
+  /** Per-alias histogram of the sample ids surviving the alias's own
+    * WHERE conjuncts — feeds the planner's histogram-refined expansion
+    * estimate (detects when a predicate's surviving ids sit outside the
+    * edge's sink range). Driver-local work on the ≤200-row samples.
+    */
+  private def filteredIdHists(p: GraphSql.ParsedMatch)
+      : Map[String, graft.stats.Histogram] = {
+    val tableOf = p.aliases.toMap
+    boundConjuncts(p).flatMap { case (a, conjuncts) =>
+      for {
+        t <- tableOf.get(a)
+        sample <- stats.samples.get(t)
+      } yield {
+        try {
+          val pred = conjuncts
+            .map(c => org.apache.spark.sql.functions.expr(
+              c.replaceAll(s"\\b$a\\.", "")))
+            .reduce(_ && _)
+          val ids = sample.filter(pred)
+            .select("GlobalNodeId").collect().map(_.getLong(0)).toSeq
+          a -> graft.stats.Histogram.build(ids)
+        } catch { case _: Exception => a -> graft.stats.Histogram(Vector.empty) }
+      }
+    }.filter(_._2.totalRows > 0)
+  }
+
   private def aliasSelectivities(p: GraphSql.ParsedMatch): Map[String, Double] = {
     val tableOf = p.aliases.toMap
     val sel = scala.collection.mutable.Map[String, Double]()
@@ -560,7 +587,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
 
     var df =
       if (pattern.nodes.nonEmpty)
-        MatchPlanner.planWithStats(provider, pattern, stats, selMap)
+        MatchPlanner.planWithStats(provider, pattern, stats, selMap,
+          filteredIdHists(p))
       else null
 
     // splice var-length hops, costed: each expansion seeds from one
@@ -638,8 +666,6 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     // neutralize the conjunct in the outer text; the semi-join enforces it
     val outerSql = before + "TRUE" + after
     val pIn = GraphSql.parse(sub)
-    require(pIn.hops.forall(!_.isVarLength),
-      "correlated MATCH subqueries support fixed-length patterns")
 
     val (dfOut0, outSelect, outRest, outAliases, outNames) =
       if (GraphSql.isMatchQuery(outerSql)) {
@@ -668,14 +694,11 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     external.foreach(a => require(outTableOf.contains(a),
       s"correlated alias '$a' is not bound in the outer query"))
 
-    // rematerialize external aliases as full pattern nodes
+    // rematerialize external aliases as full pattern nodes; the shared
+    // buildMatchDf handles fixed AND var-length hops (costed splice)
     val innerAliases = pIn.aliases ++ external.map(a => a -> outTableOf(a))
     val pInFull = pIn.copy(aliases = innerAliases)
-    val innerPattern = MatchPattern(
-      innerAliases.map { case (a, t) => NodePat(a, t) },
-      pIn.hops.map(h => EdgePat(h.src, h.edge, h.dst, h.attrEq)))
-    var inner = MatchPlanner.planWithStats(provider, innerPattern, stats,
-      aliasSelectivities(pInFull))
+    var inner = buildMatchDf(pInFull)
     if (pIn.rest.nonEmpty) {
       // the subquery's own predicates apply before the semi-join; keep
       // every column (the binding ids are internal, starColumns hides them)

@@ -60,9 +60,11 @@ object MatchPlanner {
     */
   def planWithStats(g: GraphProvider, pattern: MatchPattern,
       stats: graft.stats.GraphStats,
-      nodeSel: Map[String, Double] = Map.empty): DataFrame = {
+      nodeSel: Map[String, Double] = Map.empty,
+      filteredIdHists: Map[String, graft.stats.Histogram] = Map.empty): DataFrame = {
     validate(g, pattern)
-    execute(g, pattern, CostPlanner.plan(g, pattern, stats, nodeSel).steps)
+    execute(g, pattern,
+      CostPlanner.plan(g, pattern, stats, nodeSel, filteredIdHists).steps)
   }
 
   /** Execute an ordered step program from the cost planner. */

@@ -78,9 +78,16 @@ object CostPlanner {
   private final case class State(
       bound: Set[String], steps: Vector[Step], cost: Double, size: Double)
 
-  /** @param nodeSel per-alias predicate selectivity in (0,1], default 1 */
+  /** @param nodeSel per-alias predicate selectivity in (0,1], default 1
+    * @param filteredIdHists per-alias histogram of the SAMPLED GlobalNodeIds
+    *   that survive the alias's own predicates — lets expansion
+    *   cardinality see where the filtered ids actually sit in the id
+    *   domain (the reference's histogram intersection,
+    *   `Statistics.cs:68-216`) instead of assuming uniformity
+    */
   def plan(g: GraphProvider, pattern: MatchPattern, stats: GraphStats,
-      nodeSel: Map[String, Double] = Map.empty): Plan = {
+      nodeSel: Map[String, Double] = Map.empty,
+      filteredIdHists: Map[String, graft.stats.Histogram] = Map.empty): Plan = {
     val tableOf = pattern.nodes.map(n => n.alias -> n.table).toMap
     def sel(a: String) = nodeSel.getOrElse(a, 1.0)
     def rowsEff(a: String) = math.max(stats.tableRows(tableOf(a)) * sel(a), 1.0)
@@ -97,7 +104,8 @@ object CostPlanner {
     val planned = components.map { nodes =>
       val aliases = nodes.map(_.alias).toSet
       val edges = pattern.edges.filter(e => aliases(e.src))
-      planComponent(aliases, edges, tableOf, stats, sel, rowsEff)
+      planComponent(aliases, edges, tableOf, stats, sel, rowsEff,
+        filteredIdHists)
     }
     // cross-join components, cheapest-cardinality first
     val ordered = planned.sortBy(_.cardinality)
@@ -109,7 +117,8 @@ object CostPlanner {
   private def planComponent(
       aliases: Set[String], edges: Seq[EdgePat],
       tableOf: Map[String, String], stats: GraphStats,
-      sel: String => Double, rowsEff: String => Double): Plan = {
+      sel: String => Double, rowsEff: String => Double,
+      filteredIdHists: Map[String, graft.stats.Histogram] = Map.empty): Plan = {
 
     def deg(e: EdgePat, reversed: Boolean): Double = {
       val st = stats.edgeStat(tableOf(e.src), e.edge)
@@ -164,6 +173,23 @@ object CostPlanner {
             val fwd = first.src != u // component holds the source → forward explode
             val d = deg(first, reversed = !fwd)
             var newSize = st.size * d * sel(u)
+            // histogram refinement of the expansion estimate (forward
+            // only — we sample sink ids, not source ids): P(an edge
+            // endpoint lands on a predicate-surviving u node) from the
+            // sink-sample × filtered-id-sample intersection instead of
+            // the uniform sel(u). Scaled back to full-table terms:
+            // p = joined · sel · |U| / (|sinkSample| · |filteredSample|)
+            // — reduces to sel(u) when both sides are uniform.
+            if (fwd) for {
+              sh <- stats.sinkHists.get((tableOf(first.src), first.edge))
+              fh <- filteredIdHists.get(u)
+              if sh.totalRows > 0 && fh.totalRows > 0
+            } {
+              val (joined, _) = graft.stats.Histogram.joinSelectivity(sh, fh)
+              val p = joined * sel(u) * stats.tableRows(tableOf(u)) /
+                (sh.totalRows * fh.totalRows)
+              newSize = st.size * d * math.min(p, 1.0)
+            }
             val extraSteps = joining.tail.map { e =>
               // An extra bound-bound edge filters. Expected match fraction
               // P(edge src→dst exists for a fixed pair) = deg/|dst| under

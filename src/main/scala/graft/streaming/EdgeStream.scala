@@ -50,6 +50,22 @@ object EdgeStream {
       .agg(count(lit(1)).as("events"),
         sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup over a document stream: drop rows whose
+    * content fingerprint was already seen within the watermark horizon —
+    * the streaming face of [[graft.ext.Dedup.exactGroups]]. State is the
+    * fingerprint set, bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`), so it does not grow without
+    * bound on an infinite stream; at scale the state store shuffles on
+    * the 16-byte fingerprint.
+    */
+  def dedupedDocs(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("__fp", graft.ext.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** convenience: run a streaming query to completion over a bounded
     * source (tests / backfills)
     */

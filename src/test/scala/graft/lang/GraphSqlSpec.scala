@@ -102,6 +102,14 @@ class GraphSqlSpec extends SparkSpec {
         |ORDER BY A.name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(anti == Seq("Caven", "David"))
+    // var-length pattern inside the correlated subquery
+    val vl = gs.sql(
+      """SELECT A.name FROM People A
+        |WHERE EXISTS (SELECT 1 FROM People B MATCH A-[Knows*1..2]->B
+        |              WHERE B.name = 'David')
+        |ORDER BY A.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(vl == Seq("Alice", "Bob"))
     // outer query carrying its own MATCH
     val two = gs.sql(
       """SELECT A.name, B.name FROM People A, People B MATCH A-[Knows]->B

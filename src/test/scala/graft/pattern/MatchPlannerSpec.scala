@@ -157,6 +157,42 @@ class MatchPlannerSpec extends SparkSpec {
     assert(res == Set(("Alice", "Bob"), ("Bob", "Bob")))
   }
 
+  test("histogram-refined expansion: disjoint filtered ids collapse the estimate") {
+    import graft.planner.CostPlanner
+    import graft.stats.{EdgeStat, GraphStats, Histogram}
+    val pat = MatchPattern(
+      Seq(NodePat("a", "A"), NodePat("b", "B")),
+      Seq(EdgePat("a", "e", "b")))
+    val sc = GraphSchema(Seq(
+      NodeTableDef("A", 1, None, Nil, Seq(EdgeDef("e", "A", "B"))),
+      NodeTableDef("B", 2, None, Nil, Nil)))
+    val gp = new GraphProvider {
+      val schema: GraphSchema = sc
+      def nodeTable(name: String): DataFrame = ???
+    }
+    // a is hyper-selective (seeds the search, expands FORWARD into b);
+    // edge sinks sampled in [0, 200); filtered b ids live in [5000, 5200)
+    val sinkHist = Histogram.build((0L until 200L).toSeq)
+    val stats = GraphStats(
+      rows = Map("A" -> 1000000L, "B" -> 1000000L),
+      edges = Map(("A", "e") -> EdgeStat(10000000L, 10.0, 10.0)),
+      sinkHists = Map(("A", "e") -> sinkHist))
+    val nodeSel = Map("a" -> 1e-4, "b" -> 0.02)
+    val uniform = CostPlanner.plan(gp, pat, stats, nodeSel)
+    assert(uniform.steps.head == graft.planner.StartNode("a"))
+    val refined = CostPlanner.plan(gp, pat, stats, nodeSel,
+      filteredIdHists = Map("b" -> Histogram.build((5000L until 5200L).toSeq)))
+    // uniform: 100 * 10 * 0.02 = 20; refined: no sink mass lands on the
+    // filtered id range → cardinality collapses
+    assert(uniform.cardinality > 10.0, uniform.toString)
+    assert(refined.cardinality <= uniform.cardinality / 10.0, refined.toString)
+    // overlapping ids do NOT collapse (containment assumption keeps at
+    // least the uniform mass — refinement is not a blanket discount)
+    val overlap = CostPlanner.plan(gp, pat, stats, nodeSel,
+      filteredIdHists = Map("b" -> Histogram.build((0L until 200L).toSeq)))
+    assert(overlap.cardinality >= uniform.cardinality, overlap.toString)
+  }
+
   test("sampled stats approximate full aggregation") {
     val stats = graft.stats.GraphStats.collectSampled(g)
     assert(stats.rows("People") == 4L)

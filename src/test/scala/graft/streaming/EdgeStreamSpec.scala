@@ -66,4 +66,29 @@ class EdgeStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows == Set((1L, 2L, 5.0), (1L, 1L, 5.0), (2L, 1L, 1.0)))
   }
+
+  test("streaming exact dedup drops repeated fingerprints within watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    stream.addData(
+      (ts(0), 1L, "the quick brown fox"),
+      (ts(1), 2L, "The  Quick  Brown  Fox"), // same fingerprint as doc 1
+      (ts(2), 3L, "a different document"),
+      (ts(3), 4L, "the quick brown fox"))    // dup again
+
+    val deduped = EdgeStream.dedupedDocs(
+      stream.toDF().toDF("ts", "doc_id", "text"),
+      "text", "ts", watermark = "30 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_docs").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+  }
 }

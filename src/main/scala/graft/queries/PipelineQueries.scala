@@ -301,6 +301,30 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     },
 
+    // ---- as-of join (point-in-time feature lookup) ----
+
+    // for every click, the user's latest purchase at or before it;
+    // DuckDB's native ASOF JOIN is the oracle. ts is nanos (long) on the
+    // Spark side — both engines emit epoch micros.
+    "q_asof_join" -> QueryDef(
+      """SELECT c.event_id, c.user_id,
+        |       epoch_us(p.ts) AS p_ts, p.value AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts",
+        pick = Seq("ts" -> "p_ts_ns", "value" -> "p_value"))
+        .select(col("event_id"), col("user_id"),
+          expr("p_ts_ns DIV 1000").as("p_ts"), col("p_value"))
+        .orderBy("event_id")
+    },
+
     // ---- multimodal ----
 
     // batched stub decode over text-as-binary payloads; the oracle

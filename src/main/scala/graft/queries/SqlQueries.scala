@@ -20,7 +20,12 @@ object SqlQueries {
   def session(s: SparkSession, d: String): GraphSession =
     sessions.getOrElseUpdate(d,
       new GraphSession(s, TpchGraph.provider(s, d),
-        Some(GraphStats.collect(TpchGraph.provider(s, d)))))
+        // the 100 TB stats mode: 200-row seeded samples per table (the
+        // reference's _Sampling tables) instead of full aggregation —
+        // also populates the sink/id histograms that refine expansion
+        // estimates and the LocalRelation samples that bound plan-time
+        // selectivity probes
+        Some(GraphStats.collectSampled(TpchGraph.provider(s, d)))))
 
   val defs: Map[String, QueryDef] = Map(
 

@@ -301,6 +301,74 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     },
 
+    // ---- end-to-end curation pipeline ----
+
+    // quality gate → exact dedup (min-id keeper) → LSH near-dedup →
+    // annotate; the oracle recomputes every stage in SQL over the same
+    // corpus (LSH = brute-force jaccard at tau 0.9, as established by
+    // q_dedup_minhash_lsh)
+    "q_pipeline_curate" -> QueryDef(
+      s"""WITH gated AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ROUND((
+         |      LEAST(length(text) / 500.0, 1.0)
+         |    + 1.0 - LEAST(((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')))
+         |                   * 1.0 / GREATEST(length(text), 1)) * 5.0, 1.0)
+         |    + LEAST((CAST(len(list_filter($SqlTokens,
+         |        w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+         |        / GREATEST(len($SqlTokens), 1)) * 4.0, 1.0)
+         |  ) / 3.0, 6) >= 0.5),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM gated
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |ex AS (SELECT g.doc_id, g.text FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+         |sh AS (
+         |  SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM (SELECT doc_id, $SqlTokens AS w FROM ex) tok,
+         |       UNNEST(range(1, len(w)-1)) AS t(i)
+         |  WHERE len(w) >= 3),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+         |doomed AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM inter
+         |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.9),
+         |kept AS (SELECT e.doc_id, e.text FROM ex e
+         |         WHERE e.doc_id NOT IN (SELECT doc_id FROM doomed)),
+         |scored AS (
+         |  SELECT doc_id,
+         |    len(list_filter($SqlTokens, w -> w IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+         |    len(list_filter($SqlTokens, w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+         |    len(list_filter($SqlTokens, w -> w IN ('le','la','les','et','est','un','une','dans'))) AS s_fr,
+         |    len(list_filter($SqlTokens, w -> w IN ('el','la','los','y','es','un','una','en'))) AS s_es,
+         |    CAST(len($SqlTokens) AS INTEGER) AS token_cnt,
+         |    ROUND((
+         |        LEAST(length(text) / 500.0, 1.0)
+         |      + 1.0 - LEAST(((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')))
+         |                     * 1.0 / GREATEST(length(text), 1)) * 5.0, 1.0)
+         |      + LEAST((CAST(len(list_filter($SqlTokens,
+         |          w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+         |          / GREATEST(len($SqlTokens), 1)) * 4.0, 1.0)
+         |    ) / 3.0, 6) AS quality
+         |  FROM kept)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |    WHEN s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS lang_id,
+         |  token_cnt, quality
+         |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Pipeline.curate(Tables.load(s, d, "documents"), "text", "doc_id",
+        minQuality = 0.5, nearDedup = true, minJaccard = 0.9)
+        .select(col("doc_id"), col("lang_id"),
+          col("token_cnt").cast(IntegerType), col("quality"))
+        .orderBy("doc_id")
+    },
+
     // ---- as-of join (point-in-time feature lookup) ----
 
     // for every click, the user's latest purchase at or before it;

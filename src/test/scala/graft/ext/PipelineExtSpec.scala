@@ -249,6 +249,17 @@ class PipelineExtSpec extends SparkSpec {
     assert(salted == plain) // identical arrays incl. edgeId numbering
   }
 
+  test("curation pipeline: gate, exact dedup, near dedup, annotate") {
+    val out = Pipeline.curate(docs, "text", "doc_id",
+      minQuality = 0.0, nearDedup = true, minJaccard = 0.5)
+    // 6 is an exact dup of 1; 2 is a near dup of 1 at j>=0.5 → both drop
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L, 5L))
+    val row1 = out.filter(col("doc_id") === 1).head()
+    assert(row1.getAs[String]("lang_id") == "en")
+    assert(row1.getAs[Int]("token_cnt") == 9)
+  }
+
   test("multimodal stub decode: batch plumbing is deterministic") {
     val s = spark
     import Multimodal._

@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
 object GraphSql {
 
   final case class Hop(src: String, edge: String, dst: String,
-      attrEq: Map[String, Any], minLen: Int, maxLen: Int) {
+      attrEq: Map[String, Any], minLen: Int, maxLen: Int,
+      alias: Option[String] = None) {
     def isVarLength: Boolean = !(minLen == 1 && maxLen == 1)
+    /** explicit `AS alias`, else the reference's default src_edge_dst */
+    def aliasName: String = alias.getOrElse(s"${src}_${edge}_$dst")
   }
 
   final case class ParsedMatch(
@@ -70,9 +73,12 @@ object GraphSql {
       }
     }.toSeq
 
-  // x-[e]->y   x-[e {k:v}]->y   x-[e*]->y   x-[e*1..3 {k:v}]->y
+  // x-[e]->y   x-[e {k:v}]->y   x-[e*]->y   x-[e*1..3 AS p {k:v}]->y
+  // (the reference accepts `AS alias` after the star range or after the
+  // attr dict — GraphViewParser.cs:168-201; both positions parse here)
   private val EdgeRe =
-    """-\s*\[\s*(\w+)\s*(\*\s*(?:(\d+)\s*\.\.\s*(\d+|\*)?)?)?\s*(\{[^}]*\})?\s*\]\s*->""".r
+    ("""-\s*\[\s*(\w+)\s*(\*\s*(?:(\d+)\s*\.\.\s*(\d+|\*)?)?)?""" +
+      """\s*(?:[Aa][Ss]\s+(\w+))?\s*(\{[^}]*\})?\s*(?:[Aa][Ss]\s+(\w+))?\s*\]\s*->""").r
 
   private[lang] def parsePattern(pat: String): Seq[Hop] =
     splitTopLevel(pat).flatMap(parsePath)
@@ -162,8 +168,9 @@ object GraphSql {
           }
           (mn, mx)
       }
-      Hop(nodes(i), m.group(1), nodes(i + 1), parseAttrs(Option(m.group(5))),
-        minL, maxL)
+      Hop(nodes(i), m.group(1), nodes(i + 1), parseAttrs(Option(m.group(6))),
+        minL, maxL,
+        alias = Option(m.group(5)).orElse(Option(m.group(7))))
     }
   }
 
@@ -478,7 +485,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     }
     val pattern = MatchPattern(
       p.aliases.collect { case (a, t) if !varOnly(a) => NodePat(a, t) },
-      plainHops.map(h => EdgePat(h.src, h.edge, h.dst, h.attrEq)))
+      plainHops.map(h => EdgePat(h.src, h.edge, h.dst, h.attrEq, h.alias)))
     (pattern, varHops)
   }
 
@@ -575,7 +582,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   private def matchSql(query: String): DataFrame = {
     val p = GraphSql.parse(query)
     relationalTail(buildMatchDf(p), p.select, p.rest,
-      p.aliases.map(_._1) ++ p.hops.map(h => s"${h.src}_${h.edge}_${h.dst}"))
+      p.aliases.map(_._1) ++ p.hops.map(_.aliasName))
   }
 
   /** pattern + var-length splice → one DataFrame of `alias__col` columns */
@@ -616,7 +623,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         h.minLen, h.maxLen, PathExpand.EdgeDisjoint, h.attrEq,
         seeds = Some(seeds), backward = backward)
         .select(col("src").as("__p_src"), col("dst").as("__p_dst"),
-          col("hops").as(s"${h.src}_${h.edge}_${h.dst}__hops"))
+          col("hops").as(s"${h.aliasName}__hops"))
       val (seedEnd, otherEnd) =
         if (backward) (col("__p_dst"), col("__p_src"))
         else (col("__p_src"), col("__p_dst"))
@@ -672,7 +679,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         val pOut = GraphSql.parse(outerSql)
         (buildMatchDf(pOut), pOut.select, pOut.rest, pOut.aliases,
           pOut.aliases.map(_._1) ++
-            pOut.hops.map(h => s"${h.src}_${h.edge}_${h.dst}"))
+            pOut.hops.map(_.aliasName))
       } else outerSql match {
         case PlainSelectRe(sel, from, rest) =>
           val aliases = GraphSql.parseFromPublic(from)
@@ -705,7 +712,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       val view = s"__corr_${System.identityHashCode(inner).toHexString}"
       inner.createOrReplaceTempView(view)
       val names = innerAliases.map(_._1) ++
-        pIn.hops.map(h => s"${h.src}_${h.edge}_${h.dst}")
+        pIn.hops.map(_.aliasName)
       inner = spark.sql(
         s"SELECT * FROM $view ${GraphSql.rewriteRefs(pIn.rest, names)}")
     }

@@ -19,11 +19,12 @@ final case class EdgePat(
     src: String,
     edge: String,
     dst: String,
-    attrEq: Map[String, Any] = Map.empty) {
-  /** Default edge alias, as in the reference (src_edge_sink,
-    * `TranslateMatchClauseVisitor.cs:809-826`).
+    attrEq: Map[String, Any] = Map.empty,
+    aliasOverride: Option[String] = None) {
+  /** Explicit `AS alias` when given, else the reference's default
+    * (src_edge_sink, `TranslateMatchClauseVisitor.cs:809-826`).
     */
-  def alias: String = s"${src}_${edge}_$dst"
+  def alias: String = aliasOverride.getOrElse(s"${src}_${edge}_$dst")
 }
 final case class MatchPattern(nodes: Seq[NodePat], edges: Seq[EdgePat])
 

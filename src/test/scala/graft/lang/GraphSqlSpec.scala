@@ -18,6 +18,28 @@ class GraphSqlSpec extends SparkSpec {
     assert(hops(3) == GraphSql.Hop("p", "h", "q", Map.empty, 0, -1))
   }
 
+  test("explicit edge aliases (AS) in patterns, both positions") {
+    val hops = GraphSql.parsePattern(
+      "a-[e AS k]->b, x-[g*1..2 AS p]->y, m-[f {w: 1} AS q]->n")
+    assert(hops(0).alias.contains("k"))
+    assert(hops(1).alias.contains("p") && hops(1).isVarLength)
+    assert(hops(2).alias.contains("q") && hops(2).attrEq == Map("w" -> 1L))
+    // end-to-end: alias usable in projections/ORDER BY
+    val gs = new GraphSession(spark, peopleProvider)
+    val res = gs.sql(
+      """SELECT A.name, p.hops FROM People A, People B
+        |MATCH A-[Knows*1..2 AS p]->B
+        |WHERE B.name = 'David' ORDER BY p.hops""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(res == Seq(("Bob", 1), ("Alice", 2)))
+    val fixed = gs.sql(
+      """SELECT A.name, k.edgeId FROM People A, People B
+        |MATCH A-[Knows AS k]->B
+        |WHERE B.name = 'Bob' ORDER BY A.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(fixed == Seq("Alice"))
+  }
+
   test("multi-hop path splits into hops") {
     val hops = GraphSql.parsePattern("a-[e]->b-[f]->c")
     assert(hops.map(h => (h.src, h.edge, h.dst)) ==

@@ -270,6 +270,36 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
 
+  /** Execute a multi-statement script (statements separated by top-level
+    * `;`) — the reference's batch surface (`WSqlScript`/`WSqlBatch`,
+    * executed as one T-SQL batch, `GraphViewCommand.cs:196-249`).
+    * Statements run in order; returns each statement's result.
+    */
+  def sqlScript(script: String): Seq[DataFrame] =
+    splitStatements(script).map(sql)
+
+  /** split on `;` outside quotes and parentheses */
+  private def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    script.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ';' if depth == 0 =>
+          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+          cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
   def sql(query: String): DataFrame = query match {
     case _ if graft.ddl.GraphDdl.isCreateNodeTable(query) =>
       val cat = requireCatalog()

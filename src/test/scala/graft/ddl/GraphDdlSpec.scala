@@ -161,6 +161,23 @@ class GraphDdlSpec extends SparkSpec {
         |WHERE 1 = 0""".stripMargin).count() == 0) // parser smoke
   }
 
+  test("multi-statement script executes the tutorial batch in order") {
+    val dir = Files.createTempDirectory("graft_script").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    val results = gs.sqlScript(
+      """CREATE NODE TABLE People (id INT NODEID, name STRING,
+        |                          EDGE Knows TO People);
+        |INSERT NODE INTO People
+        |  SELECT * FROM VALUES (1,'Alice'),(2,'Bob') AS t(id, name);
+        |INSERT EDGE INTO People.Knows
+        |  SELECT * FROM VALUES (1,2) AS t(s, d);
+        |SELECT B.name FROM People A, People B MATCH A-[Knows]->B
+        |  WHERE A.name = 'Alice'""".stripMargin)
+    assert(results.length == 4)
+    assert(results(1).head().getLong(0) == 2) // rows inserted
+    assert(results(3).collect().map(_.getString(0)).toSeq == Seq("Bob"))
+  }
+
   test("ALTER TABLE round-trip: add/drop property and edge, SQL UPDATE") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_alter").toString

@@ -145,6 +145,31 @@ class PathPropertySpec extends SparkSpec {
     assert(intoSeed == Set((2, 3), (1, 3)))
   }
 
+  test("per-edge attr predicates restrict every hop of a var-length walk") {
+    val s = spark
+    import s.implicits._
+    val tdW = NodeTableDef("N", 1, Some("id"), Nil,
+      Seq(EdgeDef("e", "N", "N", Seq(graft.meta.EdgeAttr("w",
+        org.apache.spark.sql.types.DoubleType)))))
+    // 1→2 (w=1), 2→3 (w=1), 2→4 (w=2): w=1 walks can't reach 4
+    val nodes = (1 to 4).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((1, 2, 1.0), (2, 3, 1.0), (2, 4, 2.0)).toDF("s", "t", "w")
+      .select(GraphBuilder.gid(1, col("s")).as("src"),
+        GraphBuilder.gid(1, col("t")).as("sink"), col("w"))
+    val table = GraphBuilder.nodeTable(tdW, nodes, "id",
+      Map("e" -> pairs), Seq(tdW.edge("e") -> pairs)).cache()
+    val g = new GraphProvider {
+      val schema: GraphSchema = GraphSchema(Seq(tdW))
+      def nodeTable(name: String): DataFrame = table
+    }
+    val walks = PathExpand.expand(g, "N", "e", 1, 2,
+      attrEq = Map("w" -> 1.0))
+      .select(PathExpand.localKey(col("src")).cast("int"),
+        PathExpand.localKey(col("dst")).cast("int"), col("hops"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(walks == Set((1, 2, 1), (2, 3, 1), (1, 3, 2)))
+  }
+
   test("typed path display renders per-hop node/edge/attr JSON") {
     val s = spark
     import s.implicits._

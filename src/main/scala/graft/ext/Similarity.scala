@@ -121,7 +121,11 @@ object Similarity {
     *    exact cosine verification of candidates only. Every emitted
     *    pair is a true ≥-threshold pair; recall for a pair at angle θ
     *    is 1 − (1 − (1−θ/π)^srpBits)^srpBands (e.g. ≈0.92 at cosine
-    *    0.95 with the defaults). Pass an explicit `blockCol` when exact
+    *    0.95 with the defaults). The defaults target NEAR-DUP
+    *    thresholds (≥0.9); for lower thresholds use fewer bits / more
+    *    bands (coarser, larger blocks — e.g. 4 bits × 8 bands measures
+    *    100% recall at cosine 0.46 on the sf0.01 corpus,
+    *    `tools.SrpCheck`). Pass an explicit `blockCol` when exact
     *    within-block semantics are required at scale.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,

@@ -269,6 +269,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     """(?is)^\s*DELETE\s+NODE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$""".r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+GRAPH(\s+SAMPLED)?\s*$""".r
 
   /** Execute a multi-statement script (statements separated by top-level
     * `;`) — the reference's batch surface (`WSqlScript`/`WSqlBatch`,
@@ -318,6 +320,11 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     case UpdateRe(table, setPart, where)
         if catalog.exists(_.schema.hasTable(table)) =>
       updateSql(table, setPart, Option(where))
+    case AnalyzeRe(sampled) =>
+      // the reference's UpdateTableStatistics as a statement
+      // (GraphViewConnection.cs:2747-2799); SAMPLED = the 200-row mode
+      val st = analyzeGraph(sampled != null)
+      affected(st.rows.size.toLong)
     case InsertNodeRe(table, select) => insertNodeSql(table, select)
     case InsertEdgeRe(table, edge, select) => insertEdgeSql(table, edge, select)
     case DeleteEdgeRe(srcA, edge, dstA, from, where) =>

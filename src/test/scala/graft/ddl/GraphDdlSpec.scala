@@ -176,6 +176,11 @@ class GraphDdlSpec extends SparkSpec {
     assert(results.length == 4)
     assert(results(1).head().getLong(0) == 2) // rows inserted
     assert(results(3).collect().map(_.getString(0)).toSeq == Seq("Bob"))
+    // ANALYZE GRAPH statement refreshes planner stats (sampled mode
+    // populates the LocalRelation samples + histograms)
+    assert(gs.sql("ANALYZE GRAPH SAMPLED").head().getLong(0) == 1L)
+    assert(gs.stats.samples.contains("People"))
+    assert(gs.stats.rows("People") == 2L)
   }
 
   test("ALTER TABLE round-trip: add/drop property and edge, SQL UPDATE") {

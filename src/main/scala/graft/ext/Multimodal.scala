@@ -60,6 +60,33 @@ object Multimodal {
     (0 until meta.frames by step).toSeq
   }
 
+  final case class MediaFeature(id: Long, feature: Array[Double])
+  implicit val mediaFeatureEnc: Encoder[MediaFeature] =
+    Encoders.product[MediaFeature]
+
+  /** STUB feature extractor: a deterministic `dims`-dim embedding —
+    * per dimension j, the mean of bytes at positions j, j+dims, … scaled
+    * to [0,1]. A real implementation hands the batch to a vision/audio
+    * encoder (JNI/FFI); the batch shape, schema and partition
+    * parallelism here are the real pipeline plumbing.
+    */
+  def featureBatchStub(batch: Seq[MediaRow], dims: Int = 8): Seq[MediaFeature] =
+    batch.map { m =>
+      val b = m.content
+      val f = Array.tabulate(dims) { j =>
+        var s = 0L
+        var c = 0
+        var i = j
+        while (i < b.length) { s += (b(i) & 0xFF); i += dims; c += 1 }
+        if (c == 0) 0.0 else s.toDouble / c / 255.0
+      }
+      MediaFeature(m.id, f)
+    }
+
+  /** batched feature extraction over partitions */
+  def extractFeatures(ds: Dataset[MediaRow], dims: Int = 8): Dataset[MediaFeature] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(featureBatchStub(_, dims)))
+
   def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString

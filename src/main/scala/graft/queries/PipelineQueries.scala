@@ -413,6 +413,29 @@ object PipelineQueries {
       Multimodal.decodeMeta(media).toDF().orderBy("id")
     },
 
+    // batched feature extraction (stub encoder): per dim j, the mean of
+    // bytes at positions j, j+8, ... scaled to [0,1]; exploded to rows so
+    // the oracle replays the arithmetic per (id, dim)
+    "q_multimodal_features" -> QueryDef(
+      """SELECT doc_id AS id, CAST(j AS INTEGER) AS dim,
+        |  ROUND(COALESCE((
+        |    SELECT AVG(ascii(substr(text, CAST(p AS INTEGER) + 1, 1)) / 255.0)
+        |    FROM UNNEST(range(j, length(text), 8)) AS u(p)), 0.0), 6) AS feat
+        |FROM documents, UNNEST(range(0, 8)) AS t(j)
+        |ORDER BY id, dim""".stripMargin) { (s, d) =>
+      import Multimodal._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          col("text").cast(BinaryType).as("content"),
+          lit("text/plain").as("mime"))
+        .as[MediaRow](mediaRowEnc)
+      Multimodal.extractFeatures(media, dims = 8).toDF()
+        .select(col("id"), posexplode(col("feature")))
+        .select(col("id"), col("pos").cast(IntegerType).as("dim"),
+          round(col("col"), 6).as("feat"))
+        .orderBy("id", "dim")
+    },
+
     // frame sampling over the decoded metadata: ~8 evenly spaced frame
     // indices per item, exploded to rows; the oracle replays the stub
     // arithmetic (frames = 1 + len % 100, step = max(1, frames / 8))

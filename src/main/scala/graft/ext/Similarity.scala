@@ -35,11 +35,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
 
+  /** query-set bound for the broadcast side of top-k searches — beyond
+    * it, batch the query set (or flip the roles: the corpus streams, so
+    * only the query side must broadcast)
+    */
+  val QueryBroadcastLimit = 200000L
+
+  private def requireBroadcastableQueries(q: DataFrame): Unit =
+    require(
+      q.limit(QueryBroadcastLimit.toInt + 1).count() <= QueryBroadcastLimit,
+      s"query side exceeds $QueryBroadcastLimit rows — batch the query set")
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` and `corpus` need (`idCol`, `vecCol`); self-pairs excluded.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    requireBroadcastableQueries(queries)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
@@ -54,6 +66,7 @@ object Similarity {
   /** IVF-style top-k: only score candidates in the query's cell. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
+    requireBroadcastableQueries(queries)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       col(cellCol).as("qcell"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),

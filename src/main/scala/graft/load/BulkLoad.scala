@@ -53,13 +53,16 @@ object BulkLoad {
     val sinkIdCol = sinkTd.nodeIdColumn.get
 
     val attrCols = e.attrs.map(a => col(a.name).cast(a.dataType).as(a.name))
+    // id-resolution joins: plain equi-joins — AQE broadcasts the lookup
+    // side when it fits and handles hot-key skew when it doesn't (a
+    // forced broadcast of a node table would OOM at scale).
     // localCheckpoint cuts the lineage back to the node-table parquet so
     // the sink-side rewrite doesn't re-read files the first swap replaced
     val pairs = raw
-      .join(broadcast(srcT.select(col(srcIdCol).as("__sk"),
-        col("GlobalNodeId").as("src"))), col(srcKey) === col("__sk"))
-      .join(broadcast(sinkT.select(col(sinkIdCol).as("__tk"),
-        col("GlobalNodeId").as("sink"))), col(sinkKey) === col("__tk"))
+      .join(srcT.select(col(srcIdCol).as("__sk"),
+        col("GlobalNodeId").as("src")), col(srcKey) === col("__sk"))
+      .join(sinkT.select(col(sinkIdCol).as("__tk"),
+        col("GlobalNodeId").as("sink")), col(sinkKey) === col("__tk"))
       .select((col("src") +: col("sink") +: attrCols): _*)
       .localCheckpoint(true)
 

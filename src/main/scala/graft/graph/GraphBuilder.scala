@@ -96,18 +96,6 @@ object GraphBuilder {
         .withColumn(e.outDegreeColumnName, size(col(e.columnName)))
     }
 
-    // InDegree: total incoming edges from every edge type that sinks here
-    val inCounts = incoming.map { case (_, pairs) =>
-      pairs.groupBy(col("sink").as("__gid")).agg(count(lit(1)).as("__c"))
-    }
-    if (inCounts.nonEmpty) {
-      val total = inCounts.reduce(_ unionAll _)
-        .groupBy("__gid").agg(sum("__c").cast(IntegerType).as("__in"))
-      df = df.join(total, col("GlobalNodeId") === col("__gid"), "left_outer")
-        .withColumn("InDegree", coalesce(col("__in"), lit(0)))
-        .drop("__gid", "__in")
-    } else df = df.withColumn("InDegree", lit(0))
-
     // reversed adjacency columns (sink-side mirror of each incoming edge,
     // per GraphViewConnection.cs:1053-1146)
     incoming.foreach { case (e, pairs) =>
@@ -124,6 +112,14 @@ object GraphBuilder {
           coalesce(col("edges"), array().cast(revType)))
         .drop("edges", "__src")
     }
+
+    // InDegree = total incoming edges = Σ sizes of the reversed mirrors
+    // just built — no separate per-edge count aggregation/join (the
+    // mirrors already grouped the same pairs by sink)
+    val revCols = incoming.map { case (e, _) => e.reversedColumnName }.distinct
+    df = df.withColumn("InDegree",
+      if (revCols.isEmpty) lit(0)
+      else revCols.map(c => size(col(c))).reduce(_ + _).cast(IntegerType))
     df
   }
 }

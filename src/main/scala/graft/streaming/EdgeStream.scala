@@ -24,13 +24,21 @@ object EdgeStream {
   /** events(user_id, event_id, ...) → per-batch append of
     * `did` edges onto `userTable` (src=user gid, sink=event gid).
     * The caller owns checkpointing/trigger config on the returned writer.
+    *
+    * When `sink` accessors are given, each batch also applies the
+    * sink-side mirror (reversed adjacency + InDegree) — the same
+    * two-sided consistency the batch DML path maintains. For
+    * self-referencing edges pass the SAME accessors for both sides;
+    * the updates fold sequentially like the bulk-load path.
     */
   def edgeUpserts(
       events: DataFrame,
       edge: EdgeDef,
       getTable: () => DataFrame,
       setTable: DataFrame => Unit,
-      toPairs: DataFrame => DataFrame): DataStreamWriter[Row] =
+      toPairs: DataFrame => DataFrame,
+      getSink: Option[() => DataFrame] = None,
+      setSink: Option[DataFrame => Unit] = None): DataStreamWriter[Row] =
     events.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -38,6 +46,10 @@ object EdgeStream {
         if (!pairs.isEmpty) {
           setTable(GraphDml.insertEdges(getTable(), edge, pairs)
             .localCheckpoint(true))
+          for (g <- getSink; s <- setSink) {
+            s(GraphDml.insertEdgesSinkSide(g(), edge, pairs)
+              .localCheckpoint(true))
+          }
         }
       }
 

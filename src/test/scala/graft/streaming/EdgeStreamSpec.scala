@@ -35,13 +35,23 @@ class EdgeStreamSpec extends SparkSpec {
       setTable = t => table = t,
       toPairs = b => b.select(
         GraphBuilder.gid(1, col("u")).as("src"),
-        GraphBuilder.gid(1, col("v")).as("sink")))
+        GraphBuilder.gid(1, col("v")).as("sink")),
+      // self-referencing edge: sink-side mirror folds onto the same table
+      getSink = Some(() => table),
+      setSink = Some(t => table = t))
     EdgeStream.runOnce(writer,
       Files.createTempDirectory("ckpt").toString)
 
-    val deg = table.select(col("uid"), col("didOutDegree"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(deg == Map(1L -> 2, 2L -> 1, 3L -> 0))
+    val deg = table.select(col("uid"), col("didOutDegree"), col("InDegree"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(deg == Map(1L -> ((2, 0)), 2L -> ((1, 1)), 3L -> ((0, 2))))
+    // reversed mirror in sync: node 3's incoming edges point back at 2 and 1
+    val rev3 = table.filter(col("uid") === 3L)
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(User_didReversed, x -> x.sink)"))
+      .head().getSeq[Long](0).toSet
+    assert(rev3 == Set(graft.meta.GlobalNodeId.pack(1, 1),
+      graft.meta.GlobalNodeId.pack(1, 2)))
   }
 
   test("watermarked windowed aggregation over an event stream") {

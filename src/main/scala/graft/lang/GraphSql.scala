@@ -49,6 +49,8 @@ object GraphSql {
   def isMatchQuery(sql: String): Boolean =
     SelectRe.findFirstIn(sql).isDefined
 
+  private val TopRe = """(?is)^\s*TOP\s*\(?\s*(\d+)\s*\)?\s+(.*)$""".r
+
   def parse(sql: String): ParsedMatch = sql match {
     case SelectRe(sel, from, afterMatch) =>
       // MATCH clause runs until the first top-level keyword
@@ -57,7 +59,13 @@ object GraphSql {
         case Some(m) => (afterMatch.substring(0, m.start), afterMatch.substring(m.start))
         case None => (afterMatch, "")
       }
-      ParsedMatch(sel.trim, parseFrom(from), parsePattern(pat.trim), rest.trim)
+      // T-SQL compat: SELECT TOP n / TOP(n) → LIMIT n in the tail
+      // (WSelectQuery.cs:350-399; the reference's own TOP surface)
+      val (sel2, rest2) = sel.trim match {
+        case TopRe(n, projections) => (projections, s"${rest.trim} LIMIT $n")
+        case other => (other, rest.trim)
+      }
+      ParsedMatch(sel2, parseFrom(from), parsePattern(pat.trim), rest2.trim)
     case _ => throw new IllegalArgumentException(s"not a MATCH query: $sql")
   }
 

@@ -103,6 +103,20 @@ class GraphSqlSpec extends SparkSpec {
     assert(res.count() == 1)
   }
 
+  test("T-SQL TOP n compiles to LIMIT in MATCH queries") {
+    val gs = new GraphSession(spark, peopleProvider)
+    val res = gs.sql(
+      """SELECT TOP 2 B.name FROM People A, People B MATCH A-[Knows]->B
+        |ORDER BY B.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(res == Seq("Bob", "Caven"))
+    val paren = gs.sql(
+      """SELECT TOP(1) B.name FROM People A, People B MATCH A-[Knows]->B
+        |ORDER BY B.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(paren == Seq("Bob"))
+  }
+
   test("non-MATCH statements delegate to spark.sql") {
     val gs = new GraphSession(spark, peopleProvider)
     assert(gs.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)

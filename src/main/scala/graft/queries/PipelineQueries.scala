@@ -369,6 +369,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // int8 scalar quantization of embeddings (first 8 dims exploded so
+    // the oracle replays the clamp/scale arithmetic per component)
+    "q_embedding_quantize" -> QueryDef(
+      """SELECT vec_id, CAST(j AS INTEGER) AS dim,
+        |  CAST(GREATEST(-127, LEAST(127,
+        |    ROUND(CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) * 127))) AS INTEGER) AS code
+        |FROM embeddings, UNNEST(range(0, 8)) AS t(j)
+        |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(slice(Similarity.quantizeInt8(col("embedding")), 1, 8)))
+        .select(col("vec_id"), col("pos").cast(IntegerType).as("dim"),
+          col("col").cast(IntegerType).as("code"))
+        .orderBy("vec_id", "dim")
+    },
+
     // ---- as-of join (point-in-time feature lookup) ----
 
     // for every click, the user's latest purchase at or before it;

@@ -66,13 +66,11 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
     td.edges.filter(e => e.sinkTable != td.name && schema.hasTable(e.sinkTable))
       .foreach { e =>
         val sink = provider.nodeTable(e.sinkTable)
-        if (!sink.columns.contains(e.reversedColumnName)) {
-          val revType = ArrayType(StructType(
-            StructField("sink", LongType) +: StructField("edgeId", IntegerType) +:
-              e.attrs.map(a => StructField(a.name, a.dataType))))
+        if (!sink.columns.contains(e.reversedColumnName))
           rewrite(e.sinkTable,
-            sink.withColumn(e.reversedColumnName, array().cast(revType)))
-        }
+            sink.withColumn(e.reversedColumnName, array().cast(revAdjType(e)))
+              .withColumn(e.reversedDelColumnName,
+                array().cast(ArrayType(IntegerType))))
       }
   }
 

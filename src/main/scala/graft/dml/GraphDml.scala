@@ -39,27 +39,51 @@ object GraphDml {
       .withColumn(e.outDegreeColumnName, size(col(c)) - size(col(e.delColumnName)))
   }
 
+  /** Assign each new (src, sink, attrs) pair the FORWARD edgeId that
+    * [[insertEdges]] will give it (within-batch position from the shared
+    * [[GraphBuilder.adjacency]] numbering, offset by the source row's
+    * current adjacency size). Run against the PRE-insert source table and
+    * checkpoint the result before rewriting either side — the sink-side
+    * mirror needs these ids for its `srcEdgeId` field.
+    */
+  def numberNewEdges(srcTable: DataFrame, e: EdgeDef,
+      newPairs: DataFrame): DataFrame = {
+    val offs = srcTable.select(col("GlobalNodeId").as("src"),
+      size(col(e.columnName)).as("__off"))
+    GraphBuilder.adjacency(newPairs, e.attrs)
+      .join(offs, Seq("src"), "left_outer")
+      .select(col("src"), explode(col("edges")).as("__e"),
+        coalesce(col("__off"), lit(0)).as("__off"))
+      .select((col("src") +: col("__e.sink").as("sink") +:
+        (col("__e.edgeId") + col("__off")).cast(IntegerType).as("srcEdgeId") +:
+        e.attrs.map(a => col(s"__e.${a.name}").as(a.name))): _*)
+  }
+
   /** INSERT EDGE, sink side: bump InDegree and mirror into the reversed
     * adjacency column (`TranslateDataModificationVisitor.cs:288-351`).
+    * `numbered` must come from [[numberNewEdges]] (carries the forward
+    * `srcEdgeId` each mirror records).
     */
   def insertEdgesSinkSide(sinkTable: DataFrame, e: EdgeDef,
-      newPairs: DataFrame): DataFrame = {
-    val swapped = newPairs
-      .withColumnRenamed("src", "__tmp").withColumnRenamed("sink", "src")
-      .withColumnRenamed("__tmp", "sink")
-    val rev = GraphBuilder.adjacency(swapped, e.attrs)
+      numbered: DataFrame): DataFrame = {
+    val attrNames = e.attrs.map(_.name)
+    val packed = struct((col("src").as("sink") +: col("srcEdgeId") +:
+      attrNames.map(col)): _*)
+    val rev = numbered.groupBy(col("sink"))
+      .agg(sort_array(collect_list(packed)).as("edges"))
     val rc = e.reversedColumnName
     sinkTable
-      .join(rev.withColumnRenamed("src", "__src"),
-        col("GlobalNodeId") === col("__src"), "left_outer")
+      .join(rev.withColumnRenamed("sink", "__sk"),
+        col("GlobalNodeId") === col("__sk"), "left_outer")
       .withColumn("InDegree",
         col("InDegree") + when(col("edges").isNull, 0).otherwise(size(col("edges"))))
       .withColumn(rc,
         when(col("edges").isNull, col(rc))
           .otherwise(concat(col(rc), expr(
-            s"transform(edges, x -> named_struct('sink', x.sink, " +
-              s"'edgeId', CAST(x.edgeId + size($rc) AS INT)${attrFields(e)}))"))))
-      .drop("edges", "__src")
+            s"transform(edges, (x, i) -> named_struct('sink', x.sink, " +
+              s"'edgeId', CAST(i + size($rc) AS INT), " +
+              s"'srcEdgeId', x.srcEdgeId${attrFields(e)}))"))))
+      .drop("edges", "__sk")
   }
 
   /** DELETE EDGE: tombstone `(src, edgeId)` pairs into `<e>Del` and
@@ -81,47 +105,83 @@ object GraphDml {
       .drop("__newDel", "__src")
   }
 
-  /** Rebuild the sink table's reversed adjacency column from the source
-    * table's LIVE forward edges — the sync the reference performs inside
-    * DELETE EDGE via `ConstructReversedMatchClause`
-    * (`TranslateDataModificationVisitor.cs:1829-1897`). Run after
-    * [[deleteEdges]] so reversed-direction traversals stop seeing the
-    * tombstoned edges. Cost: one explode + groupBy over the source table
-    * plus a join to the sink — compaction-job scale, batched with the
-    * delete at 100 TB.
+  /** DELETE EDGE, sink side: tombstone the reversed mirrors of the doomed
+    * forward edges into `<e>ReversedDel` and decrement InDegree — the
+    * incremental sink-side DeleteCol append of the reference
+    * (`TranslateDataModificationVisitor.cs:288-351`, reversed clause
+    * `1829-1897`). `doomed` must carry (src, edgeId, sink); cost is one
+    * keyed join touching only the sink rows that actually lost an edge —
+    * O(deleted), never a mirror rebuild.
+    */
+  def deleteEdgesSinkSide(sinkTable: DataFrame, e: EdgeDef,
+      doomed: DataFrame): DataFrame = {
+    val del = doomed.groupBy(col("sink"))
+      .agg(collect_list(struct(col("src"),
+        col("edgeId").cast(IntegerType).as("edgeId"))).as("__doomed"))
+    val rc = e.reversedColumnName
+    val rdc = e.reversedDelColumnName
+    sinkTable
+      .join(del.withColumnRenamed("sink", "__sk"),
+        col("GlobalNodeId") === col("__sk"), "left_outer")
+      .withColumn("__newRevDel",
+        when(col("__doomed").isNull, array().cast(ArrayType(IntegerType)))
+          .otherwise(expr(
+            s"transform(filter($rc, x -> exists(__doomed, " +
+              "d -> d.src = x.sink AND d.edgeId = x.srcEdgeId)), " +
+              "x -> x.edgeId)")))
+      .withColumn(rdc, concat(col(rdc), col("__newRevDel")))
+      .withColumn("InDegree",
+        (col("InDegree") - size(col("__newRevDel"))).cast(IntegerType))
+      .drop("__doomed", "__newRevDel", "__sk")
+  }
+
+  /** Rebuild the sink table's reversed mirror from the source table's
+    * LIVE forward edges and clear its reversed tombstones — the
+    * compaction-time resync (`GraphViewConnection.cs:2995-3115`; run after
+    * [[compact]] since compaction renumbers forward edgeIds, which the
+    * mirrors' `srcEdgeId` references). DELETE EDGE itself stays
+    * incremental via [[deleteEdgesSinkSide]].
     */
   def syncReversed(srcTable: DataFrame, sinkTable: DataFrame,
       e: EdgeDef): DataFrame = {
-    val livePairs = srcTable
-      .select(col("GlobalNodeId").as("src"), explode(col(e.columnName)).as("__e"),
+    val live = srcTable
+      .select(col("GlobalNodeId").as("__fsrc"), explode(col(e.columnName)).as("__e"),
         col(e.delColumnName).as("__del"))
       .filter(!array_contains(col("__del"), col("__e.edgeId")))
-      .select((col("src") +: col("__e.sink").as("sink") +:
+      .select((col("__e.sink").as("src") +: // group key: the sink holder
+        col("__fsrc").as("sink") +:
+        col("__e.edgeId").as("srcEdgeId") +:
         e.attrs.map(a => col(s"__e.${a.name}").as(a.name))): _*)
-    val swapped = livePairs
-      .withColumnRenamed("src", "__tmp").withColumnRenamed("sink", "src")
-      .withColumnRenamed("__tmp", "sink")
-    val rev = graft.graph.GraphBuilder.adjacency(swapped, e.attrs)
+    val rev = GraphBuilder.reversedFromNumbered(live, e.attrs)
     val rc = e.reversedColumnName
+    val rdc = e.reversedDelColumnName
     val revType = rev.schema("edges").dataType
     val synced = sinkTable.drop(rc)
       .join(rev.withColumnRenamed("src", "__src"),
         col("GlobalNodeId") === col("__src"), "left_outer")
       .withColumn(rc, coalesce(col("edges"), array().cast(revType)))
       .drop("edges", "__src")
-    // InDegree = live incoming edges = sum over all reversed mirrors
+      .withColumn(rdc, array().cast(ArrayType(IntegerType)))
+    // InDegree = live incoming edges = Σ (mirror size − mirror tombstones)
     // (the reference's sink-side decrement,
     // TranslateDataModificationVisitor.cs:381-410)
     val revCols = synced.columns.filter(_.endsWith("Reversed"))
     synced.withColumn("InDegree",
-      revCols.map(c => size(col(c))).reduce(_ + _).cast(IntegerType))
+      revCols.map { c =>
+        val d = s"${c}Del"
+        if (synced.columns.contains(d)) size(col(c)) - size(col(d))
+        else size(col(c))
+      }.reduce(_ + _).cast(IntegerType))
   }
 
   /** Tombstone compaction: rebuild the adjacency minus deleted ids and
     * clear the tombstones — the reference's `Recycle` /
     * `MergeDeleteColumn` job (`NodeTableGraphViewCodeTemplate.tt:373-453`,
     * `GraphViewConnection.cs:2995-3115`). EdgeIds renumber positionally,
-    * exactly as the blob decoder would after a rebuild.
+    * exactly as the blob decoder would after a rebuild. Because the sink
+    * mirrors' `srcEdgeId` references the pre-compaction numbering, follow
+    * with [[syncReversed]] on each sink (as [[graft.ddl.GraphCatalog.compactAll]] does)
+    * before any further reversed-side DML.
     */
   def compact(table: DataFrame, e: EdgeDef): DataFrame = {
     val c = e.columnName
@@ -203,7 +263,8 @@ object GraphDml {
     val internal = Set("GlobalNodeId", "InDegree") ++
       td.edges.flatMap(e =>
         Seq(e.columnName, e.delColumnName, e.outDegreeColumnName)) ++
-      table.columns.filter(_.endsWith("Reversed"))
+      table.columns.filter(c =>
+        c.endsWith("Reversed") || c.endsWith("ReversedDel"))
     assignments.foreach { case (c, _) =>
       require(table.columns.contains(c), s"no column $c on ${td.name}")
       require(!internal(c), s"column $c is graph-maintained and cannot be updated")

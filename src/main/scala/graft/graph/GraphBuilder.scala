@@ -60,6 +60,52 @@ object GraphBuilder {
         .as("edges"))
   }
 
+  /** Reversed mirror arrays from raw (src, sink, attrs) pairs: one row per
+    * distinct sink with `edges: Array[Struct[sink(=src gid), edgeId(rev pos),
+    * srcEdgeId(fwd pos), attrs*]]`. `srcEdgeId` carries the FORWARD
+    * positional id the same pairs receive in [[adjacency]] — derived from
+    * the same helper, so the two sides agree by construction. It is what
+    * lets DELETE EDGE tombstone the mirror in O(deleted rows)
+    * (`TranslateDataModificationVisitor.cs:288-351`).
+    */
+  def reversedAdjacency(pairs: DataFrame, attrs: Seq[EdgeAttr],
+      saltFactor: Int = 1): DataFrame = {
+    val attrNames = attrs.map(_.name)
+    val numbered = adjacency(pairs, attrs, saltFactor)
+      .select(col("src"), explode(col("edges")).as("__e"))
+      .select((col("__e.sink").as("src") +: // group key: the original sink
+        col("src").as("sink") +: // mirror points back at the source
+        col("__e.edgeId").as("srcEdgeId") +:
+        attrNames.map(n => col(s"__e.$n").as(n))): _*)
+    reversedFromNumbered(numbered, attrs, saltFactor)
+  }
+
+  /** Reversed mirrors from pre-numbered rows
+    * (src = holder sink gid, sink = source gid, srcEdgeId, attrs).
+    */
+  def reversedFromNumbered(numbered: DataFrame, attrs: Seq[EdgeAttr],
+      saltFactor: Int = 1): DataFrame = {
+    val attrNames = attrs.map(_.name)
+    val packed = struct(
+      (col("sink") +: col("srcEdgeId") +: attrNames.map(col)): _*)
+    val attrFields = attrNames.map(a => s", '$a', x.$a").mkString
+    val aggregated =
+      if (saltFactor <= 1)
+        numbered.groupBy(col("src"))
+          .agg(sort_array(collect_list(packed)).as("raw"))
+      else
+        numbered
+          .withColumn("__salt", pmod(hash(col("sink")), lit(saltFactor)))
+          .groupBy(col("src"), col("__salt"))
+          .agg(collect_list(packed).as("part"))
+          .groupBy(col("src"))
+          .agg(sort_array(flatten(collect_list(col("part")))).as("raw"))
+    aggregated.select(col("src"),
+      expr("transform(raw, (x, i) -> " +
+        "named_struct('sink', x.sink, 'edgeId', CAST(i AS INT), " +
+        s"'srcEdgeId', x.srcEdgeId$attrFields))").as("edges"))
+  }
+
   /** Assemble a full node table DataFrame:
     * GlobalNodeId, nodeId/property columns, then per edge the adjacency
     * array + `<e>Del` tombstones + `<e>OutDegree`, then `InDegree`, then
@@ -99,11 +145,7 @@ object GraphBuilder {
     // reversed adjacency columns (sink-side mirror of each incoming edge,
     // per GraphViewConnection.cs:1053-1146)
     incoming.foreach { case (e, pairs) =>
-      val rev = adjacency(
-        pairs.withColumnRenamed("src", "__tmp")
-          .withColumnRenamed("sink", "src")
-          .withColumnRenamed("__tmp", "sink"),
-        e.attrs, saltFactor)
+      val rev = reversedAdjacency(pairs, e.attrs, saltFactor)
       val revType = rev.schema("edges").dataType
       df = df
         .join(rev.withColumnRenamed("src", "__src"),
@@ -111,6 +153,8 @@ object GraphBuilder {
         .withColumn(e.reversedColumnName,
           coalesce(col("edges"), array().cast(revType)))
         .drop("edges", "__src")
+        .withColumn(e.reversedDelColumnName,
+          array().cast(ArrayType(IntegerType)))
     }
 
     // InDegree = total incoming edges = Σ sizes of the reversed mirrors

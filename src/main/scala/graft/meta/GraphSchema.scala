@@ -37,6 +37,12 @@ final case class EdgeDef(
     * `GraphView/GraphViewConnection.cs:1053-1146`.
     */
   def reversedColumnName: String = s"${sourceTable}_${name}Reversed"
+  /** Tombstone array for the reversed mirror — the sink-side DeleteCol the
+    * reference appends to inside DELETE EDGE
+    * (`TranslateDataModificationVisitor.cs:288-351`), letting a delete
+    * touch only matched rows instead of rebuilding the whole mirror.
+    */
+  def reversedDelColumnName: String = s"${sourceTable}_${name}ReversedDel"
 }
 
 final case class NodeTableDef(

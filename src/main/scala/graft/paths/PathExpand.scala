@@ -77,8 +77,8 @@ object PathExpand {
 
     val nt = g.nodeTable(table)
     // adjacency relation for the step join: node → (edges, tombstones).
-    // Reversed columns hold live edges only (kept in sync by DML), so the
-    // backward walk needs no tombstone filter.
+    // Each direction filters its own tombstone column (forward DeleteCol /
+    // reversed mirror DeleteCol, both appended incrementally by DML).
     val adj =
       if (!backward)
         nt.select(col("GlobalNodeId").as("__node"),
@@ -86,7 +86,7 @@ object PathExpand {
       else
         nt.select(col("GlobalNodeId").as("__node"),
           col(ed.reversedColumnName).as("__adj"),
-          array().cast(ArrayType(IntegerType)).as("__del"))
+          col(ed.reversedDelColumnName).as("__del"))
 
     val edgeKeyType = ArrayType(StructType(Seq(
       StructField("node", LongType), StructField("edgeId", IntegerType))))

@@ -219,11 +219,15 @@ object MatchPlanner {
       e, ed, srcField = None)
 
   /** Explode `dst`'s reversed adjacency: struct's `sink` field holds the
-    * original source id — exposed as `<edgeAlias>__src`.
+    * original source id — exposed as `<edgeAlias>__src`. Reversed
+    * tombstones (appended incrementally by DELETE EDGE) filter here, the
+    * mirror of the forward DeleteCol skip.
     */
   private def explodeReversed(df: DataFrame, e: EdgePat, ed: EdgeDef): DataFrame =
     flatten(
-      df.withColumn("__e", explode(col(s"${e.dst}__${ed.reversedColumnName}"))),
+      df.withColumn("__e", explode(col(s"${e.dst}__${ed.reversedColumnName}")))
+        .filter(!array_contains(col(s"${e.dst}__${ed.reversedDelColumnName}"),
+          col("__e.edgeId"))),
       e, ed, srcField = Some("sink"))
 
   private def flatten(df0: DataFrame, e: EdgePat, ed: EdgeDef,
@@ -236,9 +240,15 @@ object MatchPlanner {
       case None => Seq(col("__e.sink").as(s"${e.alias}__sink"))
       case Some(f) => Seq(col(s"__e.$f").as(s"${e.alias}__src"))
     }
+    // reversed mirrors expose the FORWARD edgeId (srcEdgeId) so an edge
+    // reports the same id whichever direction found it
+    val edgeId = srcField match {
+      case None => col("__e.edgeId")
+      case Some(_) => col("__e.srcEdgeId")
+    }
     val cols = df.columns.filterNot(_ == "__e").map(col).toSeq ++
       endpoint ++
-      Seq(col("__e.edgeId").as(s"${e.alias}__edgeId")) ++
+      Seq(edgeId.as(s"${e.alias}__edgeId")) ++
       ed.attrs.map(a => col(s"__e.${a.name}").as(s"${e.alias}__${a.name}"))
     df.select(cols: _*)
   }

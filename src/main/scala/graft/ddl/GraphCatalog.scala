@@ -82,6 +82,16 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
       StructField("sink", LongType) +: StructField("edgeId", IntegerType) +:
         e.attrs.map(a => StructField(a.name, a.dataType))))
 
+  /** Reversed-mirror struct type: carries `srcEdgeId` (the forward
+    * positional id) so sink-side tombstoning is O(deleted) — must match
+    * [[GraphBuilder.reversedFromNumbered]]'s output schema.
+    */
+  private def revAdjType(e: EdgeDef): ArrayType =
+    ArrayType(StructType(
+      StructField("sink", LongType) +: StructField("edgeId", IntegerType) +:
+        StructField("srcEdgeId", IntegerType) +:
+        e.attrs.map(a => StructField(a.name, a.dataType))))
+
   /** ALTER TABLE ADD COLUMN — `GraphViewConnection.cs:1855` */
   def addProperty(table: String, field: StructField): Unit = {
     val td = schema.table(table)
@@ -130,7 +140,9 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
     val sink = provider.nodeTable(e.sinkTable)
     if (!sink.columns.contains(e.reversedColumnName))
       rewrite(e.sinkTable,
-        sink.withColumn(e.reversedColumnName, array().cast(adjType(e))))
+        sink.withColumn(e.reversedColumnName, array().cast(revAdjType(e)))
+          .withColumn(e.reversedDelColumnName,
+            array().cast(ArrayType(IntegerType))))
     persistMeta()
   }
 
@@ -146,11 +158,17 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
       .drop(e.columnName, e.delColumnName, e.outDegreeColumnName))
     val sink = provider.nodeTable(e.sinkTable)
     if (sink.columns.contains(e.reversedColumnName)) {
-      val dropped = sink.drop(e.reversedColumnName)
+      val dropped = sink.drop(e.reversedColumnName, e.reversedDelColumnName)
       val revCols = dropped.columns.filter(_.endsWith("Reversed"))
+      // live InDegree = Σ (mirror size − pending mirror tombstones), the
+      // same accounting syncReversed uses
       val inDeg =
         if (revCols.isEmpty) lit(0)
-        else revCols.map(c => size(col(c))).reduce(_ + _)
+        else revCols.map { c =>
+          val d = s"${c}Del"
+          if (dropped.columns.contains(d)) size(col(c)) - size(col(d))
+          else size(col(c))
+        }.reduce(_ + _)
       rewrite(e.sinkTable,
         dropped.withColumn("InDegree", inDeg.cast(IntegerType)))
     }

@@ -398,11 +398,16 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       .select((col("src") +: col("sink") +: attrCols): _*)
       .localCheckpoint(true)
     val n = pairs.count()
+    // number the new edges against the PRE-insert source table (the ids
+    // insertEdges will assign) and checkpoint before the source rewrite —
+    // the sink mirror records these as srcEdgeId
+    val numbered = graft.dml.GraphDml.numberNewEdges(srcT, e, pairs)
+      .localCheckpoint(true)
     cat.rewrite(table,
       graft.dml.GraphDml.insertEdges(srcT, e, pairs).localCheckpoint(true))
     cat.rewrite(e.sinkTable,
       graft.dml.GraphDml.insertEdgesSinkSide(
-        provider.nodeTable(e.sinkTable), e, pairs).localCheckpoint(true))
+        provider.nodeTable(e.sinkTable), e, numbered).localCheckpoint(true))
     affected(n)
   }
 
@@ -424,15 +429,17 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val cond = where.map(w => s"WHERE ${GraphSql.rewriteRefs(w, names)}").getOrElse("")
     val eAlias = s"${srcA}_${edgeName}_$dstA"
     val doomed = spark.sql(
-      s"SELECT ${srcA}__GlobalNodeId AS src, ${eAlias}__edgeId AS edgeId FROM $view $cond")
+      s"SELECT ${srcA}__GlobalNodeId AS src, ${eAlias}__edgeId AS edgeId, " +
+        s"${dstA}__GlobalNodeId AS sink FROM $view $cond")
       .localCheckpoint(true)
     val n = doomed.count()
     val afterDel = graft.dml.GraphDml.deleteEdges(
       provider.nodeTable(srcTable), e, doomed)
     cat.rewrite(srcTable, afterDel.localCheckpoint(true))
-    // keep the reversed mirror in sync
-    cat.rewrite(e.sinkTable, graft.dml.GraphDml.syncReversed(
-      provider.nodeTable(srcTable), provider.nodeTable(e.sinkTable), e)
+    // incremental sink-side mirror tombstone — O(deleted), never a
+    // mirror rebuild (syncReversed stays a compaction-time resync only)
+    cat.rewrite(e.sinkTable, graft.dml.GraphDml.deleteEdgesSinkSide(
+      provider.nodeTable(e.sinkTable), e, doomed)
       .localCheckpoint(true))
     affected(n)
   }

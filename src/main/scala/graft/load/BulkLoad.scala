@@ -66,14 +66,18 @@ object BulkLoad {
       .select((col("src") +: col("sink") +: attrCols): _*)
       .localCheckpoint(true)
 
+    // forward edgeIds the insert will assign, computed against the
+    // PRE-insert source table and checkpointed before the rewrite swaps
+    // the parquet out from under the lineage
+    val numbered = GraphDml.numberNewEdges(srcT, e, pairs).localCheckpoint(true)
     cat.rewrite(srcTable, GraphDml.insertEdges(srcT, e, pairs))
     if (e.sinkTable == srcTable) {
       // self-edge: fold both updates into one rewrite
       val t = cat.provider.nodeTable(srcTable)
-      cat.rewrite(srcTable, GraphDml.insertEdgesSinkSide(t, e, pairs))
+      cat.rewrite(srcTable, GraphDml.insertEdgesSinkSide(t, e, numbered))
     } else {
       cat.rewrite(e.sinkTable,
-        GraphDml.insertEdgesSinkSide(cat.provider.nodeTable(e.sinkTable), e, pairs))
+        GraphDml.insertEdgesSinkSide(cat.provider.nodeTable(e.sinkTable), e, numbered))
     }
   }
 }

@@ -63,6 +63,63 @@ object DmlQueries {
         .orderBy("c_custkey")
     },
 
+    // DELETE EDGE, sink side: tombstone the reversed mirrors of all 'F'
+    // placed edges incrementally (deleteEdgesSinkSide — the O(deleted)
+    // keyed join, never a mirror rebuild), then read the Order side:
+    // live InDegree must drop and the surviving mirror entry must still
+    // resolve the owning customer through srcEdgeId-consistent state
+    // (TranslateDataModificationVisitor.cs:288-351, 1829-1897)
+    "q_dml_delete_edge_reversed" -> QueryDef(
+      """SELECT o_orderkey AS orderkey,
+        |  CAST(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END AS INTEGER) AS live_in,
+        |  CASE WHEN o_orderstatus <> 'F' THEN o_custkey END AS custkey
+        |FROM orders ORDER BY orderkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      val ed = g.schema.table("Customer").edge("placed")
+      val doomed = g.nodeTable("Customer")
+        .select(col("GlobalNodeId").as("src"), explode(col("placed")).as("e"))
+        .filter(col("e.status") === "F")
+        .select(col("src"), col("e.edgeId").as("edgeId"),
+          col("e.sink").as("sink"))
+      val rc = ed.reversedColumnName
+      val rdc = ed.reversedDelColumnName
+      val mask = (1L << graft.meta.GlobalNodeId.KeyBits) - 1
+      GraphDml.deleteEdgesSinkSide(g.nodeTable("Order"), ed, doomed)
+        .withColumn("__live",
+          expr(s"filter($rc, x -> NOT array_contains($rdc, x.edgeId))"))
+        .select(col("o_orderkey").as("orderkey"),
+          col("InDegree").as("live_in"),
+          try_element_at(col("__live"), lit(1)).getField("sink")
+            .bitwiseAND(lit(mask)).as("custkey"))
+        .orderBy("orderkey")
+    },
+
+    // DELETE NODE: append edgeless synthetic customers, then delete the
+    // even-keyed half — the reference's safety guard passes (no live
+    // edges) while nodes with edges stay untouched
+    // (TranslateDataModificationVisitor.cs:2085-2188)
+    "q_dml_delete_node" -> QueryDef(
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000 AS custkey FROM supplier
+        |  WHERE (s_suppkey + 1000000) % 2 <> 0) t
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      val td = g.schema.table("Customer")
+      val rows = graft.Tables.load(s, d, "supplier")
+        .select((col("s_suppkey") + 1000000L).as("c_custkey"),
+          col("s_name").as("c_name"),
+          col("s_acctbal").as("c_acctbal"),
+          lit("SYNTH").as("c_mktsegment"))
+      val withSynth =
+        GraphDml.insertNodes(g.nodeTable("Customer"), td, rows, "c_custkey")
+      GraphDml.deleteNodes(withSynth, td,
+        col("c_mktsegment") === "SYNTH" && col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("custkey"))
+        .orderBy("custkey")
+    },
+
     // compaction equivalence: same query after Recycle-style rebuild
     "q_dml_compact" -> QueryDef(
       """SELECT o_custkey AS c_custkey, COUNT(*) AS cnt

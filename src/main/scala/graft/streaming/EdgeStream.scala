@@ -44,10 +44,15 @@ object EdgeStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val pairs = toPairs(batch).localCheckpoint(true)
         if (!pairs.isEmpty) {
-          setTable(GraphDml.insertEdges(getTable(), edge, pairs)
+          val pre = getTable()
+          // forward edgeIds assigned by this batch's insert, numbered
+          // against the pre-insert table — the sink mirror's srcEdgeId
+          val numbered = GraphDml.numberNewEdges(pre, edge, pairs)
+            .localCheckpoint(true)
+          setTable(GraphDml.insertEdges(pre, edge, pairs)
             .localCheckpoint(true))
           for (g <- getSink; s <- setSink) {
-            s(GraphDml.insertEdgesSinkSide(g(), edge, pairs)
+            s(GraphDml.insertEdgesSinkSide(g(), edge, numbered)
               .localCheckpoint(true))
           }
         }

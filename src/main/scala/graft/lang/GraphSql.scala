@@ -37,11 +37,15 @@ object GraphSql {
     def aliasName: String = alias.getOrElse(s"${src}_${edge}_$dst")
   }
 
+  /** T-SQL `TOP n [PERCENT] [WITH TIES]` (`WSelectQuery.cs:350-399`) */
+  final case class TopSpec(n: Int, percent: Boolean, withTies: Boolean)
+
   final case class ParsedMatch(
       select: String,
       aliases: Seq[(String, String)], // alias -> table
       hops: Seq[Hop],
-      rest: String) // everything after the MATCH clause (WHERE/GROUP BY/...)
+      rest: String, // everything after the MATCH clause (WHERE/GROUP BY/...)
+      top: Option[TopSpec] = None)
 
   private val SelectRe =
     """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)\s+MATCH\s+(.*)$""".r
@@ -49,7 +53,8 @@ object GraphSql {
   def isMatchQuery(sql: String): Boolean =
     SelectRe.findFirstIn(sql).isDefined
 
-  private val TopRe = """(?is)^\s*TOP\s*\(?\s*(\d+)\s*\)?\s+(.*)$""".r
+  private val TopRe =
+    """(?is)^\s*TOP\s*\(?\s*(\d+)\s*\)?\s*(PERCENT\b)?\s*(WITH\s+TIES\b)?\s+(.*)$""".r
 
   def parse(sql: String): ParsedMatch = sql match {
     case SelectRe(sel, from, afterMatch) =>
@@ -59,13 +64,17 @@ object GraphSql {
         case Some(m) => (afterMatch.substring(0, m.start), afterMatch.substring(m.start))
         case None => (afterMatch, "")
       }
-      // T-SQL compat: SELECT TOP n / TOP(n) → LIMIT n in the tail
-      // (WSelectQuery.cs:350-399; the reference's own TOP surface)
-      val (sel2, rest2) = sel.trim match {
-        case TopRe(n, projections) => (projections, s"${rest.trim} LIMIT $n")
-        case other => (other, rest.trim)
+      // T-SQL compat: SELECT TOP n [PERCENT] [WITH TIES]
+      // (WSelectQuery.cs:350-399) — recorded structurally and applied
+      // after the relational tail, so an existing LIMIT composes instead
+      // of producing invalid `LIMIT x LIMIT n` text
+      val (sel2, topSpec) = sel.trim match {
+        case TopRe(n, pct, ties, projections) =>
+          (projections, Some(TopSpec(n.toInt, pct != null, ties != null)))
+        case other => (other, None)
       }
-      ParsedMatch(sel2, parseFrom(from), parsePattern(pat.trim), rest2.trim)
+      ParsedMatch(sel2, parseFrom(from), parsePattern(pat.trim), rest.trim,
+        topSpec)
     case _ => throw new IllegalArgumentException(s"not a MATCH query: $sql")
   }
 
@@ -91,15 +100,21 @@ object GraphSql {
   private[lang] def parsePattern(pat: String): Seq[Hop] =
     splitTopLevel(pat).flatMap(parsePath)
 
-  /** split a boolean expression on top-level ANDs (outside parens) */
+  /** split a boolean expression on top-level ANDs (outside parens and
+    * string literals — `x = 'a AND b'` is one conjunct)
+    */
   private[lang] def splitTopLevelAnd(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0
+    var quote: Char = 0
     val upper = s.toUpperCase
     var i = 0
     while (i < s.length) {
-      s(i) match {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -116,18 +131,25 @@ object GraphSql {
     out.result().filter(_.nonEmpty)
   }
 
-  /** split on commas outside parentheses (SET-clause assignments) */
+  /** split on commas outside parentheses and string literals
+    * (SET-clause assignments, ORDER BY lists)
+    */
   private[lang] def splitTopLevelParen(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 =>
-        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-        cur.clear()
-      case c => cur += c
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 =>
+          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+          cur.clear()
+        case _ => cur += c
+      }
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString.trim
     out.result()
@@ -213,8 +235,12 @@ object GraphSql {
     existsRe.findAllMatchIn(sql).flatMap { m =>
       var depth = 1
       var i = m.end
+      var quote: Char = 0
       while (i < sql.length && depth > 0) {
-        sql(i) match {
+        val c = sql(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '\'' | '"' => quote = c
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ =>
@@ -631,10 +657,24 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     }
   }
 
+  /** Var-length path aliases whose `alias.*` appears in the projection —
+    * the reference's path-display form (`SELECT p.*` renders the
+    * PathMessage JSON, `TranslateMatchClauseVisitor.cs:527-618`).
+    */
+  private def displayAliases(p: GraphSql.ParsedMatch): Set[String] =
+    p.hops.filter(_.isVarLength).map(_.aliasName)
+      .filter(a => s"""\\b$a\\.\\*""".r.findFirstIn(p.select).isDefined).toSet
+
+  /** rewrite `p.*` → the rendered path column, exposed under the alias */
+  private def substDisplay(select: String, disp: Set[String]): String =
+    disp.foldLeft(select) { (s, a) =>
+      s.replaceAll(s"""\\b$a\\.\\*""", s"${a}__path AS $a")
+    }
+
   private def matchSql(query: String): DataFrame = {
     val p = GraphSql.parse(query)
-    relationalTail(buildMatchDf(p), p.select, p.rest,
-      p.aliases.map(_._1) ++ p.hops.map(_.aliasName))
+    relationalTail(buildMatchDf(p), substDisplay(p.select, displayAliases(p)),
+      p.rest, p.aliases.map(_._1) ++ p.hops.map(_.aliasName), p.top)
   }
 
   /** pattern + var-length splice → one DataFrame of `alias__col` columns */
@@ -643,6 +683,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val tableOf = p.aliases.toMap
     val selMap = aliasSelectivities(p)
     val preds = boundConjuncts(p)
+    val displaySet = displayAliases(p)
 
     var df =
       if (pattern.nodes.nonEmpty)
@@ -657,7 +698,11 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     def bound(a: String) =
       df != null && df.columns.contains(s"${a}__GlobalNodeId")
     planVarHops(varHops, p.aliases.map(_._1).filter(bound).toSet,
-      selMap, tableOf).foreach { case (h, backward) =>
+      selMap, tableOf).foreach { case (h, backward0) =>
+      // typed display records are built on the forward walk only —
+      // override a backward seeding decision when this path is displayed
+      val wantDisplay = displaySet(h.aliasName)
+      val backward = backward0 && !wantDisplay
       val (seedA, otherA) = if (backward) (h.dst, h.src) else (h.src, h.dst)
       if (!bound(seedA)) {
         // bind the seed endpoint, pre-filtered by its own WHERE conjuncts
@@ -671,11 +716,16 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         df = if (df == null) t else df.crossJoin(t)
       }
       val seeds = df.select(col(s"${seedA}__GlobalNodeId").as("id"))
-      val paths = PathExpand.expand(provider, tableOf(h.src), h.edge,
+      val raw = PathExpand.expand(provider, tableOf(h.src), h.edge,
         h.minLen, h.maxLen, PathExpand.EdgeDisjoint, h.attrEq,
-        seeds = Some(seeds), backward = backward)
-        .select(col("src").as("__p_src"), col("dst").as("__p_dst"),
-          col("hops").as(s"${h.aliasName}__hops"))
+        seeds = Some(seeds), backward = backward, display = wantDisplay)
+      val pathCols = Seq(col("src").as("__p_src"), col("dst").as("__p_dst"),
+        col("hops").as(s"${h.aliasName}__hops")) ++
+        (if (wantDisplay)
+          Seq(PathExpand.renderDisplay(provider, tableOf(h.src), h.edge)
+            .as(s"${h.aliasName}__path"))
+        else Nil)
+      val paths = raw.select(pathCols: _*)
       val (seedEnd, otherEnd) =
         if (backward) (col("__p_dst"), col("__p_src"))
         else (col("__p_src"), col("__p_dst"))
@@ -694,7 +744,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     * Spark SQL over the match DataFrame, rewriting `alias.col` refs
     */
   private def relationalTail(df: DataFrame, select: String, rest: String,
-      names: Seq[String]): DataFrame = {
+      names: Seq[String], top: Option[GraphSql.TopSpec] = None): DataFrame = {
     val view = s"__match_${System.identityHashCode(df).toHexString}"
     df.createOrReplaceTempView(view)
     // SELECT * expands to user-visible node columns only — adjacency
@@ -704,7 +754,74 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       if (select.trim == "*") starColumns(df).mkString(", ")
       else select
     val sel = GraphSql.rewriteRefs(selRaw, names)
-    spark.sql(s"SELECT $sel FROM $view ${GraphSql.rewriteRefs(rest, names)}")
+    val restRw = GraphSql.rewriteRefs(rest, names)
+    top match {
+      case None => spark.sql(s"SELECT $sel FROM $view $restRw")
+      case Some(t) => applyTop(t, sel, view, restRw)
+    }
+  }
+
+  /** T-SQL TOP semantics over the delegated tail (`WSelectQuery.cs:
+    * 350-399`): plain `TOP n` limits the ordered result (composing with
+    * any user LIMIT instead of emitting invalid `LIMIT x LIMIT n`);
+    * `n PERCENT` resolves the cutoff against the tail's row count;
+    * `WITH TIES` keeps every row tying with the cutoff rank of the
+    * ORDER BY keys (the same global-sort shape the ordered tail already
+    * pays — rank piggybacks on it).
+    */
+  private def applyTop(t: GraphSql.TopSpec, sel: String, view: String,
+      restRw: String): DataFrame = {
+    val LimitRe = """(?is)^(.*?)\s*\bLIMIT\s+(\d+)\s*$""".r
+    val (core, userLimit) = restRw match {
+      case LimitRe(c, m) => (c.trim, Some(m.toInt))
+      case _ => (restRw, None)
+    }
+    val base = spark.sql(s"SELECT $sel FROM $view $core")
+    val k =
+      if (t.percent) math.ceil(base.count() * t.n / 100.0).toInt
+      else t.n
+    val topped =
+      if (!t.withTies) base.limit(k)
+      else {
+        val obRe = """(?is)\bORDER\s+BY\s+(.*)$""".r
+        val items = obRe.findFirstMatchIn(core).map(_.group(1)) match {
+          case None => throw new IllegalArgumentException(
+            "TOP ... WITH TIES requires ORDER BY")
+          case Some(list) => GraphSql.splitTopLevelParen(list).map { it =>
+            val s0 = it.trim
+            val up = s0.toUpperCase
+            if (up.endsWith(" DESC")) (s0.dropRight(5).trim, true)
+            else if (up.endsWith(" ASC")) (s0.dropRight(4).trim, false)
+            else (s0, false)
+          }
+        }
+        val W = org.apache.spark.sql.expressions.Window
+        val orderCols = items.map { case (e, desc) =>
+          if (desc) expr(e).desc else expr(e).asc
+        }
+        // rank over the projected result when the keys resolve there
+        // (ORDER BY on projection aliases); else rank inside the view
+        // via hidden key columns (ORDER BY on unprojected pattern cols)
+        try {
+          base.withColumn("__rk", rank().over(W.orderBy(orderCols: _*)))
+            .filter(col("__rk") <= k)
+            .orderBy(orderCols: _*)
+            .drop("__rk")
+        } catch { case _: org.apache.spark.sql.AnalysisException =>
+          val obHidden = items.zipWithIndex
+            .map { case ((e, _), i) => s"($e) AS __ob_$i" }.mkString(", ")
+          val coreNoOb = obRe.replaceFirstIn(core, "").trim
+          val hiddenCols = items.zipWithIndex.map { case ((_, desc), i) =>
+            if (desc) col(s"__ob_$i").desc else col(s"__ob_$i").asc
+          }
+          spark.sql(s"SELECT $sel, $obHidden FROM $view $coreNoOb")
+            .withColumn("__rk", rank().over(W.orderBy(hiddenCols: _*)))
+            .filter(col("__rk") <= k)
+            .orderBy(hiddenCols: _*)
+            .drop(items.indices.map(i => s"__ob_$i") :+ "__rk": _*)
+        }
+      }
+    userLimit.fold(topped)(m => topped.limit(m))
   }
 
   private val PlainSelectRe =
@@ -729,7 +846,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val (dfOut0, outSelect, outRest, outAliases, outNames) =
       if (GraphSql.isMatchQuery(outerSql)) {
         val pOut = GraphSql.parse(outerSql)
-        (buildMatchDf(pOut), pOut.select, pOut.rest, pOut.aliases,
+        (buildMatchDf(pOut), substDisplay(pOut.select, displayAliases(pOut)),
+          pOut.rest, pOut.aliases,
           pOut.aliases.map(_._1) ++
             pOut.hops.map(_.aliasName))
       } else outerSql match {
@@ -770,6 +888,9 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     }
     val dfOut = MatchPlanner.semiCorrelated(dfOut0, inner,
       external.map(a => a -> s"${a}__GlobalNodeId").toMap, negated)
-    relationalTail(dfOut, outSelect, outRest, outNames)
+    val outTop =
+      if (GraphSql.isMatchQuery(outerSql)) GraphSql.parse(outerSql).top
+      else None
+    relationalTail(dfOut, outSelect, outRest, outNames, outTop)
   }
 }

@@ -105,6 +105,58 @@ object SqlQueries {
     },
 
     // var-length path in the pattern text (*1..2 over the nation ring)
+    // T-SQL TOP n PERCENT through the dialect (WSelectQuery.cs:350-399):
+    // cutoff resolves against the tail's row count
+    "q_sql_top_percent" -> QueryDef(
+      """WITH t AS (SELECT c_custkey,
+        |             ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn,
+        |             COUNT(*) OVER () AS n
+        |           FROM customer)
+        |SELECT c_custkey AS custkey FROM t
+        |WHERE rn <= CEIL(n * 0.01) ORDER BY custkey""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT TOP 1 PERCENT c.c_custkey AS custkey
+          |FROM Customer c, Nation n MATCH c-[locatedIn]->n
+          |ORDER BY custkey""".stripMargin)
+    },
+
+    // T-SQL TOP n WITH TIES through the dialect: rows tying with the
+    // cutoff rank of the ORDER BY keys are kept
+    "q_sql_top_ties" -> QueryDef(
+      """SELECT bal FROM (
+        |  SELECT c_acctbal AS bal, RANK() OVER (ORDER BY c_acctbal DESC) AS rk
+        |  FROM customer) t
+        |WHERE rk <= 10 ORDER BY bal DESC""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT TOP 10 WITH TIES c.c_acctbal AS bal
+          |FROM Customer c, Nation n MATCH c-[locatedIn]->n
+          |ORDER BY bal DESC""".stripMargin)
+    },
+
+    // SELECT p.* over a var-length path alias renders the PathMessage
+    // JSON through the dialect (TranslateMatchClauseVisitor.cs:527-618,
+    // decoder NodeTableGraphViewCodeTemplate.tt:640-698) — byte-identical
+    // to the reference's alternating node/edge object stream
+    "q_sql_path_display" -> QueryDef(
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |         COALESCE(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey),
+        |                  MIN(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+        |  FROM nation)
+        |SELECT a.src AS src, b.dst AS dst,
+        |  '[{"NodeType":"Nation","Id":' || CAST(a.src AS VARCHAR) ||
+        |  '},{"EdgeType":"next"},{"NodeType":"Nation","Id":' || CAST(a.dst AS VARCHAR) ||
+        |  '},{"EdgeType":"next"},{"NodeType":"Nation","Id":' || CAST(b.dst AS VARCHAR) ||
+        |  '}]' AS p
+        |FROM e a JOIN e b ON a.dst = b.src
+        |ORDER BY src, dst, p""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT n.n_nationkey AS src, m.n_nationkey AS dst, p.*
+          |FROM Nation n, Nation m
+          |MATCH n-[next*2..2 AS p]->m
+          |ORDER BY src, dst, p""".stripMargin)
+    },
+
     "q_sql_varlen" -> QueryDef(
       """WITH e AS (
         |  SELECT n_nationkey AS src,

@@ -94,6 +94,24 @@ class GraphSqlSpec extends SparkSpec {
       ("Alice", "Caven", 2), ("Alice", "David", 2)))
   }
 
+  test("SELECT p.* renders the PathMessage JSON through the dialect") {
+    val gs = new GraphSession(spark, peopleProvider)
+    val res = gs.sql(
+      """SELECT B.name, p.* FROM People A, People B
+        |MATCH A-[Knows*2..2 AS p]->B
+        |WHERE A.name = 'Alice' ORDER BY B.name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(res == Seq(
+      ("Caven",
+        """[{"NodeType":"People","Id":1},{"EdgeType":"Knows"},""" +
+          """{"NodeType":"People","Id":2},{"EdgeType":"Knows"},""" +
+          """{"NodeType":"People","Id":3}]"""),
+      ("David",
+        """[{"NodeType":"People","Id":1},{"EdgeType":"Knows"},""" +
+          """{"NodeType":"People","Id":2},{"EdgeType":"Knows"},""" +
+          """{"NodeType":"People","Id":4}]""")))
+  }
+
   test("SELECT * expands to user-visible columns only") {
     val gs = new GraphSession(spark, peopleProvider)
     val res = gs.sql(
@@ -115,6 +133,36 @@ class GraphSqlSpec extends SparkSpec {
         |ORDER BY B.name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(paren == Seq("Bob"))
+  }
+
+  test("TOP n PERCENT / WITH TIES / TOP composed with LIMIT") {
+    val gs = new GraphSession(spark, peopleProvider)
+    // 3 result rows → 50 PERCENT = ceil(1.5) = 2
+    val pct = gs.sql(
+      """SELECT TOP 50 PERCENT B.name FROM People A, People B MATCH A-[Knows]->B
+        |ORDER BY B.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(pct == Seq("Bob", "Caven"))
+    // ties at the cutoff rank are kept: ranks by A.name are 1,2,2 → 3 rows
+    val ties = gs.sql(
+      """SELECT TOP 2 WITH TIES A.name, B.name
+        |FROM People A, People B MATCH A-[Knows]->B
+        |ORDER BY A.name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ties == Set(("Alice", "Bob"), ("Bob", "Caven"), ("Bob", "David")))
+    // WITH TIES on an UNPROJECTED column ranks inside the view
+    val hidden = gs.sql(
+      """SELECT TOP 2 WITH TIES B.name
+        |FROM People A, People B MATCH A-[Knows]->B
+        |ORDER BY A.name""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(hidden == Set("Bob", "Caven", "David"))
+    // TOP composes with an existing LIMIT instead of emitting LIMIT x LIMIT n
+    val both = gs.sql(
+      """SELECT TOP 2 B.name FROM People A, People B MATCH A-[Knows]->B
+        |ORDER BY B.name LIMIT 1""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(both == Seq("Bob"))
   }
 
   test("non-MATCH statements delegate to spark.sql") {

@@ -22,24 +22,27 @@ object AsOfJoin {
   /** @param pick right column → output alias (aliases must not collide
     *   with left columns); rows with no prior right match get NULLs
     *   (left-join semantics)
+    *
+    * All picked columns travel as ONE struct through a single
+    * `last_value(ignoreNulls)` — per-column carries could tear a row
+    * when the latest right match holds NULL in one column (that column
+    * would fall back to an OLDER right row, mixing two rows' values).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, pick: Seq[(String, String)]): DataFrame = {
     val l = left.withColumn("__side", lit(1))
     val r = right
-      .select((keys.map(col) :+ col(tsCol)) ++
-        pick.map { case (c, a) => col(c).as(s"__r_$a") }: _*)
+      .select((keys.map(col) :+ col(tsCol)) :+
+        struct(pick.map { case (c, a) => col(c).as(a) }: _*).as("__r"): _*)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((col(tsCol).asc +: col("__side").asc +:
-        pick.map { case (_, a) => col(s"__r_$a").asc }): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = pick.foldLeft(unioned) { case (df, (_, a)) =>
-      df.withColumn(a, last(col(s"__r_$a"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .drop("__side")
-      .drop(pick.map { case (_, a) => s"__r_$a" }: _*)
+    val filled = unioned.withColumn("__last",
+      last(col("__r"), ignoreNulls = true).over(w))
+    pick.foldLeft(filled.filter(col("__side") === 1)) { case (df, (_, a)) =>
+      df.withColumn(a, col("__last").getField(a))
+    }.drop("__side", "__r", "__last")
   }
 }

@@ -107,21 +107,22 @@ object Dedup {
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val rows = numPerms / bands
-    // persisted for the 3 passes (signature + two verification joins),
-    // then explicitly unpersisted once the result materializes below —
-    // no cache leak past the call
-    val docs = df.select(col(idCol).as("id"),
+    // (id, shingles) is RE-DERIVED per pass, never persisted: the
+    // shingle arrays are roughly the corpus itself, so caching them
+    // across passes is the one thing that cannot survive a 100 TB run.
+    // Re-deriving costs one extra columnar scan + map per verify side —
+    // cheap, spill-free, and embarrassingly parallel.
+    def docs = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol), n)).as("shs"))
       .filter(size(col("shs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = docs.withColumn("sig", minhashSignature(col("shs"), numPerms))
-    // band rows carry only (id, band, bandHash) — the shingle arrays stay
-    // out of the candidate-generation shuffle and join back once per
-    // surviving candidate pair
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, lit(rows)))))))
+    // candidate generation carries only (id, band, bandHash) — constant
+    // bytes per doc; the shingle arrays stay out of this shuffle entirely
+    val banded = docs
+      .withColumn("sig", minhashSignature(col("shs"), numPerms))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -130,7 +131,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val result = candidates
+      // the pair set is O(duplicates) — materialize it small so each
+      // verify join starts from the checkpointed pair list and AQE can
+      // broadcast it against the recomputed corpus scan (no corpus-wide
+      // shuffle of shingle arrays)
+      .localCheckpoint(true)
+    candidates
       .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
@@ -138,11 +144,6 @@ object Dedup {
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-      // eager materialization (the pair set is O(duplicates), tiny next
-      // to the corpus) so the shingle cache can release immediately
-      .localCheckpoint(true)
-    docs.unpersist()
-    result
   }
 
   /** the default token hash: xxhash64 (fastest, engine-internal) */

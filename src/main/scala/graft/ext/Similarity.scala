@@ -109,11 +109,28 @@ object Similarity {
     * scales by 127 and clamps to [-127, 127] — 4× smaller storage for
     * ANN candidate generation (rescoring reads the full-precision
     * column). Deterministic, engine-reproducible arithmetic.
+    *
+    * CONTRACT: components must lie in [-1, 1] (unit-normalized
+    * embeddings); values outside saturate at ±127. For unnormalized
+    * embeddings use [[quantizeInt8Scaled]].
     */
   def quantizeInt8(vec: Column): Column =
     transform(vec, x =>
       greatest(lit(-127.0), least(lit(127.0),
         round(x.cast(DoubleType) * 127))).cast("int"))
+
+  /** Scale-aware int8 quantization: each row divides by its own max-abs
+    * component before scaling, so unnormalized embeddings use the full
+    * int8 range instead of saturating. (Per-row scale — the standard
+    * scalar-quantization layout stores the scale alongside the codes
+    * for dequantized rescoring; pair with `array_max(abs(...))` when
+    * persisting.)
+    */
+  def quantizeInt8Scaled(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x.cast(DoubleType))))
+    transform(vec, x =>
+      round(x.cast(DoubleType) / greatest(m, lit(1e-12)) * 127).cast("int"))
+  }
 
   /** Corpus bound for the unblocked all-pairs kernel: 100k × 768-d float
     * vectors ≈ 300 MB of broadcast build side — comfortably inside
@@ -150,11 +167,16 @@ object Similarity {
     *    100% recall at cosine 0.46 on the sf0.01 corpus,
     *    `tools.SrpCheck`). Pass an explicit `blockCol` when exact
     *    within-block semantics are required at scale.
+    *
+    * The SRP fallback is OPT-IN (`allowApprox = true`): an oversized
+    * unblocked corpus otherwise fails fast rather than silently trading
+    * exact results for ~0.92 recall.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, blockCol: Option[String] = None,
       srpBits: Int = 10, srpBands: Int = 6,
-      broadcastLimit: Long = BroadcastPairLimit): DataFrame = {
+      broadcastLimit: Long = BroadcastPairLimit,
+      allowApprox: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     blockCol match {
       case Some(c) =>
@@ -167,7 +189,13 @@ object Similarity {
         val small =
           base.limit(broadcastLimit.toInt + 1).count() <= broadcastLimit
         if (small) smallAllPairs(base, minCosine)
-        else srpBlockedPairs(base, minCosine, srpBits, srpBands)
+        else if (allowApprox) srpBlockedPairs(base, minCosine, srpBits, srpBands)
+        else throw new IllegalArgumentException(
+          s"cosinePairs: corpus exceeds $broadcastLimit rows with no blockCol; " +
+            "exact all-pairs would be O(n^2). Pass blockCol for exact " +
+            "within-block pairs, or allowApprox = true for SRP-blocked " +
+            "approximate candidate generation (exact-verified pairs, " +
+            "recall < 1)")
     }
   }
 

@@ -385,6 +385,27 @@ object PipelineQueries {
         .orderBy("vec_id", "dim")
     },
 
+    // scale-aware int8 quantization: per-row max-abs scaling uses the
+    // full code range on unnormalized embeddings (no silent saturation)
+    "q_embedding_quantize_scaled" -> QueryDef(
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x))), 1e-12) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(j AS INTEGER) AS dim,
+        |  CAST(ROUND(CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+        |    / mx * 127) AS INTEGER) AS code
+        |FROM m, UNNEST(range(0, 8)) AS t(j)
+        |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(slice(Similarity.quantizeInt8Scaled(col("embedding")), 1, 8)))
+        .select(col("vec_id"), col("pos").cast(IntegerType).as("dim"),
+          col("col").cast(IntegerType).as("code"))
+        .orderBy("vec_id", "dim")
+    },
+
     // ---- as-of join (point-in-time feature lookup) ----
 
     // for every click, the user's latest purchase at or before it;

@@ -31,7 +31,7 @@ object SrpCheck {
     // broadcastLimit=1 forces the SRP-blocked path
     val srp = pairSet(Similarity.cosinePairs(emb, "vec_id", "embedding",
       minCos.toDouble, srpBits = bits.toInt, srpBands = bands.toInt,
-      broadcastLimit = 1L))
+      broadcastLimit = 1L, allowApprox = true))
     val recall = if (exact.isEmpty) 1.0 else
       (exact & srp).size.toDouble / exact.size
     println(f"exact=${exact.size} srp=${srp.size} " +

@@ -107,6 +107,24 @@ class PipelineExtSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
   }
 
+  test("asOf carries the latest right row atomically when it holds NULLs") {
+    val s = spark
+    import s.implicits._
+    // user 1: price at t=1 is (10.0, "usd"); at t=2 price is NULL but
+    // currency changes to "eur". A left row at t=3 must see the t=2 row
+    // whole — (null, "eur") — never a torn (10.0, "eur").
+    val right = Seq(
+      (1L, 1L, Option(10.0), Option("usd")),
+      (1L, 2L, Option.empty[Double], Option("eur")))
+      .toDF("uid", "ts", "price", "ccy")
+    val left = Seq((1L, 3L)).toDF("uid", "ts")
+    val out = AsOfJoin.asOf(left, right, Seq("uid"), "ts",
+      Seq("price" -> "p", "ccy" -> "c")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("p")))
+    assert(out.head.getString(out.head.fieldIndex("c")) == "eur")
+  }
+
   test("cosinePairs small path: exact pairs, no cartesian, no driver collect") {
     val out = Similarity.cosinePairs(pairEmb, "vec_id", "embedding", 0.95)
     val plan = out.queryExecution.executedPlan.toString
@@ -132,9 +150,15 @@ class PipelineExtSpec extends SparkSpec {
     val brute = Similarity.cosinePairs(pairEmb, "vec_id", "embedding", 0.95)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // broadcastLimit=2 forces the SRP-blocked path on the 6-row fixture
+    // broadcastLimit=2 forces the SRP-blocked path on the 6-row fixture;
+    // the approximate fallback is opt-in — without allowApprox the
+    // oversized unblocked corpus must fail fast
+    intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(pairEmb, "vec_id", "embedding", 0.95,
+        broadcastLimit = 2L)
+    }
     val srp = Similarity.cosinePairs(pairEmb, "vec_id", "embedding", 0.95,
-      broadcastLimit = 2L)
+      broadcastLimit = 2L, allowApprox = true)
     val plan = srp.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     val pairs = srp.select("id_a", "id_b").collect()

@@ -24,8 +24,16 @@ import scala.collection.concurrent.TrieMap
   * reference compiles per-table CLR decoders (SURVEY §3.3). DML results
   * persist via [[rewrite]]; on a production deployment each rewrite is
   * one Delta-style transactional table swap.
+  *
+  * With `bucketsOpt = Some(n)` (persisted in the meta, so reloads keep
+  * the layout) every table persists `bucketBy(n, GlobalNodeId)` and
+  * registers as an external bucketed table in the session catalog —
+  * the 100 TB posture: every frontier ⋈ table join on GlobalNodeId is
+  * co-located at write time and plans with no shuffle exchange on the
+  * table side (proven in `BucketedSpec`/`GraphDdlSpec`).
   */
-class GraphCatalog(val spark: SparkSession, val dir: String) {
+class GraphCatalog(val spark: SparkSession, val dir: String,
+    bucketsOpt: Option[Int] = None) {
 
   private val metaPath = Paths.get(dir, "graph_meta.json")
   private val cache = TrieMap[String, DataFrame]()
@@ -39,11 +47,43 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
     if (Files.exists(metaPath)) CatalogJson.readTypes(Files.readString(metaPath))
     else Map.empty
 
+  /** bucket count: explicit argument wins, else whatever the persisted
+    * meta recorded (a reloaded catalog keeps its physical layout)
+    */
+  val buckets: Option[Int] = bucketsOpt.orElse(
+    if (Files.exists(metaPath)) CatalogJson.readBuckets(Files.readString(metaPath))
+    else None)
+
+  /** session-catalog identifier for a table's bucketed registration —
+    * scoped by the dir hash so independent catalogs never collide
+    */
+  private def tableIdent(name: String): String =
+    s"graft_${Integer.toHexString(dir.hashCode).replace('-', 'n')}_${name.toLowerCase}"
+
+  private def tablePath(name: String): String = s"$dir/tables/$name"
+
+  /** register the parquet dir as an external bucketed table (idempotent) */
+  private def ensureRegistered(name: String): Unit = {
+    val ident = tableIdent(name)
+    if (!spark.catalog.tableExists(ident)) {
+      val ddl = spark.read.parquet(tablePath(name)).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $ident ($ddl) USING PARQUET
+           |CLUSTERED BY (GlobalNodeId) SORTED BY (GlobalNodeId)
+           |INTO ${buckets.get} BUCKETS
+           |LOCATION '${tablePath(name)}'""".stripMargin)
+    }
+  }
+
   def provider: GraphProvider = new GraphProvider {
     def schema: GraphSchema = GraphCatalog.this.schema
     def nodeTable(name: String): DataFrame =
-      cache.getOrElseUpdate(name,
-        spark.read.parquet(s"$dir/tables/$name"))
+      cache.getOrElseUpdate(name, buckets match {
+        case Some(_) =>
+          ensureRegistered(name)
+          spark.table(tableIdent(name))
+        case None => spark.read.parquet(tablePath(name))
+      })
   }
 
   def createNodeTable(td: NodeTableDef, propTypes: StructType): Unit = {
@@ -57,7 +97,7 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
       empty, td.nodeIdColumn.getOrElse(propTypes.fieldNames.head),
       td.edges.map(e => e.name -> emptyPairs(e)).toMap,
       schema.incomingEdges(td.name).map(e => e -> emptyPairs(e)))
-    physical.write.mode("overwrite").parquet(s"$dir/tables/${td.name}")
+    writeFresh(td.name, physical)
     persistMeta()
     cache.remove(td.name)
 
@@ -182,18 +222,48 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
       StructType(fields))
   }
 
-  /** persist a DML rewrite of a node table (write-temp-then-swap) */
+  private def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+  }
+
+  /** initial write of a table that has no readers yet */
+  private def writeFresh(tableName: String, df: DataFrame): Unit =
+    buckets match {
+      case None => df.write.mode("overwrite").parquet(tablePath(tableName))
+      case Some(n) =>
+        val ident = tableIdent(tableName)
+        spark.sql(s"DROP TABLE IF EXISTS $ident")
+        df.write.bucketBy(n, "GlobalNodeId").sortBy("GlobalNodeId")
+          .option("path", tablePath(tableName))
+          .mode("overwrite").saveAsTable(ident)
+    }
+
+  /** persist a DML rewrite of a node table (write-temp-then-swap; the
+    * temp write is bucketed under the same spec, so the swapped-in files
+    * keep the co-located layout and are re-registered over the final
+    * location)
+    */
   def rewrite(tableName: String, df: DataFrame): Unit = {
     val tmp = s"$dir/tables/.${tableName}_tmp"
-    val dst = Paths.get(s"$dir/tables/$tableName")
-    df.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: remove old, move tmp in place
-    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+    val dst = Paths.get(tablePath(tableName))
+    buckets match {
+      case None => df.write.mode("overwrite").parquet(tmp)
+      case Some(n) =>
+        val tmpIdent = tableIdent(tableName) + "_tmp"
+        spark.sql(s"DROP TABLE IF EXISTS $tmpIdent")
+        df.write.bucketBy(n, "GlobalNodeId").sortBy("GlobalNodeId")
+          .option("path", tmp).mode("overwrite").saveAsTable(tmpIdent)
+        // external table: dropping releases only metadata, files remain
+        spark.sql(s"DROP TABLE IF EXISTS $tmpIdent")
     }
+    // atomic-ish swap: remove old, move tmp in place
     rm(dst)
     Files.move(Paths.get(tmp), dst)
+    buckets.foreach { _ =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(tableName)}")
+      ensureRegistered(tableName)
+    }
     cache.remove(tableName)
   }
 
@@ -227,7 +297,7 @@ class GraphCatalog(val spark: SparkSession, val dir: String) {
 
   private def persistMeta(): Unit = {
     Files.createDirectories(metaPath.getParent)
-    Files.writeString(metaPath, CatalogJson.write(schema, propertyTypes))
+    Files.writeString(metaPath, CatalogJson.write(schema, propertyTypes, buckets))
   }
 }
 
@@ -238,7 +308,8 @@ object CatalogJson {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
-  def write(s: GraphSchema, types: Map[String, StructType]): String = {
+  def write(s: GraphSchema, types: Map[String, StructType],
+      buckets: Option[Int] = None): String = {
     val tables = s.tables.map { t =>
       JObject(
         "name" -> JString(t.name),
@@ -255,8 +326,16 @@ object CatalogJson {
               "type" -> JString(a.dataType.json))).toList))
         }.toList))
     }
-    JsonMethods.pretty(JsonMethods.render(JObject("tables" -> JArray(tables.toList))))
+    val fields = ("tables" -> JArray(tables.toList)) ::
+      buckets.map(n => "buckets" -> (JInt(n): JValue)).toList
+    JsonMethods.pretty(JsonMethods.render(JObject(fields: _*)))
   }
+
+  def readBuckets(json: String): Option[Int] =
+    JsonMethods.parse(json) \ "buckets" match {
+      case JInt(n) => Some(n.toInt)
+      case _ => None
+    }
 
   def read(json: String): GraphSchema = {
     val ast = JsonMethods.parse(json)

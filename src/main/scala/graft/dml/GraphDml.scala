@@ -27,15 +27,18 @@ object GraphDml {
   def insertEdges(table: DataFrame, e: EdgeDef, newPairs: DataFrame): DataFrame = {
     val adj = GraphBuilder.adjacency(newPairs, e.attrs)
     val c = e.columnName
+    // staging column renamed __edges: name resolution is case-insensitive,
+    // so an edge column literally named "Edges" would collide otherwise
     table
-      .join(adj.withColumnRenamed("src", "__src"),
+      .join(adj.withColumnRenamed("src", "__src")
+        .withColumnRenamed("edges", "__edges"),
         col("GlobalNodeId") === col("__src"), "left_outer")
       .withColumn(c,
-        when(col("edges").isNull, col(c))
+        when(col("__edges").isNull, col(c))
           .otherwise(concat(col(c), expr(
-            s"transform(edges, x -> named_struct('sink', x.sink, " +
+            s"transform(__edges, x -> named_struct('sink', x.sink, " +
               s"'edgeId', CAST(x.edgeId + size($c) AS INT)${attrFields(e)}))"))))
-      .drop("edges", "__src")
+      .drop("__edges", "__src")
       .withColumn(e.outDegreeColumnName, size(col(c)) - size(col(e.delColumnName)))
   }
 
@@ -70,20 +73,21 @@ object GraphDml {
     val packed = struct((col("src").as("sink") +: col("srcEdgeId") +:
       attrNames.map(col)): _*)
     val rev = numbered.groupBy(col("sink"))
-      .agg(sort_array(collect_list(packed)).as("edges"))
+      .agg(sort_array(collect_list(packed)).as("__edges"))
     val rc = e.reversedColumnName
     sinkTable
       .join(rev.withColumnRenamed("sink", "__sk"),
         col("GlobalNodeId") === col("__sk"), "left_outer")
       .withColumn("InDegree",
-        col("InDegree") + when(col("edges").isNull, 0).otherwise(size(col("edges"))))
+        col("InDegree") +
+          when(col("__edges").isNull, 0).otherwise(size(col("__edges"))))
       .withColumn(rc,
-        when(col("edges").isNull, col(rc))
+        when(col("__edges").isNull, col(rc))
           .otherwise(concat(col(rc), expr(
-            s"transform(edges, (x, i) -> named_struct('sink', x.sink, " +
+            s"transform(__edges, (x, i) -> named_struct('sink', x.sink, " +
               s"'edgeId', CAST(i + size($rc) AS INT), " +
               s"'srcEdgeId', x.srcEdgeId${attrFields(e)}))"))))
-      .drop("edges", "__sk")
+      .drop("__edges", "__sk")
   }
 
   /** DELETE EDGE: tombstone `(src, edgeId)` pairs into `<e>Del` and
@@ -157,10 +161,11 @@ object GraphDml {
     val rdc = e.reversedDelColumnName
     val revType = rev.schema("edges").dataType
     val synced = sinkTable.drop(rc)
-      .join(rev.withColumnRenamed("src", "__src"),
+      .join(rev.withColumnRenamed("src", "__src")
+        .withColumnRenamed("edges", "__edges"),
         col("GlobalNodeId") === col("__src"), "left_outer")
-      .withColumn(rc, coalesce(col("edges"), array().cast(revType)))
-      .drop("edges", "__src")
+      .withColumn(rc, coalesce(col("__edges"), array().cast(revType)))
+      .drop("__edges", "__src")
       .withColumn(rdc, array().cast(ArrayType(IntegerType)))
     // InDegree = live incoming edges = Σ (mirror size − mirror tombstones)
     // (the reference's sink-side decrement,

@@ -127,16 +127,20 @@ object GraphBuilder {
 
     var df = base.withColumn("GlobalNodeId", gid(tableDef.tableId, col(keyColumn)))
 
-    // outgoing adjacency + tombstone + out-degree per edge
+    // outgoing adjacency + tombstone + out-degree per edge. The staged
+    // column is renamed __edges before the join: Spark resolves column
+    // names case-insensitively, so a user edge literally named "Edges"
+    // would otherwise collide with the internal staging name
     tableDef.edges.foreach { e =>
       val adj = adjacency(edgePairs(e.name), e.attrs, saltFactor)
       val adjType = adj.schema("edges").dataType
       df = df
-        .join(adj.withColumnRenamed("src", "__src"),
+        .join(adj.withColumnRenamed("src", "__src")
+          .withColumnRenamed("edges", "__edges"),
           col("GlobalNodeId") === col("__src"), "left_outer")
         .withColumn(e.columnName,
-          coalesce(col("edges"), array().cast(adjType)))
-        .drop("edges", "__src")
+          coalesce(col("__edges"), array().cast(adjType)))
+        .drop("__edges", "__src")
         .withColumn(e.delColumnName,
           array().cast(ArrayType(IntegerType)))
         .withColumn(e.outDegreeColumnName, size(col(e.columnName)))
@@ -148,11 +152,12 @@ object GraphBuilder {
       val rev = reversedAdjacency(pairs, e.attrs, saltFactor)
       val revType = rev.schema("edges").dataType
       df = df
-        .join(rev.withColumnRenamed("src", "__src"),
+        .join(rev.withColumnRenamed("src", "__src")
+          .withColumnRenamed("edges", "__edges"),
           col("GlobalNodeId") === col("__src"), "left_outer")
         .withColumn(e.reversedColumnName,
-          coalesce(col("edges"), array().cast(revType)))
-        .drop("edges", "__src")
+          coalesce(col("__edges"), array().cast(revType)))
+        .drop("__edges", "__src")
         .withColumn(e.reversedDelColumnName,
           array().cast(ArrayType(IntegerType)))
     }

@@ -276,6 +276,17 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
 
   private var statsCache: Option[GraphStats] = statsOpt
 
+  // plan-time probe memos: selectivity per (table, conjunct) and
+  // histogram per (table, conjunct set). Probes are driver-local scans
+  // of the ≤200-row stats samples, but each still costs a Spark job —
+  // without the memo the same probe ran once for costing and once for
+  // histogram refinement per statement, and again on every repeat of
+  // the statement. Cleared whenever stats refresh.
+  private val selProbeCache =
+    scala.collection.concurrent.TrieMap[(String, String), Double]()
+  private val histProbeCache =
+    scala.collection.concurrent.TrieMap[(String, String), graft.stats.Histogram]()
+
   def stats: GraphStats = statsCache.getOrElse {
     val s = GraphStats.collect(provider)
     statsCache = Some(s)
@@ -290,6 +301,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val s = if (sampled) GraphStats.collectSampled(provider)
       else GraphStats.collect(provider)
     statsCache = Some(s)
+    selProbeCache.clear()
+    histProbeCache.clear()
     s
   }
 
@@ -305,6 +318,53 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+GRAPH(\s+SAMPLED)?\s*$""".r
+
+  // ---- stored procedures: a thin CREATE PROC / EXEC template registry,
+  // the statement surface of the reference's CreateProcedure + tutorial
+  // (`GraphViewConnection.cs:1619-1680`, `StoredProcedureTutorial.cs:
+  // 17-100`). The body is stored as dialect text; EXEC substitutes
+  // positional arguments for the declared @params and runs the body
+  // through the normal statement pipeline.
+  private final case class Proc(params: Seq[String], body: String)
+  private val procs = scala.collection.concurrent.TrieMap[String, Proc]()
+  private var procDepth = 0
+
+  // params may carry T-SQL types (`@st INT, @ed VARCHAR(10)`), ignored
+  // here — argument substitution is textual
+  private val ProcCreateRe =
+    ("""(?is)^\s*CREATE\s+PROC(?:EDURE)?\s+(\w+)\s*""" +
+      """((?:@\w+(?:\s+(?!AS\b)\w+(?:\(\d+\))?)?\s*,?\s*)*)AS\s+(.*)$""").r
+  private val ProcDropRe =
+    """(?is)^\s*DROP\s+PROC(?:EDURE)?\s+(\w+)\s*$""".r
+  private val ProcExecRe =
+    """(?is)^\s*EXEC(?:UTE)?\s+(\w+)\s*(.*)$""".r
+
+  private def execProc(name: String, argsRaw: String): DataFrame = {
+    val p = procs(name.toLowerCase)
+    val args = GraphSql.splitTopLevelParen(argsRaw).map(_.trim)
+    require(args.size == p.params.size,
+      s"EXEC $name: expected ${p.params.size} argument(s) " +
+        s"(${p.params.mkString(", ")}), got ${args.size}")
+    val body = p.params.zip(args).foldLeft(p.body) { case (b, (param, arg)) =>
+      b.replaceAll("(?i)" + java.util.regex.Pattern.quote(param) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(arg))
+    }
+    require(procDepth < 8, s"EXEC $name: procedure nesting exceeds 8")
+    procDepth += 1
+    try sqlScript(stripBeginEnd(body)).lastOption.getOrElse(affected(0))
+    finally procDepth -= 1
+  }
+
+  /** tolerate the tutorial's `BEGIN … END` body wrapper */
+  private def stripBeginEnd(b: String): String = {
+    val t = b.trim
+    if (!t.toUpperCase.startsWith("BEGIN")) t
+    else {
+      val inner = t.substring(5)
+      val endIdx = inner.toUpperCase.lastIndexOf("END")
+      (if (endIdx >= 0) inner.substring(0, endIdx) else inner).trim
+    }
+  }
 
   /** Execute a multi-statement script (statements separated by top-level
     * `;`) — the reference's batch surface (`WSqlScript`/`WSqlBatch`,
@@ -359,6 +419,15 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       // (GraphViewConnection.cs:2747-2799); SAMPLED = the 200-row mode
       val st = analyzeGraph(sampled != null)
       affected(st.rows.size.toLong)
+    case ProcCreateRe(name, paramsRaw, body) =>
+      procs(name.toLowerCase) =
+        Proc("""@\w+""".r.findAllIn(paramsRaw).toSeq, body.trim)
+      affected(0)
+    case ProcDropRe(name) if procs.contains(name.toLowerCase) =>
+      procs.remove(name.toLowerCase)
+      affected(0)
+    case ProcExecRe(name, argsRaw) if procs.contains(name.toLowerCase) =>
+      execProc(name, argsRaw)
     case InsertNodeRe(table, select) => insertNodeSql(table, select)
     case InsertEdgeRe(table, edge, select) => insertEdgeSql(table, edge, select)
     case DeleteEdgeRe(srcA, edge, dstA, from, where) =>
@@ -408,7 +477,10 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val td = cat.schema.table(table)
     val e = td.edge(edgeName)
     val sinkTd = cat.schema.table(e.sinkTable)
-    val raw = evalInner(select)
+    // positional rename: the two key columns may share a name
+    // (SELECT s.id, t.id — the tutorial's AddEdge shape)
+    val raw0 = evalInner(select)
+    val raw = raw0.toDF(raw0.columns.indices.map(i => s"__c$i"): _*)
     val Seq(srcKey, sinkKey) = raw.columns.take(2).toSeq
     val srcT = provider.nodeTable(table)
     val sinkT = provider.nodeTable(e.sinkTable)
@@ -611,15 +683,17 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         t <- tableOf.get(a)
         sample <- stats.samples.get(t)
       } yield {
-        try {
-          val pred = conjuncts
-            .map(c => org.apache.spark.sql.functions.expr(
-              c.replaceAll(s"\\b$a\\.", "")))
-            .reduce(_ && _)
-          val ids = sample.filter(pred)
-            .select("GlobalNodeId").collect().map(_.getLong(0)).toSeq
-          a -> graft.stats.Histogram.build(ids)
-        } catch { case _: Exception => a -> graft.stats.Histogram(Vector.empty) }
+        val locals = conjuncts.map(_.replaceAll(s"\\b$a\\.", ""))
+        a -> histProbeCache.getOrElseUpdate((t, locals.sorted.mkString("&&")), {
+          try {
+            val pred = locals
+              .map(org.apache.spark.sql.functions.expr)
+              .reduce(_ && _)
+            val ids = sample.filter(pred)
+              .select("GlobalNodeId").collect().map(_.getLong(0)).toSeq
+            graft.stats.Histogram.build(ids)
+          } catch { case _: Exception => graft.stats.Histogram(Vector.empty) }
+        })
       }
     }.filter(_._2.totalRows > 0)
   }
@@ -629,18 +703,21 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val sel = scala.collection.mutable.Map[String, Double]()
     boundConjuncts(p).foreach { case (a, conjuncts) =>
       if (tableOf.contains(a)) conjuncts.foreach { conjunct =>
-        try {
-          val local = conjunct.replaceAll(s"\\b$a\\.", "")
-          val pred = org.apache.spark.sql.functions.expr(local)
-          val (probe, denom) = stats.samples.get(tableOf(a)) match {
-            case Some(sample) => (sample, sample.count().toDouble)
-            case None => (provider.nodeTable(tableOf(a)), stats.tableRows(tableOf(a)))
-          }
-          if (denom > 0) {
-            val matched = probe.filter(pred).count()
-            sel(a) = sel.getOrElse(a, 1.0) * math.max(matched / denom, 1e-9)
-          }
-        } catch { case _: Exception => () } // unparseable → selectivity 1
+        val t = tableOf(a)
+        val local = conjunct.replaceAll(s"\\b$a\\.", "")
+        val s = selProbeCache.getOrElseUpdate((t, local), {
+          try {
+            val pred = org.apache.spark.sql.functions.expr(local)
+            val (probe, denom) = stats.samples.get(t) match {
+              case Some(sample) => (sample, sample.count().toDouble)
+              case None => (provider.nodeTable(t), stats.tableRows(t))
+            }
+            if (denom > 0)
+              math.max(probe.filter(pred).count() / denom, 1e-9)
+            else 1.0
+          } catch { case _: Exception => 1.0 } // unparseable → selectivity 1
+        })
+        sel(a) = sel.getOrElse(a, 1.0) * s
       }
     }
     sel.toMap

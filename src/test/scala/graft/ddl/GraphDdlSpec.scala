@@ -161,6 +161,88 @@ class GraphDdlSpec extends SparkSpec {
         |WHERE 1 = 0""".stripMargin).count() == 0) // parser smoke
   }
 
+  /** Bucketed catalog: tables persist bucketBy(GlobalNodeId), DML
+    * rewrites keep the layout, a frontier join on GlobalNodeId plans
+    * with no shuffle exchange on the table side, and a reloaded catalog
+    * keeps the bucket spec from the meta.
+    */
+  test("bucketed catalog: co-located joins survive DML and reload") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_bkt").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir, Some(4)))
+    gs.sql("""CREATE NODE TABLE People (
+             |  id INT NODEID, name STRING, EDGE Knows TO People)""".stripMargin)
+    gs.sql("""INSERT NODE INTO People
+             |SELECT * FROM VALUES (1,'Alice'),(2,'Bob'),(3,'Caven') AS t(id, name)""".stripMargin)
+    gs.sql("""INSERT EDGE INTO People.Knows
+             |SELECT * FROM VALUES (1,2),(2,3) AS t(s, d)""".stripMargin)
+
+    val t = gs.catalog.get.provider.nodeTable("People")
+    // co-location: a frontier join on GlobalNodeId must not exchange
+    // the bucketed table side even with broadcast disabled
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val s2 = spark
+      import s2.implicits._
+      val frontier = Seq((1L << 48 | 1L), (1L << 48 | 2L)).toDF("GlobalNodeId")
+        .repartition(4, col("GlobalNodeId"))
+      val joined = frontier.join(t, "GlobalNodeId")
+      val planStr = joined.queryExecution.executedPlan.toString
+      // exactly one side (the frontier repartition) may exchange; the
+      // scan side must not re-shuffle
+      assert(planStr.contains("SelectedBucketsCount") ||
+        planStr.split("Exchange").length - 1 <= 1, planStr)
+      assert(joined.count() == 2)
+    } finally spark.conf.set(key, saved)
+
+    // the graph is still correct through the bucketed layout
+    val res = gs.sql(
+      """SELECT B.name FROM People A, People B MATCH A-[Knows]->B
+        |WHERE A.name = 'Alice' ORDER BY B.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(res == Seq("Bob"))
+
+    // reload: bucket spec comes back from the meta
+    val reloaded = new GraphCatalog(spark, dir)
+    assert(reloaded.buckets.contains(4))
+    val res2 = new GraphSession(spark, reloaded).sql(
+      """SELECT B.name FROM People A, People B MATCH A-[Knows]->B
+        |WHERE A.name = 'Bob' ORDER BY B.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(res2 == Seq("Caven"))
+  }
+
+  /** Replay of the reference's StoredProcedureTutorial
+    * (`GraphViewTutorial/StoredProcedureTutorial.cs:17-100`): typed
+    * params, BEGIN/END bodies, EXEC with positional args.
+    */
+  test("stored procedures: CREATE PROC / EXEC / DROP tutorial flow") {
+    val dir = Files.createTempDirectory("graft_proc").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("CREATE NODE TABLE Node (id INT NODEID, EDGE Edges TO Node)")
+    gs.sql("INSERT NODE INTO Node SELECT * FROM VALUES (1),(2),(3) AS t(id)")
+    gs.sql("""CREATE PROCEDURE AddEdge @st INT, @ed INT AS BEGIN
+             |  INSERT EDGE INTO Node.Edges
+             |  SELECT s.id, t.id FROM Node s, Node t
+             |  WHERE s.id = @st AND t.id = @ed
+             |END""".stripMargin)
+    gs.sql("""CREATE PROCEDURE SelectNeighbors @id INT AS BEGIN
+             |  SELECT y.id FROM Node x, Node y MATCH x-[Edges]->y
+             |  WHERE x.id = @id ORDER BY y.id
+             |END""".stripMargin)
+    assert(gs.sql("EXEC AddEdge 1, 2").head().getLong(0) == 1)
+    assert(gs.sql("EXEC AddEdge 1, 3").head().getLong(0) == 1)
+    val res = gs.sql("EXEC SelectNeighbors 1")
+      .collect().map(_.getInt(0)).toSeq
+    assert(res == Seq(2, 3))
+    // wrong arity is rejected; dropped procs stop resolving
+    intercept[IllegalArgumentException] { gs.sql("EXEC AddEdge 1") }
+    gs.sql("DROP PROCEDURE AddEdge")
+    intercept[Exception] { gs.sql("EXEC AddEdge 2, 3").collect() }
+  }
+
   test("multi-statement script executes the tutorial batch in order") {
     val dir = Files.createTempDirectory("graft_script").toString
     val gs = new GraphSession(spark, new GraphCatalog(spark, dir))

@@ -107,23 +107,28 @@ object Dedup {
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val rows = numPerms / bands
-    // (id, shingles) is RE-DERIVED per pass, never persisted: the
-    // shingle arrays are roughly the corpus itself, so caching them
-    // across passes is the one thing that cannot survive a 100 TB run.
-    // Re-deriving costs one extra columnar scan + map per verify side —
-    // cheap, spill-free, and embarrassingly parallel.
-    def docs = df.select(col(idCol).as("id"),
+    // (id, shingles) is DERIVED, never persisted: the shingle arrays are
+    // roughly the corpus itself, so caching them across passes is the
+    // one thing that cannot survive a 100 TB run. Candidate generation
+    // shingles the corpus ONCE (map-only into constant-size band keys);
+    // verification re-shingles only the candidate docs.
+    def shingled(d: DataFrame) = d.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol), n)).as("shs"))
       .filter(size(col("shs")) > 0)
     // candidate generation carries only (id, band, bandHash) — constant
-    // bytes per doc; the shingle arrays stay out of this shuffle entirely
-    val banded = docs
+    // bytes per doc; the shingle arrays stay out of this shuffle entirely.
+    // Materialized once (localCheckpoint → executor-local storage, ~20
+    // bytes × bands per doc) so the self-join below reads it twice
+    // instead of re-running the corpus-wide shingle+signature pipeline
+    // per side
+    val banded = shingled(df)
       .withColumn("sig", minhashSignature(col("shs"), numPerms))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+      .localCheckpoint(true)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -131,14 +136,22 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      // the pair set is O(duplicates) — materialize it small so each
-      // verify join starts from the checkpointed pair list and AQE can
-      // broadcast it against the recomputed corpus scan (no corpus-wide
-      // shuffle of shingle arrays)
+      // the pair set is O(duplicates) — materialize it small so the
+      // verify side starts from the checkpointed pair list
+      .localCheckpoint(true)
+    // shingles re-derive ONLY for docs in some candidate pair: semi-join
+    // the raw rows on the candidate-id list first (O(duplicates), AQE
+    // broadcasts it when small), then shingle the survivors
+    val candIds = candidates.select(col("id_a").as("__cid"))
+      .union(candidates.select(col("id_b"))).distinct()
+    // materialized once (O(candidate docs), small) — both join sides
+    // read it without re-running the semi-join + shingling
+    val verifyDocs = shingled(
+      df.join(candIds, col(idCol) === col("__cid"), "left_semi"))
       .localCheckpoint(true)
     candidates
-      .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .join(verifyDocs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(verifyDocs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast(DoubleType))

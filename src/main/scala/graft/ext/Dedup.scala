@@ -189,10 +189,13 @@ object Dedup {
       tokenHash: Column => Column = XxTokenHash): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
     val sh = simhashes(df, textCol, idCol, tokenHash)
+    // materialized once (4 short rows per doc) so the self-join below
+    // doesn't re-run the corpus-wide tokenize+simhash pass per side
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandVal")
+      .localCheckpoint(true)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

@@ -173,15 +173,20 @@ object CostPlanner {
             val fwd = first.src != u // component holds the source → forward explode
             val d = deg(first, reversed = !fwd)
             var newSize = st.size * d * sel(u)
-            // histogram refinement of the expansion estimate (forward
-            // only — we sample sink ids, not source ids): P(an edge
+            // histogram refinement of the expansion estimate: P(an edge
             // endpoint lands on a predicate-surviving u node) from the
-            // sink-sample × filtered-id-sample intersection instead of
-            // the uniform sel(u). Scaled back to full-table terms:
-            // p = joined · sel · |U| / (|sinkSample| · |filteredSample|)
+            // edge-endpoint-sample × filtered-id-sample intersection
+            // instead of the uniform sel(u). Forward expansions read the
+            // sampled sink ids; reversed expansions the sampled source
+            // ids (the mirror, `Statistics.cs:68-216`). Scaled back to
+            // full-table terms:
+            // p = joined · sel · |U| / (|endpointSample| · |filteredSample|)
             // — reduces to sel(u) when both sides are uniform.
-            if (fwd) for {
-              sh <- stats.sinkHists.get((tableOf(first.src), first.edge))
+            val endpointHist =
+              if (fwd) stats.sinkHists.get((tableOf(first.src), first.edge))
+              else stats.srcHists.get((tableOf(first.src), first.edge))
+            for {
+              sh <- endpointHist
               fh <- filteredIdHists.get(u)
               if sh.totalRows > 0 && fh.totalRows > 0
             } {

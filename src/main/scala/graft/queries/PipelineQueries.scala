@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ext._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -428,6 +429,45 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"),
           expr("p_ts_ns DIV 1000").as("p_ts"), col("p_value"))
         .orderBy("event_id")
+    },
+
+    // event sessionization, batch face (gaps-and-islands): sessions
+    // split on >1h inactivity per user — the window-function mirror of
+    // the streaming flatMapGroupsWithState sessionizer (EdgeStream
+    // .sessionize; one shuffle on user_id, linear work)
+    "q_sessionize" -> QueryDef(
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value FROM events),
+        |marked AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |              <= 3600000000 THEN 0 ELSE 1 END AS brk
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts_us, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(sid AS INTEGER) AS sid,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS events,
+        |  ROUND(SUM(value), 4) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      Tables.load(s, d, "events")
+        .select(col("user_id"), expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          col("value"))
+        .withColumn("brk",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= 3600000000L, 0)
+            .otherwise(1))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid").cast(IntegerType).as("sid"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("events"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy("user_id", "sid")
     },
 
     // ---- multimodal ----

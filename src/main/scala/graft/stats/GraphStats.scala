@@ -19,6 +19,11 @@ final case class GraphStats(
     edges: Map[(String, String), EdgeStat],
     /** per-(table,edge) histogram of sampled sink ids (§4.4) */
     sinkHists: Map[(String, String), Histogram] = Map.empty,
+    /** per-(table,edge) histogram of sampled SOURCE ids (one entry per
+      * live edge) — the reversed-expansion mirror of [[sinkHists]]:
+      * where the edges' source endpoints sit in the id domain
+      */
+    srcHists: Map[(String, String), Histogram] = Map.empty,
     /** per-table histogram of sampled GlobalNodeIds */
     idHists: Map[String, Histogram] = Map.empty,
     /** per-table LocalRelation-backed row sample (the reference's
@@ -119,6 +124,7 @@ object GraphStats {
     val rows = Map.newBuilder[String, Long]
     val degs = Map.newBuilder[(String, String), (Long, Double)]
     val sinkHists = Map.newBuilder[(String, String), Histogram]
+    val srcHists = Map.newBuilder[(String, String), Histogram]
     val idHists = Map.newBuilder[String, Histogram]
     val samples = Map.newBuilder[String, org.apache.spark.sql.DataFrame]
     g.schema.tables.foreach { td =>
@@ -135,14 +141,18 @@ object GraphStats {
       idHists += td.name -> Histogram.build(
         sample.select(col("GlobalNodeId")).collect().map(_.getLong(0)).toSeq)
       td.edges.foreach { e =>
-        val sinks = sample
-          .select(explode(col(e.columnName)).as("__e"),
+        val endpoints = sample
+          .select(col("GlobalNodeId").as("__src"),
+            explode(col(e.columnName)).as("__e"),
             col(e.delColumnName).as("__del"))
           .filter(!array_contains(col("__del"), col("__e.edgeId")))
-          .select(col("__e.sink")).collect().map(_.getLong(0)).toSeq
+          .select(col("__src"), col("__e.sink")).collect()
+        val sinks = endpoints.map(_.getLong(1)).toSeq
         val avgDeg = if (sampled == 0) 0.0 else sinks.size.toDouble / sampled
         degs += (td.name, e.name) -> ((math.round(avgDeg * n), avgDeg))
         sinkHists += (td.name, e.name) -> Histogram.build(sinks)
+        srcHists += (td.name, e.name) ->
+          Histogram.build(endpoints.map(_.getLong(0)).toSeq)
       }
     }
     val rowMap = rows.result()
@@ -150,7 +160,7 @@ object GraphStats {
       val sinkRows = rowMap.getOrElse(findSink(g, t, e), 1L)
       (t, e) -> EdgeStat(c, d, if (sinkRows == 0) 0.0 else c.toDouble / sinkRows)
     }
-    GraphStats(rowMap, edgeMap, sinkHists.result(), idHists.result(),
-      samples.result())
+    GraphStats(rowMap, edgeMap, sinkHists.result(), srcHists.result(),
+      idHists.result(), samples.result())
   }
 }

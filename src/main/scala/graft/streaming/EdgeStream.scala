@@ -2,10 +2,19 @@ package graft.streaming
 
 import graft.dml.GraphDml
 import graft.meta.EdgeDef
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 import org.apache.spark.sql.Row
+
+/** one gap-closed user session (event-time bounds, count, value sum) */
+final case class UserSession(user_id: Long, start: java.sql.Timestamp,
+    end: java.sql.Timestamp, events: Long, total_value: Double)
+
+/** running per-user session accumulator (the custom state) */
+final case class SessionAcc(startMs: Long, endMs: Long,
+    events: Long, totalValue: Double)
 
 /** Structured Streaming ingestion — the beyond-reference extension of
   * SURVEY §2.10/§7.5: the reference has no streaming surface, but the
@@ -82,6 +91,64 @@ object EdgeStream {
       .withColumn("__fp", graft.ext.TextFunctions.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Event sessionization — the custom-state shape Structured Streaming
+    * exposes through `flatMapGroupsWithState` (SURVEY §2.10 extension):
+    * per user, events within `gapMs` of the running session extend it;
+    * a larger gap closes it (emitted downstream) and opens a new one;
+    * an idle session closes when the event-time watermark passes its
+    * end + gap (event-time timeout). State is one small accumulator per
+    * ACTIVE user — bounded by the watermark, never by history; the only
+    * shuffle keys on user_id.
+    */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+      valueCol: String, gapMs: Long, watermark: String): Dataset[UserSession] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .select(col(userCol).cast(LongType).as("user_id"),
+        col(tsCol).cast(TimestampType).as("ts"),
+        coalesce(col(valueCol).cast(DoubleType), lit(0.0)).as("value"))
+      .withWatermark("ts", watermark) // after the cast so the tag sticks
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          def emit(a: SessionAcc) = UserSession(uid,
+            new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.endMs),
+            a.events, a.totalValue)
+          if (!it.hasNext && state.hasTimedOut) {
+            // watermark passed end + gap: the idle session closes
+            val out = Iterator(emit(state.get))
+            state.remove()
+            out
+          } else {
+            val evs = it.map(e => (e._2.getTime, e._3)).toSeq.sortBy(_._1)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            evs.foreach { case (t, v) =>
+              cur match {
+                case Some(a) if t - a.endMs <= gapMs =>
+                  cur = Some(SessionAcc(a.startMs, math.max(a.endMs, t),
+                    a.events + 1, a.totalValue + v))
+                case Some(a) =>
+                  closed += emit(a)
+                  cur = Some(SessionAcc(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionAcc(t, t, 1, v))
+              }
+            }
+            cur.foreach { a =>
+              state.update(a)
+              // timeout must sit beyond the current watermark
+              state.setTimeoutTimestamp(math.max(a.endMs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** convenience: run a streaming query to completion over a bounded
     * source (tests / backfills)

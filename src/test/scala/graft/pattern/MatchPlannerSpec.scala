@@ -193,12 +193,47 @@ class MatchPlannerSpec extends SparkSpec {
     assert(overlap.cardinality >= uniform.cardinality, overlap.toString)
   }
 
+  test("histogram refinement applies to REVERSED expansions too") {
+    import graft.planner.CostPlanner
+    import graft.stats.{EdgeStat, GraphStats, Histogram}
+    val pat = MatchPattern(
+      Seq(NodePat("a", "A"), NodePat("b", "B")),
+      Seq(EdgePat("a", "e", "b")))
+    val sc = GraphSchema(Seq(
+      NodeTableDef("A", 1, None, Nil, Seq(EdgeDef("e", "A", "B"))),
+      NodeTableDef("B", 2, None, Nil, Nil)))
+    val gp = new GraphProvider {
+      val schema: GraphSchema = sc
+      def nodeTable(name: String): DataFrame = ???
+    }
+    // b is hyper-selective → the search seeds at b and expands REVERSED
+    // into a; edge SOURCES sampled in [0, 200); filtered a ids live in
+    // [5000, 5200) — no source mass lands on them
+    val srcHist = Histogram.build((0L until 200L).toSeq)
+    val stats = GraphStats(
+      rows = Map("A" -> 1000000L, "B" -> 1000000L),
+      edges = Map(("A", "e") -> EdgeStat(10000000L, 10.0, 10.0)),
+      srcHists = Map(("A", "e") -> srcHist))
+    val nodeSel = Map("b" -> 1e-4, "a" -> 0.02)
+    val uniform = CostPlanner.plan(gp, pat, stats, nodeSel)
+    assert(uniform.steps.head == graft.planner.StartNode("b"))
+    assert(uniform.steps.collectFirst {
+      case e: graft.planner.ExpandEdge => e.reversed
+    }.contains(true), uniform.toString)
+    val refined = CostPlanner.plan(gp, pat, stats, nodeSel,
+      filteredIdHists = Map("a" -> Histogram.build((5000L until 5200L).toSeq)))
+    assert(uniform.cardinality > 10.0, uniform.toString)
+    assert(refined.cardinality <= uniform.cardinality / 10.0, refined.toString)
+  }
+
   test("sampled stats approximate full aggregation") {
     val stats = graft.stats.GraphStats.collectSampled(g)
     assert(stats.rows("People") == 4L)
     // 3 edges over 4 sampled rows
     assert(math.abs(stats.edgeStat("People", "Knows").avgDeg - 0.75) < 1e-9)
     assert(stats.sinkHists(("People", "Knows")).totalRows == 3.0)
+    // source-id histogram (reversed-expansion mirror) from the same sample
+    assert(stats.srcHists(("People", "Knows")).totalRows == 3.0)
     assert(stats.idHists("People").totalRows == 4.0)
   }
 

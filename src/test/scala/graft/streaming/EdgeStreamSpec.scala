@@ -77,6 +77,43 @@ class EdgeStreamSpec extends SparkSpec {
     assert(rows == Set((1L, 2L, 5.0), (1L, 1L, 5.0), (2L, 1L, 1.0)))
   }
 
+  test("sessionization: gap splits, custom state, event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    def ts(h: Int, min: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+
+    val sessions = EdgeStream.sessionize(
+      stream.toDF().toDF("ts", "user_id", "value"),
+      "ts", "user_id", "value", gapMs = 5 * 60 * 1000L, watermark = "1 second")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+
+    // batch 1: user 1 — events at 10:00/10:01 then 10:30: the 29-min gap
+    // closes the first session in-batch, the 10:30 one stays open
+    stream.addData((ts(10, 0), 1L, 2.0), (ts(10, 1), 1L, 3.0),
+      (ts(10, 30), 1L, 5.0))
+    q.processAllAvailable()
+    // batch 2: 11:30 closes the 10:30 session (gap) and opens another
+    stream.addData((ts(11, 30), 1L, 1.0))
+    q.processAllAvailable()
+    // batch 3: another user far in the future advances the watermark
+    // past 11:35 → user 1's idle 11:30 session times out
+    stream.addData((ts(13, 0), 2L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(rows == Set(
+      (1L, ts(10, 0), ts(10, 1), 2L, 5.0),   // closed by in-batch gap
+      (1L, ts(10, 30), ts(10, 30), 1L, 5.0), // closed by next batch's gap
+      (1L, ts(11, 30), ts(11, 30), 1L, 1.0)  // closed by event-time timeout
+    ), rows.toString)
+  }
+
   test("streaming exact dedup drops repeated fingerprints within watermark") {
     val s = spark
     import s.implicits._

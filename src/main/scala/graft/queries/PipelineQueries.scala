@@ -431,6 +431,30 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // range (interval) join: clicks within 1h after a purchase by the
+    // same user — binned equi-join on (user, hour-bucket) + exact
+    // refine; DuckDB's native inequality join is the oracle
+    "q_range_join" -> QueryDef(
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_start"), (col("ts") + hourNs).as("p_end"))
+      RangeJoin.pointInInterval(clicks, purchases,
+        "c_ts", "p_start", "p_end", keys = Seq("user_id"), binWidth = hourNs)
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    },
+
     // event sessionization, batch face (gaps-and-islands): sessions
     // split on >1h inactivity per user — the window-function mirror of
     // the streaming flatMapGroupsWithState sessionizer (EdgeStream

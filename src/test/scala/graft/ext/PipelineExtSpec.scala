@@ -107,6 +107,28 @@ class PipelineExtSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
   }
 
+  test("range join: equi-join plan, equals the brute-force inequality join") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, 1L, 50L), (2L, 1L, 250L), (3L, 2L, 50L),
+      (4L, 1L, 1000L)).toDF("pid", "k", "p")
+    val intervals = Seq((10L, 1L, 40L, 60L), (11L, 1L, 45L, 260L),
+      (12L, 2L, 100L, 200L), (13L, 1L, 999L, 999L)).toDF("iid", "k", "s", "e")
+    val out = RangeJoin.pointInInterval(points, intervals,
+      "p", "s", "e", keys = Seq("k"), binWidth = 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = out.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = points.as("a").join(intervals.as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.p") >= col("b.s") && col("a.p") <= col("b.e"))
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && got == Set((1L, 10L), (1L, 11L), (2L, 11L)))
+  }
+
   test("asOf carries the latest right row atomically when it holds NULLs") {
     val s = spark
     import s.implicits._

@@ -54,7 +54,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minJaccard: Double,
       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
+    // shingles join/aggregate by their 64-bit hash: every shuffle
+    // (window count, both self-join sides, sizes) carries an 8-byte key
+    // instead of an n-word string — the exploded shingle relation is
+    // corpus-scale, so shrinking its shuffle payload matters more than
+    // anything else here. Sizes and intersections see the same hashed
+    // universe (collisions ~2⁻⁶⁴ per pair), keeping jaccard consistent.
     var sh = shingleRows(df, textCol, idCol, n)
+      .select(col("id"), xxhash64(col("sh")).as("sh"))
     maxShingleFreq.foreach { cap =>
       // window count, not groupBy+anti-join: one shuffle on the shingle
       // key, whose hash partitioning the self-join below then reuses

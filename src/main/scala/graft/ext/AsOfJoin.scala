@@ -45,4 +45,50 @@ object AsOfJoin {
       df.withColumn(a, col("__last").getField(a))
     }.drop("__side", "__r", "__last")
   }
+
+  /** Hot-key-safe as-of: [[asOf]] partitions the window by key alone, so
+    * one key holding a large share of the rows serializes one reducer.
+    * This variant splits time into `bucketWidth`-wide buckets and runs
+    * two phases:
+    *
+    *  1. in-bucket as-of partitioned by (key, bucket) — parallel across
+    *     buckets, so a hot key spreads over its time range;
+    *  2. rows with no in-bucket match take the "carry-in": the latest
+    *     right row of any EARLIER bucket, computed as an as-of over the
+    *     per-(key, bucket) summaries — one row per key×bucket, tiny.
+    *
+    * Result is row-for-row identical to [[asOf]]. `tsCol` must be
+    * integral (epoch nanos/micros/millis); pick `bucketWidth` so a hot
+    * key's rows spread over many buckets (e.g. one day of nanos).
+    */
+  def asOfBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, pick: Seq[(String, String)],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("__b", expr(s"$tsCol DIV $bucketWidth"))
+    val rb = right.withColumn("__b", expr(s"$tsCol DIV $bucketWidth"))
+    // phase 1: in-bucket as-of; the extra __m_ts pick marks real matches
+    // (right ts is never null, unlike legitimate null payload values)
+    val marked = asOf(lb, rb, keys :+ "__b", tsCol,
+      pick :+ (tsCol -> "__m_ts"))
+    val hit = marked.filter(col("__m_ts").isNotNull).drop("__m_ts", "__b")
+    // last right row per (key, bucket), shifted one bucket forward so a
+    // summary is visible only to STRICTLY LATER buckets (a right row in
+    // the left row's own bucket but after it must not match)
+    val packed = struct((col(tsCol).as("__ts") +:
+      pick.map { case (c, a) => col(c).as(a) }): _*)
+    val summaries = rb.groupBy((keys :+ "__b").map(col): _*)
+      .agg(max(packed).as("__m"))
+      .select((keys.map(col) :+ (col("__b") + 1).as("__b") :+
+        col("__m")): _*)
+    val sumFlat = summaries.select(((keys.map(col) :+ col("__b")) ++
+      pick.map { case (_, a) => col(s"__m.$a").as(s"__s_$a") }): _*)
+    // phase 2: carry-in via as-of over the summaries, keyed on the
+    // bucket index as "time"
+    val missed = marked.filter(col("__m_ts").isNull)
+      .drop(("__m_ts" +: pick.map(_._2)): _*)
+    val carried = asOf(missed, sumFlat, keys, "__b",
+      pick.map { case (_, a) => s"__s_$a" -> a }).drop("__b")
+    hit.unionByName(carried)
+  }
 }

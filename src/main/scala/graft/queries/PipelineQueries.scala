@@ -494,6 +494,28 @@ object PipelineQueries {
         .orderBy("user_id", "sid")
     },
 
+    // hot-key-safe two-phase as-of (in-bucket + carry-in) — must be
+    // row-identical to the plain as-of, so it shares its DuckDB oracle
+    "q_asof_join_bucketed" -> QueryDef(
+      """SELECT c.event_id, c.user_id,
+        |       epoch_us(p.ts) AS p_ts, p.value AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asOfBucketed(clicks, purchases, Seq("user_id"), "ts",
+        pick = Seq("ts" -> "p_ts_ns", "value" -> "p_value"),
+        bucketWidth = 3600L * 1000 * 1000 * 1000)
+        .select(col("event_id"), col("user_id"),
+          expr("p_ts_ns DIV 1000").as("p_ts"), col("p_value"))
+        .orderBy("event_id")
+    },
+
     // ---- multimodal ----
 
     // batched stub decode over text-as-binary payloads; the oracle

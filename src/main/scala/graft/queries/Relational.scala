@@ -424,6 +424,35 @@ object Relational {
             col("exact_parts") * 0.15).as("approx_ok"))
     },
 
+    // §2.6 exact interpolated percentiles (continuous quantile) — both
+    // engines use the same linear-interpolation definition
+    "q_percentile" -> QueryDef(
+      """SELECT o_orderstatus AS status,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("status")
+    },
+
+    // sketch-based approximate percentile: the oracle states the exact
+    // quantile and expects the estimate inside a 5% band (same pattern
+    // as q_approx_distinct)
+    "q_approx_percentile" -> QueryDef(
+      """SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        |  TRUE AS approx_ok
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("__exact"),
+          expr("percentile_approx(o_totalprice, 0.5, 1000)").as("__approx"))
+        .select(round(col("__exact"), 4).as("exact_p50"),
+          (abs(col("__approx") - col("__exact")) <=
+            col("__exact") * 0.05).as("approx_ok"))
+    },
+
     // §2.7 TOP n PERCENT (rank against the window-counted total)
     "q_top_percent" -> QueryDef(
       """WITH t AS (SELECT c_custkey, c_acctbal,

@@ -107,6 +107,38 @@ class PipelineExtSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
   }
 
+  test("asOfBucketed equals asOf across bucket boundaries and empty buckets") {
+    val s = spark
+    import s.implicits._
+    // right rows scattered so some left rows match in-bucket, some need
+    // the carry-in across one or more EMPTY buckets, some have no match
+    val right = Seq(
+      (1L, 5L, "a"), (1L, 95L, "b"),    // bucket 0
+      (1L, 450L, "c"),                  // bucket 4 (1-3 empty)
+      (2L, 205L, "x"))                  // bucket 2
+      .toDF("k", "ts", "v")
+    val left = Seq(
+      (1L, 3L),    // before any right row → null
+      (1L, 97L),   // in-bucket match (b)
+      (1L, 120L),  // bucket 1 empty → carry-in (b)
+      (1L, 430L),  // bucket 4, before 450 → carry-in (b)
+      (1L, 460L),  // in-bucket match (c)
+      (2L, 300L),  // bucket 3 empty → carry-in (x)
+      (3L, 50L))   // unknown key → null
+      .toDF("k", "ts")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ts", "pv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    val plain = norm(AsOfJoin.asOf(left, right, Seq("k"), "ts",
+      Seq("v" -> "pv")))
+    val bucketed = norm(AsOfJoin.asOfBucketed(left, right, Seq("k"), "ts",
+      Seq("v" -> "pv"), bucketWidth = 100L))
+    assert(bucketed == plain, s"bucketed=$bucketed plain=$plain")
+    assert(plain.contains((1L, 120L, Some("b"))) &&
+      plain.contains((2L, 300L, Some("x"))) &&
+      plain.contains((3L, 50L, None)))
+  }
+
   test("range join: equi-join plan, equals the brute-force inequality join") {
     val s = spark
     import s.implicits._

@@ -34,6 +34,13 @@ object Dedup {
       explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .distinct()
 
+  /** doc's distinct shingle set as 64-bit hashes — the native
+    * [[graft.functions.ShingleHashes]] pass (value-identical to
+    * xxhash64 over the string shingles, no per-shingle string build)
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_distinct(graft.functions.ShingleHashes(TextFunctions.tokens(text), n))
+
   /** Hot shingles above this document frequency are dropped before the
     * self-join by default: a shingle shared by f documents contributes
     * f² join rows, so one stop-phrase shingle at 10⁶ docs is a 10¹²-row
@@ -60,8 +67,8 @@ object Dedup {
     // corpus-scale, so shrinking its shuffle payload matters more than
     // anything else here. Sizes and intersections see the same hashed
     // universe (collisions ~2⁻⁶⁴ per pair), keeping jaccard consistent.
-    var sh = shingleRows(df, textCol, idCol, n)
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
+    var sh = df.select(col(idCol).as("id"),
+      explode(hashedShingles(col(textCol), n)).as("sh"))
     maxShingleFreq.foreach { cap =>
       // window count, not groupBy+anti-join: one shuffle on the shingle
       // key, whose hash partitioning the self-join below then reuses
@@ -120,7 +127,7 @@ object Dedup {
     // shingles the corpus ONCE (map-only into constant-size band keys);
     // verification re-shingles only the candidate docs.
     def shingled(d: DataFrame) = d.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), n)).as("shs"))
+      hashedShingles(col(textCol), n).as("shs"))
       .filter(size(col("shs")) > 0)
     // candidate generation carries only (id, band, bandHash) — constant
     // bytes per doc; the shingle arrays stay out of this shuffle entirely.
@@ -129,7 +136,7 @@ object Dedup {
     // instead of re-running the corpus-wide shingle+signature pipeline
     // per side
     val banded = shingled(df)
-      .withColumn("sig", minhashSignature(col("shs"), numPerms))
+      .withColumn("sig", graft.functions.MinHashSig(col("shs"), numPerms))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",

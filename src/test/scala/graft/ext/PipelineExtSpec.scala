@@ -107,6 +107,26 @@ class PipelineExtSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
   }
 
+  test("ShingleHashes equals xxhash64 over string shingles, byte-for-byte") {
+    val out = docs.select(col("doc_id"),
+      graft.functions.ShingleHashes(TextFunctions.tokens(col("text")), 3)
+        .as("native"),
+      transform(TextFunctions.shingles(col("text"), 3),
+        s => xxhash64(s)).as("viaStrings"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    // short text → empty array, same as the string path
+    val s = spark
+    import s.implicits._
+    val short = Seq((1L, "one two")).toDF("id", "text")
+      .select(graft.functions.ShingleHashes(
+        TextFunctions.tokens(col("text")), 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("asOfBucketed equals asOf across bucket boundaries and empty buckets") {
     val s = spark
     import s.implicits._

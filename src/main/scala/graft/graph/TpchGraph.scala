@@ -118,6 +118,12 @@ object TpchGraph {
       g(7, "user_id").as("src"), g(8, "event_id").as("sink"),
       col("event_type").as("etype"), col("value").as("value"))
 
+    // each edge list is consumed twice (forward adjacency on the source
+    // table, reversed mirror on the sink) — stage it once so derivations
+    // like the supplies pre-aggregation over lineitem don't re-run per
+    // side. Edge staging before the build is the standard bulk-load
+    // shape; the materialized list is O(edges), small next to the build
+    // shuffles it feeds.
     val pairs: Map[(String, String), DataFrame] = Map(
       ("User", "did") -> did,
       ("Nation", "inRegion") -> inRegion,
@@ -127,6 +133,7 @@ object TpchGraph {
       ("Supplier", "locatedIn") -> suppLocated,
       ("Supplier", "supplies") -> supplies,
       ("Order", "contains") -> contains)
+      .map { case (k, v) => k -> v.localCheckpoint(true) }
 
     val bases = Map(
       "Region" -> ("r_regionkey", region),

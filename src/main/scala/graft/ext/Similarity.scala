@@ -132,6 +132,35 @@ object Similarity {
       round(x.cast(DoubleType) / greatest(m, lit(1e-12)) * 127).cast("int"))
   }
 
+  /** Deterministic coarse-quantizer training: take the `k` rows with the
+    * smallest ids as centroids (reproducible in any engine, which is
+    * what lets the assignment verify against an oracle; a production
+    * trainer would swap in sampled k-means++ — the assignment path
+    * below is unchanged). Returns (cell index, centroid vector).
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Int, Seq[Float])] =
+    corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1) }.toSeq
+
+  /** Assign every row its max-cosine centroid cell — the IVF coarse
+    * quantization step. Centroids broadcast as a literal array; the
+    * per-row argmax is one codegen pass (`transform` + `array_max` over
+    * (score, cell) structs, score rounded to absorb float noise), no
+    * join, no shuffle. Feeds [[ivfTopK]] / [[writeIvfIndex]].
+    */
+  def assignCells(corpus: DataFrame, vecCol: String, cellCol: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val centArr = array(centroids.map { case (i, v) =>
+      struct(lit(i).as("cell"), typedlit(v).as("cv"))
+    }: _*)
+    val scored = transform(centArr, c => struct(
+      round(cosine(col(vecCol), c.getField("cv")), 9).as("cs"),
+      c.getField("cell").as("cell")))
+    corpus.withColumn(cellCol, array_max(scored).getField("cell"))
+  }
+
   /** Corpus bound for the unblocked all-pairs kernel: 100k × 768-d float
     * vectors ≈ 300 MB of broadcast build side — comfortably inside
     * Spark's managed broadcast limits. Beyond it, pairing without a

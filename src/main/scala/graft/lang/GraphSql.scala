@@ -219,11 +219,30 @@ object GraphSql {
     else if (v.contains('.')) v.toDouble
     else v.toLong
 
-  /** rewrite `alias.col` → `alias__col` for all known aliases */
-  private[lang] def rewriteRefs(s: String, aliases: Iterable[String]): String =
-    aliases.foldLeft(s) { (acc, a) =>
+  /** rewrite `alias.col` → `alias__col` for all known aliases — only
+    * OUTSIDE string literals (`WHERE c.name = 'a.name'` keeps the
+    * literal intact)
+    */
+  private[lang] def rewriteRefs(s: String, aliases: Iterable[String]): String = {
+    def rw(seg: String): String = aliases.foldLeft(seg) { (acc, a) =>
       acc.replaceAll(s"""\\b$a\\.(\\w+)""", s"${a}__$$1")
     }
+    val out = new StringBuilder
+    var start = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote == 0 && (c == '\'' || c == '"')) {
+        out ++= rw(s.substring(start, i)); start = i; quote = c
+      } else if (quote != 0 && c == quote) {
+        out ++= s.substring(start, i + 1); start = i + 1; quote = 0
+      }
+      i += 1
+    }
+    out ++= (if (quote == 0) rw(s.substring(start)) else s.substring(start))
+    out.toString
+  }
 
   /** Locate a `[NOT] EXISTS (SELECT … MATCH …)` span — the correlated
     * MATCH subquery form (`TranslateMatchClauseVisitor.cs:620-705`).

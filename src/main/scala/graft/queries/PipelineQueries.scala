@@ -386,6 +386,31 @@ object PipelineQueries {
         .orderBy("vec_id", "dim")
     },
 
+    // IVF training + coarse quantization: deterministic centroids (the
+    // k smallest ids), every row assigned its max-cosine cell via a
+    // broadcast-literal argmax — no join, no shuffle; ties break to the
+    // higher cell index in both engines
+    "q_ann_ivf_trained" -> QueryDef(
+      """WITH c AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |         embedding AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(c.cv AS DOUBLE[])), 9) AS cs
+        |  FROM embeddings e CROSS JOIN c)
+        |SELECT vec_id, cell FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                           ORDER BY cs DESC, cell DESC) = 1
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      Similarity.assignCells(emb, "embedding", "cell", cents)
+        .select(col("vec_id"), col("cell").cast(IntegerType).as("cell"))
+        .orderBy("vec_id")
+    },
+
     // scale-aware int8 quantization: per-row max-abs scaling uses the
     // full code range on unnormalized embeddings (no silent saturation)
     "q_embedding_quantize_scaled" -> QueryDef(

@@ -49,6 +49,9 @@ class GraphSqlSpec extends SparkSpec {
   test("alias reference rewriting") {
     assert(GraphSql.rewriteRefs("a.name = 'x' AND bb.k > a.v", Seq("a", "bb")) ==
       "a__name = 'x' AND bb__k > a__v")
+    // alias-shaped substrings inside string literals stay untouched
+    assert(GraphSql.rewriteRefs("a.name = 'a.name' AND a.k = \"a.k\"", Seq("a")) ==
+      "a__name = 'a.name' AND a__k = \"a.k\"")
   }
 
   private lazy val peopleProvider: GraphProvider = {

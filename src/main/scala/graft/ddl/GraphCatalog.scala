@@ -257,9 +257,14 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
         // external table: dropping releases only metadata, files remain
         spark.sql(s"DROP TABLE IF EXISTS $tmpIdent")
     }
-    // atomic-ish swap: remove old, move tmp in place
-    rm(dst)
+    // two-rename swap: the old table stays recoverable (.bak) until the
+    // new one is in place — a crash window loses no committed data (the
+    // production analogue is a Delta/Iceberg metadata swap)
+    val bak = Paths.get(s"$dir/tables/.${tableName}_bak")
+    rm(bak)
+    if (Files.exists(dst)) Files.move(dst, bak)
     Files.move(Paths.get(tmp), dst)
+    rm(bak)
     buckets.foreach { _ =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(tableName)}")
       ensureRegistered(tableName)

@@ -150,6 +150,30 @@ object EdgeStream {
       }
   }
 
+  /** Watermarked stream-stream attribution join (the streaming face of
+    * [[graft.ext.RangeJoin]]): each left event joins same-key right
+    * events at most `window` older — Spark's native stream-stream inner
+    * join with an event-time range condition, so BOTH sides' state is
+    * bounded by watermark + range (late rows beyond the watermark are
+    * dropped, matched state expires as the watermark passes the range).
+    * Inputs need (`keyCol`, `tsCol` timestamp) columns; remaining
+    * column names must be disjoint.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      watermark: String, window: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right
+      .withColumnRenamed(keyCol, "__rk").withColumnRenamed(tsCol, "__rts")
+      .withWatermark("__rts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col("r.__rk") &&
+        col(s"l.$tsCol") >= col("r.__rts") &&
+        col(s"l.$tsCol") <= col("r.__rts") + expr(s"interval $window"))
+      .withColumnRenamed("__rts", s"${tsCol}_right")
+      .drop("__rk")
+  }
+
   /** convenience: run a streaming query to completion over a bounded
     * source (tests / backfills)
     */

@@ -114,6 +114,34 @@ class EdgeStreamSpec extends SparkSpec {
     ), rows.toString)
   }
 
+  test("stream-stream interval join attributes clicks to recent purchases") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val purchases = MemoryStream[(Timestamp, Long, String)]
+    clicks.addData((ts(10), 1L, "c1"), (ts(40), 1L, "c2"), (ts(12), 2L, "c3"))
+    purchases.addData((ts(8), 1L, "p1"), (ts(11), 2L, "p2"), (ts(30), 2L, "p3"))
+
+    val joined = EdgeStream.intervalJoin(
+      clicks.toDF().toDF("ts", "user_id", "click"),
+      purchases.toDF().toDF("ts", "user_id", "purchase"),
+      keyCol = "user_id", tsCol = "ts",
+      watermark = "1 minute", window = "15 minutes")
+    val q = joined.writeStream.format("memory")
+      .queryName("attribution").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attribution")
+      .select("click", "purchase").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // c1 ← p1 (2 min before); c3 ← p2 (1 min before); c2 matches nothing
+    // (p1 is 32 min old — outside the 15-minute window)
+    assert(rows == Set(("c1", "p1"), ("c3", "p2")), rows.toString)
+  }
+
   test("streaming exact dedup drops repeated fingerprints within watermark") {
     val s = spark
     import s.implicits._

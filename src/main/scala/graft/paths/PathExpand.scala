@@ -112,13 +112,15 @@ object PathExpand {
     val seed = seedIds.select(seedCols: _*)
 
     def step(frontier: DataFrame): DataFrame = {
+      // tombstone + attr predicates fold into the array before the
+      // explode — dead/non-matching edges never materialize as rows
+      val live = filter(col("__adj"), x =>
+        attrEq.foldLeft(!array_contains(col("__del"), x.getField("edgeId"))) {
+          case (acc, (k, v)) => acc && x.getField(k) === lit(v)
+        })
       var df = frontier
         .join(adj, col("dst") === col("__node"))
-        .withColumn("__e", explode(col("__adj")))
-        .filter(!array_contains(col("__del"), col("__e.edgeId")))
-      attrEq.foreach { case (k, v) =>
-        df = df.filter(col("__e").getField(k) === lit(v))
-      }
+        .withColumn("__e", explode(live))
       df = mode match {
         case EdgeDisjoint => df.filter(!array_contains(col("pathEdges"),
           struct(col("dst").as("node"), col("__e.edgeId").as("edgeId"))))

@@ -208,14 +208,26 @@ object MatchPlanner {
     t.select(t.columns.map(c => col(c).as(s"${n.alias}__$c")).toSeq: _*)
   }
 
+  /** Live, predicate-surviving edges of an adjacency array: tombstone
+    * skip + per-edge attr equality fold INTO the array (higher-order
+    * `filter`) BEFORE the explode, so dead/non-matching entries never
+    * materialize as rows — the explode emits exactly the surviving
+    * edges instead of exploding everything and filtering after.
+    */
+  private def liveEdges(adj: Column, del: Column, e: EdgePat): Column =
+    filter(adj, x =>
+      e.attrEq.foldLeft(!array_contains(del, x.getField("edgeId"))) {
+        case (acc, (k, v)) => acc && x.getField(k) === lit(v)
+      })
+
   /** Explode `src`'s adjacency for `e`: one output row per live edge,
     * with flattened `<edgeAlias>__{sink,edgeId,attrs*}` columns.
     */
   private def explodeForward(df: DataFrame, e: EdgePat, ed: EdgeDef): DataFrame =
     flatten(
-      df.withColumn("__e", explode(col(s"${e.src}__${ed.columnName}")))
-        .filter(!array_contains(col(s"${e.src}__${ed.delColumnName}"),
-          col("__e.edgeId"))),
+      df.withColumn("__e", explode(liveEdges(
+        col(s"${e.src}__${ed.columnName}"),
+        col(s"${e.src}__${ed.delColumnName}"), e))),
       e, ed, srcField = None)
 
   /** Explode `dst`'s reversed adjacency: struct's `sink` field holds the
@@ -225,17 +237,14 @@ object MatchPlanner {
     */
   private def explodeReversed(df: DataFrame, e: EdgePat, ed: EdgeDef): DataFrame =
     flatten(
-      df.withColumn("__e", explode(col(s"${e.dst}__${ed.reversedColumnName}")))
-        .filter(!array_contains(col(s"${e.dst}__${ed.reversedDelColumnName}"),
-          col("__e.edgeId"))),
+      df.withColumn("__e", explode(liveEdges(
+        col(s"${e.dst}__${ed.reversedColumnName}"),
+        col(s"${e.dst}__${ed.reversedDelColumnName}"), e))),
       e, ed, srcField = Some("sink"))
 
   private def flatten(df0: DataFrame, e: EdgePat, ed: EdgeDef,
       srcField: Option[String]): DataFrame = {
-    var df = df0
-    e.attrEq.foreach { case (k, v) =>
-      df = df.filter(col("__e").getField(k) === lit(v))
-    }
+    val df = df0
     val endpoint = srcField match {
       case None => Seq(col("__e.sink").as(s"${e.alias}__sink"))
       case Some(f) => Seq(col(s"__e.$f").as(s"${e.alias}__src"))

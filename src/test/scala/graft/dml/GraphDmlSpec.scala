@@ -46,6 +46,68 @@ class GraphDmlSpec extends SparkSpec {
     assert(ids == Seq(0, 1))
   }
 
+  test("both-sided DML round-trip: forward and reversed views agree at every step") {
+    val s = spark
+    import s.implicits._
+    def liveForward(t: DataFrame): Set[(Long, Long)] = t
+      .select(col("GlobalNodeId").as("src"),
+        explode(expr("filter(Knows, x -> NOT array_contains(KnowsDel, x.edgeId))"))
+          .as("e"))
+      .select(col("src"), col("e.sink"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def liveReversed(t: DataFrame): Set[(Long, Long)] = t
+      .select(col("GlobalNodeId").as("dst"),
+        explode(expr("filter(People_KnowsReversed, " +
+          "x -> NOT array_contains(People_KnowsReversedDel, x.edgeId))")).as("e"))
+      .select(col("e.sink"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def inDegSum(t: DataFrame): Long =
+      t.agg(sum(col("InDegree"))).head().getLong(0)
+
+    def gid(i: Int) = GlobalNodeId.pack(1, i.toLong)
+    var t = freshGraph
+    assert(liveForward(t) == liveReversed(t))
+
+    // insert a batch (self-table edge: source rewrite then sink mirror)
+    val extra = Seq((1, 3), (1, 4), (3, 1)).toDF("s", "d")
+      .select(GraphBuilder.gid(1, col("s")).as("src"),
+        GraphBuilder.gid(1, col("d")).as("sink"))
+    val numbered = GraphDml.numberNewEdges(t, ed, extra).localCheckpoint(true)
+    t = GraphDml.insertEdgesSinkSide(
+      GraphDml.insertEdges(t, ed, extra).localCheckpoint(true), ed, numbered)
+      .localCheckpoint(true)
+    val afterInsert = liveForward(t)
+    assert(afterInsert == liveReversed(t))
+    assert(afterInsert == Set(
+      (gid(1), gid(2)), (gid(2), gid(3)), (gid(2), gid(4)),
+      (gid(1), gid(3)), (gid(1), gid(4)), (gid(3), gid(1))))
+    assert(inDegSum(t) == 6)
+
+    // delete a subset through the incremental both-sided path
+    val doomed = t
+      .select(col("GlobalNodeId").as("src"), explode(col("Knows")).as("e"),
+        col("KnowsDel"))
+      .filter(!array_contains(col("KnowsDel"), col("e.edgeId")) &&
+        (col("e.sink") === gid(4) || col("GlobalNodeId") === gid(3)))
+      .select(col("src"), col("e.edgeId").as("edgeId"), col("e.sink").as("sink"))
+      .localCheckpoint(true)
+    t = GraphDml.deleteEdgesSinkSide(
+      GraphDml.deleteEdges(t, ed, doomed).localCheckpoint(true), ed, doomed)
+      .localCheckpoint(true)
+    val afterDelete = liveForward(t)
+    assert(afterDelete == liveReversed(t))
+    assert(afterDelete == Set(
+      (gid(1), gid(2)), (gid(2), gid(3)), (gid(1), gid(3))))
+    assert(inDegSum(t) == 3)
+
+    // compact + resync: same live set, clean tombstones
+    t = GraphDml.syncReversed(GraphDml.compact(t, ed).localCheckpoint(true),
+      GraphDml.compact(t, ed).localCheckpoint(true), ed).localCheckpoint(true)
+    assert(liveForward(t) == afterDelete && liveReversed(t) == afterDelete)
+    assert(t.agg(sum(size(col("KnowsDel")))).head().getLong(0) == 0)
+    assert(t.agg(sum(size(col("People_KnowsReversedDel")))).head().getLong(0) == 0)
+  }
+
   test("delete edge tombstones, compaction renumbers, degrees stay live") {
     val s = spark
     import s.implicits._

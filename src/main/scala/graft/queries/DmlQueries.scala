@@ -162,6 +162,40 @@ object DmlQueries {
         .orderBy("c_custkey")
     },
 
+    // bulk load end-to-end (BulkInsert.cs:486,771): stage CSVs from the
+    // driver's parquet, CREATE NODE TABLE + bulkInsertNode/Edge into a
+    // fresh catalog, then answer through MATCH over the loaded graph —
+    // the oracle recomputes from the flat tables directly
+    "q_bulk_load" -> QueryDef(
+      """SELECT CAST(n.n_nationkey AS INTEGER) AS nationkey, r.r_name AS region
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_bulk").toString
+      val nation = graft.Tables.load(s, d, "nation")
+      val region = graft.Tables.load(s, d, "region")
+      region.select(col("r_regionkey").cast(IntegerType).as("rk"),
+        col("r_name").as("rname"))
+        .coalesce(1).write.option("header", "true").csv(s"$dir/region_csv")
+      nation.select(col("n_nationkey").cast(IntegerType).as("nk"),
+        col("n_name").as("nname"))
+        .coalesce(1).write.option("header", "true").csv(s"$dir/nation_csv")
+      nation.select(col("n_nationkey").cast(IntegerType).as("nk"),
+        col("n_regionkey").cast(IntegerType).as("rk"))
+        .coalesce(1).write.option("header", "true").csv(s"$dir/edge_csv")
+      val cat = new graft.ddl.GraphCatalog(s, s"$dir/cat")
+      val gs = new graft.lang.GraphSession(s, cat)
+      gs.sql("CREATE NODE TABLE RegionT (rk INT NODEID, rname STRING)")
+      gs.sql("""CREATE NODE TABLE NationT (
+               |  nk INT NODEID, nname STRING, EDGE inR TO RegionT)""".stripMargin)
+      graft.load.BulkLoad.bulkInsertNode(cat, "RegionT", s"$dir/region_csv")
+      graft.load.BulkLoad.bulkInsertNode(cat, "NationT", s"$dir/nation_csv")
+      graft.load.BulkLoad.bulkInsertEdge(cat, "NationT", "inR", s"$dir/edge_csv")
+      gs.sql(
+        """SELECT n.nk AS nationkey, r.rname AS region
+          |FROM NationT n, RegionT r MATCH n-[inR]->r
+          |ORDER BY nationkey""".stripMargin)
+    },
+
     // INSERT NODE: append synthetic customers (supplier-derived keys,
     // offset to avoid collision), empty adjacency — then scan keys
     "q_dml_insert_node" -> QueryDef(

@@ -105,6 +105,20 @@ object SqlQueries {
     },
 
     // var-length path in the pattern text (*1..2 over the nation ring)
+    // stored procedure through the dialect (GraphViewConnection.cs:1619,
+    // StoredProcedureTutorial.cs): CREATE PROC with a typed param, EXEC
+    // with a positional arg, body is a MATCH query
+    "q_sql_proc" -> QueryDef(
+      """SELECT n_name FROM nation WHERE n_regionkey = 1
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val gs = session(s, d)
+      gs.sql("""CREATE PROCEDURE NationsIn @r INT AS
+               |  SELECT n.n_name AS n_name FROM Nation n, Region r
+               |  MATCH n-[inRegion]->r
+               |  WHERE r.r_regionkey = @r ORDER BY n_name""".stripMargin)
+      gs.sql("EXEC NationsIn 1")
+    },
+
     // T-SQL TOP n PERCENT through the dialect (WSelectQuery.cs:350-399):
     // cutoff resolves against the tail's row count
     "q_sql_top_percent" -> QueryDef(

@@ -20,6 +20,7 @@ object SparkEntry {
       _root_.graft.queries.PathQueries.defs,
       _root_.graft.queries.DmlQueries.defs,
       _root_.graft.queries.PipelineQueries.defs,
+      _root_.graft.queries.CurationQueries.defs,
       _root_.graft.queries.SqlQueries.defs,
       _root_.graft.queries.GraphxQueries.defs)
     val dups = all.flatMap(_.keys).groupBy(identity).collect {

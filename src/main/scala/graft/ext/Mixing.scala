@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-mixing utilities for training-corpus assembly — deterministic
+  * stratified sampling and token-budget sequence packing
+  * (beyond-reference extensions; BASELINE north star).
+  *
+  * Determinism matters more than statistical elegance here: a training
+  * mix must be reproducible run-to-run and engine-to-engine, so the
+  * sampling decision is a pure function of the row's id (a portable
+  * md5-derived hash — the same trick [[Dedup.PortableTokenHash]] uses),
+  * never `rand()`. That also makes it a narrow map stage: no shuffle,
+  * no sort, resumable at any scale.
+  */
+object Mixing {
+
+  /** portable 60-bit hash of the id rendered as a decimal string —
+    * bit-for-bit reproducible in any engine with md5
+    */
+  def idHash(id: Column): Column =
+    conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** Deterministic per-stratum Bernoulli sampling: keep a row iff
+    * `idHash(id) mod 10000 < rate(stratum) * 10000`. Strata absent
+    * from `rates` default to `defaultRate`. The usual data-mixing
+    * move: up/down-weight sources to hit target proportions.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).toInt): Column) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, (r * 10000).toInt).otherwise(acc)
+    }
+    df.filter(pmod(idHash(col(idCol)), lit(10000L)) < threshold)
+  }
+
+  /** Token-budget sequence packing (context-window assembly): within
+    * each stratum, docs in id order are laid head-to-tail and cut into
+    * bins of ~`budgetTokens` — bin = ⌊exclusive-running-token-sum /
+    * budget⌋. A doc lands in the bin where its first token falls
+    * (bins can overrun by less than one doc — the standard greedy
+    * concat-then-chunk packing, not bin-packing).
+    *
+    * Scale shape: one shuffle on the stratum key; the running sum is a
+    * linear per-partition pass. Packing is per-stratum BY DESIGN — a
+    * single global ordering would serialize the corpus through one
+    * partition; shard first (here: by source) like any 100 TB layout.
+    */
+  def packSequences(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tok", tokensCol.cast(LongType))
+      .withColumn("__cum", sum(col("__tok")).over(w) - col("__tok"))
+      .withColumn("bin", (col("__cum") / budgetTokens).cast(LongType))
+      .drop("__cum")
+      .withColumnRenamed("__tok", "n_tokens")
+  }
+}

@@ -99,4 +99,37 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast(BinaryType))
+
+  /** word n-grams WITH duplicates, as 64-bit hashes — the repetition
+    * signals below need the multiset, unlike the dedup family's
+    * distinct shingle sets
+    */
+  private def ngramMultiset(text: Column, n: Int): Column =
+    graft.functions.ShingleHashes(tokens(text), n)
+
+  /** duplicated-n-gram fraction (Gopher-style repetition signal): the
+    * fraction of a doc's n-gram occurrences that are repeats of an
+    * earlier occurrence — `1 - distinct/total`. 0 for docs shorter
+    * than n tokens. Pure column arithmetic: one narrow map stage.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = ngramMultiset(text, n)
+    when(size(g) === 0, 0.0).otherwise(
+      round(lit(1.0) - size(array_distinct(g)).cast(DoubleType) /
+        size(g).cast(DoubleType), 6))
+  }
+
+  /** top-n-gram fraction: occurrences of the doc's most frequent n-gram
+    * over total n-gram occurrences — high values flag boilerplate /
+    * TTS-loop spam. Per-row O(distinct × total) higher-order-function
+    * scan: no shuffle, no explode; fine for documents (n-grams per doc
+    * ≪ corpus size), and the corpus-level cost stays one map stage.
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val g = ngramMultiset(text, n)
+    when(size(g) === 0, 0.0).otherwise(
+      round(array_max(transform(array_distinct(g),
+        s => size(filter(g, x => x === s)))).cast(DoubleType) /
+        size(g).cast(DoubleType), 6))
+  }
 }

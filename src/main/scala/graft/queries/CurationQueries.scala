@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators added in round 4: benchmark
+  * decontamination, deterministic data mixing (stratified sampling +
+  * sequence packing), and intra-document repetition signals — the
+  * remaining stages of a training-data pipeline beyond the dedup family
+  * in [[PipelineQueries]].
+  */
+object CurationQueries {
+
+  private val SqlTokens = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** DuckDB 5-gram mirror of Dedup.hashedShingles(text, 5) — string
+    * shingles; distinct-count semantics match the 64-bit-hash side
+    * (collision odds ~2⁻⁶⁴ per pair)
+    */
+  private val Sql5grams =
+    s"""SELECT DISTINCT doc_id, source,
+       |       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+       |FROM (SELECT doc_id, source, $SqlTokens AS w FROM documents) tok,
+       |     UNNEST(range(1, len(w)-3)) AS t(i)
+       |WHERE len(w) >= 5""".stripMargin
+
+  /** the portable md5-derived 60-bit id hash, as DuckDB SQL */
+  private def sqlIdHash(idExpr: String) =
+    s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // benchmark decontamination: corpus docs sharing >= 5 distinct
+    // 5-grams with the src0 "eval set" are contaminated; report the
+    // evidence (distinct shared 5-grams + distinct eval docs hit)
+    "q_decontaminate" -> QueryDef(
+      s"""WITH sh AS ($Sql5grams),
+         |bench AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+         |corp AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+         |SELECT c.doc_id, COUNT(DISTINCT c.s) AS hits,
+         |       COUNT(DISTINCT b.doc_id) AS bench_docs
+         |FROM corp c JOIN bench b ON c.s = b.s
+         |GROUP BY c.doc_id HAVING COUNT(DISTINCT c.s) >= 5
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      Decontaminate.overlapHits(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 5, minHits = 5)
+        .orderBy("doc_id")
+    },
+
+    // the cleaned corpus after decontamination: row counts by source
+    // prove exactly the flagged docs were dropped
+    "q_decontaminate_clean" -> QueryDef(
+      s"""WITH sh AS ($Sql5grams),
+         |bench AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+         |corp AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+         |bad AS (
+         |  SELECT c.doc_id FROM corp c JOIN bench b ON c.s = b.s
+         |  GROUP BY c.doc_id HAVING COUNT(DISTINCT c.s) >= 5)
+         |SELECT source, COUNT(*) AS cnt FROM documents
+         |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      Decontaminate.clean(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 5, minHits = 5)
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source")
+    },
+
+    // deterministic stratified sampling for data mixing: src0/src1
+    // down-weighted, everything else kept at 40%; the decision is a
+    // pure function of doc_id (portable md5 hash), so the oracle
+    // replays it bit-for-bit
+    "q_sample_mix" -> QueryDef(
+      s"""SELECT source, COUNT(*) AS cnt, MIN(doc_id) AS min_id
+         |FROM documents
+         |WHERE ${sqlIdHash("doc_id")} % 10000 <
+         |  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 2500
+         |              ELSE 4000 END
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Mixing.sampleStratified(Tables.load(s, d, "documents"),
+        "doc_id", "source",
+        rates = Map("src0" -> 0.10, "src1" -> 0.25), defaultRate = 0.40)
+        .groupBy("source").agg(count(lit(1)).as("cnt"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("source")
+    },
+
+    // token-budget sequence packing: docs packed head-to-tail into
+    // ~512-token bins per source; per-bin doc count and token mass.
+    // The oracle replays the exclusive running sum / floor-divide.
+    "q_pack_sequences" -> QueryDef(
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($SqlTokens) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT source, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) // 512 AS BIGINT) AS bin
+         |  FROM t)
+         |SELECT source, bin, COUNT(*) AS docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      Mixing.packSequences(docs, "doc_id", "source",
+        TextFunctions.tokenCount(col("text")), budgetTokens = 512L)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy("source", "bin")
+    },
+
+    // Gopher-style repetition signals: duplicated-2-gram fraction and
+    // top-2-gram fraction per doc — both engines count the same 2-gram
+    // multiset (hashes on the Spark side, strings in the oracle)
+    "q_text_repetition" -> QueryDef(
+      s"""WITH tok AS (
+         |  SELECT doc_id, $SqlTokens AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+         |  FROM tok, UNNEST(range(1, len(w))) AS t(i)
+         |  WHERE len(w) >= 2),
+         |cnts AS (
+         |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS topc
+         |  FROM cnts GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  ROUND(COALESCE(1.0 - CAST(dist AS DOUBLE) / total, 0.0), 6) AS dup_frac,
+         |  ROUND(COALESCE(CAST(topc AS DOUBLE) / total, 0.0), 6) AS top_frac
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupNgramFraction(col("text"), 2).as("dup_frac"),
+          TextFunctions.topNgramFraction(col("text"), 2).as("top_frac"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      // "eval set" (bench)
+      (1L, "bench", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "bench", "one two three four five six seven eight nine"),
+      // corpus: 10 contains a verbatim 6-token span of doc 1 → 2 shared
+      // 5-grams; 11 shares nothing; 12 shares a verbatim span of doc 2
+      (10L, "web", "intro words alpha beta gamma delta epsilon zeta trailing"),
+      (11L, "web", "totally unrelated content with its own private phrasing here"),
+      (12L, "forum", "prefix one two three four five six suffix words")
+    ).toDF("doc_id", "source", "text")
+  }
+
+  test("decontamination flags exactly the overlapping docs with hit counts") {
+    val corpus = docs.filter(col("source") =!= "bench")
+    val bench = docs.filter(col("source") === "bench")
+    val hits = Decontaminate.overlapHits(corpus, bench, "text", "doc_id",
+      n = 5, minHits = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 10: span "alpha..zeta" = 6 tokens → 2 distinct 5-grams of doc 1
+    // doc 12: span "one..six" = 6 tokens → 2 distinct 5-grams of doc 2
+    assert(hits == Map(10L -> ((2L, 1L)), 12L -> ((2L, 1L))))
+    // raising minHits above the evidence drops them
+    assert(Decontaminate.overlapHits(corpus, bench, "text", "doc_id",
+      n = 5, minHits = 3).isEmpty)
+  }
+
+  test("clean drops flagged docs and nothing else") {
+    val corpus = docs.filter(col("source") =!= "bench")
+    val bench = docs.filter(col("source") === "bench")
+    val kept = Decontaminate.clean(corpus, bench, "text", "doc_id",
+      n = 5, minHits = 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+  }
+
+  test("stratified sampling is deterministic and rate-monotone") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val once = Mixing.sampleStratified(rows, "id", "src",
+      Map("a" -> 0.2, "b" -> 0.8)).collect().map(_.getLong(0)).toSet
+    val twice = Mixing.sampleStratified(rows, "id", "src",
+      Map("a" -> 0.2, "b" -> 0.8)).collect().map(_.getLong(0)).toSet
+    assert(once == twice) // pure function of id — no rand()
+    val aKept = once.count(_ % 2 == 0)
+    val bKept = once.count(_ % 2 == 1)
+    // 500 candidates per stratum; the md5 hash is uniform enough that
+    // 20%/80% land within a generous band
+    assert(aKept > 60 && aKept < 140, s"a kept $aKept")
+    assert(bKept > 330 && bKept < 470, s"b kept $bKept")
+    // a rate-1.0 stratum keeps everything; 0.0 keeps nothing
+    val all = Mixing.sampleStratified(rows, "id", "src",
+      Map("a" -> 1.0, "b" -> 0.0)).collect().map(_.getLong(0))
+    assert(all.forall(_ % 2 == 0) && all.length == 500)
+  }
+
+  test("packSequences fills ~budget-sized bins in id order per stratum") {
+    val s = spark
+    import s.implicits._
+    // 10 docs of 30 tokens each in one stratum → budget 100: bins of
+    // 0-3 docs: exclusive cumsum 0,30,60,90 → bin 0; 120..210 → bin 1…
+    val rows = (0L until 10L).map(i => (i, "x", 30L)).toDF("id", "src", "nt")
+    val out = Mixing.packSequences(rows, "id", "src", col("nt"), 100L)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 2L, 8L -> 2L, 9L -> 2L))
+  }
+
+  test("repetition signals: dup and top n-gram fractions") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "a b a b a b"),     // 2-grams: ab ba ab ba ab → dup 3/5, top 3/5
+      (2L, "u v w x y z"),     // all distinct → dup 0, top 1/5
+      (3L, "solo")             // no 2-grams → 0, 0
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      TextFunctions.dupNgramFraction(col("text"), 2).as("d"),
+      TextFunctions.topNgramFraction(col("text"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((0.6, 0.6)))
+    assert(out(2L) == ((0.0, 0.2)))
+    assert(out(3L) == ((0.0, 0.0)))
+  }
+}

@@ -133,7 +133,6 @@ object TpchGraph {
       ("Supplier", "locatedIn") -> suppLocated,
       ("Supplier", "supplies") -> supplies,
       ("Order", "contains") -> contains)
-      .map { case (k, v) => k -> v.localCheckpoint(true) }
 
     val bases = Map(
       "Region" -> ("r_regionkey", region),

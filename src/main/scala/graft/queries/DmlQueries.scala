@@ -39,6 +39,47 @@ object DmlQueries {
         .orderBy("c_custkey")
     },
 
+    // INSERT EDGE, sink side: mirror the same duplicate batch into the
+    // Order side via numberNewEdges → insertEdgesSinkSide, then read the
+    // sink state. InDegree doubles for duplicated orders; the appended
+    // mirror entry's sink pointer resolves the owning customer; and its
+    // srcEdgeId equals the customer's pre-insert out-degree plus the
+    // edge's position in the deterministic (sink-sorted) batch numbering
+    // — i.e. the mirror records exactly the forward edgeId insertEdges
+    // assigns (TranslateDataModificationVisitor.cs:288-351)
+    "q_dml_insert_edge_mirror" -> QueryDef(
+      """SELECT o_orderkey AS orderkey,
+        |  CAST(CASE WHEN o_totalprice > 490000 THEN 2 ELSE 1 END AS INTEGER) AS live_in,
+        |  o_custkey AS custkey,
+        |  CAST(CASE WHEN o_totalprice > 490000 THEN
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    + (SELECT COUNT(*) FROM orders o3 WHERE o3.o_custkey = o.o_custkey
+        |       AND o3.o_totalprice > 490000 AND o3.o_orderkey < o.o_orderkey)
+        |  END AS INTEGER) AS src_edge_id
+        |FROM orders o ORDER BY orderkey""".stripMargin) { (s, d) =>
+      val g = TpchGraph.provider(s, d)
+      val ed = g.schema.table("Customer").edge("placed")
+      val extra = graft.Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 490000)
+        .select(GraphBuilder.gid(3, col("o_custkey")).as("src"),
+          GraphBuilder.gid(6, col("o_orderkey")).as("sink"),
+          col("o_totalprice").as("totalprice"),
+          col("o_orderstatus").as("status"))
+      val numbered = GraphDml
+        .numberNewEdges(g.nodeTable("Customer"), ed, extra)
+        .localCheckpoint(true)
+      val mask = (1L << graft.meta.GlobalNodeId.KeyBits) - 1
+      val dup = col("o_totalprice") > 490000
+      GraphDml.insertEdgesSinkSide(g.nodeTable("Order"), ed, numbered)
+        .select(col("o_orderkey").as("orderkey"),
+          col("InDegree").as("live_in"),
+          element_at(col(ed.reversedColumnName), -1).getField("sink")
+            .bitwiseAND(lit(mask)).as("custkey"),
+          when(dup, element_at(col(ed.reversedColumnName), -1)
+            .getField("srcEdgeId")).as("src_edge_id"))
+        .orderBy("orderkey")
+    },
+
     // DELETE EDGE: tombstone all placed edges with status attr 'F', then
     // traverse — the tombstone filter must hide them
     "q_dml_delete_edge" -> QueryDef(

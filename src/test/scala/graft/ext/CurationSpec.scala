@@ -77,6 +77,25 @@ class CurationSpec extends SparkSpec {
       4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 2L, 8L -> 2L, 9L -> 2L))
   }
 
+  test("decontamination never goes cartesian; sampling is a pure scan-filter") {
+    val corpus = docs.filter(col("source") =!= "bench")
+    val bench = docs.filter(col("source") === "bench")
+    val hits = Decontaminate.overlapHits(corpus, bench, "text", "doc_id",
+      n = 5, minHits = 1)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // sampling compiles to scan → filter: no shuffle, no join, no window
+    val s = spark
+    import s.implicits._
+    val sampled = Mixing.sampleStratified(
+      (0L until 100L).map(i => (i, "a")).toDF("id", "src"),
+      "id", "src", Map("a" -> 0.5))
+    val sPlan = sampled.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Exchange") && !sPlan.contains("Join") &&
+      !sPlan.contains("Window"), sPlan)
+  }
+
   test("repetition signals: dup and top n-gram fractions") {
     val s = spark
     import s.implicits._

@@ -222,4 +222,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Transitive near-duplicate cluster resolution: connected components
+    * over a verified pair list (`id_a`/`id_b` columns, any of the pair
+    * generators above) → one `(id, canonical)` row per doc, where
+    * `canonical` is the smallest id in the doc's transitive cluster
+    * (singletons map to themselves). Use when the keeper policy must be
+    * cluster-consistent — exactly one survivor per transitive cluster —
+    * instead of [[Pipeline]]'s greedy pairwise drop, which can remove a
+    * whole chain A~B~C even when A and C are not near-duplicates.
+    *
+    * Scale shape: the input is the LSH/banding residual (pairs, not the
+    * corpus), the vertex set is 8 bytes per doc, and GraphX's
+    * connected-components Pregel converges in O(cluster diameter)
+    * supersteps — near-dup clusters are shallow, so this is a handful of
+    * hash-partitioned iterations, never a corpus self-join.
+    */
+  def resolveClusters(pairs: DataFrame, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vertices = docs.select(col(idCol).cast(LongType))
+      .rdd.map(r => (r.getLong(0), ()))
+    val edges = pairs
+      .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // GraphX CC labels every vertex with the min vertex id reachable —
+    // precisely the deterministic min-id canonical policy
+    Graph(vertices, edges).connectedComponents()
+      .vertices.toDF(idCol, "canonical")
+  }
 }

@@ -141,6 +141,48 @@ object CurationQueries {
           TextFunctions.dupNgramFraction(col("text"), 2).as("dup_frac"),
           TextFunctions.topNgramFraction(col("text"), 2).as("top_frac"))
         .orderBy("doc_id")
+    },
+
+    // PII scrubbing: deterministically inject an email / phone / IPv4
+    // into every 5th doc, redact with the RE2-compatible default
+    // patterns, and count the redactions — the oracle replays the same
+    // injection and the same regexes (Spark's regexp_replace is global;
+    // DuckDB needs the 'g' flag)
+    "q_scrub_pii" -> QueryDef(
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      text || ' reach user' || doc_id ||
+        |      '@mail-test.org or +1415' ||
+        |      lpad(CAST((doc_id * 37) % 10000000 AS VARCHAR), 7, '0') ||
+        |      ' host 10.2.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t1 FROM injected),
+        |r2 AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM r1),
+        |r3 AS (SELECT doc_id, t, t1, t2,
+        |  regexp_replace(t2, '\+[0-9]{7,15}\b', '<PHONE>', 'g') AS t3 FROM r2)
+        |SELECT doc_id, t3 AS redacted,
+        |  CAST(len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+        |     + len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |     + len(regexp_extract_all(t2, '\+[0-9]{7,15}\b')) AS INTEGER) AS n_hits
+        |FROM r3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val injected = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"),
+              lit(" reach user"), col("doc_id").cast(StringType),
+              lit("@mail-test.org or +1415"),
+              lpad((col("doc_id") * 37 % 10000000).cast(StringType), 7, "0"),
+              lit(" host 10.2."), (col("doc_id") % 250).cast(StringType),
+              lit(".7")))
+            .otherwise(col("text")).as("t"))
+      injected.select(col("doc_id"),
+        Scrub.redact(col("t")).as("redacted"),
+        Scrub.redactionCount(col("t")).cast(IntegerType).as("n_hits"))
+        .orderBy("doc_id")
     }
   )
 }

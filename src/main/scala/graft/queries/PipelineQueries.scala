@@ -49,6 +49,36 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Cluster-resolution oracle: the same jaccard pairs, closed
+    * transitively by a recursive CTE (min reachable id per doc =
+    * canonical — exactly GraphX connectedComponents' min-vertex-id
+    * labeling; singletons resolve to themselves).
+    */
+  private def sqlJaccardClusters(tau: Double, cap: Option[Int]) = {
+    val ctes = sqlJaccardPairs(tau, cap)
+      .replace("ORDER BY id_a, id_b", "")
+      .replaceFirst("^WITH ", "")
+      .split("\\nSELECT id_a, id_b,")(0)
+    s"""WITH RECURSIVE $ctes,
+       |prs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.id = id_a
+       |  JOIN sizes sb ON sb.id = id_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= $tau),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM prs
+       |          UNION SELECT id_b, id_a FROM prs),
+       |reach(u, r) AS (
+       |  SELECT u, v AS r FROM edges
+       |  UNION
+       |  SELECT e.u, p.r FROM edges e JOIN reach p ON p.u = e.v),
+       |canon AS (SELECT u, MIN(r) AS mr FROM reach GROUP BY u)
+       |SELECT d.doc_id,
+       |       CAST(LEAST(d.doc_id, COALESCE(cn.mr, d.doc_id)) AS BIGINT)
+       |         AS canonical
+       |FROM documents d LEFT JOIN canon cn ON cn.u = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- text analysis ----
@@ -158,6 +188,19 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
         "text", "doc_id", n = 3, minJaccard = 0.8)
         .orderBy("id_a", "id_b")
+    },
+
+    // transitive cluster resolution over the verified jaccard pairs:
+    // GraphX connected components labels each doc with the min id of its
+    // near-dup cluster; the oracle closes the same pair set with a
+    // recursive CTE
+    "q_dedup_clusters" -> QueryDef(
+      sqlJaccardClusters(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.8)
+      Dedup.resolveClusters(pairs, docs, "doc_id")
+        .orderBy("doc_id")
     },
 
     // MinHash+LSH with exact verification: equals the brute-force join at

@@ -96,6 +96,26 @@ class CurationSpec extends SparkSpec {
       !sPlan.contains("Window"), sPlan)
   }
 
+  test("cluster resolution closes chains; scrub redacts and counts") {
+    val s = spark
+    import s.implicits._
+    // chain 1~2~3 collapses to min id 1 even though (1,3) is not a pair;
+    // 4 is a singleton; (10,11) a separate cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    val out = Dedup.resolveClusters(pairs, docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      10L -> 10L, 11L -> 10L))
+
+    val scrubbed = Seq("mail a@b.co and 1.2.3.4 call +12345678 done")
+      .toDF("t")
+      .select(Scrub.redact(col("t")).as("r"),
+        Scrub.redactionCount(col("t")).as("n")).head()
+    assert(scrubbed.getString(0) == "mail <EMAIL> and <IP> call <PHONE> done")
+    assert(scrubbed.getInt(1) == 3)
+  }
+
   test("repetition signals: dup and top n-gram fractions") {
     val s = spark
     import s.implicits._

@@ -121,46 +121,52 @@ object GraphStats {
     */
   def collectSampled(g: GraphProvider,
       sampleRows: Int = EdgeSampleRows): GraphStats = {
-    val rows = Map.newBuilder[String, Long]
-    val degs = Map.newBuilder[(String, String), (Long, Double)]
-    val sinkHists = Map.newBuilder[(String, String), Histogram]
-    val srcHists = Map.newBuilder[(String, String), Histogram]
-    val idHists = Map.newBuilder[String, Histogram]
-    val samples = Map.newBuilder[String, org.apache.spark.sql.DataFrame]
-    g.schema.tables.foreach { td =>
-      val t = g.nodeTable(td.name)
-      val n = t.count()
-      rows += td.name -> n
-      // one seeded random sample per table (not limit(n): first-partition
-      // bias — the reference draws TABLESAMPLE, GraphViewConnection.cs:2964);
-      // histograms, degree estimates and plan-time selectivity probes all
-      // read this LocalRelation
-      val sample = sampleOf(t, n, sampleRows)
-      samples += td.name -> sample
-      val sampled = sample.count() // local scan of <=sampleRows rows
-      idHists += td.name -> Histogram.build(
-        sample.select(col("GlobalNodeId")).collect().map(_.getLong(0)).toSeq)
-      td.edges.foreach { e =>
-        val endpoints = sample
-          .select(col("GlobalNodeId").as("__src"),
-            explode(col(e.columnName)).as("__e"),
-            col(e.delColumnName).as("__del"))
-          .filter(!array_contains(col("__del"), col("__e.edgeId")))
-          .select(col("__src"), col("__e.sink")).collect()
-        val sinks = endpoints.map(_.getLong(1)).toSeq
-        val avgDeg = if (sampled == 0) 0.0 else sinks.size.toDouble / sampled
-        degs += (td.name, e.name) -> ((math.round(avgDeg * n), avgDeg))
-        sinkHists += (td.name, e.name) -> Histogram.build(sinks)
-        srcHists += (td.name, e.name) ->
-          Histogram.build(endpoints.map(_.getLong(0)).toSeq)
-      }
-    }
-    val rowMap = rows.result()
-    val edgeMap = degs.result().map { case ((t, e), (c, d)) =>
-      val sinkRows = rowMap.getOrElse(findSink(g, t, e), 1L)
-      (t, e) -> EdgeStat(c, d, if (sinkRows == 0) 0.0 else c.toDouble / sinkRows)
-    }
-    GraphStats(rowMap, edgeMap, sinkHists.result(), srcHists.result(),
-      idHists.result(), samples.result())
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // per-table stats are independent — collect them concurrently so the
+    // ~3 small jobs per table overlap instead of serializing (the driver
+    // round-trips, not the data, dominate this phase); results are
+    // combined deterministically below (seeded sampling, pure builds)
+    final case class TableStat(name: String, n: Long,
+        sample: org.apache.spark.sql.DataFrame, idHist: Histogram,
+        edges: Seq[(String, (Long, Double), Histogram, Histogram)])
+    val perTable = Await.result(
+      Future.traverse(g.schema.tables) { td => Future {
+        val t = g.nodeTable(td.name)
+        val n = t.count()
+        // one seeded random sample per table (not limit(n): first-partition
+        // bias — the reference draws TABLESAMPLE, GraphViewConnection.cs:2964);
+        // histograms, degree estimates and plan-time selectivity probes all
+        // read this LocalRelation
+        val sample = sampleOf(t, n, sampleRows)
+        val sampled = sample.count() // local scan of <=sampleRows rows
+        val idHist = Histogram.build(
+          sample.select(col("GlobalNodeId")).collect().map(_.getLong(0)).toSeq)
+        val edgeStats = td.edges.map { e =>
+          val endpoints = sample
+            .select(col("GlobalNodeId").as("__src"),
+              explode(col(e.columnName)).as("__e"),
+              col(e.delColumnName).as("__del"))
+            .filter(!array_contains(col("__del"), col("__e.edgeId")))
+            .select(col("__src"), col("__e.sink")).collect()
+          val sinks = endpoints.map(_.getLong(1)).toSeq
+          val avgDeg = if (sampled == 0) 0.0 else sinks.size.toDouble / sampled
+          (e.name, (math.round(avgDeg * n), avgDeg),
+            Histogram.build(sinks),
+            Histogram.build(endpoints.map(_.getLong(0)).toSeq))
+        }
+        TableStat(td.name, n, sample, idHist, edgeStats)
+      }}, Duration.Inf)
+    val rowMap = perTable.map(s => s.name -> s.n).toMap
+    val edgeMap = perTable.flatMap(s => s.edges.map { case (e, (c, d), _, _) =>
+      val sinkRows = rowMap.getOrElse(findSink(g, s.name, e), 1L)
+      (s.name, e) -> EdgeStat(c, d, if (sinkRows == 0) 0.0 else c.toDouble / sinkRows)
+    }).toMap
+    GraphStats(rowMap, edgeMap,
+      perTable.flatMap(s => s.edges.map { case (e, _, sk, _) => (s.name, e) -> sk }).toMap,
+      perTable.flatMap(s => s.edges.map { case (e, _, _, sr) => (s.name, e) -> sr }).toMap,
+      perTable.map(s => s.name -> s.idHist).toMap,
+      perTable.map(s => s.name -> s.sample).toMap)
   }
 }

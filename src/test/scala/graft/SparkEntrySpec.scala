@@ -12,9 +12,29 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs on sf0.001") {
+  test("every query runs on sf0.001 and plans no accidental cartesian") {
+    // engine-wide scale guard: no registered query may plan a cartesian
+    // product or broadcast nested-loop join — at 100 TB either is a
+    // non-starter — except where the non-equi join is the operator's
+    // documented design with one side provably tiny:
+    //   q_cross_join        implicit cross join: semantics ARE a cartesian
+    //   q_scalar_subquery   1-row broadcast of the scalar result
+    //   q_ann_topk          brute-force baseline: broadcast of the bounded
+    //                       query-vector set against the corpus scan
+    //   q_dedup_embedding   exact all-pairs path, hard-capped at 100k rows
+    //                       (above the cap cosinePairs demands SRP blocking)
+    val cartesianByDesign =
+      Set("q_cross_join", "q_scalar_subquery", "q_ann_topk", "q_dedup_embedding")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      try {
+        val df = fn(spark, "/root/testdata/sf0.001")
+        val plan = df.queryExecution.executedPlan.toString
+        val bad = !cartesianByDesign(name) &&
+          (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin"))
+        df.count()
+        if (bad) Some(s"$name: cartesian/nested-loop join in plan") else None
+      }
       catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))

@@ -41,6 +41,30 @@ object Mixing {
     df.filter(pmod(idHash(col(idCol)), lit(10000L)) < threshold)
   }
 
+  /** Per-stratum quota cap (domain balancing): keep the top `k` rows of
+    * each stratum under a total order — the standard "at most k docs
+    * per domain" curation stage.
+    *
+    * Skew-safe two-phase top-k: a giant stratum (one domain = half the
+    * crawl) would funnel through a single window partition, so phase 1
+    * ranks per (stratum, input-partition-id) — a salted shuffle that
+    * spreads the hot stratum across reducers and bounds survivors at
+    * k × partitions — and only then does the per-stratum window run on
+    * the pruned remainder. Both phases use the same total order, so
+    * the result is exactly the single-window answer.
+    */
+  def capPerStratum(df: DataFrame, strataCol: String, k: Int,
+      orderBy: Seq[Column], rankCol: String = "keep_rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val localW = Window.partitionBy(col(strataCol), spark_partition_id())
+      .orderBy(orderBy: _*)
+    val globalW = Window.partitionBy(strataCol).orderBy(orderBy: _*)
+    df.withColumn("__lr", row_number().over(localW))
+      .filter(col("__lr") <= k).drop("__lr")
+      .withColumn(rankCol, row_number().over(globalW).cast(LongType))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Token-budget sequence packing (context-window assembly): within
     * each stratum, docs in id order are laid head-to-tail and cut into
     * bins of ~`budgetTokens` — bin = ⌊exclusive-running-token-sum /

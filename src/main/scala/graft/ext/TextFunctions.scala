@@ -100,6 +100,18 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast(BinaryType))
 
+  /** word n-grams WITH duplicates, as readable strings — for corpus-
+    * level frequency analysis (heavy hitters) where the gram itself is
+    * the answer; the dedup family uses the hashed form instead
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    val t = tokens(text)
+    when(size(t) < n, array().cast(ArrayType(StringType))).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+  }
+
   /** word n-grams WITH duplicates, as 64-bit hashes — the repetition
     * signals below need the multiset, unlike the dedup family's
     * distinct shingle sets

@@ -57,6 +57,29 @@ object GraphXBridge {
       .vertices.toDF("GlobalNodeId", "rank")
   }
 
+  /** Triangle counts per vertex over an arbitrary undirected edge list
+    * (two long columns: src, dst) — typically a DERIVED graph: a
+    * co-location clique, a near-dup pair graph. Edges are canonicalized
+    * (self-loops dropped, src < dst, distinct) and vertex-cut
+    * partitioned as GraphX's TriangleCount requires. Vertices that
+    * appear in no edge are absent from the result.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges.toDF("src", "dst")
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    Graph.fromEdgeTuples(
+      canon.rdd.map(r => (r.getLong(0), r.getLong(1))),
+      defaultValue = 0,
+      uniqueEdges = Some(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut))
+      .triangleCount()
+      .vertices.toDF("id", "triangles")
+  }
+
   /** Single-source shortest hop-distances TO `landmark` following edge
     * direction (GraphX `ShortestPaths` Pregel) →
     * (GlobalNodeId, dist); vertices with no directed path to the

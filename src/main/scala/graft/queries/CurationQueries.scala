@@ -183,6 +183,41 @@ object CurationQueries {
         Scrub.redact(col("t")).as("redacted"),
         Scrub.redactionCount(col("t")).cast(IntegerType).as("n_hits"))
         .orderBy("doc_id")
+    },
+
+    // corpus-level heavy hitters: exact top-20 3-grams by count.
+    // Scale shape: explode → hash-agg (map-side partial combine on the
+    // gram key) → TakeOrderedAndProject — the only global step moves 20
+    // rows. Ties broken by gram text, so the cut is deterministic.
+    "q_heavy_hitters" -> QueryDef(
+      s"""WITH toks AS (SELECT $SqlTokens AS w FROM documents),
+         |g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |      FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)
+         |      WHERE len(w) >= 3)
+         |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+         |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(TextFunctions.wordNgrams(col("text"), 3)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(20)
+    },
+
+    // per-source quota cap (domain balancing): keep the 40 largest docs
+    // of each source under a total order; skew-safe two-phase top-k
+    // (salted local rank bounds any one stratum's window input)
+    "q_source_cap" -> QueryDef(
+      """SELECT source, doc_id, keep_rank FROM (
+        |  SELECT source, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS keep_rank
+        |  FROM documents)
+        |WHERE keep_rank <= 40 ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      Mixing.capPerStratum(
+        Tables.load(s, d, "documents"), "source", 40,
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select("source", "doc_id", "keep_rank")
+        .orderBy("source", "doc_id")
     }
   )
 }

@@ -56,6 +56,30 @@ object GraphxQueries {
         .orderBy("n_nationkey")
     },
 
+    // Triangle counting over a DERIVED co-location graph (suppliers in
+    // the same nation form a clique): per-vertex triangles in a k-clique
+    // are C(k-1, 2), so the ground truth is SQL-expressible. Exercises
+    // GraphXBridge.triangleCounts' canonicalization + vertex-cut path.
+    "q_graphx_triangles" -> QueryDef(
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |       CAST((k-1)*(k-2)/2 AS BIGINT) AS triangles
+        |FROM (SELECT s_suppkey,
+        |             COUNT(*) OVER (PARTITION BY s_nationkey) AS k
+        |      FROM supplier)
+        |WHERE k >= 2 ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val sup = graft.Tables.load(s, d, "supplier")
+        .select(col("s_suppkey").cast(LongType), col("s_nationkey"))
+      val edges = sup.as("a")
+        .join(sup.as("b"),
+          col("a.s_nationkey") === col("b.s_nationkey") &&
+            col("a.s_suppkey") < col("b.s_suppkey"))
+        .select(col("a.s_suppkey"), col("b.s_suppkey"))
+      GraphXBridge.triangleCounts(edges)
+        .select(col("id").as("s_suppkey"),
+          col("triangles").cast(LongType).as("triangles"))
+        .orderBy("s_suppkey")
+    },
+
     "q_graphx_pagerank" -> QueryDef(
       """SELECT n_nationkey, CAST(1.0 AS DOUBLE) AS rank
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>

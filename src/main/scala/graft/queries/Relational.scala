@@ -103,6 +103,72 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // §2.3 FULL OUTER join — both sides filtered so left-only and
+    // right-only rows actually occur; keys coalesced so the output
+    // carries no NULL sort keys
+    "q_join_full_outer" -> QueryDef(
+      """WITH c AS (SELECT * FROM customer WHERE c_acctbal < 0),
+        |     o AS (SELECT * FROM orders WHERE o_totalprice > 300000)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |       CASE WHEN c_custkey IS NULL THEN 'right_only'
+        |            WHEN o_custkey IS NULL THEN 'left_only'
+        |            ELSE 'both' END AS side,
+        |       COUNT(*) AS cnt
+        |FROM c FULL JOIN o ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY custkey, side""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer").filter(col("c_acctbal") < 0)
+        .join(Tables.load(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNull, "right_only")
+            .when(col("o_custkey").isNull, "left_only")
+            .otherwise("both").as("side"))
+        .groupBy("custkey", "side")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("custkey", "side")
+    },
+
+    // §2.6 GROUPING SETS (generalizes the reference's GROUP BY; ROLLUP
+    // and CUBE are its fixed instances) — group keys coalesced to a
+    // sentinel so subtotal rows carry no NULL hash keys
+    "q_grouping_sets" -> QueryDef(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("rf", "ls")
+    },
+
+    // §2.6 PIVOT — values declared up front (no distinct-value job at
+    // scale); oracle is the conditional-aggregation expansion
+    "q_pivot" -> QueryDef(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType))
+        .orderBy("l_returnflag")
+    },
+
     // §2.2 EXISTS → left-semi join
     "q_semi_exists" -> QueryDef(
       """SELECT c_custkey, c_name FROM customer

@@ -132,4 +132,61 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 0.2)))
     assert(out(3L) == ((0.0, 0.0)))
   }
+
+  test("wordNgrams yields ordered n-gram strings; short docs give empty") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("The quick  Brown fox", "a b", "").toDF("t")
+      .select(TextFunctions.wordNgrams(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("the quick brown", "quick brown fox"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
+  test("capPerStratum equals the single-window top-k on skewed strata") {
+    val s = spark
+    import s.implicits._
+    // stratum "hot" has 500 rows spread over many input partitions
+    val rows = ((0L until 500L).map(i => (i, "hot", i % 97)) ++
+      (0L until 10L).map(i => (i + 1000, "cold", i))).toDF("id", "src", "w")
+      .repartition(8)
+    val capped = Mixing.capPerStratum(rows, "src", 5,
+      Seq(col("w").desc, col("id")))
+    val got = capped.select("src", "id", "keep_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth via a plain single window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src").orderBy(col("w").desc, col("id"))
+    val want = rows.withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= 5)
+      .select("src", "id", "keep_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "hot") == 5 && got.count(_._1 == "cold") == 5)
+  }
+
+  test("writeShards caps file rows, partitions by stratum, loses nothing") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val rows = (0L until 230L).map(i => (i, s"src${i % 3}", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    CorpusSink.writeShards(rows, dir, "source", "doc_id",
+      maxRecordsPerFile = 25)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 230)
+    assert(back.select("doc_id").distinct().count() == 230)
+    // directory-partitioned by stratum
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("source=src0", "source=src1", "source=src2"))
+    // every parquet file respects the row cap
+    val files = dirs.flatMap(p =>
+      new java.io.File(s"$dir/$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => s"$dir/$p/${f.getName}"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f).count() <= 25, s"file over cap: $f")
+    }
+  }
 }

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact duplicate-substring removal (the span-level dedup of training
+  * corpora: any k-token window that occurs more than once across the
+  * corpus is removed everywhere except its first occurrence, and the
+  * surviving removals merge into maximal spans). Complements the
+  * document-level [[Dedup]] family: near-dup *documents* are caught by
+  * MinHash/SimHash, while boilerplate *passages* repeated inside
+  * otherwise-distinct documents (licenses, navigation chrome, quote
+  * chains) need this positional pass.
+  *
+  * Scale shape — everything is linear in corpus token count:
+  *   1. one map stage hashes every k-token window off the token array
+  *      (native [[graft.functions.ShingleHashes]], no per-window string);
+  *   2. one shuffle on the 8-byte window hash computes, per distinct
+  *      window, its occurrence count and its canonical (first) occurrence
+  *      — map-side combined, so hot windows (boilerplate repeated 10⁶×)
+  *      cost their occurrence rows, never a pairwise blow-up;
+  *   3. one hash-keyed join marks non-canonical occurrences of duplicated
+  *      windows; per-doc span merging is a sorted fold inside a doc-keyed
+  *      aggregation.
+  * Nothing here is quadratic in duplicates — unlike the pair-join dedup
+  * family, a window shared by f documents contributes f rows, not f².
+  *
+  * Keeper policy: the occurrence with the smallest (doc id, position)
+  * survives; every other occurrence of the same window is marked. Marked
+  * window starts `p` cover tokens `[p, p+k)`; overlapping or touching
+  * covers merge into maximal `[span_start, span_end)` spans.
+  */
+object SubstringDedup {
+
+  /** every k-token window occurrence: (id, pos, h) — h is the xxhash64
+    * of the window's space-joined tokens (64-bit key: collisions ~2⁻⁶⁴
+    * per comparison, the same contract as the [[Dedup]] family)
+    */
+  private def occurrences(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      posexplode(graft.functions.ShingleHashes(
+        TextFunctions.tokens(col(textCol)), k)))
+      .toDF("id", "pos", "h")
+
+  /** duplicated, non-canonical window starts per doc: (id, pos) */
+  private def duplicatedStarts(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val occ = occurrences(df, textCol, idCol, k)
+    // per distinct window: occurrence count + first occurrence. Struct
+    // min orders lexicographically on (id, pos) — the keeper policy.
+    val winfo = occ.groupBy("h").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("id"), col("pos"))).as("__first"))
+    occ.join(winfo.filter(col("__cnt") >= 2), "h")
+      .filter(!(col("id") === col("__first.id") &&
+        col("pos") === col("__first.pos")))
+      .select("id", "pos")
+  }
+
+  /** per-doc merged spans as an array column: (id, spans:
+    * array<struct<s,e>>) — the sorted-fold merge of `[p, p+k)` covers
+    */
+  private def mergedSpans(starts: DataFrame, k: Int): DataFrame =
+    starts.groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+      .withColumn("spans", expr(
+        s"""aggregate(__starts, cast(array() as array<struct<s:int,e:int>>),
+           |  (acc, p) -> if(size(acc) > 0 AND p <= element_at(acc, -1).e,
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('s', element_at(acc, -1).s,
+           |        'e', greatest(element_at(acc, -1).e, p + $k)))),
+           |    concat(acc, array(named_struct('s', p, 'e', p + $k)))))"""
+          .stripMargin))
+      .select("id", "spans")
+
+  /** Maximal duplicated spans, one row each:
+    * (`idCol`, span_start, span_end) — token positions, end exclusive.
+    */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    mergedSpans(duplicatedStarts(df, textCol, idCol, k), k)
+      .select(col("id").as(idCol), explode(col("spans")).as("sp"))
+      .select(col(idCol), col("sp.s").as("span_start"),
+        col("sp.e").as("span_end"))
+
+  /** Every document with its duplicate spans removed:
+    * (`idCol`, cleaned) — cleaned is the whitespace-normalized token
+    * join of the surviving positions (docs with no duplicated spans
+    * normalize but keep all tokens).
+    */
+  def cleanedText(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val spans = mergedSpans(duplicatedStarts(df, textCol, idCol, k), k)
+    df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq("id"), "left_outer")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .select(col("id").as(idCol),
+        concat_ws(" ", expr(
+          """filter(__toks, (t, i) ->
+            |  NOT exists(spans, sp -> i >= sp.s AND i < sp.e))"""
+            .stripMargin)).as("cleaned"))
+  }
+}

@@ -131,6 +131,36 @@ object TextFunctions {
         size(g).cast(DoubleType), 6))
   }
 
+  /** C4-style line keep rule (Raffel et al.'s cleaning heuristics,
+    * engine-reproducible form): a line survives when it ends in a
+    * terminal punctuation mark, has at least `minWords` whitespace
+    * words, and does not mention javascript. One codegen pass — the
+    * per-line gate of web-corpus cleaning.
+    */
+  def c4KeepLine(line: Column, minWords: Int = 3): Column =
+    line.rlike("[.!?\"]\\s*$") &&
+      size(split(trim(line), "\\s+")) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** the document with every non-surviving line removed */
+  def c4CleanLines(text: Column, minWords: Int = 3): Column =
+    array_join(filter(split(text, "\n"),
+      l => c4KeepLine(l, minWords)), "\n")
+
+  /** terminal-punctuation sentence count (the C4 page-level signal) */
+  def sentenceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
+
+  /** C4-style page gate: drop pages carrying boilerplate markers
+    * ("lorem ipsum", curly braces = code) or too few surviving
+    * sentences after line cleaning
+    */
+  def c4DocKeep(text: Column, minSentences: Int = 2,
+      minWords: Int = 3): Column =
+    !lower(text).contains("lorem ipsum") &&
+      !text.contains("{") &&
+      (sentenceCount(c4CleanLines(text, minWords)) >= minSentences)
+
   /** top-n-gram fraction: occurrences of the doc's most frequent n-gram
     * over total n-gram occurrences — high values flag boilerplate /
     * TTS-loop spam. Per-row O(distinct × total) higher-order-function

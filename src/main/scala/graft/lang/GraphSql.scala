@@ -40,6 +40,23 @@ object GraphSql {
   /** T-SQL `TOP n [PERCENT] [WITH TIES]` (`WSelectQuery.cs:350-399`) */
   final case class TopSpec(n: Int, percent: Boolean, withTies: Boolean)
 
+  /** T-SQL `OFFSET n ROWS [FETCH NEXT m ROWS ONLY]` (the ANSI
+    * offset/fetch clause of `WSelectQuery.cs`'s ORDER BY) — Spark's
+    * grammar spells it `LIMIT m OFFSET n`, so normalize before
+    * delegation
+    */
+  private val OffsetFetchRe =
+    ("""(?is)\bOFFSET\s+(\d+)\s+ROWS?""" +
+      """(\s+FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY)?""").r
+
+  def rewriteOffsetFetch(sql: String): String =
+    OffsetFetchRe.replaceAllIn(sql, m =>
+      if (m.group(3) != null) s"LIMIT ${m.group(3)} OFFSET ${m.group(1)}"
+      else s"OFFSET ${m.group(1)}")
+
+  def hasOffsetFetch(sql: String): Boolean =
+    OffsetFetchRe.findFirstIn(sql).isDefined
+
   final case class ParsedMatch(
       select: String,
       aliases: Seq[(String, String)], // alias -> table
@@ -454,7 +471,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     case DeleteNodeRe(table, where) => deleteNodeSql(table, Option(where))
     case _ if GraphSql.findExistsMatch(query).isDefined => correlatedSql(query)
     case _ if GraphSql.isMatchQuery(query) => matchSql(query)
-    case _ => spark.sql(query)
+    case _ => spark.sql(GraphSql.rewriteOffsetFetch(query))
   }
 
   private def requireCatalog(): graft.ddl.GraphCatalog =
@@ -850,7 +867,13 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       if (select.trim == "*") starColumns(df).mkString(", ")
       else select
     val sel = GraphSql.rewriteRefs(selRaw, names)
-    val restRw = GraphSql.rewriteRefs(rest, names)
+    val restRw0 = GraphSql.rewriteRefs(rest, names)
+    // T-SQL forbids TOP together with OFFSET/FETCH (they are competing
+    // row-limiters) — reject rather than guess a composition order
+    if (top.isDefined && GraphSql.hasOffsetFetch(restRw0))
+      throw new IllegalArgumentException(
+        "TOP cannot be combined with OFFSET ... FETCH")
+    val restRw = GraphSql.rewriteOffsetFetch(restRw0)
     top match {
       case None => spark.sql(s"SELECT $sel FROM $view $restRw")
       case Some(t) => applyTop(t, sel, view, restRw)

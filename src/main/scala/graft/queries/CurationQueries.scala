@@ -218,6 +218,121 @@ object CurationQueries {
         Seq(col("n_chars").desc, col("doc_id")))
         .select("source", "doc_id", "keep_rank")
         .orderBy("source", "doc_id")
+    },
+
+    // C4-style cleaning over injected multi-line pages: the line gate
+    // (terminal punctuation + >= 3 words + no javascript) and the page
+    // gate (no lorem-ipsum/brace boilerplate, >= 2 surviving sentences),
+    // both replayed literally by the oracle. Docs are synthesized
+    // multi-line (the corpus is single-line) so every rule fires
+    "q_c4_clean" -> QueryDef(
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    array_to_string(regexp_split_to_array(text, '\s+')[1:10], ' ') || '.'
+        |    || chr(10) || 'short line'
+        |    || chr(10) || 'ok.'
+        |    || chr(10) || CASE WHEN doc_id % 3 = 0
+        |         THEN 'enable javascript to view this content.'
+        |         ELSE 'words are plentiful in this surviving line.' END
+        |    || chr(10) || CASE WHEN doc_id % 5 = 0
+        |         THEN 'config { lorem ipsum }'
+        |         ELSE 'another proper sentence appears right here.' END AS t
+        |  FROM documents),
+        |cln AS (
+        |  SELECT doc_id, t,
+        |    array_to_string(list_filter(regexp_split_to_array(t, chr(10)),
+        |      l -> regexp_matches(l, '[.!?"]\s*$')
+        |        AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |        AND NOT contains(lower(l), 'javascript')), chr(10)) AS cleaned
+        |  FROM inj)
+        |SELECT doc_id, cleaned,
+        |  CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INTEGER)
+        |    AS n_sentences,
+        |  (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')
+        |   AND len(regexp_extract_all(cleaned, '[.!?]')) >= 2) AS keep
+        |FROM cln ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val injected = Tables.load(s, d, "documents")
+        .select(col("doc_id"), concat_ws("\n",
+          concat(concat_ws(" ",
+            slice(split(col("text"), "\\s+"), 1, 10)), lit(".")),
+          lit("short line"),
+          lit("ok."),
+          when(col("doc_id") % 3 === 0,
+            lit("enable javascript to view this content."))
+            .otherwise(lit("words are plentiful in this surviving line.")),
+          when(col("doc_id") % 5 === 0,
+            lit("config { lorem ipsum }"))
+            .otherwise(lit("another proper sentence appears right here.")))
+          .as("t"))
+      injected.select(col("doc_id"),
+        TextFunctions.c4CleanLines(col("t")).as("cleaned"),
+        TextFunctions.sentenceCount(
+          TextFunctions.c4CleanLines(col("t"))).as("n_sentences"),
+        TextFunctions.c4DocKeep(col("t")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // exact duplicate-substring spans (k=8 token windows): every window
+    // occurring more than once corpus-wide is removed except its first
+    // (doc_id, pos) occurrence; surviving removals merge into maximal
+    // spans. The oracle re-derives the same spans over the literal
+    // window text (the Spark side keys on the window's 64-bit hash)
+    "q_substring_dedup_spans" -> QueryDef(sqlDupSpans(8) +
+      "\nSELECT * FROM spans ORDER BY doc_id, span_start") { (s, d) =>
+      SubstringDedup.duplicatedSpans(
+        Tables.load(s, d, "documents"), "text", "doc_id", k = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // the cleaned corpus after span removal: per-doc surviving-token
+    // join, byte-compared against the oracle's reconstruction
+    "q_substring_dedup_clean" -> QueryDef(sqlDupSpans(8) +
+      s""",
+         |kept AS (
+         |  SELECT t.doc_id, i, w[CAST(i AS INTEGER)] AS tok
+         |  FROM toks t, UNNEST(range(1, len(w) + 1)) AS u(i)
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = t.doc_id
+         |      AND i - 1 >= sp.span_start AND i - 1 < sp.span_end))
+         |SELECT d.doc_id, COALESCE(kc.cleaned, '') AS cleaned
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned
+         |  FROM kept GROUP BY doc_id) kc ON kc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      SubstringDedup.cleanedText(
+        Tables.load(s, d, "documents"), "text", "doc_id", k = 8)
+        .orderBy("doc_id")
     }
   )
+
+  /** DuckDB mirror of [[SubstringDedup]]'s duplicated-span derivation:
+    * CTEs `toks` → `occ` (every k-window occurrence with its literal
+    * gram) → keeper marking (first (doc_id, pos) per gram survives) →
+    * gaps-and-islands merge into maximal `[span_start, span_end)` spans
+    */
+  private def sqlDupSpans(k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, $SqlTokens AS w FROM documents),
+       |occ AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |         array_to_string(w[CAST(i AS INTEGER):CAST(i + ${k - 1} AS INTEGER)], ' ') AS g
+       |  FROM toks, UNNEST(range(1, len(w) - $k + 2)) AS t(i)
+       |  WHERE len(w) >= $k),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+       |         COUNT(*) OVER (PARTITION BY g) AS c
+       |  FROM occ),
+       |dup AS (SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos <= MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + $k
+       |              THEN 0 ELSE 1 END AS b
+       |  FROM dup),
+       |isl AS (SELECT doc_id, pos,
+       |               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM brk),
+       |spans AS (SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+       |                 CAST(MAX(pos) + $k AS INTEGER) AS span_end
+       |          FROM isl GROUP BY doc_id, grp)""".stripMargin
 }

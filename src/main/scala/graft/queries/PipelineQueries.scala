@@ -281,6 +281,47 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup-style semantic dedup: deterministic coarse quantization
+    // (8 smallest-id seed centroids, argmax-cosine cells) → within-cell
+    // pairs at cosine >= 0.46 → transitive clusters → keep min-id per
+    // cluster. The oracle replays every stage: the same seed centroids,
+    // the same rounded argmax (ties to the larger cell, matching
+    // array_max's struct order), a recursive-CTE closure
+    "q_semantic_dedup" -> QueryDef(
+      """WITH RECURSIVE cent AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 8) s),
+        |asg AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |         (SELECT c.cell FROM cent c
+        |          ORDER BY ROUND(list_cosine_similarity(c.cv,
+        |                    CAST(e.embedding AS DOUBLE[])), 9) DESC, c.cell DESC
+        |          LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.46),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(u, r) AS (
+        |  SELECT u, v AS r FROM edges
+        |  UNION
+        |  SELECT e.u, p.r FROM edges e JOIN reach p ON p.u = e.v),
+        |canon AS (SELECT u, MIN(r) AS mr FROM reach GROUP BY u)
+        |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+        |       CAST(LEAST(a.vec_id, COALESCE(cn.mr, a.vec_id)) AS BIGINT)
+        |         AS canonical,
+        |       a.vec_id = LEAST(a.vec_id, COALESCE(cn.mr, a.vec_id)) AS keep
+        |FROM asg a LEFT JOIN canon cn ON cn.u = a.vec_id
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      SemanticDedup.semanticDedup(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, tau = 0.46)
+        .orderBy("vec_id")
+    },
+
     // ---- similarity search ----
 
     // brute-force exact top-5 cosine neighbors for 20 query vectors

@@ -134,6 +134,19 @@ object SqlQueries {
           |ORDER BY custkey""".stripMargin)
     },
 
+    // T-SQL OFFSET ... FETCH through the dialect: normalized to Spark's
+    // LIMIT/OFFSET ordering and pushed through the delegated tail
+    "q_sql_offset_fetch" -> QueryDef(
+      """SELECT c_custkey AS custkey
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY custkey LIMIT 25 OFFSET 10""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT c.c_custkey AS custkey
+          |FROM Customer c, Nation n MATCH c-[locatedIn]->n
+          |ORDER BY custkey OFFSET 10 ROWS FETCH NEXT 25 ROWS ONLY"""
+          .stripMargin)
+    },
+
     // T-SQL TOP n WITH TIES through the dialect: rows tying with the
     // cutoff rank of the ORDER BY keys are kept
     "q_sql_top_ties" -> QueryDef(

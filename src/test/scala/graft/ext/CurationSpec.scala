@@ -189,4 +189,29 @@ class CurationSpec extends SparkSpec {
       assert(spark.read.parquet(f).count() <= 25, s"file over cap: $f")
     }
   }
+
+  test("C4 line gate keeps punctuated >=3-word non-js lines only") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, "a good long sentence right here.\nshort line\nok.\n" +
+        "enable javascript to view.\nanother proper sentence stays!"),
+      (2L, "lorem ipsum dolor sit amet.\nreal words in a real sentence."),
+      (3L, "code follows { x = 1 }\nthis sentence would survive alone."),
+      (4L, "one surviving sentence only appears here.")
+    ).toDF("doc_id", "text")
+    val out = pages.select(col("doc_id"),
+      TextFunctions.c4CleanLines(col("text")).as("cleaned"),
+      TextFunctions.c4DocKeep(col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(out(1L) == (("a good long sentence right here.\n" +
+      "another proper sentence stays!", true)))
+    // lorem ipsum: page-gated even though its lines pass the line gate
+    assert(out(2L)._2 == false)
+    // brace boilerplate: page-gated
+    assert(out(3L)._2 == false)
+    // clean but only one surviving sentence: below minSentences = 2
+    assert(out(4L) == (("one surviving sentence only appears here.", false)))
+  }
 }

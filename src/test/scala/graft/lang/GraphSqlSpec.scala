@@ -168,6 +168,34 @@ class GraphSqlSpec extends SparkSpec {
     assert(both == Seq("Bob"))
   }
 
+  test("OFFSET ... FETCH normalizes through MATCH and delegated tails") {
+    val gs = new GraphSession(spark, peopleProvider)
+    // 3 ordered result rows → skip 1, take 1
+    val page = gs.sql(
+      """SELECT B.name FROM People A, People B MATCH A-[Knows]->B
+        |ORDER BY B.name OFFSET 1 ROWS FETCH NEXT 1 ROWS ONLY""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(page == Seq("Caven"))
+    // bare OFFSET n ROWS skips without limiting
+    val rest = gs.sql(
+      """SELECT B.name FROM People A, People B MATCH A-[Knows]->B
+        |ORDER BY B.name OFFSET 1 ROWS""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rest == Seq("Caven", "David"))
+    // delegated (non-MATCH) statements get the same normalization
+    spark.range(5).toDF("n").createOrReplaceTempView("__offs")
+    val del = gs.sql(
+      "SELECT n FROM __offs ORDER BY n OFFSET 2 ROWS FETCH FIRST 2 ROWS ONLY")
+      .collect().map(_.getLong(0)).toSeq
+    assert(del == Seq(2L, 3L))
+    // TOP + OFFSET/FETCH is rejected, as in T-SQL
+    assertThrows[IllegalArgumentException] {
+      gs.sql(
+        """SELECT TOP 2 B.name FROM People A, People B MATCH A-[Knows]->B
+          |ORDER BY B.name OFFSET 1 ROWS""".stripMargin)
+    }
+  }
+
   test("non-MATCH statements delegate to spark.sql") {
     val gs = new GraphSession(spark, peopleProvider)
     assert(gs.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)

@@ -18,15 +18,11 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** word n-gram shingles: ["a","b","c","d"] with n=3 →
-    * ["a b c","b c d"] (distinct not applied — callers decide)
+    * ["a b c","b c d"] (distinct not applied — callers decide). Native
+    * [[graft.functions.WordNgrams]]: one tokenization per row.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordNgrams(tokens(text), n)
 
   private val Stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
@@ -102,14 +98,14 @@ object TextFunctions {
 
   /** word n-grams WITH duplicates, as readable strings — for corpus-
     * level frequency analysis (heavy hitters) where the gram itself is
-    * the answer; the dedup family uses the hashed form instead
+    * the answer; the dedup family uses the hashed form instead. Native
+    * [[graft.functions.WordNgrams]] expression: the token array (a
+    * regex split) materializes once per row, where the equivalent
+    * transform/element_at HOF re-tokenizes per gram element.
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, "n must be >= 1")
-    val t = tokens(text)
-    when(size(t) < n, array().cast(ArrayType(StringType))).otherwise(
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+    graft.functions.WordNgrams(tokens(text), n)
   }
 
   /** word n-grams WITH duplicates, as 64-bit hashes — the repetition

@@ -127,6 +127,46 @@ object TextFunctions {
         size(g).cast(DoubleType), 6))
   }
 
+  /** distinct stopwords present (Gopher's "contains at least 2 of a
+    * stopword list" signal)
+    */
+  def distinctStopwordCount(text: Column): Column =
+    size(array_distinct(filter(tokens(text), w => w.isin(Stopwords: _*))))
+
+  /** fraction of words containing at least one alphabetic character */
+  def alphaWordRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(filter(t, w => w.rlike("[a-z]"))).cast(DoubleType) /
+      greatest(size(t), lit(1)).cast(DoubleType), 6)
+  }
+
+  /** symbol-to-word ratio (hash marks and ellipses — the Gopher
+    * boilerplate markers)
+    */
+  def symbolWordRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[#…]|\\.\\.\\."), lit(0)))
+      .cast(DoubleType) /
+      greatest(size(tokens(text)), lit(1)).cast(DoubleType), 6)
+
+  /** Gopher-style composite document gate (Rae et al.'s repetition +
+    * quality heuristics, engine-reproducible form): word-count window,
+    * mean-word-length window, stopword evidence, alphabetic-word and
+    * symbol ratios, and a duplicate-3-gram ceiling. One map pass; all
+    * signals also exposed individually for threshold tuning.
+    */
+  def gopherKeep(text: Column,
+      minWords: Int = 30, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minDistinctStops: Int = 2,
+      minAlphaRatio: Double = 0.8, maxSymbolRatio: Double = 0.1,
+      maxDup3: Double = 0.05): Column =
+    tokenCount(text).between(minWords, maxWords) &&
+      meanTokenLen(text).between(minMeanLen, maxMeanLen) &&
+      (distinctStopwordCount(text) >= minDistinctStops) &&
+      (alphaWordRatio(text) >= minAlphaRatio) &&
+      (symbolWordRatio(text) <= maxSymbolRatio) &&
+      (dupNgramFraction(text, 3) <= maxDup3)
+
   /** C4-style line keep rule (Raffel et al.'s cleaning heuristics,
     * engine-reproducible form): a line survives when it ends in a
     * terminal punctuation mark, has at least `minWords` whitespace

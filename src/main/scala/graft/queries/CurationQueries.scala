@@ -220,6 +220,48 @@ object CurationQueries {
         .orderBy("source", "doc_id")
     },
 
+    // Gopher-style composite quality gate: every signal exposed plus the
+    // conjunctive keep verdict; the oracle recomputes each signal (the
+    // dup-3-gram fraction over literal grams — the Spark side's hashed
+    // multiset is distinct-count-identical)
+    "q_gopher_gate" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, text, $SqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(w) >= 3
+         |          THEN list_transform(range(1, len(w)-1),
+         |                 i -> w[i]||' '||w[i+1]||' '||w[i+2])
+         |          ELSE [] END AS gs FROM t),
+         |s AS (SELECT t.doc_id,
+         |  CAST(len(w) AS INTEGER) AS n_words,
+         |  ROUND(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+         |    * 1.0 / GREATEST(len(w), 1), 6) AS mean_len,
+         |  CAST(len(list_distinct(list_filter(w, x -> x IN
+         |    ('the','a','of','and','to','in','is','for','on','with'))))
+         |    AS INTEGER) AS n_stops,
+         |  ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |    * 1.0 / GREATEST(len(w), 1), 6) AS alpha_ratio,
+         |  ROUND(len(regexp_extract_all(text, '[#…]|\\.\\.\\.'))
+         |    * 1.0 / GREATEST(len(w), 1), 6) AS symbol_ratio,
+         |  CASE WHEN len(gs) = 0 THEN 0.0
+         |    ELSE ROUND(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6)
+         |  END AS dup3
+         |FROM t JOIN g ON g.doc_id = t.doc_id)
+         |SELECT *,
+         |  (n_words BETWEEN 30 AND 100000 AND mean_len BETWEEN 3 AND 10
+         |   AND n_stops >= 2 AND alpha_ratio >= 0.8
+         |   AND symbol_ratio <= 0.1 AND dup3 <= 0.05) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_len"),
+        TextFunctions.distinctStopwordCount(col("text")).as("n_stops"),
+        TextFunctions.alphaWordRatio(col("text")).as("alpha_ratio"),
+        TextFunctions.symbolWordRatio(col("text")).as("symbol_ratio"),
+        TextFunctions.dupNgramFraction(col("text"), 3).as("dup3"),
+        TextFunctions.gopherKeep(col("text")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // C4-style cleaning over injected multi-line pages: the line gate
     // (terminal punctuation + >= 3 words + no javascript) and the page
     // gate (no lorem-ipsum/brace boilerplate, >= 2 surviving sentences),

@@ -190,6 +190,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("Gopher gate fails each rule independently") {
+    val s = spark
+    import s.implicits._
+    val good = ("the quick brown fox jumps over a lazy dog and then " +
+      "walks on with many more plain words in this long enough row " +
+      "of text to clear the minimum word count gate easily today")
+    val pages = Seq(
+      (1L, good),                                   // passes all rules
+      (2L, "too short for the gate."),              // word count
+      (3L, good.replace("the ", "### ")),           // symbols + stopwords
+      (4L, Seq.fill(20)("spam spam spam").mkString(" ")) // repetition
+    ).toDF("doc_id", "text")
+    val keep = pages.select(col("doc_id"),
+      TextFunctions.gopherKeep(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
   test("C4 line gate keeps punctuated >=3-word non-js lines only") {
     val s = spark
     import s.implicits._

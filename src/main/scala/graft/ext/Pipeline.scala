@@ -45,4 +45,53 @@ object Pipeline {
       .withColumn("token_cnt", TextFunctions.tokenCount(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
   }
+
+  /** The full modern curation stack, each stage a verified primitive:
+    *
+    *   1. Gopher composite quality gate (map-only,
+    *      [[TextFunctions.gopherKeep]]);
+    *   2. exact duplicate-substring removal over the gated corpus
+    *      ([[SubstringDedup.cleanedText]], k-token windows) — documents
+    *      carry their cleaned text forward;
+    *   3. drop documents left with fewer than `minCleanTokens` tokens;
+    *   4. exact dedup on the CLEANED text (min-id keeper) — span removal
+    *      can make near-copies exactly equal, so this runs after it;
+    *   5. MinHash-LSH near-dedup on the cleaned text (higher id of each
+    *      verified pair drops);
+    *   6. benchmark decontamination against `bench`
+    *      ([[Decontaminate.overlapHits]], `decontamN`-gram evidence);
+    *   7. annotate (lang, token count, quality of the cleaned text).
+    *
+    * Shuffle ledger at 100 TB: window-hash key (spans), fingerprint
+    * (exact), band keys + candidate verify (LSH), shingle-key broadcast
+    * join (decontaminate) — every other stage is a narrow map.
+    */
+  def curateV2(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String,
+      k: Int = 8, minJaccard: Double = 0.9,
+      decontamN: Int = 5, decontamMinHits: Int = 5,
+      minCleanTokens: Int = 10): DataFrame = {
+    val gated = docs.filter(TextFunctions.gopherKeep(col(textCol)))
+    val cleaned = SubstringDedup.cleanedText(gated, textCol, idCol, k)
+      .filter(TextFunctions.tokenCount(col("cleaned")) >= minCleanTokens)
+    val keepers = cleaned
+      .groupBy(TextFunctions.fingerprint(col("cleaned")).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exact = cleaned.join(keepers, Seq(idCol), "left_semi")
+    val doomed = Dedup.minhashLshPairs(exact, "cleaned", idCol,
+      n = 3, minJaccard = minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    val nearDeduped = exact.join(doomed, Seq(idCol), "left_anti")
+    val dirty = Decontaminate.overlapHits(
+      nearDeduped,
+      bench.select(col(idCol), col(textCol).as("cleaned")),
+      "cleaned", idCol, n = decontamN, minHits = decontamMinHits)
+      .select(col("doc_id").as("__dirty_id"))
+    nearDeduped
+      .join(dirty, col(idCol) === col("__dirty_id"), "left_anti")
+      .withColumn("lang_id", TextFunctions.langId(col("cleaned")))
+      .withColumn("token_cnt", TextFunctions.tokenCount(col("cleaned")))
+      .withColumn("quality", TextFunctions.qualityScore(col("cleaned")))
+  }
 }

@@ -344,8 +344,128 @@ object CurationQueries {
       SubstringDedup.cleanedText(
         Tables.load(s, d, "documents"), "text", "doc_id", k = 8)
         .orderBy("doc_id")
+    },
+
+    // the full curation stack end to end: Gopher gate → substring-span
+    // clean → exact dedup → LSH near-dedup → decontamination vs the
+    // src0 "eval set" → annotate. The oracle replays every stage over
+    // the literal text (gate signals, span keeper policy, fingerprint
+    // keeper, brute-force jaccard ≡ LSH at τ=0.9, 5-gram overlap
+    // evidence, then language/quality scoring of the cleaned text)
+    "q_pipeline_curate_v2" -> QueryDef(sqlCurateV2) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      Pipeline.curateV2(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id")
+        .select(col("doc_id"), col("cleaned"), col("lang_id"),
+          col("token_cnt"), col("quality"))
+        .orderBy("doc_id")
     }
   )
+
+  /** DuckDB replay of [[graft.ext.Pipeline.curateV2]], stage by stage. */
+  private def sqlCurateV2: String = {
+    val tokC = "regexp_split_to_array(lower(trim(cleaned)), '\\s+')"
+    s"""WITH corp AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, $SqlTokens AS w FROM documents
+       |    WHERE source <> 'src0') t
+       |  WHERE len(w) BETWEEN 30 AND 100000
+       |    AND list_aggregate(list_transform(w, x -> length(x)), 'sum')
+       |        * 1.0 / GREATEST(len(w), 1) BETWEEN 3 AND 10
+       |    AND len(list_distinct(list_filter(w, x -> x IN
+       |      ('the','a','of','and','to','in','is','for','on','with')))) >= 2
+       |    AND ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+       |        * 1.0 / GREATEST(len(w), 1), 6) >= 0.8
+       |    AND ROUND(len(regexp_extract_all(text, '[#…]|\\.\\.\\.'))
+       |        * 1.0 / GREATEST(len(w), 1), 6) <= 0.1
+       |    AND (CASE WHEN len(w) >= 3
+       |      THEN ROUND(1.0 - len(list_distinct(list_transform(
+       |             range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])))
+       |           * 1.0 / (len(w) - 2), 6)
+       |      ELSE 0.0 END) <= 0.05),
+       |${sqlDupSpanCtes(8, "corp")},
+       |kept AS (
+       |  SELECT t.doc_id, i, w[CAST(i AS INTEGER)] AS tok
+       |  FROM toks t, UNNEST(range(1, len(w) + 1)) AS u(i)
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = t.doc_id
+       |      AND i - 1 >= sp.span_start AND i - 1 < sp.span_end)),
+       |cln0 AS (
+       |  SELECT c.doc_id, COALESCE(kc.cleaned, '') AS cleaned
+       |  FROM corp c LEFT JOIN (
+       |    SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned
+       |    FROM kept GROUP BY doc_id) kc ON kc.doc_id = c.doc_id),
+       |cln AS (SELECT * FROM cln0 WHERE len($tokC) >= 10),
+       |keepx AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM cln
+       |  GROUP BY md5(regexp_replace(lower(trim(cleaned)), '\\s+', ' ', 'g'))),
+       |ex AS (SELECT c.* FROM cln c JOIN keepx k USING (doc_id)),
+       |shx AS (
+       |  SELECT DISTINCT doc_id AS id, w2[i]||' '||w2[i+1]||' '||w2[i+2] AS s
+       |  FROM (SELECT doc_id, $tokC AS w2 FROM ex) t,
+       |       UNNEST(range(1, len(w2)-1)) AS u(i)
+       |  WHERE len(w2) >= 3),
+       |sizesx AS (SELECT id, COUNT(*) AS sz FROM shx GROUP BY id),
+       |interx AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+       |  FROM shx a JOIN shx b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+       |doomedx AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM interx
+       |  JOIN sizesx sa ON sa.id = id_a JOIN sizesx sb ON sb.id = id_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.9),
+       |nd AS (SELECT * FROM ex
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM doomedx)),
+       |bsh AS (
+       |  SELECT DISTINCT doc_id AS bid,
+       |         bw[i]||' '||bw[i+1]||' '||bw[i+2]||' '||bw[i+3]||' '||bw[i+4] AS s
+       |  FROM (SELECT doc_id, $SqlTokens AS bw FROM documents
+       |        WHERE source = 'src0') t,
+       |       UNNEST(range(1, len(bw)-3)) AS u(i)
+       |  WHERE len(bw) >= 5),
+       |csh AS (
+       |  SELECT DISTINCT doc_id AS cid,
+       |         w2[i]||' '||w2[i+1]||' '||w2[i+2]||' '||w2[i+3]||' '||w2[i+4] AS s
+       |  FROM (SELECT doc_id, $tokC AS w2 FROM nd) t,
+       |       UNNEST(range(1, len(w2)-3)) AS u(i)
+       |  WHERE len(w2) >= 5),
+       |dirty AS (
+       |  SELECT cid FROM csh JOIN bsh ON csh.s = bsh.s
+       |  GROUP BY cid HAVING COUNT(DISTINCT csh.s) >= 5),
+       |fin AS (SELECT * FROM nd
+       |        WHERE doc_id NOT IN (SELECT cid FROM dirty)),
+       |scored AS (
+       |  SELECT doc_id, cleaned,
+       |    len(list_filter($tokC, x -> x IN
+       |      ('the','and','of','to','is','in','that','it'))) AS s_en,
+       |    len(list_filter($tokC, x -> x IN
+       |      ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+       |    len(list_filter($tokC, x -> x IN
+       |      ('le','la','les','et','est','un','une','dans'))) AS s_fr,
+       |    len(list_filter($tokC, x -> x IN
+       |      ('el','la','los','y','es','un','una','en'))) AS s_es,
+       |    CAST(len($tokC) AS INTEGER) AS token_cnt,
+       |    ROUND((
+       |        LEAST(length(cleaned) / 500.0, 1.0)
+       |      + 1.0 - LEAST(((length(cleaned) - length(regexp_replace(cleaned,
+       |                     '[.,!?;:''"]', '', 'g')))
+       |                     * 1.0 / GREATEST(length(cleaned), 1)) * 5.0, 1.0)
+       |      + LEAST((CAST(len(list_filter($tokC,
+       |          x -> x IN ('the','a','of','and','to','in','is','for','on','with')))
+       |          AS DOUBLE) / GREATEST(len($tokC), 1)) * 4.0, 1.0)
+       |    ) / 3.0, 6) AS quality
+       |  FROM fin)
+       |SELECT doc_id, cleaned,
+       |  CASE
+       |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       |    WHEN s_es > 0 THEN 'es'
+       |    ELSE 'und' END AS lang_id,
+       |  token_cnt, quality
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of [[SubstringDedup]]'s duplicated-span derivation:
     * CTEs `toks` → `occ` (every k-window occurrence with its literal
@@ -353,7 +473,13 @@ object CurationQueries {
     * gaps-and-islands merge into maximal `[span_start, span_end)` spans
     */
   private def sqlDupSpans(k: Int): String =
-    s"""WITH toks AS (SELECT doc_id, $SqlTokens AS w FROM documents),
+    "WITH " + sqlDupSpanCtes(k, "documents")
+
+  /** the same span CTE chain over any (doc_id, text) relation `src` —
+    * without the leading WITH, so callers can prepend their own CTEs
+    */
+  private[queries] def sqlDupSpanCtes(k: Int, src: String): String =
+    s"""toks AS (SELECT doc_id, $SqlTokens AS w FROM $src),
        |occ AS (
        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
        |         array_to_string(w[CAST(i AS INTEGER):CAST(i + ${k - 1} AS INTEGER)], ' ') AS g

@@ -92,6 +92,18 @@ object EdgeStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming quality gating: the same C4 + Gopher gates the batch
+    * pipeline applies ([[graft.ext.TextFunctions.c4DocKeep]] /
+    * [[graft.ext.TextFunctions.gopherKeep]]), as a stateless streaming
+    * map — documents are gated the moment they arrive, no state, no
+    * watermark needed. Composes before [[dedupedDocs]] so the dedup
+    * state only holds documents that survive the gates.
+    */
+  def qualityGatedDocs(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(
+      graft.ext.TextFunctions.c4DocKeep(col(textCol)) &&
+        graft.ext.TextFunctions.gopherKeep(col(textCol)))
+
   /** Event sessionization — the custom-state shape Structured Streaming
     * exposes through `flatMapGroupsWithState` (SURVEY §2.10 extension):
     * per user, events within `gapMs` of the running session extend it;

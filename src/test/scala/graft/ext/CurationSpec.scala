@@ -190,6 +190,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curateV2 chains gate, span-clean, dedup, and decontamination") {
+    val s = spark
+    import s.implicits._
+    val leak = "zebra quokka lemur gecko otter badger marmot weasel stoat"
+    val good1 = "the quick brown fox jumps over a lazy dog and then " +
+      "walks on with many more plain words beyond the usual count " +
+      "to clear every minimum gate that this pipeline applies today"
+    val good2 = s"alpha bravo charlie delta echo foxtrot golf hotel $leak " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey the and of is a full doc"
+    val corpus = Seq(
+      (1L, good1),
+      (2L, good2),          // contains the 9-token bench leak → dirty
+      (3L, "way too short to pass."),
+      (4L, good1)           // verbatim copy: span-clean empties it
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"eval question about $leak answer key"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.curateV2(corpus, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+  }
+
   test("Gopher gate fails each rule independently") {
     val s = spark
     import s.implicits._

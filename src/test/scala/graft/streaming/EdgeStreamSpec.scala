@@ -166,4 +166,28 @@ class EdgeStreamSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 3L))
   }
+
+  test("streaming quality gate filters statelessly as documents arrive") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "walks on with many more plain words today.\n" +
+      "this second line of text clears the minimum word count " +
+      "gate easily for our streaming test run."
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(
+      (1L, good),
+      (2L, "way too short."),                 // Gopher word-count gate
+      (3L, good + "\nlorem ipsum dolor."))    // C4 page gate
+    val gated = EdgeStream.qualityGatedDocs(
+      stream.toDF().toDF("doc_id", "text"), "text")
+    val q = gated.writeStream.format("memory")
+      .queryName("gated_docs").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("gated_docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
 }

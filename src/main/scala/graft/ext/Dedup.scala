@@ -120,7 +120,6 @@ object Dedup {
       n: Int, minJaccard: Double,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
-    val rows = numPerms / bands
     // (id, shingles) is DERIVED, never persisted: the shingle arrays are
     // roughly the corpus itself, so caching them across passes is the
     // one thing that cannot survive a 100 TB run. Candidate generation
@@ -135,13 +134,7 @@ object Dedup {
     // bytes × bands per doc) so the self-join below reads it twice
     // instead of re-running the corpus-wide shingle+signature pipeline
     // per side
-    val banded = shingled(df)
-      .withColumn("sig", graft.functions.MinHashSig(col("shs"), numPerms))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rows + 1, lit(rows)))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    val banded = bandRows(df, textCol, idCol, n, numPerms, bands)
       .localCheckpoint(true)
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -162,6 +155,98 @@ object Dedup {
     // read it without re-running the semi-join + shingling
     val verifyDocs = shingled(
       df.join(candIds, col(idCol) === col("__cid"), "left_semi"))
+      .localCheckpoint(true)
+    candidates
+      .join(verifyDocs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(verifyDocs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Persist the corpus's LSH band index: one (id, band, bandHash) row
+    * per doc-band, written as parquet partitioned by band so an
+    * incremental probe prunes to the band directories it touches. The
+    * index is constant-size per doc (~20 B × bands) — the artifact that
+    * lets tomorrow's increment dedup against today's corpus without
+    * re-signaturing it.
+    */
+  def writeBandIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16): Unit =
+    bandRows(docs, textCol, idCol, n, numPerms, bands)
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** (id, band, bandHash) rows of a corpus — the banding stage of
+    * [[minhashLshPairs]], exposed for index builds and probes
+    */
+  private def bandRows(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numPerms: Int, bands: Int): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val rows = numPerms / bands
+    df.select(col(idCol).as("id"),
+      array_distinct(graft.functions.ShingleHashes(
+        TextFunctions.tokens(col(textCol)), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("sig", graft.functions.MinHashSig(col("shs"), numPerms))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+  }
+
+  /** Incremental near-dedup: verified pairs between `newDocs` and the
+    * indexed corpus (plus pairs inside the increment), without
+    * re-signaturing the corpus — the daily-ingest shape at 100 TB.
+    *
+    *   1. band the increment (map-only, constant bytes per doc);
+    *   2. candidates = increment-bands ⋈ persisted index on
+    *      (band, bandHash) — the corpus side reads the pruned band
+    *      partitions of [[writeBandIndex]]'s layout, never its text —
+    *      plus the increment's self-join;
+    *   3. exact-Jaccard verification re-shingles ONLY candidate docs,
+    *      drawing old docs' text from `corpus` behind a semi-join.
+    *
+    * Output matches [[minhashLshPairs]] over `corpus ∪ newDocs`
+    * restricted to pairs touching the increment (id_a < id_b). LSH
+    * parameters must equal the index build's.
+    */
+  def minhashLshPairsIncremental(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, corpus: DataFrame, indexPath: String,
+      textCol: String, idCol: String,
+      n: Int = 3, minJaccard: Double = 0.9,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val newBands = bandRows(newDocs, textCol, idCol, n, numPerms, bands)
+      .localCheckpoint(true)
+    val index = spark.read.parquet(indexPath)
+    // old⋈new across the index + new⋈new within the increment; pair
+    // ids ordered so the union is duplicate-free
+    val crossCand = newBands.as("a")
+      .join(index.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandHash") === col("b.bandHash") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val selfCand = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandHash") === col("b.bandHash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = crossCand.union(selfCand).distinct().localCheckpoint(true)
+    val candIds = candidates.select(col("id_a").as("__cid"))
+      .union(candidates.select(col("id_b"))).distinct()
+    def shingled(d: DataFrame) = d.select(col(idCol).as("id"),
+      hashedShingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val verifyDocs = shingled(
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(newDocs.select(col(idCol), col(textCol)))
+        .join(candIds, col(idCol) === col("__cid"), "left_semi"))
       .localCheckpoint(true)
     candidates
       .join(verifyDocs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")

@@ -215,6 +215,39 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // incremental LSH dedup: the corpus is split into history (90%) and
+    // an increment (doc_id % 10 = 0); history's band index persists to
+    // parquet and the increment probes it — no history re-signaturing.
+    // Equals the brute-force jaccard join restricted to pairs touching
+    // the increment (same 8×8 LSH parameters as q_dedup_minhash_lsh)
+    "q_dedup_lsh_incremental" -> QueryDef(
+      s"""WITH sh AS ($SqlShingles),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.9
+         |  AND (id_a % 10 = 0 OR id_b % 10 = 0)
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val inc = docs.filter(col("doc_id") % 10 === 0)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_idx").toString
+      Dedup.writeBandIndex(hist, "text", "doc_id", idx,
+        n = 3, numPerms = 64, bands = 8)
+      Dedup.minhashLshPairsIncremental(s, inc, hist, idx,
+        "text", "doc_id", n = 3, minJaccard = 0.9,
+        numPerms = 64, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
+
     // SimHash near-dup with the portable (md5-derived) token hash: the
     // oracle recomputes the identical 60-bit simhash per doc in SQL
     // (per-bit majority vote over token hashes) and brute-force

@@ -374,4 +374,26 @@ class PipelineExtSpec extends SparkSpec {
     assert(m1.digest == Multimodal.md5Hex(rows.head.content))
     assert(Multimodal.sampleFrames(m1).nonEmpty)
   }
+
+  test("incremental LSH against a persisted band index equals the full " +
+    "join restricted to increment-touching pairs") {
+    val s = spark
+    import s.implicits._
+    // history 1..5 (6 is the increment; near-dups: 6~1 exact, 2~1 high)
+    val hist = docs.filter(col("doc_id") < 6)
+    val inc = docs.filter(col("doc_id") === 6)
+    val idx = java.nio.file.Files
+      .createTempDirectory("lsh_idx_spec").toString
+    Dedup.writeBandIndex(hist, "text", "doc_id", idx,
+      n = 2, numPerms = 16, bands = 8)
+    val got = Dedup.minhashLshPairsIncremental(s, inc, hist, idx,
+      "text", "doc_id", n = 2, minJaccard = 0.6, numPerms = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 2, minJaccard = 0.6, numPerms = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 == 6L || p._2 == 6L)
+    assert(got == full)
+    assert(got.contains((1L, 6L))) // the exact copy is found via the index
+  }
 }

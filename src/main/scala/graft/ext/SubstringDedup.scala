@@ -92,6 +92,11 @@ object SubstringDedup {
   def cleanedText(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val spans = mergedSpans(duplicatedStarts(df, textCol, idCol, k), k)
+    cleanAgainstSpans(df, textCol, idCol, spans)
+  }
+
+  private def cleanAgainstSpans(df: DataFrame, textCol: String,
+      idCol: String, spans: DataFrame): DataFrame =
     df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
       .join(spans, Seq("id"), "left_outer")
@@ -102,5 +107,59 @@ object SubstringDedup {
           """filter(__toks, (t, i) ->
             |  NOT exists(spans, sp -> i >= sp.s AND i < sp.e))"""
             .stripMargin)).as("cleaned"))
+
+  /** Persist the corpus's distinct k-window hash set as parquet — the
+    * artifact that lets an ingestion increment span-dedup against
+    * immutable history without rescanning it. One 8-byte column; size
+    * is the corpus's distinct-window count (≈ its token count), the
+    * same order as any content index over it.
+    */
+  def writeWindowIndex(df: DataFrame, textCol: String, idCol: String,
+      k: Int, path: String): Unit =
+    occurrences(df, textCol, idCol, k)
+      .select(col("h")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental duplicated spans for an ingestion increment: a window
+    * occurrence is duplicated when its window exists in the history
+    * index (history is immutable — its copy is the canonical one), or
+    * when an earlier (id, pos) occurrence exists within the increment
+    * itself. One map pass over the increment, one hash-keyed join
+    * against the index, the increment's own count+canonical aggregation
+    * — history text is never read.
+    */
+  def duplicatedSpansIncremental(newDocs: DataFrame, indexPath: String,
+      textCol: String, idCol: String, k: Int): DataFrame =
+    mergedSpans(incrementalStarts(newDocs, indexPath, textCol, idCol, k), k)
+      .select(col("id").as(idCol), explode(col("spans")).as("sp"))
+      .select(col(idCol), col("sp.s").as("span_start"),
+        col("sp.e").as("span_end"))
+
+  /** The increment with all spans duplicated against history (or within
+    * itself) removed — [[duplicatedSpansIncremental]]'s clean face.
+    */
+  def cleanedTextIncremental(newDocs: DataFrame, indexPath: String,
+      textCol: String, idCol: String, k: Int): DataFrame =
+    cleanAgainstSpans(newDocs, textCol, idCol, mergedSpans(
+      incrementalStarts(newDocs, indexPath, textCol, idCol, k), k))
+
+  /** duplicated window starts of an increment: in-history windows plus
+    * non-canonical within-increment repeats
+    */
+  private def incrementalStarts(newDocs: DataFrame, indexPath: String,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    val spark = newDocs.sparkSession
+    val occ = occurrences(newDocs, textCol, idCol, k).localCheckpoint(true)
+    val index = spark.read.parquet(indexPath)
+    val inHistory = occ.join(index, Seq("h"), "left_semi")
+      .select("id", "pos")
+    val winfo = occ.groupBy("h").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("id"), col("pos"))).as("__first"))
+    val selfDup = occ.join(winfo.filter(col("__cnt") >= 2), "h")
+      .filter(!(col("id") === col("__first.id") &&
+        col("pos") === col("__first.pos")))
+      .select("id", "pos")
+    inHistory.union(selfDup).distinct()
   }
 }

@@ -346,6 +346,55 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // incremental substring dedup: history (doc_id % 10 <> 0) persists
+    // its distinct-window index; the increment (doc_id % 10 = 0) marks a
+    // window duplicated when it exists in history (history's copy is
+    // canonical) or repeats an earlier increment occurrence. History
+    // text is never read — only the 8-byte window index
+    "q_substring_dedup_incremental" -> QueryDef(
+      s"""WITH toks AS (SELECT doc_id, $SqlTokens AS w FROM documents),
+         |histg AS (
+         |  SELECT DISTINCT array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(w) - 8 + 2)) AS t(i)
+         |  WHERE len(w) >= 8 AND doc_id % 10 <> 0),
+         |occi AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |         array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(w) - 8 + 2)) AS t(i)
+         |  WHERE len(w) >= 8 AND doc_id % 10 = 0),
+         |marked AS (
+         |  SELECT doc_id, pos, g,
+         |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         |         COUNT(*) OVER (PARTITION BY g) AS c
+         |  FROM occi),
+         |dup AS (
+         |  SELECT DISTINCT doc_id, pos FROM marked m
+         |  WHERE (m.g IN (SELECT g FROM histg)) OR (c >= 2 AND rn > 1)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos <= MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8
+         |              THEN 0 ELSE 1 END AS b
+         |  FROM dup),
+         |isl AS (SELECT doc_id, pos,
+         |               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM brk),
+         |spans AS (SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+         |                 CAST(MAX(pos) + 8 AS INTEGER) AS span_end
+         |          FROM isl GROUP BY doc_id, grp)
+         |SELECT * FROM spans ORDER BY doc_id, span_start""".stripMargin) {
+      (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val inc = docs.filter(col("doc_id") % 10 === 0)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_win_idx").toString
+      SubstringDedup.writeWindowIndex(hist, "text", "doc_id", k = 8, idx)
+      SubstringDedup.duplicatedSpansIncremental(inc, idx,
+        "text", "doc_id", k = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
     // the full curation stack end to end: Gopher gate → substring-span
     // clean → exact dedup → LSH near-dedup → decontamination vs the
     // src0 "eval set" → annotate. The oracle replays every stage over

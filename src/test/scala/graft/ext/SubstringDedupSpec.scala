@@ -38,6 +38,38 @@ class SubstringDedupSpec extends SparkSpec {
       4L -> ""))
   }
 
+  test("incremental spans against a window index match the full-corpus " +
+    "result when history holds the canonicals") {
+    val s = spark
+    import s.implicits._
+    val hist = docs // ids 1..4
+    val inc = Seq(
+      (10L, "w a b c d z"),        // interior windows hit doc 1 via index
+      (11L, "m n o m n o m n"),    // self-repeat within the increment
+      (12L, "fresh unseen tokens entirely")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("win_idx_spec").toString
+    SubstringDedup.writeWindowIndex(hist, "text", "doc_id", k = 3, idx)
+    val got = SubstringDedup
+      .duplicatedSpansIncremental(inc, idx, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // equivalently: full-corpus spans restricted to the increment (all
+    // increment ids exceed history ids, so canonicals sit in history)
+    val full = SubstringDedup
+      .duplicatedSpans(hist.unionByName(inc), "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      .filter(_._1 >= 10L)
+    assert(got == full)
+    assert(got == Set((10L, 1, 5), (11L, 3, 8)))
+    // the clean face removes exactly those tokens
+    val cleaned = SubstringDedup
+      .cleanedTextIncremental(inc, idx, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned == Map(10L -> "w z", 11L -> "m n o",
+      12L -> "fresh unseen tokens entirely"))
+  }
+
   test("a window shorter than k produces no occurrences") {
     val s = spark
     import s.implicits._

@@ -179,6 +179,16 @@ object Dedup {
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
 
+  /** append an increment's band rows to an existing [[writeBandIndex]]
+    * layout (creates it when absent) — the streaming/daily-ingest
+    * index-maintenance face
+    */
+  def appendBandIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16): Unit =
+    bandRows(docs, textCol, idCol, n, numPerms, bands)
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(path)
+
   /** (id, band, bandHash) rows of a corpus — the banding stage of
     * [[minhashLshPairs]], exposed for index builds and probes
     */

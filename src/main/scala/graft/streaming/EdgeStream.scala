@@ -92,6 +92,75 @@ object EdgeStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming near-dedup against the corpus history: each micro-batch
+    * probes the persisted LSH band index ([[graft.ext.Dedup.writeBandIndex]]'s
+    * layout at `indexDir`), keeps only documents with no verified
+    * near-duplicate in history OR earlier in the batch (smaller id
+    * wins), writes survivors via `sink`, and appends the survivors'
+    * band rows to the index — so the next batch dedups against
+    * everything kept so far. The dedup "state" is the on-disk index,
+    * not executor memory: it survives restarts and is the same artifact
+    * the batch incremental path uses.
+    *
+    * `corpusDir` must hold the kept documents' (id, text) parquet —
+    * candidate verification re-shingles only candidate docs from it;
+    * `sink` is responsible for appending survivors there.
+    */
+  def nearDedupedDocs(docs: DataFrame, textCol: String, idCol: String,
+      corpusDir: String, indexDir: String,
+      n: Int = 3, minJaccard: Double = 0.9,
+      numPerms: Int = 64, bands: Int = 16)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val corpus =
+            if (new java.io.File(corpusDir).exists())
+              spark.read.parquet(corpusDir)
+                .select(col(idCol), col(textCol))
+            else batch.select(col(idCol), col(textCol)).limit(0)
+          val haveIndex = new java.io.File(indexDir).exists()
+          val doomed =
+            if (!haveIndex) {
+              // first batch: self-dedup only
+              graft.ext.Dedup.minhashLshPairs(batch, textCol, idCol,
+                n, minJaccard, numPerms, bands)
+                .select(col("id_b").as(idCol)).distinct()
+            } else {
+              // a batch doc drops when it near-matches history (history
+              // always wins) or is the larger id of an in-batch pair —
+              // the same greedy policy as Pipeline.curate
+              val batchIds = batch.select(col(idCol)).distinct()
+                .localCheckpoint(true)
+              val aIds = batchIds.withColumnRenamed(idCol, "id_a")
+              val bIds = batchIds.withColumnRenamed(idCol, "id_b")
+              val pairs = graft.ext.Dedup.minhashLshPairsIncremental(
+                spark, batch, corpus, indexDir, textCol, idCol,
+                n, minJaccard, numPerms, bands)
+                .localCheckpoint(true)
+              val aInBatch = pairs.join(aIds, Seq("id_a"), "left_semi")
+              val bothInBatch =
+                aInBatch.join(bIds, Seq("id_b"), "left_semi")
+              val vsHistoryA = aInBatch // a in batch, b in history
+                .join(bIds, Seq("id_b"), "left_anti")
+                .select(col("id_a").as(idCol))
+              val vsHistoryB = pairs   // a in history, b in batch
+                .join(aIds, Seq("id_a"), "left_anti")
+                .select(col("id_b").as(idCol))
+              bothInBatch.select(col("id_b").as(idCol))
+                .union(vsHistoryA).union(vsHistoryB).distinct()
+            }
+          val kept = batch.join(doomed, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          sink(kept)
+          graft.ext.Dedup.appendBandIndex(kept, textCol, idCol, indexDir,
+            n, numPerms, bands)
+        }
+      }
+
   /** Streaming quality gating: the same C4 + Gopher gates the batch
     * pipeline applies ([[graft.ext.TextFunctions.c4DocKeep]] /
     * [[graft.ext.TextFunctions.gopherKeep]]), as a stateless streaming

@@ -167,6 +167,38 @@ class EdgeStreamSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("streaming near-dedup drops matches against history and within batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("snd").toString
+    val corpusDir = s"$tmp/corpus"
+    val indexDir = s"$tmp/index"
+    val stream = MemoryStream[(Long, String)]
+    val writer = EdgeStream.nearDedupedDocs(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      corpusDir, indexDir, n = 2, minJaccard = 0.6,
+      numPerms = 16, bands = 8) { kept =>
+      kept.write.mode("append").parquet(corpusDir)
+    }
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    // batch 1: 2 is a near-dup of 1 (greedy: smaller id survives)
+    stream.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words about spark query engines"))
+    q.processAllAvailable()
+    // batch 2: 10 duplicates history doc 1; 11 is novel
+    stream.addData(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "fresh material nobody has ever streamed before"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 11L))
+  }
+
   test("streaming quality gate filters statelessly as documents arrive") {
     val s = spark
     import s.implicits._

@@ -5,11 +5,15 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata, and expensive per-item decoding
   * runs batched inside `mapPartitions` — the Scala analogue of a
-  * batch-shaped Pandas UDF. The actual codec call is STUBBED (this
-  * container ships no image/audio libraries): `decodeBatchStub` derives
-  * deterministic fake dimensions from the leading bytes, so the
-  * surrounding plumbing — schema, batch shape, partition parallelism,
-  * digest computation — is real and testable end-to-end.
+  * batch-shaped Pandas UDF.
+  *
+  * IMAGES decode for real ([[decodeImages]]/[[resizeImages]] via the
+  * JDK's `javax.imageio` — PNG/JPEG/BMP/GIF, no external libraries).
+  * Audio/video codecs aren't in the JDK, so their decode stays STUBBED:
+  * `decodeBatchStub` derives deterministic fake dimensions from the
+  * leading bytes, so the surrounding plumbing — schema, batch shape,
+  * partition parallelism, digest computation — is real and testable
+  * end-to-end and a JNI/FFI codec drops straight in.
   *
   * At 100 TB: media rows are large, so the table is stored with the
   * binary column in its own parquet column chunk (column pruning skips it
@@ -90,4 +94,120 @@ object Multimodal {
   def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+
+  // ---- real image codec path (JDK javax.imageio — no external deps) ----
+
+  /** decoded image metadata + a sampled mean color; width/height = -1
+    * flags an undecodable payload (kept, not dropped — corrupt media is
+    * data to quarantine downstream, not an exception to kill a stage)
+    */
+  final case class ImageMeta(id: Long, byteLen: Int, width: Int,
+      height: Int, format: String, avgR: Double, avgG: Double,
+      avgB: Double, digest: String)
+  implicit val imageMetaEnc: Encoder[ImageMeta] = Encoders.product[ImageMeta]
+
+  private def headless(): Unit =
+    System.setProperty("java.awt.headless", "true")
+
+  /** container format from magic bytes (cheap, no decode) */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N'
+      && b(3) == 'G') "png"
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else "unknown"
+
+  /** REAL batched image decode via `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * everything the JDK decodes, zero external dependencies): true
+    * dimensions plus a mean color sampled on a ≤32×32 grid, so cost per
+    * image is bounded regardless of resolution. Same mapPartitions
+    * batch shape as the stub path — swap-in proof that the plumbing is
+    * codec-ready.
+    */
+  def decodeImageBatch(batch: Seq[MediaRow]): Seq[ImageMeta] = {
+    headless()
+    batch.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        catch { case _: Exception => null }
+      if (img == null)
+        ImageMeta(m.id, m.content.length, -1, -1, sniffFormat(m.content),
+          -1.0, -1.0, -1.0, md5Hex(m.content))
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sx = math.max(1, w / 32); val sy = math.max(1, h / 32)
+        var r = 0L; var g = 0L; var b = 0L; var c = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            c += 1; x += sx
+          }
+          y += sy
+        }
+        ImageMeta(m.id, m.content.length, w, h, sniffFormat(m.content),
+          r.toDouble / c, g.toDouble / c, b.toDouble / c, md5Hex(m.content))
+      }
+    }
+  }
+
+  /** batched real decode over partitions */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[ImageMeta] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeImageBatch))
+
+  /** REAL batched resize (headless Graphics2D, bilinear) re-encoded as
+    * PNG — the thumbnail/normalize stage of an image-curation pipeline.
+    * Undecodable payloads pass through unchanged (quarantine semantics,
+    * matching [[decodeImageBatch]]).
+    */
+  def resizeImageBatch(batch: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow] = {
+    headless()
+    batch.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        catch { case _: Exception => null }
+      if (img == null) m
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = out.createGraphics()
+        gfx.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, w, h, null)
+        gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaRow(m.id, bos.toByteArray, "image/png")
+      }
+    }
+  }
+
+  /** batched resize over partitions */
+  def resizeImages(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(resizeImageBatch(_, w, h)))
+
+  /** deterministic solid-color test PNG (id → color) — the fixture
+    * generator specs and the rows-only driver query share
+    */
+  def syntheticPng(id: Long, w: Int = 8, h: Int = 6): Array[Byte] = {
+    headless()
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id * 37) % 256).toInt << 16) |
+      (((id * 91) % 256).toInt << 8) | ((id * 53) % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -678,6 +678,42 @@ object PipelineQueries {
       Multimodal.decodeMeta(media).toDF().orderBy("id")
     },
 
+    // REAL image decode + resize (JDK javax.imageio, no external libs):
+    // deterministic solid-color PNGs are generated per doc_id, decoded
+    // for true dimensions and sampled mean color, resized 8×6 → 4×3
+    // (bilinear; solid color is resize-invariant), and re-decoded. The
+    // oracle predicts every value from the color formula alone — no
+    // image code on the oracle side, which is exactly what makes it a
+    // check OF the codec path
+    "q_multimodal_image" -> QueryDef(
+      """SELECT doc_id AS id,
+        |  CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |  'png' AS format,
+        |  CAST(doc_id * 37 % 256 AS DOUBLE) AS avg_r,
+        |  CAST(doc_id * 91 % 256 AS DOUBLE) AS avg_g,
+        |  CAST(doc_id * 53 % 256 AS DOUBLE) AS avg_b,
+        |  CAST(4 AS INTEGER) AS r_width, CAST(3 AS INTEGER) AS r_height,
+        |  CAST(doc_id * 37 % 256 AS DOUBLE) AS r_avg_r,
+        |  CAST(doc_id * 91 % 256 AS DOUBLE) AS r_avg_g,
+        |  CAST(doc_id * 53 % 256 AS DOUBLE) AS r_avg_b
+        |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+      import Multimodal._
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, Multimodal.syntheticPng(id), "image/png"))
+      val meta = Multimodal.decodeImages(media).toDF()
+        .select(col("id"), col("width"), col("height"), col("format"),
+          col("avgR").as("avg_r"), col("avgG").as("avg_g"),
+          col("avgB").as("avg_b"))
+      val resizedMeta = Multimodal
+        .decodeImages(Multimodal.resizeImages(media, 4, 3)).toDF()
+        .select(col("id"), col("width").as("r_width"),
+          col("height").as("r_height"), col("avgR").as("r_avg_r"),
+          col("avgG").as("r_avg_g"), col("avgB").as("r_avg_b"))
+      meta.join(resizedMeta, "id").orderBy("id")
+    },
+
     // batched feature extraction (stub encoder): per dim j, the mean of
     // bytes at positions j, j+8, ... scaled to [0,1]; exploded to rows so
     // the oracle replays the arithmetic per (id, dim)

@@ -375,6 +375,33 @@ class PipelineExtSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(m1).nonEmpty)
   }
 
+  test("real image decode reads true dimensions, color, and survives " +
+    "corrupt payloads; resize preserves solid color") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    val rows = Seq(
+      MediaRow(7L, Multimodal.syntheticPng(7L), "image/png"),
+      MediaRow(8L, Array[Byte](1, 2, 3, 4), "image/png")) // corrupt
+    val meta = Multimodal.decodeImages(rows.toDS())
+      .collect().map(m => m.id -> m).toMap
+    assert(meta(7L).width == 8 && meta(7L).height == 6)
+    assert(meta(7L).format == "png")
+    assert(meta(7L).avgR == (7 * 37 % 256).toDouble)
+    assert(meta(7L).avgG == (7 * 91 % 256).toDouble)
+    assert(meta(7L).avgB == (7 * 53 % 256).toDouble)
+    // corrupt payload quarantines instead of throwing
+    assert(meta(8L).width == -1 && meta(8L).format == "unknown")
+    // bilinear resize of a solid color is the same color at 4x3
+    val resized = Multimodal.decodeImages(
+      Multimodal.resizeImages(rows.toDS(), 4, 3))
+      .collect().map(m => m.id -> m).toMap
+    assert(resized(7L).width == 4 && resized(7L).height == 3)
+    assert(resized(7L).avgR == (7 * 37 % 256).toDouble)
+    // corrupt rows pass through the resize unchanged
+    assert(resized(8L).width == -1)
+  }
+
   test("incremental LSH against a persisted band index equals the full " +
     "join restricted to increment-touching pairs") {
     val s = spark

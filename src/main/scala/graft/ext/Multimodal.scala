@@ -8,8 +8,10 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * batch-shaped Pandas UDF.
   *
   * IMAGES decode for real ([[decodeImages]]/[[resizeImages]] via the
-  * JDK's `javax.imageio` — PNG/JPEG/BMP/GIF, no external libraries).
-  * Audio/video codecs aren't in the JDK, so their decode stays STUBBED:
+  * JDK's `javax.imageio` — PNG/JPEG/BMP/GIF, no external libraries),
+  * and so does AUDIO ([[decodeAudio]] via `javax.sound.sampled` —
+  * WAV/AIFF/AU PCM). Video codecs aren't in the JDK, so the generic
+  * frame-metadata decode stays STUBBED:
   * `decodeBatchStub` derives deterministic fake dimensions from the
   * leading bytes, so the surrounding plumbing — schema, batch shape,
   * partition parallelism, digest computation — is real and testable
@@ -190,6 +192,89 @@ object Multimodal {
   /** batched resize over partitions */
   def resizeImages(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] =
     ds.mapPartitions(_.grouped(BatchSize).flatMap(resizeImageBatch(_, w, h)))
+
+  // ---- real audio codec path (JDK javax.sound.sampled — WAV/PCM) ----
+
+  /** decoded audio metadata + exact signal statistics over the PCM
+    * samples; sampleRate = -1 flags an undecodable payload (quarantine
+    * semantics, as with images)
+    */
+  final case class AudioMeta(id: Long, byteLen: Int, sampleRate: Int,
+      channels: Int, frames: Long, rms: Double, peak: Double,
+      digest: String)
+  implicit val audioMetaEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
+
+  /** REAL batched audio decode via `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM — the formats the JDK decodes without external codecs): true
+    * sample rate / channel count / frame count plus exact RMS and peak
+    * amplitude of the 16-bit samples, normalized to [0,1]. Same
+    * mapPartitions batch shape as every other decode path.
+    */
+  def decodeAudioBatch(batch: Seq[MediaRow]): Seq[AudioMeta] = batch.map { m =>
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      catch { case _: Exception => null }
+    if (in == null)
+      AudioMeta(m.id, m.content.length, -1, -1, -1L, -1.0, -1.0,
+        md5Hex(m.content))
+    else {
+      val f = in.getFormat
+      val data = in.readAllBytes()
+      in.close()
+      var i = 0
+      var sumSq = 0.0
+      var peak = 0L
+      var n = 0L
+      // 16-bit signed PCM; respect the container's endianness
+      val big = f.isBigEndian
+      while (i + 1 < data.length) {
+        val s =
+          if (big) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+          else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+        sumSq += s.toDouble * s.toDouble
+        if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+        n += 1
+        i += 2
+      }
+      AudioMeta(m.id, m.content.length,
+        f.getSampleRate.toInt, f.getChannels,
+        n / math.max(f.getChannels, 1),
+        if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0,
+        peak.toDouble / 32768.0,
+        md5Hex(m.content))
+    }
+  }
+
+  /** batched real audio decode over partitions */
+  def decodeAudio(ds: Dataset[MediaRow]): Dataset[AudioMeta] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeAudioBatch))
+
+  /** deterministic square-wave test WAV (id → amplitude & length):
+    * every sample is ±v with v = (1 + id mod 9) · 3000, so RMS and peak
+    * are EXACTLY v / 32768 — decoded statistics become a pure formula
+    * of the id, which is what lets an SQL oracle check the codec path
+    */
+  def syntheticWav(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val frames = 800 + (id % 5).toInt * 80
+    val v = ((1 + id % 9) * 3000).toShort
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = if (i % 2 == 0) v else (-v).toShort
+      pcm(i * 2) = (s & 0xFF).toByte          // little-endian
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** deterministic solid-color test PNG (id → color) — the fixture
     * generator specs and the rows-only driver query share

@@ -714,6 +714,29 @@ object PipelineQueries {
       meta.join(resizedMeta, "id").orderBy("id")
     },
 
+    // REAL audio decode (JDK javax.sound.sampled, WAV/PCM): square-wave
+    // WAVs generated per doc_id — every decoded statistic (rate,
+    // channels, frames, RMS, peak) is a pure formula of the id, so the
+    // oracle checks the codec path without any audio code of its own
+    "q_multimodal_audio" -> QueryDef(
+      """SELECT doc_id AS id,
+        |  CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+        |  CAST(800 + (doc_id % 5) * 80 AS BIGINT) AS frames,
+        |  ROUND(CAST((1 + doc_id % 9) * 3000 AS DOUBLE) / 32768.0, 9) AS rms,
+        |  ROUND(CAST((1 + doc_id % 9) * 3000 AS DOUBLE) / 32768.0, 9) AS peak
+        |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+      import Multimodal._
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, Multimodal.syntheticWav(id), "audio/wav"))
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("id"), col("sampleRate").as("sample_rate"),
+          col("channels"), col("frames"),
+          round(col("rms"), 9).as("rms"), round(col("peak"), 9).as("peak"))
+        .orderBy("id")
+    },
+
     // batched feature extraction (stub encoder): per dim j, the mean of
     // bytes at positions j, j+8, ... scaled to [0,1]; exploded to rows so
     // the oracle replays the arithmetic per (id, dim)

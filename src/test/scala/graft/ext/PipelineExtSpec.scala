@@ -402,6 +402,24 @@ class PipelineExtSpec extends SparkSpec {
     assert(resized(8L).width == -1)
   }
 
+  test("real audio decode reads rate, frames, and exact square-wave " +
+    "statistics; corrupt payloads quarantine") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    val rows = Seq(
+      MediaRow(4L, Multimodal.syntheticWav(4L), "audio/wav"),
+      MediaRow(5L, Array[Byte](9, 9, 9), "audio/wav"))
+    val meta = Multimodal.decodeAudio(rows.toDS())
+      .collect().map(m => m.id -> m).toMap
+    val v = (1 + 4 % 9) * 3000 // amplitude formula for id 4
+    assert(meta(4L).sampleRate == 8000 && meta(4L).channels == 1)
+    assert(meta(4L).frames == 800 + (4 % 5) * 80)
+    assert(meta(4L).rms == v.toDouble / 32768.0)   // square wave: exact
+    assert(meta(4L).peak == v.toDouble / 32768.0)
+    assert(meta(5L).sampleRate == -1)
+  }
+
   test("incremental LSH against a persisted band index equals the full " +
     "join restricted to increment-touching pairs") {
     val s = spark

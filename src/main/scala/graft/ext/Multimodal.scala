@@ -276,6 +276,98 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- perceptual image dedup (dHash over the real decode path) ----
+
+  final case class ImageHash(id: Long, dhash: Long)
+  implicit val imageHashEnc: Encoder[ImageHash] = Encoders.product[ImageHash]
+
+  /** 64-bit difference hash of an image: resample to 9×8 (bilinear,
+    * the real [[resizeImageBatch]] path), take the standard luma of
+    * each pixel, and set bit (x, y) when luma(x+1, y) > luma(x, y) —
+    * the classic perceptual fingerprint: robust to re-encoding and
+    * rescaling, cheap enough for a corpus-wide map pass. Undecodable
+    * payloads hash to -1 (quarantine).
+    */
+  def dHashBatch(batch: Seq[MediaRow]): Seq[ImageHash] = {
+    headless()
+    batch.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        catch { case _: Exception => null }
+      if (img == null) ImageHash(m.id, -1L)
+      else {
+        val out = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = out.createGraphics()
+        gfx.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, 9, 8, null)
+        gfx.dispose()
+        def luma(x: Int, y: Int): Double = {
+          val p = out.getRGB(x, y)
+          0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+            0.114 * (p & 0xFF)
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(m.id, hash)
+      }
+    }
+  }
+
+  /** batched dHash over partitions — one corpus map pass */
+  def dHashes(ds: Dataset[MediaRow]): Dataset[ImageHash] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(dHashBatch))
+
+  /** Exact perceptual-duplicate groups: images sharing a dHash collapse
+    * to (keeper = min id, cnt) — the image face of
+    * [[Dedup.exactGroups]]'s one-shuffle shape. For near-duplicates at
+    * hamming ≤ 3, band the 64-bit hash exactly as
+    * [[Dedup.simhashPairs]] does (the pigeonhole blocking is
+    * hash-agnostic).
+    */
+  def dHashGroups(ds: Dataset[MediaRow]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    dHashes(ds).toDF()
+      .filter(col("dhash") =!= -1L)
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("keeper"))
+  }
+
+  /** deterministic horizontally-striped test PNG: pixel gray level
+    * cycles with x, phase-shifted by `id mod 4` — the four phases give
+    * four distinct dHashes, so perceptual grouping has a pure-formula
+    * oracle (group = id mod 4)
+    */
+  def syntheticPatternPng(id: Long): Array[Byte] = {
+    headless()
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val phase = (id % 4).toInt
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val g = ((x + phase) * 40) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** deterministic solid-color test PNG (id → color) — the fixture
     * generator specs and the rows-only driver query share
     */

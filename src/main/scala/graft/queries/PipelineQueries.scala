@@ -714,6 +714,24 @@ object PipelineQueries {
       meta.join(resizedMeta, "id").orderBy("id")
     },
 
+    // perceptual image dedup over the REAL codec path: striped PNGs
+    // with 4 phase classes → 4 distinct dHashes; grouping by dHash must
+    // reproduce the pure id-formula groups (keeper = min id per phase)
+    "q_multimodal_image_dedup" -> QueryDef(
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS cnt
+        |FROM documents GROUP BY doc_id % 4 ORDER BY keeper""".stripMargin) {
+      (s, d) =>
+      import Multimodal._
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, Multimodal.syntheticPatternPng(id),
+          "image/png"))
+      Multimodal.dHashGroups(media)
+        .select(col("keeper"), col("cnt"))
+        .orderBy("keeper")
+    },
+
     // REAL audio decode (JDK javax.sound.sampled, WAV/PCM): square-wave
     // WAVs generated per doc_id — every decoded statistic (rate,
     // channels, frames, RMS, peak) is a pure formula of the id, so the

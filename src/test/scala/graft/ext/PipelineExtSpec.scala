@@ -402,6 +402,31 @@ class PipelineExtSpec extends SparkSpec {
     assert(resized(8L).width == -1)
   }
 
+  test("dHash groups perceptual duplicates and is re-encoding robust") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    // ids 0..7: phases 0..3 twice over; 100 is corrupt
+    val rows = (0L to 7L).map(id =>
+      MediaRow(id, Multimodal.syntheticPatternPng(id), "image/png")) :+
+      MediaRow(100L, Array[Byte](0, 1), "image/png")
+    val hashes = Multimodal.dHashes(rows.toDS())
+      .collect().map(h => h.id -> h.dhash).toMap
+    // same phase → same hash; the four phases are pairwise distinct
+    assert((0L to 3L).forall(i => hashes(i) == hashes(i + 4)))
+    assert((0L to 3L).map(hashes).toSet.size == 4)
+    assert(hashes(100L) == -1L)
+    // a resized re-encode keeps its perceptual hash (scale up 3x)
+    val big = Multimodal.resizeImages(
+      rows.take(1).toDS(), 27, 24)
+    val rehash = Multimodal.dHashes(big).collect().head.dhash
+    assert(rehash == hashes(0L))
+    // grouping: keeper = min id per phase, corrupt rows excluded
+    val groups = Multimodal.dHashGroups(rows.toDS())
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(groups == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("real audio decode reads rate, frames, and exact square-wave " +
     "statistics; corrupt payloads quarantine") {
     val s = spark

@@ -276,6 +276,110 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- real video container demux (ISO BMFF / MP4 box parsing) ----
+
+  /** MP4/QuickTime container metadata: movie duration (from `mvhd`) and
+    * track dimensions (from `tkhd`), demuxed by walking the ISO BMFF
+    * box structure — REAL byte-format parsing (the container layer a
+    * corpus pipeline filters on), no frame decode (the JDK ships no
+    * video codec; a JNI codec plugs into the same batch shape).
+    * brand = "" / durationMs = -1 flags an unparseable payload.
+    */
+  final case class VideoMeta(id: Long, byteLen: Int, brand: String,
+      timescale: Long, durationMs: Long, width: Int, height: Int,
+      digest: String)
+  implicit val videoMetaEnc: Encoder[VideoMeta] = Encoders.product[VideoMeta]
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  /** walk the boxes of `[from, to)`, calling `f(type, bodyFrom, bodyTo)` */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= to) {
+      val size = be32(b, i)
+      if (size < 8 || i + size > to) return // malformed: stop cleanly
+      val tpe = new String(b, i + 4, 4, "ISO-8859-1")
+      f(tpe, i + 8, i + size.toInt)
+      i += size.toInt
+    }
+  }
+
+  /** REAL batched MP4 demux over partitions */
+  def demuxMp4Batch(batch: Seq[MediaRow]): Seq[VideoMeta] = batch.map { m =>
+    val b = m.content
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var width = 0
+    var height = 0
+    try {
+      walkBoxes(b, 0, b.length) {
+        case ("ftyp", s, _) if s + 4 <= b.length =>
+          brand = new String(b, s, 4, "ISO-8859-1")
+        case ("moov", ms, me) =>
+          walkBoxes(b, ms, me) {
+            case ("mvhd", s, e) if b(s) == 0 && s + 20 <= e =>
+              // v0: ver/flags, ctime, mtime, timescale, duration
+              timescale = be32(b, s + 12)
+              duration = be32(b, s + 16)
+            case ("trak", ts, te) =>
+              walkBoxes(b, ts, te) {
+                case ("tkhd", s, e) if b(s) == 0 && s + 84 <= e =>
+                  // v0 fixed layout: width/height are 16.16 at +76/+80
+                  width = (be32(b, s + 76) >> 16).toInt
+                  height = (be32(b, s + 80) >> 16).toInt
+                case _ =>
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+    } catch { case _: Exception => brand = "" }
+    if (brand.isEmpty || timescale == 0)
+      VideoMeta(m.id, b.length, "", -1L, -1L, -1, -1, md5Hex(b))
+    else
+      VideoMeta(m.id, b.length, brand, timescale,
+        duration * 1000L / timescale, width, height, md5Hex(b))
+  }
+
+  def demuxMp4(ds: Dataset[MediaRow]): Dataset[VideoMeta] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(demuxMp4Batch))
+
+  /** deterministic minimal MP4 (ftyp + moov(mvhd + trak(tkhd))): movie
+    * duration and track dimensions are pure formulas of the id, so the
+    * demux path has an SQL oracle
+    */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val timescale = 1000L
+    val duration = 1000L + (id % 60) * 500L        // ms, since ts=1000
+    val w = 160 + (id % 8).toInt * 16
+    val h = 120 + (id % 6).toInt * 16
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + body.length)
+      val size = out.length.toLong
+      out(0) = ((size >> 24) & 0xFF).toByte; out(1) = ((size >> 16) & 0xFF).toByte
+      out(2) = ((size >> 8) & 0xFF).toByte; out(3) = (size & 0xFF).toByte
+      tpe.getBytes("ISO-8859-1").copyToArray(out, 4)
+      body.copyToArray(out, 8)
+      out
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val ftyp = box("ftyp", u32(0x69736F6DL) ++ u32(0) ++ u32(0x69736F6DL))
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(timescale) ++ u32(duration) ++
+        Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(duration) ++
+        Array.fill[Byte](52)(0) ++ u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
+
   // ---- perceptual image dedup (dHash over the real decode path) ----
 
   final case class ImageHash(id: Long, dhash: Long)

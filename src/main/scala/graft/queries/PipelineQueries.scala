@@ -732,6 +732,29 @@ object PipelineQueries {
         .orderBy("keeper")
     },
 
+    // REAL video container demux (ISO BMFF box walk — mvhd duration,
+    // tkhd dimensions): synthetic MP4s per doc_id make every demuxed
+    // field a pure id formula for the oracle. Frame decode stays out of
+    // scope (no JDK video codec) — this is the container-metadata layer
+    // a corpus pipeline filters on
+    "q_multimodal_video" -> QueryDef(
+      """SELECT doc_id AS id, 'isom' AS brand,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(1000 + (doc_id % 60) * 500 AS BIGINT) AS duration_ms,
+        |  CAST(160 + (doc_id % 8) * 16 AS INTEGER) AS width,
+        |  CAST(120 + (doc_id % 6) * 16 AS INTEGER) AS height
+        |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+      import Multimodal._
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, Multimodal.syntheticMp4(id), "video/mp4"))
+      Multimodal.demuxMp4(media).toDF()
+        .select(col("id"), col("brand"), col("timescale"),
+          col("durationMs").as("duration_ms"), col("width"), col("height"))
+        .orderBy("id")
+    },
+
     // REAL audio decode (JDK javax.sound.sampled, WAV/PCM): square-wave
     // WAVs generated per doc_id — every decoded statistic (rate,
     // channels, frames, RMS, peak) is a pure formula of the id, so the

@@ -427,6 +427,24 @@ class PipelineExtSpec extends SparkSpec {
     assert(groups == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("mp4 demux walks boxes for duration and dimensions; malformed " +
+    "payloads quarantine") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    val rows = Seq(
+      MediaRow(3L, Multimodal.syntheticMp4(3L), "video/mp4"),
+      MediaRow(9L, Array[Byte](0, 0, 0, 1), "video/mp4"))
+    val meta = Multimodal.demuxMp4(rows.toDS())
+      .collect().map(m => m.id -> m).toMap
+    assert(meta(3L).brand == "isom")
+    assert(meta(3L).timescale == 1000L)
+    assert(meta(3L).durationMs == 1000 + (3 % 60) * 500)
+    assert(meta(3L).width == 160 + (3 % 8) * 16)
+    assert(meta(3L).height == 120 + (3 % 6) * 16)
+    assert(meta(9L).brand == "" && meta(9L).durationMs == -1L)
+  }
+
   test("real audio decode reads rate, frames, and exact square-wave " +
     "statistics; corrupt payloads quarantine") {
     val s = spark

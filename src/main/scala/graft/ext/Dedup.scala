@@ -28,6 +28,32 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keeper"))
 
+  /** Persist the corpus's distinct content fingerprints — the exact-
+    * dedup face of the incremental index family (16 bytes per distinct
+    * document).
+    */
+  def writeFingerprintIndex(df: DataFrame, textCol: String,
+      path: String): Unit =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .distinct().write.mode("overwrite").parquet(path)
+
+  /** Exact-dedup an ingestion increment against the fingerprint index
+    * AND within itself (min-id keeper): returns the surviving rows.
+    * One map pass over the increment, one 16-byte-key semi-join against
+    * the index, one fingerprint aggregation of the increment.
+    */
+  def exactDedupIncremental(newDocs: DataFrame, indexPath: String,
+      textCol: String, idCol: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.read.parquet(indexPath)
+    val fresh = newDocs
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(index.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+    val keepers = fresh.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    fresh.join(keepers, Seq(idCol), "left_semi").drop("__fp")
+  }
+
   /** doc_id → distinct word-n-gram shingle rows (exploded). */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),

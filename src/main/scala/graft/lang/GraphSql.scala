@@ -432,7 +432,16 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     out.result()
   }
 
+  private val ExplainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
+
   def sql(query: String): DataFrame = query match {
+    case ExplainRe(inner) =>
+      // T-SQL SHOWPLAN analogue: one string row with the formatted
+      // physical plan of the inner statement (works for MATCH queries
+      // too — Spark's own EXPLAIN can't see through the dialect)
+      import spark.implicits._
+      Seq(sql(inner).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)).toDF("plan")
     case _ if graft.ddl.GraphDdl.isCreateNodeTable(query) =>
       val cat = requireCatalog()
       val (td, props) = graft.ddl.GraphDdl.parseCreateNodeTable(query, cat.nextTableId)

@@ -215,6 +215,28 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // incremental exact dedup: the increment (doc_id % 10 = 0) survives
+    // only when its fingerprint is absent from history's persisted
+    // 16-byte index and it is the min-id holder within the increment
+    "q_dedup_exact_incremental" -> QueryDef(
+      """WITH f AS (SELECT doc_id,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |           FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+        |inc AS (SELECT * FROM f WHERE doc_id % 10 = 0),
+        |fresh AS (SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM hist))
+        |SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_fp_idx").toString
+      Dedup.writeFingerprintIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "text", idx)
+      Dedup.exactDedupIncremental(
+        docs.filter(col("doc_id") % 10 === 0), idx, "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // incremental LSH dedup: the corpus is split into history (90%) and
     // an increment (doc_id % 10 = 0); history's band index persists to
     // parquet and the increment probes it — no history re-signaturing.

@@ -196,6 +196,18 @@ class GraphSqlSpec extends SparkSpec {
     }
   }
 
+  test("EXPLAIN renders the physical plan of a MATCH query") {
+    val gs = new GraphSession(spark, peopleProvider)
+    val plan = gs.sql(
+      """EXPLAIN SELECT B.name FROM People A, People B MATCH A-[Knows]->B
+        |WHERE A.name = 'Alice'""".stripMargin)
+      .head().getString(0)
+    assert(plan.contains("Physical Plan"))
+    // the traversal compiles to an adjacency explode, not a join of raw
+    // pattern tables
+    assert(plan.toLowerCase.contains("generate"))
+  }
+
   test("non-MATCH statements delegate to spark.sql") {
     val gs = new GraphSession(spark, peopleProvider)
     assert(gs.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)

@@ -250,6 +250,103 @@ object Multimodal {
   def decodeAudio(ds: Dataset[MediaRow]): Dataset[AudioMeta] =
     ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeAudioBatch))
 
+  /** 64-bit audio fingerprint: split the PCM samples into 65 equal
+    * windows, take each window's mean absolute amplitude, and set bit w
+    * when energy(w+1) > energy(w) — the energy-gradient skeleton of a
+    * chromaprint-style fingerprint (robust to gain and resampling,
+    * since only the energy ORDER between neighboring windows matters).
+    * One map pass; dedup reuses the 8-byte group/banding shapes.
+    * Undecodable payloads hash to -1.
+    */
+  def audioFingerprintBatch(batch: Seq[MediaRow]): Seq[ImageHash] =
+    batch.map { m =>
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        catch { case _: Exception => null }
+      if (in == null) ImageHash(m.id, -1L)
+      else {
+        val big = in.getFormat.isBigEndian
+        val data = in.readAllBytes()
+        in.close()
+        val n = data.length / 2
+        if (n < 65) ImageHash(m.id, -1L)
+        else {
+          val energy = new Array[Double](65)
+          var w = 0
+          while (w < 65) {
+            val from = (n.toLong * w / 65).toInt
+            val to = (n.toLong * (w + 1) / 65).toInt
+            var s = 0.0
+            var i = from
+            while (i < to) {
+              val v =
+                if (big) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xFF)).toShort
+                else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)).toShort
+              s += math.abs(v.toDouble)
+              i += 1
+            }
+            energy(w) = if (to > from) s / (to - from) else 0.0
+            w += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (energy(k + 1) > energy(k)) hash |= 1L << k
+            k += 1
+          }
+          ImageHash(m.id, hash)
+        }
+      }
+    }
+
+  /** batched audio fingerprints over partitions */
+  def audioFingerprints(ds: Dataset[MediaRow]): Dataset[ImageHash] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(audioFingerprintBatch))
+
+  /** exact audio-duplicate groups (min-id keeper), the audio face of
+    * [[dHashGroups]]
+    */
+  def audioFingerprintGroups(ds: Dataset[MediaRow]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    audioFingerprints(ds).toDF()
+      .filter(col("dhash") =!= -1L)
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("keeper"))
+  }
+
+  /** deterministic amplitude-patterned test WAV: 65 windows of 100
+    * samples whose amplitudes cycle with the window index, phase-shifted
+    * by `id mod 4` — four distinct fingerprints, group = id mod 4 (the
+    * audio analogue of [[syntheticPatternPng]])
+    */
+  def syntheticPatternWav(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val phase = (id % 4).toInt
+    val frames = 65 * 100
+    val pcm = new Array[Byte](frames * 2)
+    var w = 0
+    while (w < 65) {
+      val v = (((w + phase) * 700) % 8000).toShort
+      var i = 0
+      while (i < 100) {
+        val idx = w * 100 + i
+        val s = if (idx % 2 == 0) v else (-v).toShort
+        pcm(idx * 2) = (s & 0xFF).toByte
+        pcm(idx * 2 + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** deterministic square-wave test WAV (id → amplitude & length):
     * every sample is ±v with v = (1 + id mod 9) · 3000, so RMS and peak
     * are EXACTLY v / 32768 — decoded statistics become a pure formula

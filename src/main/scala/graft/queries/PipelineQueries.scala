@@ -754,6 +754,24 @@ object PipelineQueries {
         .orderBy("keeper")
     },
 
+    // audio fingerprint dedup over the REAL WAV decode: amplitude-
+    // patterned WAVs with 4 phase classes → 4 distinct energy-gradient
+    // fingerprints; grouping must reproduce the pure id-formula groups
+    "q_multimodal_audio_dedup" -> QueryDef(
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS cnt
+        |FROM documents GROUP BY doc_id % 4 ORDER BY keeper""".stripMargin) {
+      (s, d) =>
+      import Multimodal._
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, Multimodal.syntheticPatternWav(id),
+          "audio/wav"))
+      Multimodal.audioFingerprintGroups(media)
+        .select(col("keeper"), col("cnt"))
+        .orderBy("keeper")
+    },
+
     // REAL video container demux (ISO BMFF box walk — mvhd duration,
     // tkhd dimensions): synthetic MP4s per doc_id make every demuxed
     // field a pure id formula for the oracle. Frame decode stays out of

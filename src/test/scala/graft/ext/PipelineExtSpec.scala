@@ -427,6 +427,23 @@ class PipelineExtSpec extends SparkSpec {
     assert(groups == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("audio fingerprints group by energy pattern and ignore gain") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    val rows = (0L to 7L).map(id =>
+      MediaRow(id, Multimodal.syntheticPatternWav(id), "audio/wav")) :+
+      MediaRow(100L, Array[Byte](1), "audio/wav")
+    val fps = Multimodal.audioFingerprints(rows.toDS())
+      .collect().map(h => h.id -> h.dhash).toMap
+    assert((0L to 3L).forall(i => fps(i) == fps(i + 4)))
+    assert((0L to 3L).map(fps).toSet.size == 4)
+    assert(fps(100L) == -1L)
+    val groups = Multimodal.audioFingerprintGroups(rows.toDS())
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(groups == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("mp4 demux walks boxes for duration and dimensions; malformed " +
     "payloads quarantine") {
     val s = spark

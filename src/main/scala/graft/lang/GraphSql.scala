@@ -50,12 +50,40 @@ object GraphSql {
       """(\s+FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY)?""").r
 
   def rewriteOffsetFetch(sql: String): String =
-    OffsetFetchRe.replaceAllIn(sql, m =>
-      if (m.group(3) != null) s"LIMIT ${m.group(3)} OFFSET ${m.group(1)}"
-      else s"OFFSET ${m.group(1)}")
+    mapOutsideQuotes(sql)(seg =>
+      OffsetFetchRe.replaceAllIn(seg, m =>
+        if (m.group(3) != null) s"LIMIT ${m.group(3)} OFFSET ${m.group(1)}"
+        else s"OFFSET ${m.group(1)}"))
 
-  def hasOffsetFetch(sql: String): Boolean =
-    OffsetFetchRe.findFirstIn(sql).isDefined
+  def hasOffsetFetch(sql: String): Boolean = {
+    var found = false
+    mapOutsideQuotes(sql) { seg =>
+      if (OffsetFetchRe.findFirstIn(seg).isDefined) found = true
+      seg
+    }
+    found
+  }
+
+  /** apply `f` to the segments of `sql` OUTSIDE string literals, leaving
+    * quoted content byte-identical — regex rewrites must never touch a
+    * literal that happens to contain SQL keywords
+    */
+  private def mapOutsideQuotes(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var quote: Char = 0
+    sql.foreach { c =>
+      if (quote != 0) { out += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' =>
+          out ++= f(seg.toString); seg.clear()
+          quote = c; out += c
+        case _ => seg += c
+      }
+    }
+    out ++= f(seg.toString)
+    out.toString
+  }
 
   final case class ParsedMatch(
       select: String,

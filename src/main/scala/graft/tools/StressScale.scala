@@ -74,6 +74,27 @@ object StressScale {
         TextFunctions.qualityScore(col("text")).as("q"),
         TextFunctions.c4DocKeep(col("text")).as("keep")).count()
     }
+
+    // incremental family: 90% history indexed once, 10% increment probes
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    time("band_index_build") {
+      Dedup.writeBandIndex(hist, "text", "doc_id", s"$work/bandidx",
+        n = 3, numPerms = 64, bands = 8); 0L
+    }
+    time("lsh_incremental_probe") {
+      Dedup.minhashLshPairsIncremental(spark, inc, hist, s"$work/bandidx",
+        "text", "doc_id", n = 3, minJaccard = 0.9,
+        numPerms = 64, bands = 8).count()
+    }
+    time("window_index_build") {
+      SubstringDedup.writeWindowIndex(hist, "text", "doc_id", k = 8,
+        s"$work/winidx"); 0L
+    }
+    time("substring_incremental_probe") {
+      SubstringDedup.duplicatedSpansIncremental(inc, s"$work/winidx",
+        "text", "doc_id", k = 8).count()
+    }
     spark.stop()
   }
 }

@@ -194,6 +194,9 @@ class GraphSqlSpec extends SparkSpec {
         """SELECT TOP 2 B.name FROM People A, People B MATCH A-[Knows]->B
           |ORDER BY B.name OFFSET 1 ROWS""".stripMargin)
     }
+    // a string literal spelling the clause is NOT rewritten
+    assert(gs.sql("SELECT 'use OFFSET 5 ROWS here' AS s")
+      .head().getString(0) == "use OFFSET 5 ROWS here")
   }
 
   test("EXPLAIN renders the physical plan of a MATCH query") {

@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based pinning of the incremental-dedup contracts: over
+  * random small corpora (fixed seeds for reproducibility), the
+  * index-probing incremental paths must equal the full-corpus batch
+  * results restricted to the increment — the invariant that makes
+  * daily ingestion safe to run incrementally.
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(7L + i)))
+
+  // corpora over a tiny vocabulary so duplicate windows actually occur;
+  // ~30% of docs are mutated copies of an earlier doc (real near-dups)
+  private val vocab = Vector("a", "b", "c", "d", "e")
+  private def corpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(6, 14)
+    texts <- Gen.listOfN(n, Gen.listOfN(12,
+      Gen.oneOf(vocab)).map(_.mkString(" ")))
+    mutate <- Gen.listOfN(n, Gen.choose(0, 9))
+  } yield texts.zipWithIndex.map { case (t, i) =>
+    val text =
+      if (i > 0 && mutate(i) < 3) texts(i - 1) // verbatim copy of prior
+      else t
+    (i.toLong + 1, text)
+  }
+
+  test("incremental substring spans equal the full-corpus spans on the " +
+    "increment, across random corpora") {
+    val s = spark
+    import s.implicits._
+    samples(corpusGen, 8).foreach { corpus =>
+      // history = first 2/3 (smaller ids → canonicals), increment = rest
+      val cut = corpus.size * 2 / 3
+      val hist = corpus.take(cut).toDF("doc_id", "text")
+      val inc = corpus.drop(cut).toDF("doc_id", "text")
+      val idx = java.nio.file.Files
+        .createTempDirectory("prop_win_idx").toString
+      SubstringDedup.writeWindowIndex(hist, "text", "doc_id", k = 4, idx)
+      val got = SubstringDedup
+        .duplicatedSpansIncremental(inc, idx, "text", "doc_id", k = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val full = SubstringDedup
+        .duplicatedSpans(hist.unionByName(inc), "text", "doc_id", k = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+        .filter(_._1 > cut)
+      assert(got == full, s"corpus: $corpus")
+    }
+  }
+
+  test("incremental exact dedup equals full-corpus min-id dedup on the " +
+    "increment, across random corpora") {
+    val s = spark
+    import s.implicits._
+    samples(corpusGen, 8).foreach { corpus =>
+      val cut = corpus.size * 2 / 3
+      val hist = corpus.take(cut).toDF("doc_id", "text")
+      val inc = corpus.drop(cut).toDF("doc_id", "text")
+      val idx = java.nio.file.Files
+        .createTempDirectory("prop_fp_idx").toString
+      Dedup.writeFingerprintIndex(hist, "text", idx)
+      val got = Dedup.exactDedupIncremental(inc, idx, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // full semantics: an increment doc survives iff it is the min-id
+      // holder of its fingerprint corpus-wide
+      val all = hist.unionByName(inc)
+      val keepers = all
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expected = corpus.drop(cut).map(_._1).toSet.intersect(keepers)
+      assert(got == expected, s"corpus: $corpus")
+    }
+  }
+}

@@ -319,17 +319,25 @@ object Dedup {
     * one exact band — pigeonhole), so the join key is a short int, not
     * the full corpus cross product.
     */
+  /** (id, simhash, band, bandVal) rows — the 4×16-bit pigeonhole
+    * banding, shared by the batch self-join, the persisted index, and
+    * the incremental probe
+    */
+  private def simhashBandRows(df: DataFrame, textCol: String,
+      idCol: String, tokenHash: Column => Column): DataFrame =
+    simhashes(df, textCol, idCol, tokenHash)
+      .select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandVal")
+
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3,
       tokenHash: Column => Column = XxTokenHash): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
-    val sh = simhashes(df, textCol, idCol, tokenHash)
     // materialized once (4 short rows per doc) so the self-join below
     // doesn't re-run the corpus-wide tokenize+simhash pass per side
-    val banded = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandVal")
+    val banded = simhashBandRows(df, textCol, idCol, tokenHash)
       .localCheckpoint(true)
     banded.as("a")
       .join(banded.as("b"),
@@ -340,6 +348,51 @@ object Dedup {
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Persist the corpus's simhash band index: (id, simhash, band,
+    * bandVal) partitioned by band — ~40 B per doc. Unlike the MinHash
+    * band index, this one carries the full fingerprint, so an
+    * incremental probe verifies hamming distance from the index alone:
+    * history's TEXT is never needed again.
+    */
+  def writeSimhashIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, tokenHash: Column => Column = XxTokenHash): Unit =
+    simhashBandRows(docs, textCol, idCol, tokenHash)
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Incremental simhash near-dup pairs: the increment bands itself
+    * (map-only), probes the persisted index on (band, bandVal), and
+    * self-joins within the increment; hamming verifies directly on the
+    * stored fingerprints — no text access at all beyond the increment's
+    * own tokenization. Output equals [[simhashPairs]] over
+    * `history ∪ increment` restricted to increment-touching pairs
+    * (pigeonhole: any pair at hamming ≤ 3 shares a 16-bit band).
+    */
+  def simhashPairsIncremental(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, indexPath: String,
+      textCol: String, idCol: String, maxHamming: Int = 3,
+      tokenHash: Column => Column = XxTokenHash): DataFrame = {
+    require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
+    val newBands = simhashBandRows(newDocs, textCol, idCol, tokenHash)
+      .localCheckpoint(true)
+    val index = spark.read.parquet(indexPath)
+    def pairs(a: DataFrame, b: DataFrame, strict: Boolean) =
+      a.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandVal") === col("b.bandVal") &&
+          (if (strict) col("a.id") < col("b.id")
+           else col("a.id") =!= col("b.id")))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .as("hamming"))
+    pairs(newBands, index, strict = false)
+      .union(pairs(newBands, newBands, strict = true))
+      .distinct()
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -303,6 +303,45 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // incremental simhash dedup: history persists its fingerprint band
+    // index; the increment probes it with NO access to history text.
+    // Oracle = the full brute-force portable-hash simhash join
+    // restricted to increment-touching pairs
+    "q_dedup_simhash_incremental" -> QueryDef(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($SqlTokens) AS w FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+         |  FROM tok),
+         |bits AS (
+         |  SELECT doc_id, bb.b AS b,
+         |         SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM th, (SELECT unnest(range(0, 60)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |sh AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_sh_idx").toString
+      Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", idx, tokenHash = Dedup.PortableTokenHash)
+      Dedup.simhashPairsIncremental(s,
+        docs.filter(col("doc_id") % 10 === 0), idx,
+        "text", "doc_id", maxHamming = 3,
+        tokenHash = Dedup.PortableTokenHash)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType))
+        .orderBy("id_a", "id_b")
+    },
+
     // embedding-cosine near-dup pairs
     "q_dedup_embedding" -> QueryDef(
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -480,6 +480,25 @@ class PipelineExtSpec extends SparkSpec {
     assert(meta(5L).sampleRate == -1)
   }
 
+  test("incremental simhash against a persisted fingerprint index equals " +
+    "the full join restricted to increment-touching pairs") {
+    val s = spark
+    import s.implicits._
+    val hist = docs.filter(col("doc_id") < 6)
+    val inc = docs.filter(col("doc_id") === 6)
+    val idx = java.nio.file.Files
+      .createTempDirectory("sh_idx_spec").toString
+    Dedup.writeSimhashIndex(hist, "text", "doc_id", idx)
+    val got = Dedup.simhashPairsIncremental(s, inc, idx,
+      "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 == 6L || p._2 == 6L)
+    assert(got == full)
+    assert(got.contains((1L, 6L))) // the exact copy: hamming 0 via index
+  }
+
   test("incremental LSH against a persisted band index equals the full " +
     "join restricted to increment-touching pairs") {
     val s = spark

@@ -1,5 +1,7 @@
 package graft.ddl
 
+import graft.Stage.StageOps
+
 import graft.graph.{GraphBuilder, GraphProvider}
 import graft.meta._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -287,7 +289,7 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
         val compacted = td.edges.foldLeft(provider.nodeTable(td.name)) {
           (t, e) => graft.dml.GraphDml.compact(t, e)
         }
-        rewrite(td.name, compacted.localCheckpoint(true))
+        rewrite(td.name, compacted.stageBoundary)
       }
     }
     // resync reversed mirrors from the now-compacted forward sides
@@ -295,7 +297,7 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
       td.edges.foreach { e =>
         val synced = graft.dml.GraphDml.syncReversed(
           provider.nodeTable(td.name), provider.nodeTable(e.sinkTable), e)
-        rewrite(e.sinkTable, synced.localCheckpoint(true))
+        rewrite(e.sinkTable, synced.stageBoundary)
       }
     }
   }

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.Stage.StageOps
+
 import graft.functions.SimHash64
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -161,7 +163,7 @@ object Dedup {
     // instead of re-running the corpus-wide shingle+signature pipeline
     // per side
     val banded = bandRows(df, textCol, idCol, n, numPerms, bands)
-      .localCheckpoint(true)
+      .stageBoundary
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -171,7 +173,7 @@ object Dedup {
       .distinct()
       // the pair set is O(duplicates) — materialize it small so the
       // verify side starts from the checkpointed pair list
-      .localCheckpoint(true)
+      .stageBoundary
     // shingles re-derive ONLY for docs in some candidate pair: semi-join
     // the raw rows on the candidate-id list first (O(duplicates), AQE
     // broadcasts it when small), then shingle the survivors
@@ -181,7 +183,7 @@ object Dedup {
     // read it without re-running the semi-join + shingling
     val verifyDocs = shingled(
       df.join(candIds, col(idCol) === col("__cid"), "left_semi"))
-      .localCheckpoint(true)
+      .stageBoundary
     candidates
       .join(verifyDocs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(verifyDocs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
@@ -256,7 +258,7 @@ object Dedup {
       n: Int = 3, minJaccard: Double = 0.9,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     val newBands = bandRows(newDocs, textCol, idCol, n, numPerms, bands)
-      .localCheckpoint(true)
+      .stageBoundary
     val index = spark.read.parquet(indexPath)
     // old⋈new across the index + new⋈new within the increment; pair
     // ids ordered so the union is duplicate-free
@@ -273,7 +275,7 @@ object Dedup {
           col("a.bandHash") === col("b.bandHash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val candidates = crossCand.union(selfCand).distinct().localCheckpoint(true)
+    val candidates = crossCand.union(selfCand).distinct().stageBoundary
     val candIds = candidates.select(col("id_a").as("__cid"))
       .union(candidates.select(col("id_b"))).distinct()
     def shingled(d: DataFrame) = d.select(col(idCol).as("id"),
@@ -283,7 +285,7 @@ object Dedup {
       corpus.select(col(idCol), col(textCol))
         .unionByName(newDocs.select(col(idCol), col(textCol)))
         .join(candIds, col(idCol) === col("__cid"), "left_semi"))
-      .localCheckpoint(true)
+      .stageBoundary
     candidates
       .join(verifyDocs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(verifyDocs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
@@ -338,7 +340,7 @@ object Dedup {
     // materialized once (4 short rows per doc) so the self-join below
     // doesn't re-run the corpus-wide tokenize+simhash pass per side
     val banded = simhashBandRows(df, textCol, idCol, tokenHash)
-      .localCheckpoint(true)
+      .stageBoundary
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -378,7 +380,7 @@ object Dedup {
       tokenHash: Column => Column = XxTokenHash): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
     val newBands = simhashBandRows(newDocs, textCol, idCol, tokenHash)
-      .localCheckpoint(true)
+      .stageBoundary
     val index = spark.read.parquet(indexPath)
     def pairs(a: DataFrame, b: DataFrame, strict: Boolean) =
       a.as("a").join(b.as("b"),

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.Stage.StageOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -82,18 +84,18 @@ object Pipeline {
     // clean pipeline re-executes ~6× (measured 16 s vs 4 s at sf0.1).
     val cleaned = SubstringDedup.cleanedText(gated, textCol, idCol, k)
       .filter(TextFunctions.tokenCount(col("cleaned")) >= minCleanTokens)
-      .localCheckpoint(true)
+      .stageBoundary
     val keepers = cleaned
       .groupBy(TextFunctions.fingerprint(col("cleaned")).as("__fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
     val exact = cleaned.join(keepers, Seq(idCol), "left_semi")
-      .localCheckpoint(true)
+      .stageBoundary
     val doomed = Dedup.minhashLshPairs(exact, "cleaned", idCol,
       n = 3, minJaccard = minJaccard)
       .select(col("id_b").as(idCol)).distinct()
     val nearDeduped = exact.join(doomed, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+      .stageBoundary
     val dirty = Decontaminate.overlapHits(
       nearDeduped,
       bench.select(col(idCol), col(textCol).as("cleaned")),

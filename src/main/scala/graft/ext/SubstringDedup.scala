@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.Stage.StageOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -149,7 +151,7 @@ object SubstringDedup {
   private def incrementalStarts(newDocs: DataFrame, indexPath: String,
       textCol: String, idCol: String, k: Int): DataFrame = {
     val spark = newDocs.sparkSession
-    val occ = occurrences(newDocs, textCol, idCol, k).localCheckpoint(true)
+    val occ = occurrences(newDocs, textCol, idCol, k).stageBoundary
     val index = spark.read.parquet(indexPath)
     val inHistory = occ.join(index, Seq("h"), "left_semi")
       .select("id", "pos")

@@ -1,5 +1,7 @@
 package graft.lang
 
+import graft.Stage.StageOps
+
 import graft.graph.GraphProvider
 import graft.paths.PathExpand
 import graft.pattern._
@@ -351,10 +353,52 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   private val histProbeCache =
     scala.collection.concurrent.TrieMap[(String, String), graft.stats.Histogram]()
 
-  def stats: GraphStats = statsCache.getOrElse {
+  // ---- view registry: node/edge views created through the dialect
+  // (View.cs:689-903). Views are metadata only — the overlay provider
+  // exposes them as schema tables built lazily per query, so view DDL
+  // never runs a Spark job.
+  private val nodeViewsReg =
+    scala.collection.mutable.LinkedHashMap[String, graft.graph.NodeViewDef]()
+  private val edgeViewsReg =
+    scala.collection.mutable.LinkedHashMap[(String, String), graft.graph.EdgeViewDef]()
+  private var overlayCache: Option[graft.graph.ViewProvider] = None
+  private var augStatsCache: Option[GraphStats] = None
+
+  /** the provider read paths plan against: base, or base + views */
+  private def g: GraphProvider =
+    if (nodeViewsReg.isEmpty) provider
+    else overlayCache.getOrElse {
+      val p = graft.graph.ViewProvider(provider,
+        nodeViewsReg.values.toSeq, edgeViewsReg.values.toSeq)
+      overlayCache = Some(p)
+      p
+    }
+
+  private def invalidateViews(): Unit = {
+    overlayCache = None
+    augStatsCache = None
+    // conjunct probes are keyed by table name — a redefined view must
+    // not reuse the old definition's selectivities
+    selProbeCache.clear()
+    histProbeCache.clear()
+  }
+
+  private def baseStats: GraphStats = statsCache.getOrElse {
     val s = GraphStats.collect(provider)
     statsCache = Some(s)
     s
+  }
+
+  def stats: GraphStats = g match {
+    case vp: graft.graph.ViewProvider =>
+      augStatsCache.getOrElse {
+        // view stats derive from member stats (row sums, degree sums,
+        // re-projected samples) — pure arithmetic, no jobs
+        val a = graft.graph.ViewProvider.augmentStats(baseStats, vp)
+        augStatsCache = Some(a)
+        a
+      }
+    case _ => baseStats
   }
 
   /** ANALYZE GRAPH — refresh planner statistics (the reference's
@@ -365,6 +409,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val s = if (sampled) GraphStats.collectSampled(provider)
       else GraphStats.collect(provider)
     statsCache = Some(s)
+    augStatsCache = None
     selProbeCache.clear()
     histProbeCache.clear()
     s
@@ -470,6 +515,42 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       import spark.implicits._
       Seq(sql(inner).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)).toDF("plan")
+    case ViewDdl.CreateNodeViewRe(name, body) =>
+      require(!provider.schema.hasTable(name) && !nodeViewsReg.contains(name),
+        s"a table or view named $name already exists")
+      val v = ViewDdl.nodeView(name, body, provider.schema)
+      nodeViewsReg(name) = v
+      // default edge views on node-view creation (View.cs:621-668):
+      // every edge name shared by >=2 member tables unions automatically
+      defaultEdgeViews(v).foreach(ev => edgeViewsReg((v.name, ev.name)) = ev)
+      invalidateViews()
+      affected(0)
+    case ViewDdl.CreateEdgeViewRe(viewTable, name, body) =>
+      require(nodeViewsReg.contains(viewTable),
+        s"edge view $viewTable.$name: no node view named $viewTable")
+      val ev = ViewDdl.edgeView(viewTable, name, body, provider.schema,
+        nodeViewsReg.values.toSeq)
+      edgeViewsReg((viewTable, name)) = ev // explicit wins over a default
+      invalidateViews()
+      affected(0)
+    case ViewDdl.DropNodeViewRe(ifExists, name) =>
+      if (nodeViewsReg.contains(name)) {
+        // dropping a node view drops its edge views too (View.cs:723-787)
+        nodeViewsReg.remove(name)
+        edgeViewsReg.filterInPlace { case ((vt, _), ev) =>
+          vt != name && ev.sinkTable != name
+        }
+        spark.catalog.dropTempView(name)
+        invalidateViews()
+      } else require(ifExists != null, s"no node view named $name")
+      affected(0)
+    case ViewDdl.DropEdgeViewRe(ifExists, viewTable, name) =>
+      if (edgeViewsReg.contains((viewTable, name))) {
+        edgeViewsReg.remove((viewTable, name))
+        invalidateViews()
+      } else require(ifExists != null,
+        s"no edge view named $viewTable.$name")
+      affected(0)
     case _ if graft.ddl.GraphDdl.isCreateNodeTable(query) =>
       val cat = requireCatalog()
       val (td, props) = graft.ddl.GraphDdl.parseCreateNodeTable(query, cat.nextTableId)
@@ -508,7 +589,36 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     case DeleteNodeRe(table, where) => deleteNodeSql(table, Option(where))
     case _ if GraphSql.findExistsMatch(query).isDefined => correlatedSql(query)
     case _ if GraphSql.isMatchQuery(query) => matchSql(query)
-    case _ => spark.sql(GraphSql.rewriteOffsetFetch(query))
+    case _ =>
+      // plain relational statements referencing a node view by name get
+      // the view registered as a temp view first (re-captured per
+      // statement so DML rewrites underneath are visible)
+      nodeViewsReg.keys
+        .filter(n => s"(?i)\\b$n\\b".r.findFirstIn(query).isDefined)
+        .foreach(n => g.nodeTable(n).createOrReplaceTempView(n))
+      spark.sql(GraphSql.rewriteOffsetFetch(query))
+  }
+
+  /** The reference's `CreateEdgeViewByDefault` (`View.cs:621-668`): on
+    * node-view creation, every edge name carried by two or more member
+    * tables becomes an edge view of the same name (default attr merge).
+    * Edge names whose sinks can't resolve to one table/view are skipped,
+    * as the reference skips edges it can't union.
+    */
+  private def defaultEdgeViews(v: graft.graph.NodeViewDef)
+      : Seq[graft.graph.EdgeViewDef] = {
+    val sch = provider.schema
+    val edgeNames = v.members.flatMap(m => sch.table(m).edges.map(_.name))
+    edgeNames.distinct.flatMap { e =>
+      val members = v.members
+        .filter(m => sch.table(m).edges.exists(_.name == e)).map((_, e))
+      if (members.size < 2) None
+      else try Some(graft.graph.EdgeViewDef(e, v.name,
+        ViewDdl.resolveSink(v.name, e, members, sch,
+          nodeViewsReg.values.toSeq),
+        members, ViewDdl.defaultAttrMerge(members, sch)))
+      catch { case _: IllegalArgumentException => None }
+    }
   }
 
   private def requireCatalog(): graft.ddl.GraphCatalog =
@@ -522,8 +632,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
 
   /** register every node table as a temp view for inner SELECTs */
   private def registerTables(): Unit =
-    provider.schema.tables.foreach(t =>
-      provider.nodeTable(t.name).createOrReplaceTempView(t.name))
+    g.schema.tables.foreach(t =>
+      g.nodeTable(t.name).createOrReplaceTempView(t.name))
 
   private def evalInner(select: String): DataFrame = {
     registerTables()
@@ -540,7 +650,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val n = rows.count()
     cat.rewrite(table,
       graft.dml.GraphDml.insertNodes(provider.nodeTable(table), td, rows, key)
-        .localCheckpoint(true))
+        .stageBoundary)
     affected(n)
   }
 
@@ -567,18 +677,18 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       .join(sinkT.select(col(sinkTd.nodeIdColumn.get).as("__tk"),
         col("GlobalNodeId").as("sink")), col(sinkKey) === col("__tk"))
       .select((col("src") +: col("sink") +: attrCols): _*)
-      .localCheckpoint(true)
+      .stageBoundary
     val n = pairs.count()
     // number the new edges against the PRE-insert source table (the ids
     // insertEdges will assign) and checkpoint before the source rewrite —
     // the sink mirror records these as srcEdgeId
     val numbered = graft.dml.GraphDml.numberNewEdges(srcT, e, pairs)
-      .localCheckpoint(true)
+      .stageBoundary
     cat.rewrite(table,
-      graft.dml.GraphDml.insertEdges(srcT, e, pairs).localCheckpoint(true))
+      graft.dml.GraphDml.insertEdges(srcT, e, pairs).stageBoundary)
     cat.rewrite(e.sinkTable,
       graft.dml.GraphDml.insertEdgesSinkSide(
-        provider.nodeTable(e.sinkTable), e, numbered).localCheckpoint(true))
+        provider.nodeTable(e.sinkTable), e, numbered).stageBoundary)
     affected(n)
   }
 
@@ -602,16 +712,16 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val doomed = spark.sql(
       s"SELECT ${srcA}__GlobalNodeId AS src, ${eAlias}__edgeId AS edgeId, " +
         s"${dstA}__GlobalNodeId AS sink FROM $view $cond")
-      .localCheckpoint(true)
+      .stageBoundary
     val n = doomed.count()
     val afterDel = graft.dml.GraphDml.deleteEdges(
       provider.nodeTable(srcTable), e, doomed)
-    cat.rewrite(srcTable, afterDel.localCheckpoint(true))
+    cat.rewrite(srcTable, afterDel.stageBoundary)
     // incremental sink-side mirror tombstone — O(deleted), never a
     // mirror rebuild (syncReversed stays a compaction-time resync only)
     cat.rewrite(e.sinkTable, graft.dml.GraphDml.deleteEdgesSinkSide(
       provider.nodeTable(e.sinkTable), e, doomed)
-      .localCheckpoint(true))
+      .stageBoundary)
     affected(n)
   }
 
@@ -632,7 +742,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val n = t.filter(pred).count()
     cat.rewrite(table,
       graft.dml.GraphDml.updateProperties(t, td, assignments, pred)
-        .localCheckpoint(true))
+        .stageBoundary)
     affected(n)
   }
 
@@ -643,7 +753,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val pred = where.map(org.apache.spark.sql.functions.expr).getOrElse(lit(true))
     val n = t.filter(pred).count()
     cat.rewrite(table,
-      graft.dml.GraphDml.deleteNodes(t, td, pred).localCheckpoint(true))
+      graft.dml.GraphDml.deleteNodes(t, td, pred).stageBoundary)
     affected(n)
   }
 
@@ -657,7 +767,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val (pattern, varHops) = split(p)
     val selMap = aliasSelectivities(p)
     val base = graft.planner.CostPlanner
-      .plan(provider, pattern, stats, selMap, filteredIdHists(p)).steps
+      .plan(g, pattern, stats, selMap, filteredIdHists(p)).steps
     val bound0 = pattern.nodes.map(_.alias).toSet
     base ++ planVarHops(varHops, bound0, selMap, p.aliases.toMap).map {
       case (h, backward) =>
@@ -783,7 +893,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
             val pred = org.apache.spark.sql.functions.expr(local)
             val (probe, denom) = stats.samples.get(t) match {
               case Some(sample) => (sample, sample.count().toDouble)
-              case None => (provider.nodeTable(t), stats.tableRows(t))
+              case None => (g.nodeTable(t), stats.tableRows(t))
             }
             if (denom > 0)
               math.max(probe.filter(pred).count() / denom, 1e-9)
@@ -837,7 +947,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
 
     var df =
       if (pattern.nodes.nonEmpty)
-        MatchPlanner.planWithStats(provider, pattern, stats, selMap,
+        MatchPlanner.planWithStats(g, pattern, stats, selMap,
           filteredIdHists(p))
       else null
 
@@ -858,7 +968,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         // bind the seed endpoint, pre-filtered by its own WHERE conjuncts
         // so a selective unbound endpoint still bounds the walk (the
         // conjuncts re-apply in the relational tail — idempotent)
-        var t = MatchPlanner.prefixed(provider, NodePat(seedA, tableOf(seedA)))
+        var t = MatchPlanner.prefixed(g, NodePat(seedA, tableOf(seedA)))
         preds.getOrElse(seedA, Nil).foreach { c =>
           try t = t.filter(expr(GraphSql.rewriteRefs(c, Seq(seedA))))
           catch { case _: Exception => () }
@@ -866,13 +976,13 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         df = if (df == null) t else df.crossJoin(t)
       }
       val seeds = df.select(col(s"${seedA}__GlobalNodeId").as("id"))
-      val raw = PathExpand.expand(provider, tableOf(h.src), h.edge,
+      val raw = PathExpand.expand(g, tableOf(h.src), h.edge,
         h.minLen, h.maxLen, PathExpand.EdgeDisjoint, h.attrEq,
         seeds = Some(seeds), backward = backward, display = wantDisplay)
       val pathCols = Seq(col("src").as("__p_src"), col("dst").as("__p_dst"),
         col("hops").as(s"${h.aliasName}__hops")) ++
         (if (wantDisplay)
-          Seq(PathExpand.renderDisplay(provider, tableOf(h.src), h.edge)
+          Seq(PathExpand.renderDisplay(g, tableOf(h.src), h.edge)
             .as(s"${h.aliasName}__path"))
         else Nil)
       val paths = raw.select(pathCols: _*)
@@ -883,7 +993,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       df = if (bound(otherA))
         df.filter(otherEnd === col(s"${otherA}__GlobalNodeId"))
       else
-        df.join(MatchPlanner.prefixed(provider, NodePat(otherA, tableOf(otherA))),
+        df.join(MatchPlanner.prefixed(g, NodePat(otherA, tableOf(otherA))),
           otherEnd === col(s"${otherA}__GlobalNodeId"))
       df = df.drop("__p_src", "__p_dst")
     }
@@ -1010,7 +1120,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         case PlainSelectRe(sel, from, rest) =>
           val aliases = GraphSql.parseFromPublic(from)
           val df = aliases.map { case (a, t) =>
-            MatchPlanner.prefixed(provider, NodePat(a, t))
+            MatchPlanner.prefixed(g, NodePat(a, t))
           }.reduce(_ crossJoin _)
           (df, sel, Option(rest).getOrElse("").trim, aliases,
             aliases.map(_._1))

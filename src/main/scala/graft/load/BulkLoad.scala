@@ -1,5 +1,7 @@
 package graft.load
 
+import graft.Stage.StageOps
+
 import graft.ddl.GraphCatalog
 import graft.dml.GraphDml
 import graft.graph.GraphBuilder
@@ -64,12 +66,12 @@ object BulkLoad {
       .join(sinkT.select(col(sinkIdCol).as("__tk"),
         col("GlobalNodeId").as("sink")), col(sinkKey) === col("__tk"))
       .select((col("src") +: col("sink") +: attrCols): _*)
-      .localCheckpoint(true)
+      .stageBoundary
 
     // forward edgeIds the insert will assign, computed against the
     // PRE-insert source table and checkpointed before the rewrite swaps
     // the parquet out from under the lineage
-    val numbered = GraphDml.numberNewEdges(srcT, e, pairs).localCheckpoint(true)
+    val numbered = GraphDml.numberNewEdges(srcT, e, pairs).stageBoundary
     cat.rewrite(srcTable, GraphDml.insertEdges(srcT, e, pairs))
     if (e.sinkTable == srcTable) {
       // self-edge: fold both updates into one rewrite

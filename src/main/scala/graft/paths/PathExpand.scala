@@ -1,5 +1,7 @@
 package graft.paths
 
+import graft.Stage.StageOps
+
 import graft.graph.GraphProvider
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -160,7 +162,7 @@ object PathExpand {
       var k = 0
       var done = false
       while (!done) {
-        frontier = step(frontier).localCheckpoint(true)
+        frontier = step(frontier).stageBoundary
         if (frontier.isEmpty) done = true
         else {
           k += 1

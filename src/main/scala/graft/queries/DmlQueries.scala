@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Stage.StageOps
+
 import graft.QueryDef
 import graft.dml.GraphDml
 import graft.graph.{GraphBuilder, OverlayProvider, TpchGraph}
@@ -67,7 +69,7 @@ object DmlQueries {
           col("o_orderstatus").as("status"))
       val numbered = GraphDml
         .numberNewEdges(g.nodeTable("Customer"), ed, extra)
-        .localCheckpoint(true)
+        .stageBoundary
       val mask = (1L << graft.meta.GlobalNodeId.KeyBits) - 1
       val dup = col("o_totalprice") > 490000
       GraphDml.insertEdgesSinkSide(g.nodeTable("Order"), ed, numbered)

@@ -184,6 +184,78 @@ object SqlQueries {
           |ORDER BY src, dst, p""".stripMargin)
     },
 
+    // view DDL through the dialect (View.cs:689-721): CREATE NODE VIEW
+    // unions Customer+Supplier under a property mapping; `locatedIn`
+    // (shared by both members) becomes the DEFAULT edge view
+    // (View.cs:621-668) and MATCH traverses it with the _NodeType
+    // discriminator
+    "q_sql_node_view" -> QueryDef(
+      """SELECT ntype, name, nation FROM (
+        |  SELECT 'Customer' AS ntype, c_name AS name, n_name AS nation,
+        |         c_acctbal AS bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'Supplier', s_name, n_name, s_acctbal
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey) t
+        |WHERE bal > 9000 ORDER BY ntype, name, nation""".stripMargin) { (s, d) =>
+      val gs = session(s, d)
+      gs.sql("DROP NODE VIEW IF EXISTS Account")
+      gs.sql(
+        """CREATE NODE VIEW Account AS
+          |  SELECT c_name AS name, c_acctbal AS acctbal FROM Customer
+          |  UNION ALL
+          |  SELECT s_name, s_acctbal FROM Supplier""".stripMargin)
+      gs.sql(
+        """SELECT x._NodeType AS ntype, x.name AS name, n.n_name AS nation
+          |FROM Account x, Nation n
+          |MATCH x-[locatedIn]->n
+          |WHERE x.acctbal > 9000
+          |ORDER BY ntype, name, nation""".stripMargin)
+    },
+
+    // explicit CREATE EDGE VIEW (View.cs:873-903) whose members sink to
+    // DIFFERENT tables (placed→Order, supplies→Part): the view edge's
+    // sink resolves to a covering node view and one MATCH traverses the
+    // union of both edge columns with a mapped attr
+    "q_sql_edge_view" -> QueryDef(
+      """SELECT src_type, name, dst_type, akey, amount FROM (
+        |  SELECT 'Customer' AS src_type, c_name AS name, 'Order' AS dst_type,
+        |         CAST(o_orderkey AS BIGINT) AS akey, o_totalprice AS amount
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'Supplier', s_name, 'Part', CAST(l_partkey AS BIGINT),
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+        |  GROUP BY s_name, l_partkey) t
+        |WHERE (dst_type = 'Order' AND amount > 450000)
+        |   OR (dst_type = 'Part' AND amount > 95)
+        |ORDER BY src_type, name, dst_type, akey, amount""".stripMargin) { (s, d) =>
+      val gs = session(s, d)
+      gs.sql("DROP NODE VIEW IF EXISTS Trader")
+      gs.sql("DROP NODE VIEW IF EXISTS Asset")
+      gs.sql(
+        """CREATE NODE VIEW Trader AS
+          |  SELECT c_name AS name FROM Customer
+          |  UNION ALL SELECT s_name FROM Supplier""".stripMargin)
+      gs.sql(
+        """CREATE NODE VIEW Asset AS
+          |  SELECT o_orderkey AS akey FROM Order
+          |  UNION ALL SELECT p_partkey FROM Part""".stripMargin)
+      gs.sql(
+        """CREATE EDGE VIEW Trader.deals AS
+          |  SELECT totalprice AS amount FROM Customer.placed
+          |  UNION ALL SELECT quantity FROM Supplier.supplies""".stripMargin)
+      gs.sql(
+        """SELECT x._NodeType AS src_type, x.name AS name,
+          |       y._NodeType AS dst_type, CAST(y.akey AS BIGINT) AS akey,
+          |       x_deals_y.amount AS amount
+          |FROM Trader x, Asset y
+          |MATCH x-[deals]->y
+          |WHERE (y._NodeType = 'Order' AND x_deals_y.amount > 450000)
+          |   OR (y._NodeType = 'Part' AND x_deals_y.amount > 95)
+          |ORDER BY src_type, name, dst_type, akey, amount""".stripMargin)
+    },
+
     "q_sql_varlen" -> QueryDef(
       """WITH e AS (
         |  SELECT n_nationkey AS src,

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Stage.StageOps
+
 import graft.dml.GraphDml
 import graft.meta.EdgeDef
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -51,18 +53,18 @@ object EdgeStream {
     events.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pairs = toPairs(batch).localCheckpoint(true)
+        val pairs = toPairs(batch).stageBoundary
         if (!pairs.isEmpty) {
           val pre = getTable()
           // forward edgeIds assigned by this batch's insert, numbered
           // against the pre-insert table — the sink mirror's srcEdgeId
           val numbered = GraphDml.numberNewEdges(pre, edge, pairs)
-            .localCheckpoint(true)
+            .stageBoundary
           setTable(GraphDml.insertEdges(pre, edge, pairs)
-            .localCheckpoint(true))
+            .stageBoundary)
           for (g <- getSink; s <- setSink) {
             s(GraphDml.insertEdgesSinkSide(g(), edge, numbered)
-              .localCheckpoint(true))
+              .stageBoundary)
           }
         }
       }
@@ -115,7 +117,7 @@ object EdgeStream {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val spark = batch0.sparkSession
-        val batch = batch0.localCheckpoint(true)
+        val batch = batch0.stageBoundary
         if (!batch.isEmpty) {
           val corpus =
             if (new java.io.File(corpusDir).exists())
@@ -134,13 +136,13 @@ object EdgeStream {
               // always wins) or is the larger id of an in-batch pair —
               // the same greedy policy as Pipeline.curate
               val batchIds = batch.select(col(idCol)).distinct()
-                .localCheckpoint(true)
+                .stageBoundary
               val aIds = batchIds.withColumnRenamed(idCol, "id_a")
               val bIds = batchIds.withColumnRenamed(idCol, "id_b")
               val pairs = graft.ext.Dedup.minhashLshPairsIncremental(
                 spark, batch, corpus, indexDir, textCol, idCol,
                 n, minJaccard, numPerms, bands)
-                .localCheckpoint(true)
+                .stageBoundary
               val aInBatch = pairs.join(aIds, Seq("id_a"), "left_semi")
               val bothInBatch =
                 aInBatch.join(bIds, Seq("id_b"), "left_semi")
@@ -154,7 +156,7 @@ object EdgeStream {
                 .union(vsHistoryA).union(vsHistoryB).distinct()
             }
           val kept = batch.join(doomed, Seq(idCol), "left_anti")
-            .localCheckpoint(true)
+            .stageBoundary
           sink(kept)
           graft.ext.Dedup.appendBandIndex(kept, textCol, idCol, indexDir,
             n, numPerms, bands)

@@ -1,0 +1,79 @@
+package graft
+
+import graft.Stage.StageOps
+import org.apache.spark.sql.functions._
+
+/** The pluggable stage boundary: all three mechanisms must be
+  * result-identical; `local` is the default; `reliable`/`parquet`
+  * survive executor loss (not simulable at local[n] — the contract
+  * here is identical results + the expected side effects).
+  */
+class StageSpec extends SparkSpec {
+
+  private def withMode[A](mode: String, dir: Option[String] = None)(f: => A): A = {
+    val prevMode = spark.conf.getOption(Stage.ModeKey)
+    val prevDir = spark.conf.getOption(Stage.DirKey)
+    spark.conf.set(Stage.ModeKey, mode)
+    dir.foreach(spark.conf.set(Stage.DirKey, _))
+    try f
+    finally {
+      prevMode.fold(spark.conf.unset(Stage.ModeKey))(spark.conf.set(Stage.ModeKey, _))
+      prevDir.fold(spark.conf.unset(Stage.DirKey))(spark.conf.set(Stage.DirKey, _))
+    }
+  }
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    def body(tag: String) =
+      s"the quiet study of corpus item $tag shows that language models " +
+        "enjoy clean and varied text because quality gates check for " +
+        "stopwords and mean lengths while duplicate ngrams must stay " +
+        s"rare so each sentence here differs slightly with a tail like $tag"
+    (1 to 40).map(i => (i.toLong,
+      if (i % 7 == 0) body("seven") else body(s"number$i")))
+      .toDF("doc_id", "text")
+  }
+
+  /** the 6-stage curation pipeline is the deepest boundary consumer —
+    * run it under every mode and compare byte-identical results
+    */
+  test("curateV2 is result-identical under local, reliable and parquet boundaries") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((900L,
+      "benchmark evaluation questions about arithmetic reasoning with held out answers"))
+      .toDF("doc_id", "text")
+    def run() = graft.ext.Pipeline
+      .curateV2(docs, bench, "text", "doc_id", minCleanTokens = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val local = withMode("local")(run())
+    val tmpR = java.nio.file.Files.createTempDirectory("stage-reliable").toString
+    val reliable = withMode("reliable", Some(tmpR))(run())
+    val tmpP = java.nio.file.Files.createTempDirectory("stage-parquet").toString
+    val parquet = withMode("parquet", Some(tmpP))(run())
+
+    assert(local.nonEmpty)
+    assert(reliable == local)
+    assert(parquet == local)
+    // parquet mode actually wrote stages
+    assert(new java.io.File(tmpP).listFiles().exists(_.getName.startsWith("stage-")))
+  }
+
+  test("default mode is local; unknown mode and missing dir fail fast") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(spark.conf.getOption(Stage.ModeKey).isEmpty ||
+      spark.conf.get(Stage.ModeKey) == "local")
+    assert(df.stageBoundary.collect().length == 2)
+    withMode("nope") {
+      intercept[IllegalArgumentException](df.stageBoundary)
+    }
+    withMode("parquet") {
+      spark.conf.unset(Stage.DirKey)
+      intercept[IllegalArgumentException](df.stageBoundary)
+    }
+  }
+}

@@ -107,4 +107,125 @@ object Pipeline {
       .withColumn("token_cnt", TextFunctions.tokenCount(col("cleaned")))
       .withColumn("quality", TextFunctions.qualityScore(col("cleaned")))
   }
+
+  // ---- incremental curation: the four per-operator incremental indexes
+  // composed into one daily-ingest pipeline. CONTRACT (shared with every
+  // per-op incremental face): history ids < increment ids (ingest
+  // order), so history keepers never change and
+  //   curateV2Incremental(inc)  ≡  curateV2(history ∪ inc) ↾ inc-ids
+  // (IncrementalPipelineSpec proves it property-style; the
+  // q_pipeline_curate_incremental oracle replays it byte-for-byte).
+
+  /** Persist the index family [[curateV2Incremental]] probes, from the
+    * history corpus:
+    *
+    *   - `windows/`   distinct k-token window hashes of the GATED raw
+    *     text (8 B each) — the substring-dedup face;
+    *   - `fingerprints/` content fingerprints of the span-cleaned docs
+    *     (16 B per distinct doc) — the exact-dedup face;
+    *   - `bands/`     MinHash band index of the exact-dedup survivors
+    *     (~20 B × bands per doc), band-partitioned — the near-dup face;
+    *   - `exact_docs/` (id, cleaned) of the exact survivors — the
+    *     verification text LSH candidates re-shingle against (the one
+    *     non-constant-size artifact: it IS the curated corpus a
+    *     production pipeline persists anyway).
+    *
+    * Each index derives from the same intermediate stage the batch
+    * pipeline computes — nothing here re-reads history afterwards.
+    */
+  def curateV2WriteIndexes(docs: DataFrame, textCol: String, idCol: String,
+      dir: String, k: Int = 8, minCleanTokens: Int = 10): Unit = {
+    val spark = docs.sparkSession
+    val gated = docs.filter(TextFunctions.gopherKeep(col(textCol)))
+    SubstringDedup.writeWindowIndex(gated, textCol, idCol, k, s"$dir/windows")
+    val cleaned = SubstringDedup.cleanedText(gated, textCol, idCol, k)
+      .filter(TextFunctions.tokenCount(col("cleaned")) >= minCleanTokens)
+      .stageBoundary
+    Dedup.writeFingerprintIndex(cleaned, "cleaned", s"$dir/fingerprints")
+    val keepers = cleaned
+      .groupBy(TextFunctions.fingerprint(col("cleaned")).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    cleaned.join(keepers, Seq(idCol), "left_semi")
+      .select(col(idCol), col("cleaned"))
+      .write.mode("overwrite").parquet(s"$dir/exact_docs")
+    Dedup.writeBandIndex(spark.read.parquet(s"$dir/exact_docs"),
+      "cleaned", idCol, s"$dir/bands")
+  }
+
+  /** Curate an ingestion increment against a [[curateV2WriteIndexes]]
+    * index family: result rows are exactly the increment's rows of the
+    * batch `curateV2` over history ∪ increment — without re-reading
+    * history text anywhere except for the LSH candidates' verification
+    * (a semi-join on candidate ids against `exact_docs`).
+    *
+    * Stage ledger: gate (map) → span-clean vs the window index (one
+    * 8-byte-key join) → exact vs the fingerprint index (one 16-byte-key
+    * anti-join) → LSH vs the band-partitioned index (pruned band join +
+    * candidate-only re-shingling) → decontaminate (broadcast) →
+    * annotate (map). Work scales with the increment + index sizes,
+    * never with history's text.
+    */
+  def curateV2Incremental(newDocs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, dir: String,
+      k: Int = 8, minJaccard: Double = 0.9,
+      decontamN: Int = 5, decontamMinHits: Int = 5,
+      minCleanTokens: Int = 10): DataFrame = {
+    val spark = newDocs.sparkSession
+    val gated = newDocs.filter(TextFunctions.gopherKeep(col(textCol)))
+    val cleaned = SubstringDedup
+      .cleanedTextIncremental(gated, s"$dir/windows", textCol, idCol, k)
+      .filter(TextFunctions.tokenCount(col("cleaned")) >= minCleanTokens)
+      .stageBoundary
+    val exact = Dedup.exactDedupIncremental(
+      cleaned, s"$dir/fingerprints", "cleaned", idCol)
+      .stageBoundary
+    val doomed = Dedup.minhashLshPairsIncremental(spark,
+      exact.select(col(idCol), col("cleaned")),
+      spark.read.parquet(s"$dir/exact_docs"), s"$dir/bands",
+      "cleaned", idCol, n = 3, minJaccard = minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    val nearDeduped = exact.join(doomed, Seq(idCol), "left_anti")
+      .stageBoundary
+    val dirty = Decontaminate.overlapHits(
+      nearDeduped,
+      bench.select(col(idCol), col(textCol).as("cleaned")),
+      "cleaned", idCol, n = decontamN, minHits = decontamMinHits)
+      .select(col("doc_id").as("__dirty_id"))
+    nearDeduped
+      .join(dirty, col(idCol) === col("__dirty_id"), "left_anti")
+      .withColumn("lang_id", TextFunctions.langId(col("cleaned")))
+      .withColumn("token_cnt", TextFunctions.tokenCount(col("cleaned")))
+      .withColumn("quality", TextFunctions.qualityScore(col("cleaned")))
+  }
+
+  /** Fold a processed increment into the index family so the NEXT
+    * increment dedups against history ∪ this one — the index-maintenance
+    * half of the daily-ingest loop. Appends are per-index parquet
+    * appends (duplicate fingerprints/windows are harmless to the
+    * semi/anti-join probes).
+    */
+  def curateV2AppendIndexes(newDocs: DataFrame, textCol: String,
+      idCol: String, dir: String, k: Int = 8,
+      minCleanTokens: Int = 10): Unit = {
+    val gated = newDocs.filter(TextFunctions.gopherKeep(col(textCol)))
+    // probe the PRE-append indexes first (stage boundaries are eager, so
+    // `cleaned`/`exact` materialize before any append below lands — an
+    // increment must never see its own windows/fingerprints as history)
+    val cleaned = SubstringDedup
+      .cleanedTextIncremental(gated, s"$dir/windows", textCol, idCol, k)
+      .filter(TextFunctions.tokenCount(col("cleaned")) >= minCleanTokens)
+      .stageBoundary
+    val exact = Dedup.exactDedupIncremental(
+      cleaned, s"$dir/fingerprints", "cleaned", idCol)
+      .stageBoundary
+    SubstringDedup.appendWindowIndex(gated, textCol, idCol, k,
+      s"$dir/windows")
+    cleaned.select(TextFunctions.fingerprint(col("cleaned")).as("fp"))
+      .distinct().write.mode("append").parquet(s"$dir/fingerprints")
+    exact.select(col(idCol), col("cleaned"))
+      .write.mode("append").parquet(s"$dir/exact_docs")
+    Dedup.appendBandIndex(exact.select(col(idCol), col("cleaned")),
+      "cleaned", idCol, s"$dir/bands")
+  }
 }

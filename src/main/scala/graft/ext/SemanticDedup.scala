@@ -33,8 +33,14 @@ object SemanticDedup {
     * singletons), `keep` = this doc is its cluster's survivor.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, tau: Double): DataFrame = {
-    val cents = Similarity.trainCentroids(df, idCol, vecCol, k)
+      k: Int, tau: Double,
+      centroids: Option[Seq[(Int, Seq[Float])]] = None): DataFrame = {
+    // default = the oracle-replayable quantizer; production passes
+    // Similarity.trainCentroidsKMeansPP centroids — everything
+    // downstream (argmax assignment, blocked pairing, closure) is
+    // identical
+    val cents = centroids.getOrElse(
+      Similarity.trainCentroids(df, idCol, vecCol, k))
     val celled = Similarity.assignCells(
       df.select(col(idCol), col(vecCol)), vecCol, "cell", cents)
     val pairs = Similarity.cosinePairs(celled, idCol, vecCol,

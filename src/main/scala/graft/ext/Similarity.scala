@@ -134,15 +134,136 @@ object Similarity {
 
   /** Deterministic coarse-quantizer training: take the `k` rows with the
     * smallest ids as centroids (reproducible in any engine, which is
-    * what lets the assignment verify against an oracle; a production
-    * trainer would swap in sampled k-means++ — the assignment path
-    * below is unchanged). Returns (cell index, centroid vector).
+    * what lets the assignment verify against an oracle; the production
+    * trainer is [[trainCentroidsKMeansPP]] — the assignment path below
+    * is unchanged). Returns (cell index, centroid vector).
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[(Int, Seq[Float])] =
     corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1) }.toSeq
+
+  /** Sampled k-means++ coarse-quantizer training — the production
+    * trainer for [[assignCells]] / [[ivfTopK]] / SemanticDedup (the
+    * deterministic [[trainCentroids]] stays for oracle replay).
+    *
+    * Shape at 100 TB: ONE seeded sample job bounds driver work to
+    * `sampleRows` vectors (~`sampleRows`×dim×4 bytes — 4096×768 floats
+    * = 12 MB); k-means++ seeding and Lloyd refinement run driver-local
+    * on the sample (spherical k-means: cosine distance on normalized
+    * vectors, centroids re-normalized each round). The corpus itself is
+    * touched once by the sample scan; assignment stays the one-pass
+    * broadcast argmax. Deterministic for a fixed (seed, sample).
+    */
+  def trainCentroidsKMeansPP(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, sampleRows: Int = 4096, iters: Int = 10,
+      seed: Long = 42L): Seq[(Int, Seq[Float])] = {
+    val base = corpus.select(col(idCol), col(vecCol))
+    val n = base.count()
+    val frac = if (n <= sampleRows) 1.0
+      else math.min(1.0, sampleRows.toDouble * 1.25 / n)
+    val rows = base.sample(withReplacement = false, frac, seed)
+      .limit(sampleRows).orderBy(col(idCol)) // stable order → reproducible
+      .collect()
+    require(rows.length >= k,
+      s"k-means++: sample has ${rows.length} rows < k=$k")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0) v else v.map(_ / norm)
+    }
+    val pts = rows.map(r =>
+      normalize(r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dim = pts.head.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // cosine distance on unit vectors
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.max(0.0, 1.0 - dot(a, b))
+
+    val rng = new scala.util.Random(seed)
+    // k-means++ seeding: first centroid uniform, then D(x)-weighted
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    cents += pts(rng.nextInt(pts.length))
+    val d2 = pts.map(p => dist(p, cents.head))
+    while (cents.size < k) {
+      val total = d2.sum
+      val pick =
+        if (total <= 0) rng.nextInt(pts.length)
+        else {
+          var r = rng.nextDouble() * total
+          var i = 0
+          while (i < pts.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+          i
+        }
+      val c = pts(pick)
+      cents += c
+      var i = 0
+      while (i < pts.length) {
+        val d = dist(pts(i), c)
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+    }
+    // Lloyd refinement (spherical): assign → mean → re-normalize;
+    // an emptied cell keeps its previous centroid
+    var centroids = cents.toArray
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestDot = dot(p, centroids(0)); var c = 1
+        while (c < k) {
+          val dp = dot(p, centroids(c))
+          if (dp > bestDot) { best = c; bestDot = dp }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else normalize(sums(c))
+      }
+    }
+    centroids.zipWithIndex
+      .map { case (v, i) => i -> v.map(_.toFloat).toSeq }.toSeq
+  }
+
+  /** Multi-probe IVF top-k: each query scores against its `nprobe`
+    * nearest cells instead of one — the standard recall lever when the
+    * true neighbors straddle a cell boundary. Same broadcast + cell
+    * equi-join shape as [[ivfTopK]]; the probe fan-out multiplies only
+    * the (small) broadcast query side, never the corpus scan.
+    */
+  def ivfTopKProbe(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, k: Int,
+      centroids: Seq[(Int, Seq[Float])], nprobe: Int): DataFrame = {
+    requireBroadcastableQueries(queries)
+    val centArr = array(centroids.map { case (i, v) =>
+      struct(lit(i).as("cell"), typedlit(v).as("cv"))
+    }: _*)
+    val scored = transform(centArr, c => struct(
+      round(cosine(col(vecCol), c.getField("cv")), 9).as("cs"),
+      c.getField("cell").as("cell")))
+    val probeCells = transform(
+      slice(reverse(array_sort(scored)), 1, nprobe),
+      p => p.getField("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(probeCells).as("qcell"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col(cellCol).as("ncell"))
+    c.join(broadcast(q),
+        col("ncell") === col("qcell") && col("nid") =!= col("qid"))
+      .withColumn("cs", cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
+  }
 
   /** Assign every row its max-cosine centroid cell — the IVF coarse
     * quantization step. Centroids broadcast as a literal array; the

@@ -122,6 +122,17 @@ object SubstringDedup {
       .select(col("h")).distinct()
       .write.mode("overwrite").parquet(path)
 
+  /** append an increment's distinct window hashes to an existing
+    * [[writeWindowIndex]] layout — the index-maintenance face (append
+    * AFTER probing: the increment must not see its own windows as
+    * history)
+    */
+  def appendWindowIndex(df: DataFrame, textCol: String, idCol: String,
+      k: Int, path: String): Unit =
+    occurrences(df, textCol, idCol, k)
+      .select(col("h")).distinct()
+      .write.mode("append").parquet(path)
+
   /** Incremental duplicated spans for an ingestion increment: a window
     * occurrence is duplicated when its window exists in the history
     * index (history is immutable — its copy is the canonical one), or

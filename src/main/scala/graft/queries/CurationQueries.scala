@@ -410,11 +410,40 @@ object CurationQueries {
         .select(col("doc_id"), col("cleaned"), col("lang_id"),
           col("token_cnt"), col("quality"))
         .orderBy("doc_id")
+    },
+
+    // end-to-end INCREMENTAL curation (r5): history (doc_id < 400)
+    // persists the four-stage index family (window hashes, fingerprints,
+    // band index, exact-stage docs); the increment (doc_id >= 400)
+    // curates against the indexes without re-reading history text. The
+    // oracle is the batch replay restricted to increment ids — the
+    // incremental contract (history ids < increment ids) makes the two
+    // provably identical (IncrementalPipelineSpec)
+    "q_pipeline_curate_incremental" -> QueryDef(
+      sqlCurateV2Where("WHERE doc_id >= 400")) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val bench = docs.filter(col("source") === "src0")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_curate_idx").toString
+      Pipeline.curateV2WriteIndexes(
+        corpus.filter(col("doc_id") < 400), "text", "doc_id", dir)
+      Pipeline.curateV2Incremental(
+        corpus.filter(col("doc_id") >= 400), bench, "text", "doc_id", dir)
+        .select(col("doc_id"), col("cleaned"), col("lang_id"),
+          col("token_cnt"), col("quality"))
+        .orderBy("doc_id")
     }
   )
 
   /** DuckDB replay of [[graft.ext.Pipeline.curateV2]], stage by stage. */
-  private def sqlCurateV2: String = {
+  private def sqlCurateV2: String = sqlCurateV2Where("")
+
+  /** same replay with a final filter — the incremental query's oracle is
+    * the BATCH result restricted to increment ids (the incremental
+    * contract: history ids < increment ids)
+    */
+  private def sqlCurateV2Where(finalWhere: String): String = {
     val tokC = "regexp_split_to_array(lower(trim(cleaned)), '\\s+')"
     s"""WITH corp AS (
        |  SELECT doc_id, text FROM (
@@ -513,7 +542,7 @@ object CurationQueries {
        |    WHEN s_es > 0 THEN 'es'
        |    ELSE 'und' END AS lang_id,
        |  token_cnt, quality
-       |FROM scored ORDER BY doc_id""".stripMargin
+       |FROM scored $finalWhere ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of [[SubstringDedup]]'s duplicated-span derivation:

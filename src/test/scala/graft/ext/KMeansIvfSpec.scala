@@ -1,0 +1,107 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sampled k-means++ quantizer + multi-probe IVF: on clusterable data
+  * the trained cells align with the true clusters, single-probe recall
+  * is high, and training is deterministic per seed. (On isotropic
+  * random vectors — like the driver's synthetic embeddings table — NO
+  * quantizer can beat the candidate fraction; `tools.IvfCheck` records
+  * that measurement, PLANS.md discusses it.)
+  */
+class KMeansIvfSpec extends SparkSpec {
+
+  private val dim = 32
+  private val nClusters = 8
+  private val perCluster = 60
+
+  /** deterministic clustered corpus: tight gaussian balls around
+    * orthogonal-ish random centers
+    */
+  private lazy val clustered = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7L)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(
+      unit(Array.fill(dim)(rng.nextGaussian())))
+    (0 until nClusters).flatMap { c =>
+      (0 until perCluster).map { j =>
+        val p = unit(centers(c).map(_ + 0.15 * rng.nextGaussian()))
+        (c.toLong * 1000 + j, p.map(_.toFloat).toSeq, c)
+      }
+    }.toDF("vec_id", "embedding", "true_cluster")
+  }
+
+  test("k-means++ training is deterministic and balances cells") {
+    val a = Similarity.trainCentroidsKMeansPP(
+      clustered, "vec_id", "embedding", nClusters, seed = 11L)
+    val b = Similarity.trainCentroidsKMeansPP(
+      clustered, "vec_id", "embedding", nClusters, seed = 11L)
+    assert(a == b, "same seed must reproduce the same centroids")
+    val sizes = Similarity.assignCells(clustered, "embedding", "cell", a)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(sizes.length == nClusters)
+    // clusterable data: every trained cell lands near one true cluster
+    assert(sizes.min >= perCluster / 2,
+      s"cell sizes ${sizes.sorted.mkString(",")} — quantizer collapsed")
+  }
+
+  test("trained cells align with the true clusters") {
+    val cents = Similarity.trainCentroidsKMeansPP(
+      clustered, "vec_id", "embedding", nClusters, seed = 11L)
+    val celled = Similarity.assignCells(clustered, "embedding", "cell", cents)
+    // dominant true_cluster per cell covers ~all of the cell
+    val purity = celled.groupBy("cell", "true_cluster").count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("count").desc)))
+      .filter(col("rk") === 1)
+      .agg(sum("count")).head().getLong(0).toDouble /
+      (nClusters * perCluster)
+    assert(purity >= 0.95, s"cell purity $purity")
+  }
+
+  test("single-probe IVF recall@10 >= 0.9 on clusterable data") {
+    val cents = Similarity.trainCentroidsKMeansPP(
+      clustered, "vec_id", "embedding", nClusters, seed = 11L)
+    val celled = Similarity.assignCells(clustered, "embedding", "cell", cents)
+      .cache()
+    val queries = celled.orderBy("vec_id").limit(25).cache()
+    def rs(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = rs(Similarity.bruteForceTopK(
+      celled, queries, "vec_id", "embedding", 10))
+    val single = rs(Similarity.ivfTopK(
+      celled, queries, "vec_id", "embedding", "cell", 10))
+    val recall1 = (truth & single).size.toDouble / truth.size
+    assert(recall1 >= 0.9, s"single-probe recall $recall1")
+    // multi-probe dominates single-probe
+    val multi = rs(Similarity.ivfTopKProbe(
+      celled, queries, "vec_id", "embedding", "cell", 10, cents, 2))
+    val recall2 = (truth & multi).size.toDouble / truth.size
+    assert(recall2 >= recall1)
+  }
+
+  test("semanticDedup accepts trained centroids") {
+    val s = spark
+    import s.implicits._
+    // two exact-duplicate pairs injected into the clustered corpus
+    val base = clustered.select("vec_id", "embedding")
+    val dups = clustered.filter(col("vec_id").isin(1L, 1001L))
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionAll(dups)
+    val cents = Similarity.trainCentroidsKMeansPP(
+      corpus, "vec_id", "embedding", nClusters, seed = 11L)
+    val verdicts = SemanticDedup.semanticDedup(
+      corpus, "vec_id", "embedding", nClusters, tau = 0.999,
+      centroids = Some(cents))
+    val dropped = verdicts.filter(!col("keep"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(500001L, 501001L),
+      s"expected the injected duplicates to drop, got $dropped")
+  }
+}

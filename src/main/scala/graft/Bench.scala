@@ -38,17 +38,31 @@ object Bench {
       queries.SqlQueries.session(spark, sfDir)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time {
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
-      }
-    } :+ ("graph_build" -> buildSec)
+    // medians over SPARK_GRAFT_BENCH_RUNS runs (default 3): single-run
+    // numbers carry 2-8x transient-contention outliers (BASELINE.md's
+    // documented noise envelope); the median is the comparable statistic,
+    // min/max record the spread
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = (1 to runsPer).map { _ =>
+        time {
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => () }
+        }
+      }.sorted
+      name -> ts
+    }
+    val results = measured.map { case (n, ts) => n -> ts(ts.size / 2) } :+
+      ("graph_build" -> buildSec)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = measured
+      .map { case (k, ts) =>
+        "\"" + k + "\":{\"min\":" + ts.head + ",\"max\":" + ts.last + "}"
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

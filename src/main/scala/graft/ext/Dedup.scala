@@ -67,7 +67,12 @@ object Dedup {
     * xxhash64 over the string shingles, no per-shingle string build)
     */
   def hashedShingles(text: Column, n: Int): Column =
-    array_distinct(graft.functions.ShingleHashes(TextFunctions.tokens(text), n))
+    // empty-on-NULL, matching TextFunctions.shingles — `size(...) > 0`
+    // filters must drop NULL-text docs, not propagate NULL
+    coalesce(
+      array_distinct(graft.functions.ShingleHashes(
+        TextFunctions.tokens(text), n)),
+      array().cast(ArrayType(LongType)))
 
   /** Hot shingles above this document frequency are dropped before the
     * self-join by default: a shingle shared by f documents contributes
@@ -202,20 +207,31 @@ object Dedup {
     * re-signaturing it.
     */
   def writeBandIndex(docs: DataFrame, textCol: String, idCol: String,
-      path: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16): Unit =
+      path: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16): Unit = {
     bandRows(docs, textCol, idCol, n, numPerms, bands)
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
+    IndexParams.write(docs.sparkSession, path, bandParams(n, numPerms, bands))
+  }
+
+  private def bandParams(n: Int, numPerms: Int, bands: Int) =
+    Seq("kind" -> "minhash-band", "n" -> n.toString,
+      "numPerms" -> numPerms.toString, "bands" -> bands.toString)
 
   /** append an increment's band rows to an existing [[writeBandIndex]]
     * layout (creates it when absent) — the streaming/daily-ingest
     * index-maintenance face
     */
   def appendBandIndex(docs: DataFrame, textCol: String, idCol: String,
-      path: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16): Unit =
+      path: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16): Unit = {
+    // params check BEFORE the append — a mismatched append would corrupt
+    // the index rather than just mis-probe it
+    IndexParams.writeOrCheck(docs.sparkSession, path,
+      bandParams(n, numPerms, bands))
     bandRows(docs, textCol, idCol, n, numPerms, bands)
       .repartition(col("band"))
       .write.mode("append").partitionBy("band").parquet(path)
+  }
 
   /** (id, band, bandHash) rows of a corpus — the banding stage of
     * [[minhashLshPairs]], exposed for index builds and probes
@@ -257,6 +273,7 @@ object Dedup {
       textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.9,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    IndexParams.check(spark, indexPath, bandParams(n, numPerms, bands))
     val newBands = bandRows(newDocs, textCol, idCol, n, numPerms, bands)
       .stageBoundary
     val index = spark.read.parquet(indexPath)
@@ -361,10 +378,19 @@ object Dedup {
     * history's TEXT is never needed again.
     */
   def writeSimhashIndex(docs: DataFrame, textCol: String, idCol: String,
-      path: String, tokenHash: Column => Column = XxTokenHash): Unit =
+      path: String, tokenHash: Column => Column = XxTokenHash): Unit = {
     simhashBandRows(docs, textCol, idCol, tokenHash)
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
+    IndexParams.write(docs.sparkSession, path, simhashParams(tokenHash))
+  }
+
+  /** token hash canonicalized as its Column expression string — build
+    * and probe must hash tokens identically or band values never collide
+    */
+  private def simhashParams(tokenHash: Column => Column) =
+    Seq("kind" -> "simhash-band",
+      "tokenHash" -> tokenHash(col("__t")).toString)
 
   /** Incremental simhash near-dup pairs: the increment bands itself
     * (map-only), probes the persisted index on (band, bandVal), and
@@ -379,6 +405,7 @@ object Dedup {
       textCol: String, idCol: String, maxHamming: Int = 3,
       tokenHash: Column => Column = XxTokenHash): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
+    IndexParams.check(spark, indexPath, simhashParams(tokenHash))
     val newBands = simhashBandRows(newDocs, textCol, idCol, tokenHash)
       .stageBoundary
     val index = spark.read.parquet(indexPath)

@@ -218,7 +218,14 @@ object Multimodal {
     if (in == null)
       AudioMeta(m.id, m.content.length, -1, -1, -1L, -1.0, -1.0,
         md5Hex(m.content))
-    else {
+    else if (!isPcm16(in.getFormat)) {
+      // only 16-bit signed PCM is decoded below: 8/24-bit or float WAVs
+      // would yield silently wrong rms/peak/frames — quarantine like any
+      // other undecodable payload
+      in.close()
+      AudioMeta(m.id, m.content.length, -1, -1, -1L, -1.0, -1.0,
+        md5Hex(m.content))
+    } else {
       val f = in.getFormat
       val data = in.readAllBytes()
       in.close()
@@ -258,6 +265,11 @@ object Multimodal {
     * One map pass; dedup reuses the 8-byte group/banding shapes.
     * Undecodable payloads hash to -1.
     */
+  /** the one sample layout the PCM loops below decode correctly */
+  private def isPcm16(f: javax.sound.sampled.AudioFormat): Boolean =
+    f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      f.getSampleSizeInBits == 16
+
   def audioFingerprintBatch(batch: Seq[MediaRow]): Seq[ImageHash] =
     batch.map { m =>
       val in =
@@ -265,6 +277,7 @@ object Multimodal {
           new java.io.ByteArrayInputStream(m.content))
         catch { case _: Exception => null }
       if (in == null) ImageHash(m.id, -1L)
+      else if (!isPcm16(in.getFormat)) { in.close(); ImageHash(m.id, -1L) }
       else {
         val big = in.getFormat.isBigEndian
         val data = in.readAllBytes()

@@ -117,10 +117,13 @@ object SubstringDedup {
     * same order as any content index over it.
     */
   def writeWindowIndex(df: DataFrame, textCol: String, idCol: String,
-      k: Int, path: String): Unit =
+      k: Int, path: String): Unit = {
     occurrences(df, textCol, idCol, k)
       .select(col("h")).distinct()
       .write.mode("overwrite").parquet(path)
+    IndexParams.write(df.sparkSession, path,
+      Seq("kind" -> "window", "k" -> k.toString))
+  }
 
   /** append an increment's distinct window hashes to an existing
     * [[writeWindowIndex]] layout — the index-maintenance face (append
@@ -128,10 +131,13 @@ object SubstringDedup {
     * history)
     */
   def appendWindowIndex(df: DataFrame, textCol: String, idCol: String,
-      k: Int, path: String): Unit =
+      k: Int, path: String): Unit = {
+    IndexParams.writeOrCheck(df.sparkSession, path,
+      Seq("kind" -> "window", "k" -> k.toString))
     occurrences(df, textCol, idCol, k)
       .select(col("h")).distinct()
       .write.mode("append").parquet(path)
+  }
 
   /** Incremental duplicated spans for an ingestion increment: a window
     * occurrence is duplicated when its window exists in the history
@@ -162,6 +168,8 @@ object SubstringDedup {
   private def incrementalStarts(newDocs: DataFrame, indexPath: String,
       textCol: String, idCol: String, k: Int): DataFrame = {
     val spark = newDocs.sparkSession
+    IndexParams.check(spark, indexPath,
+      Seq("kind" -> "window", "k" -> k.toString))
     val occ = occurrences(newDocs, textCol, idCol, k).stageBoundary
     val index = spark.read.parquet(indexPath)
     val inHistory = occ.join(index, Seq("h"), "left_semi")

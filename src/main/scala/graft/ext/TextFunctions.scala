@@ -19,10 +19,13 @@ object TextFunctions {
 
   /** word n-gram shingles: ["a","b","c","d"] with n=3 →
     * ["a b c","b c d"] (distinct not applied — callers decide). Native
-    * [[graft.functions.WordNgrams]]: one tokenization per row.
+    * [[graft.functions.WordNgrams]]: one tokenization per row. NULL
+    * text yields an EMPTY array (the pre-r4 contract — callers compare
+    * `size(...) > 0`, which NULL-in/NULL-out would silently break).
     */
   def shingles(text: Column, n: Int): Column =
-    graft.functions.WordNgrams(tokens(text), n)
+    coalesce(graft.functions.WordNgrams(tokens(text), n),
+      array().cast(ArrayType(StringType)))
 
   private val Stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")

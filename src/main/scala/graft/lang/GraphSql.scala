@@ -52,40 +52,14 @@ object GraphSql {
       """(\s+FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY)?""").r
 
   def rewriteOffsetFetch(sql: String): String =
-    mapOutsideQuotes(sql)(seg =>
+    SqlLex.mapCode(sql)(seg =>
       OffsetFetchRe.replaceAllIn(seg, m =>
         if (m.group(3) != null) s"LIMIT ${m.group(3)} OFFSET ${m.group(1)}"
         else s"OFFSET ${m.group(1)}"))
 
-  def hasOffsetFetch(sql: String): Boolean = {
-    var found = false
-    mapOutsideQuotes(sql) { seg =>
-      if (OffsetFetchRe.findFirstIn(seg).isDefined) found = true
-      seg
-    }
-    found
-  }
-
-  /** apply `f` to the segments of `sql` OUTSIDE string literals, leaving
-    * quoted content byte-identical — regex rewrites must never touch a
-    * literal that happens to contain SQL keywords
-    */
-  private def mapOutsideQuotes(sql: String)(f: String => String): String = {
-    val out = new StringBuilder
-    val seg = new StringBuilder
-    var quote: Char = 0
-    sql.foreach { c =>
-      if (quote != 0) { out += c; if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' =>
-          out ++= f(seg.toString); seg.clear()
-          quote = c; out += c
-        case _ => seg += c
-      }
-    }
-    out ++= f(seg.toString)
-    out.toString
-  }
+  def hasOffsetFetch(sql: String): Boolean =
+    SqlLex.segments(sql).exists(s => s.kind == SqlLex.Code &&
+      OffsetFetchRe.findFirstIn(s.text).isDefined)
 
   final case class ParsedMatch(
       select: String,
@@ -147,60 +121,17 @@ object GraphSql {
   private[lang] def parsePattern(pat: String): Seq[Hop] =
     splitTopLevel(pat).flatMap(parsePath)
 
-  /** split a boolean expression on top-level ANDs (outside parens and
-    * string literals — `x = 'a AND b'` is one conjunct)
+  /** split a boolean expression on top-level ANDs (outside parens,
+    * string literals and comments — `x = 'a AND b'` is one conjunct)
     */
-  private[lang] def splitTopLevelAnd(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0
-    var start = 0
-    var quote: Char = 0
-    val upper = s.toUpperCase
-    var i = 0
-    while (i < s.length) {
-      val c = s(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && i + 5 <= s.length &&
-            upper.regionMatches(i, " AND ", 0, 5)) {
-            out += s.substring(start, i).trim
-            start = i + 5
-            i += 4
-          }
-      }
-      i += 1
-    }
-    out += s.substring(start).trim
-    out.result().filter(_.nonEmpty)
-  }
+  private[lang] def splitTopLevelAnd(s: String): Seq[String] =
+    SqlLex.splitTopLevelAnd(s)
 
-  /** split on commas outside parentheses and string literals
+  /** split on commas outside parentheses, string literals and comments
     * (SET-clause assignments, ORDER BY lists)
     */
-  private[lang] def splitTopLevelParen(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var quote: Char = 0
-    s.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' => quote = c; cur += c
-        case '(' => depth += 1; cur += '('
-        case ')' => depth -= 1; cur += ')'
-        case ',' if depth == 0 =>
-          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-          cur.clear()
-        case _ => cur += c
-      }
-    }
-    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-    out.result()
-  }
+  private[lang] def splitTopLevelParen(s: String): Seq[String] =
+    SqlLex.splitTopLevel(s, ',')
 
   /** split on commas outside {...} attr dicts */
   private def splitTopLevel(s: String): Seq[String] = {
@@ -267,29 +198,13 @@ object GraphSql {
     else v.toLong
 
   /** rewrite `alias.col` → `alias__col` for all known aliases — only
-    * OUTSIDE string literals (`WHERE c.name = 'a.name'` keeps the
-    * literal intact)
+    * OUTSIDE string literals and comments (`WHERE c.name = 'a.name'`
+    * keeps the literal intact)
     */
-  private[lang] def rewriteRefs(s: String, aliases: Iterable[String]): String = {
-    def rw(seg: String): String = aliases.foldLeft(seg) { (acc, a) =>
+  private[lang] def rewriteRefs(s: String, aliases: Iterable[String]): String =
+    SqlLex.mapCode(s)(seg => aliases.foldLeft(seg) { (acc, a) =>
       acc.replaceAll(s"""\\b$a\\.(\\w+)""", s"${a}__$$1")
-    }
-    val out = new StringBuilder
-    var start = 0
-    var quote: Char = 0
-    var i = 0
-    while (i < s.length) {
-      val c = s(i)
-      if (quote == 0 && (c == '\'' || c == '"')) {
-        out ++= rw(s.substring(start, i)); start = i; quote = c
-      } else if (quote != 0 && c == quote) {
-        out ++= s.substring(start, i + 1); start = i + 1; quote = 0
-      }
-      i += 1
-    }
-    out ++= (if (quote == 0) rw(s.substring(start)) else s.substring(start))
-    out.toString
-  }
+    })
 
   /** Locate a `[NOT] EXISTS (SELECT … MATCH …)` span — the correlated
     * MATCH subquery form (`TranslateMatchClauseVisitor.cs:620-705`).
@@ -298,28 +213,19 @@ object GraphSql {
     */
   def findExistsMatch(sql: String): Option[(String, Boolean, String, String)] = {
     val existsRe = """(?is)\b(NOT\s+)?EXISTS\s*\(""".r
+    val masked = SqlLex.mask(sql)
     existsRe.findAllMatchIn(sql).flatMap { m =>
-      var depth = 1
-      var i = m.end
-      var quote: Char = 0
-      while (i < sql.length && depth > 0) {
-        val c = sql(i)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else c match {
-          case '\'' | '"' => quote = c
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case _ =>
-        }
-        i += 1
-      }
-      if (depth != 0) None
+      if (masked(m.start)) None // 'EXISTS (' inside a literal/comment
       else {
-        val sub = sql.substring(m.end, i - 1).trim
-        if (isMatchQuery(sub))
-          Some((sql.substring(0, m.start), m.group(1) != null, sub,
-            sql.substring(i)))
-        else None
+        val close = SqlLex.matchingParen(sql, m.end - 1)
+        if (close < 0) None
+        else {
+          val sub = sql.substring(m.end, close).trim
+          if (isMatchQuery(sub))
+            Some((sql.substring(0, m.start), m.group(1) != null, sub,
+              sql.substring(close + 1)))
+          else None
+        }
       }
     }.nextOption()
   }
@@ -454,14 +360,82 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     require(args.size == p.params.size,
       s"EXEC $name: expected ${p.params.size} argument(s) " +
         s"(${p.params.mkString(", ")}), got ${args.size}")
-    val body = p.params.zip(args).foldLeft(p.body) { case (b, (param, arg)) =>
-      b.replaceAll("(?i)" + java.util.regex.Pattern.quote(param) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(arg))
-    }
     require(procDepth < 8, s"EXEC $name: procedure nesting exceeds 8")
     procDepth += 1
-    try sqlScript(stripBeginEnd(body)).lastOption.getOrElse(affected(0))
-    finally procDepth -= 1
+    try {
+      val vars = scala.collection.mutable.LinkedHashMap(
+        p.params.zip(args): _*)
+      execStmts(ProcLang.parse(stripBeginEnd(p.body)), vars)
+        .getOrElse(affected(0))
+    } finally procDepth -= 1
+  }
+
+  /** total control-flow steps one EXEC may take — a runaway-WHILE guard
+    * (each WHILE iteration costs at least one driver-side predicate
+    * evaluation, so the default bounds a runaway loop to ~minutes;
+    * override with `spark.graft.proc.maxSteps`)
+    */
+  private def maxProcSteps: Int =
+    spark.conf.get("spark.graft.proc.maxSteps", "10000").toInt
+
+  /** Interpret a proc body (`WSqlParser.cs:233-362`'s statement subset):
+    * `@var`s substitute textually per statement (the same mechanism as
+    * EXEC arguments, values held as SQL literal text); DECLARE/SET
+    * initializers and IF/WHILE predicates evaluate as FROM-less Spark
+    * SQL scalar expressions (node tables and views are registered, so
+    * scalar subqueries over them work). Returns the last statement's
+    * result.
+    */
+  private def execStmts(stmts: Seq[ProcLang.Stmt],
+      vars: scala.collection.mutable.LinkedHashMap[String, String])
+      : Option[DataFrame] = {
+    var steps = 0
+    val stepCap = maxProcSteps
+    def subst(t: String): String = vars.foldLeft(t) { case (acc, (k, v)) =>
+      acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(k) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(v))
+    }
+    def tick(): Unit = {
+      steps += 1
+      require(steps <= stepCap,
+        s"procedure exceeded $stepCap control-flow steps")
+    }
+    registerTables() // scalar subqueries in initializers/predicates
+    def scalar(e: String): String =
+      spark.sql(s"SELECT (${subst(e)})").head().get(0) match {
+        case null => "NULL"
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case x => x.toString
+      }
+    def truthy(c: String): Boolean = {
+      val r = spark.sql(s"SELECT CAST((${subst(c)}) AS BOOLEAN)").head()
+      !r.isNullAt(0) && r.getBoolean(0)
+    }
+    def run(body: Seq[ProcLang.Stmt]): Option[DataFrame] = {
+      var last: Option[DataFrame] = None
+      body.foreach { st =>
+        tick()
+        st match {
+          case ProcLang.Declare(n, init) =>
+            vars(n) = init.map(scalar).getOrElse("NULL")
+          case ProcLang.Assign(n, e) =>
+            require(vars.contains(n), s"SET of undeclared variable $n")
+            vars(n) = scalar(e)
+          case ProcLang.Branch(c, t, e) =>
+            last = run(if (truthy(c)) t else e).orElse(last)
+          case ProcLang.Loop(c, b) =>
+            while (truthy(c)) { tick(); last = run(b).orElse(last) }
+          case ProcLang.Run(text) if text.nonEmpty =>
+            // re-register: a prior loop iteration's DML may have
+            // rewritten (moved) the files a captured temp view points at
+            registerTables()
+            last = Some(sql(subst(text)))
+          case _ => ()
+        }
+      }
+      last
+    }
+    run(stmts)
   }
 
   /** tolerate the tutorial's `BEGIN … END` body wrapper */
@@ -483,27 +457,9 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   def sqlScript(script: String): Seq[DataFrame] =
     splitStatements(script).map(sql)
 
-  /** split on `;` outside quotes and parentheses */
-  private def splitStatements(script: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var quote: Char = 0
-    script.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' => quote = c; cur += c
-        case '(' => depth += 1; cur += c
-        case ')' => depth -= 1; cur += c
-        case ';' if depth == 0 =>
-          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-          cur.clear()
-        case _ => cur += c
-      }
-    }
-    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-    out.result()
-  }
+  /** split on `;` outside quotes, comments and parentheses */
+  private def splitStatements(script: String): Seq[String] =
+    SqlLex.splitTopLevel(script, ';')
 
   private val ExplainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
 

@@ -119,6 +119,33 @@ object SqlQueries {
       gs.sql("EXEC NationsIn 1")
     },
 
+    // proc control flow (WSqlParser.cs:233-362): a WHILE loop computes
+    // the region cutoff in a variable, an IF dispatches the final MATCH
+    "q_sql_proc_flow" -> QueryDef(
+      """SELECT n_name FROM nation WHERE n_regionkey < 2
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val gs = session(s, d)
+      gs.sql("""CREATE PROCEDURE NationsUpTo @k INT AS
+               |BEGIN
+               |  DECLARE @i INT = 0;
+               |  WHILE @i < @k
+               |  BEGIN
+               |    SET @i = @i + 1;
+               |  END
+               |  IF @i = @k
+               |  BEGIN
+               |    SELECT n.n_name AS n_name FROM Nation n, Region r
+               |    MATCH n-[inRegion]->r
+               |    WHERE r.r_regionkey < @i ORDER BY n_name
+               |  END
+               |  ELSE
+               |  BEGIN
+               |    SELECT 'unreachable' AS n_name
+               |  END
+               |END""".stripMargin)
+      gs.sql("EXEC NationsUpTo 2")
+    },
+
     // T-SQL TOP n PERCENT through the dialect (WSelectQuery.cs:350-399):
     // cutoff resolves against the tail's row count
     "q_sql_top_percent" -> QueryDef(

@@ -119,12 +119,21 @@ object EdgeStream {
         val spark = batch0.sparkSession
         val batch = batch0.stageBoundary
         if (!batch.isEmpty) {
+          // Hadoop FS existence check, not java.io.File — the corpus and
+          // index live wherever spark.read.parquet reads from (HDFS/S3
+          // on a cluster), and a silently "absent" history index would
+          // fall back to self-dedup and admit duplicates of history
+          def exists(dir: String): Boolean = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(p)
+          }
           val corpus =
-            if (new java.io.File(corpusDir).exists())
+            if (exists(corpusDir))
               spark.read.parquet(corpusDir)
                 .select(col(idCol), col(textCol))
             else batch.select(col(idCol), col(textCol)).limit(0)
-          val haveIndex = new java.io.File(indexDir).exists()
+          val haveIndex = exists(indexDir)
           val doomed =
             if (!haveIndex) {
               // first batch: self-dedup only

@@ -243,6 +243,53 @@ class GraphDdlSpec extends SparkSpec {
     intercept[Exception] { gs.sql("EXEC AddEdge 2, 3").collect() }
   }
 
+  /** Proc bodies with control flow (`WSqlParser.cs:233-362`): DECLARE /
+    * SET variables, WHILE loops driving graph DML, IF/ELSE-IF chains.
+    */
+  test("proc control flow: DECLARE / WHILE / IF over dialect statements") {
+    val dir = Files.createTempDirectory("graft_procflow").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("CREATE NODE TABLE Item (id INT NODEID)")
+    gs.sql("""CREATE PROCEDURE FillItems @n INT AS BEGIN
+             |  DECLARE @i INT = 0;
+             |  WHILE @i < @n
+             |  BEGIN
+             |    SET @i = @i + 1;
+             |    INSERT NODE INTO Item SELECT * FROM VALUES (@i) AS t(id);
+             |  END
+             |  IF @i = @n
+             |  BEGIN
+             |    SELECT COUNT(*) AS cnt FROM Item
+             |  END
+             |  ELSE
+             |  BEGIN
+             |    SELECT CAST(-1 AS BIGINT) AS cnt
+             |  END
+             |END""".stripMargin)
+    // the loop ran 4 times (4 INSERT NODE statements), the IF then-branch
+    // saw @i = @n and counted the inserted rows
+    assert(gs.sql("EXEC FillItems 4").head().getLong(0) == 4L)
+
+    // ELSE IF chains dispatch on the runtime value
+    gs.sql("""CREATE PROCEDURE Sign @x INT AS BEGIN
+             |  IF @x > 0 BEGIN SELECT 'pos' AS s END
+             |  ELSE IF @x = 0 BEGIN SELECT 'zero' AS s END
+             |  ELSE BEGIN SELECT 'neg' AS s END
+             |END""".stripMargin)
+    assert(gs.sql("EXEC Sign 5").head().getString(0) == "pos")
+    assert(gs.sql("EXEC Sign 0").head().getString(0) == "zero")
+    assert(gs.sql("EXEC Sign -3").head().getString(0) == "neg")
+
+    // a runaway WHILE is cut off by the (configurable) step guard
+    gs.sql("""CREATE PROCEDURE Forever AS BEGIN
+             |  DECLARE @q INT = 0;
+             |  WHILE 1 = 1 BEGIN SET @q = @q + 1; END
+             |END""".stripMargin)
+    spark.conf.set("spark.graft.proc.maxSteps", "40")
+    try intercept[IllegalArgumentException] { gs.sql("EXEC Forever") }
+    finally spark.conf.unset("spark.graft.proc.maxSteps")
+  }
+
   test("multi-statement script executes the tutorial batch in order") {
     val dir = Files.createTempDirectory("graft_script").toString
     val gs = new GraphSession(spark, new GraphCatalog(spark, dir))

@@ -302,9 +302,28 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     }
   }
 
+  // ---- persisted views: the reference stores node/edge view metadata
+  // in its catalog tables (_NodeViewColumnCollection et al, View.cs:
+  // 560-618), so views survive reconnects. Same here: GraphSession
+  // loads this registry at construction and writes back on view DDL.
+  var nodeViews: Seq[graft.graph.NodeViewDef] =
+    if (Files.exists(metaPath)) CatalogJson.readNodeViews(Files.readString(metaPath))
+    else Nil
+  var edgeViews: Seq[graft.graph.EdgeViewDef] =
+    if (Files.exists(metaPath)) CatalogJson.readEdgeViews(Files.readString(metaPath))
+    else Nil
+
+  def saveViews(nv: Seq[graft.graph.NodeViewDef],
+      ev: Seq[graft.graph.EdgeViewDef]): Unit = {
+    nodeViews = nv
+    edgeViews = ev
+    persistMeta()
+  }
+
   private def persistMeta(): Unit = {
     Files.createDirectories(metaPath.getParent)
-    Files.writeString(metaPath, CatalogJson.write(schema, propertyTypes, buckets))
+    Files.writeString(metaPath, CatalogJson.write(schema, propertyTypes,
+      buckets, nodeViews, edgeViews))
   }
 }
 
@@ -316,7 +335,9 @@ object CatalogJson {
   import org.json4s.jackson.JsonMethods
 
   def write(s: GraphSchema, types: Map[String, StructType],
-      buckets: Option[Int] = None): String = {
+      buckets: Option[Int] = None,
+      nodeViews: Seq[graft.graph.NodeViewDef] = Nil,
+      edgeViews: Seq[graft.graph.EdgeViewDef] = Nil): String = {
     val tables = s.tables.map { t =>
       JObject(
         "name" -> JString(t.name),
@@ -333,10 +354,76 @@ object CatalogJson {
               "type" -> JString(a.dataType.json))).toList))
         }.toList))
     }
-    val fields = ("tables" -> JArray(tables.toList)) ::
-      buckets.map(n => "buckets" -> (JInt(n): JValue)).toList
+    val nvs = nodeViews.map { v =>
+      JObject(
+        "name" -> JString(v.name),
+        "members" -> JArray(v.members.map(JString).toList),
+        "mapping" -> JArray(v.mapping.map { case (c, byM) =>
+          JObject("col" -> JString(c),
+            "byMember" -> JObject(byM.toList.sortBy(_._1)
+              .map { case (m, mc) => m -> (JString(mc): JValue) }))
+        }.toList))
+    }
+    val evs = edgeViews.map { ev =>
+      JObject(
+        "name" -> JString(ev.name),
+        "viewTable" -> JString(ev.viewTable),
+        "sinkTable" -> JString(ev.sinkTable),
+        "members" -> JArray(ev.members.map { case (t, e) =>
+          JArray(List(JString(t), JString(e)))
+        }.toList),
+        "attrMapping" -> JArray(ev.attrMapping.map { case (a, byM) =>
+          JObject("attr" -> JString(a),
+            "byMember" -> JArray(byM.toList.sortBy(_._1)
+              .map { case ((t, e), c) =>
+                JObject("table" -> JString(t), "edge" -> JString(e),
+                  "col" -> JString(c))
+              }))
+        }.toList))
+    }
+    val fields = ("tables" -> (JArray(tables.toList): JValue)) ::
+      buckets.map(n => "buckets" -> (JInt(n): JValue)).toList :::
+      (if (nodeViews.isEmpty) Nil
+       else List("nodeViews" -> (JArray(nvs.toList): JValue))) :::
+      (if (edgeViews.isEmpty) Nil
+       else List("edgeViews" -> (JArray(evs.toList): JValue)))
     JsonMethods.pretty(JsonMethods.render(JObject(fields: _*)))
   }
+
+  def readNodeViews(json: String): Seq[graft.graph.NodeViewDef] =
+    JsonMethods.parse(json) \ "nodeViews" match {
+      case JArray(vs) => vs.map { v =>
+        graft.graph.NodeViewDef(
+          str(v \ "name"),
+          (v \ "members").asInstanceOf[JArray].arr.map(str0),
+          (v \ "mapping").asInstanceOf[JArray].arr.map { m =>
+            str(m \ "col") -> (m \ "byMember").asInstanceOf[JObject]
+              .obj.map { case (k, jv) => k -> jv.asInstanceOf[JString].s }
+              .toMap
+          })
+      }
+      case _ => Nil
+    }
+
+  def readEdgeViews(json: String): Seq[graft.graph.EdgeViewDef] =
+    JsonMethods.parse(json) \ "edgeViews" match {
+      case JArray(vs) => vs.map { v =>
+        graft.graph.EdgeViewDef(
+          str(v \ "name"), str(v \ "viewTable"), str(v \ "sinkTable"),
+          (v \ "members").asInstanceOf[JArray].arr.map {
+            case JArray(List(JString(t), JString(e))) => (t, e)
+            case other => throw new IllegalArgumentException(
+              s"bad edge-view member $other")
+          },
+          (v \ "attrMapping").asInstanceOf[JArray].arr.map { m =>
+            str(m \ "attr") -> (m \ "byMember").asInstanceOf[JArray]
+              .arr.map(b =>
+                (str(b \ "table"), str(b \ "edge")) -> str(b \ "col"))
+              .toMap
+          })
+      }
+      case _ => Nil
+    }
 
   def readBuckets(json: String): Option[Int] =
     JsonMethods.parse(json) \ "buckets" match {

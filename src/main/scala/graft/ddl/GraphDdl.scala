@@ -107,6 +107,10 @@ object GraphDdl {
     case "BIGINT" | "LONG" => LongType
     case "DOUBLE" => DoubleType
     case "STRING" | "VARCHAR" | "TEXT" => StringType
+    // T-SQL length-parameterized character types (VARCHAR(20) etc.) —
+    // length is advisory, Spark strings are unbounded
+    case v if v.startsWith("VARCHAR(") || v.startsWith("NVARCHAR(") ||
+      v.startsWith("CHAR(") || v.startsWith("NCHAR(") => StringType
     case "BOOLEAN" | "BOOL" => BooleanType
     case "DATE" => DateType
     case "TIMESTAMP" => TimestampType

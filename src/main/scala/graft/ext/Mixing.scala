@@ -65,6 +65,47 @@ object Mixing {
       .filter(col(rankCol) <= k)
   }
 
+  /** Temperature-balanced source mixing (the multinomial-with-
+    * temperature reweighting of multi-source training mixes): stratum
+    * weights w_s = count_s^(1/T) normalized to shares p_s, target picks
+    * per stratum = p_s × targetFraction × N, acceptance rate =
+    * min(1, picks_s / count_s), then the same deterministic id-hash
+    * Bernoulli as [[sampleStratified]].
+    *
+    *   - T = 1: proportional sampling (shares unchanged);
+    *   - T → ∞: uniform across sources (small sources upweighted —
+    *     the standard low-resource-language / rare-domain boost);
+    *   - T < 1: sharpens toward big sources.
+    *
+    * One count aggregation + one broadcast map filter; rates round to
+    * 1e-4 (the id-hash Bernoulli's resolution) so any engine replays
+    * the decision bit-for-bit.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      temperature: Double, targetFraction: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    require(targetFraction > 0 && targetFraction <= 1,
+      "targetFraction must be in (0,1]")
+    // deterministic stratum order for the weight sum: double addition
+    // is non-associative, and the threshold FLOOR must reproduce in the
+    // oracle engine — the 1e-9 epsilon absorbs last-ulp differences
+    val counts = df.groupBy(strataCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    val weights = counts.map { case (s, c) =>
+      s -> math.pow(c.toDouble, 1.0 / temperature)
+    }
+    val wSum = weights.map(_._2).sum
+    val thresholds = counts.zip(weights).map { case ((s, c), (_, w)) =>
+      val picks = w / wSum * targetFraction * total
+      s -> math.floor(math.min(1.0, picks / c) * 10000 + 1e-9).toLong
+    }
+    val threshold = thresholds.foldLeft(lit(0L): Column) {
+      case (acc, (s, t)) => when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    df.filter(pmod(idHash(col(idCol)), lit(10000L)) < threshold)
+  }
+
   /** Token-budget sequence packing (context-window assembly): within
     * each stratum, docs in id order are laid head-to-tail and cut into
     * bins of ~`budgetTokens` — bin = ⌊exclusive-running-token-sum /

@@ -582,6 +582,158 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- REAL video frame decode: MJPEG-in-AVI (pure JDK) ----
+  // MJPEG is the one video codec the JDK can decode without native
+  // libraries: every frame is an ordinary JPEG inside a RIFF-AVI
+  // container. The RIFF walk below is a real container parser (chunk
+  // sizes, LIST nesting, even-byte padding), and each frame goes
+  // through the real `javax.imageio` JPEG decoder — this closes the
+  // frame-decode gap for MJPEG; other codecs (H.264 etc.) remain
+  // honestly out of JDK reach.
+
+  final case class VideoFrame(id: Long, frameIdx: Int, width: Int,
+      height: Int, lumaBucket: Int)
+  implicit val videoFrameEnc: Encoder[VideoFrame] =
+    Encoders.product[VideoFrame]
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def fourCC(b: Array[Byte], off: Int): String =
+    if (off + 4 <= b.length)
+      new String(b, off, 4, "ISO-8859-1")
+    else ""
+
+  /** JPEG frame payloads of an AVI's `movi` list, in stream order
+    * (chunk ids `##dc`/`##db`); None when the container is malformed
+    */
+  private def aviFrameChunks(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "AVI ")
+      return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = fourCC(b, i)
+        val size = leU32(b, i + 4)
+        val dataStart = i + 8
+        val dataEnd = dataStart + size.toInt
+        if (size < 0 || dataEnd > to) return false
+        if (id == "LIST") {
+          val listType = fourCC(b, dataStart)
+          if (!walk(dataStart + 4, dataEnd, inMovi || listType == "movi"))
+            return false
+        } else if (inMovi && size > 0 &&
+          (id.endsWith("dc") || id.endsWith("db"))) {
+          frames += java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
+        }
+        i = dataEnd + (size.toInt & 1) // chunks pad to even byte counts
+      }
+      true
+    }
+    if (walk(12, b.length, inMovi = false)) Some(frames.result()) else None
+  }
+
+  /** Real per-frame decode of MJPEG-AVI payloads: container walk +
+    * `javax.imageio` JPEG decode per frame; returns one row per frame
+    * with decoded dimensions and the mean-luma bucket (luma/16 — JPEG's
+    * DC quantization moves a solid tone by ±2, so bucket-center colors
+    * survive the codec round-trip exactly). Malformed containers and
+    * undecodable frames quarantine as (frameIdx = -1) sentinel rows.
+    */
+  def decodeAviFramesBatch(batch: Seq[MediaRow]): Seq[VideoFrame] = {
+    headless()
+    batch.flatMap { m =>
+      aviFrameChunks(m.content) match {
+        case None => Seq(VideoFrame(m.id, -1, -1, -1, -1))
+        case Some(chunks) if chunks.isEmpty =>
+          Seq(VideoFrame(m.id, -1, -1, -1, -1))
+        case Some(chunks) => chunks.zipWithIndex.map { case (jp, i) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jp))
+            catch { case _: Exception => null }
+          if (img == null) VideoFrame(m.id, -1, -1, -1, -1)
+          else {
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF
+                val g = (rgb >> 8) & 0xFF
+                val bl = rgb & 0xFF
+                sum += (r * 299 + g * 587 + bl * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum.toDouble / (img.getWidth * img.getHeight)
+            VideoFrame(m.id, i, img.getWidth, img.getHeight,
+              (mean / 16.0).toInt)
+          }
+        }
+      }
+    }
+  }
+
+  /** batched real MJPEG frame decode over partitions */
+  def decodeAviFrames(ds: Dataset[MediaRow]): Dataset[VideoFrame] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeAviFramesBatch))
+
+  /** deterministic MJPEG-AVI: `1 + id % 5` solid-gray JPEG frames of
+    * formula-derived size; gray levels sit at 16-bucket centers
+    * (8 + 16k) so the decoded mean-luma bucket is a pure id/frame
+    * formula despite JPEG lossiness
+    */
+  def syntheticAviMjpeg(id: Long): Array[Byte] = {
+    headless()
+    val w = 64 + (id % 4).toInt * 16
+    val h = 48 + (id % 3).toInt * 16
+    val frames = 1 + (id % 5).toInt
+    def u32le(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      cc.getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ padded
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ISO-8859-1") ++ body)
+    val jpegs = (0 until frames).map { f =>
+      val v = 8 + 16 * (((id * 7 + f * 3) % 16).toInt)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(v, v, v))
+      g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // minimal-but-wellformed headers: avih (56 bytes) + one video
+    // stream header pair; the frame data lives in the movi list
+    val avih = chunk("avih",
+      u32le(33333) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+        u32le(frames.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+        u32le(w.toLong) ++ u32le(h.toLong) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ "MJPG".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](12)(0) ++ u32le(1) ++ u32le(30) ++ u32le(0) ++
+        u32le(frames.toLong) ++ Array.fill[Byte](16)(0))
+    val strf = chunk("strf",
+      u32le(40) ++ u32le(w.toLong) ++ u32le(h.toLong) ++
+        Array((1 & 0xFF).toByte, 0.toByte, 24.toByte, 0.toByte) ++
+        "MJPG".getBytes("ISO-8859-1") ++ Array.fill[Byte](20)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ body
+  }
+
   /** deterministic solid-color test PNG (id → color) — the fixture
     * generator specs and the rows-only driver query share
     */

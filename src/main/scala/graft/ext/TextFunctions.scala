@@ -213,4 +213,26 @@ object TextFunctions {
         s => size(filter(g, x => x === s)))).cast(DoubleType) /
         size(g).cast(DoubleType), 6))
   }
+
+  /** Token-window document chunking (context-window corpus prep): one
+    * row per chunk — (`idCol`, chunk_idx, chunk_text). Chunks start at
+    * 0, stride, 2·stride, … (stride = chunkSize − overlap) while the
+    * start is inside the doc; the final chunk may be short. One map
+    * stage (sequence + transform + posexplode) — no shuffle, no UDF;
+    * output size = ~tokens/stride rows per doc at any corpus scale.
+    */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, chunkSize: Int, overlap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("__t")) - 1, lit(0)),
+            lit(stride)),
+          st => concat_ws(" ", slice(col("__t"), st + 1, lit(chunkSize))))))
+      .toDF(idCol, "chunk_idx", "chunk_text")
+  }
 }

@@ -103,13 +103,13 @@ object GraphSql {
     parseFrom(from)
 
   private def parseFrom(from: String): Seq[(String, String)] =
-    from.split(",").map(_.trim).filter(_.nonEmpty).map { item =>
+    SqlLex.splitTopLevel(from, ',').map { item =>
       item.split("""(?i)\s+(?:AS\s+)?""").filter(_.nonEmpty) match {
         case Array(table, alias) => alias -> table
         case Array(table) => table -> table
         case _ => throw new IllegalArgumentException(s"bad FROM item: $item")
       }
-    }.toSeq
+    }
 
   // x-[e]->y   x-[e {k:v}]->y   x-[e*]->y   x-[e*1..3 AS p {k:v}]->y
   // (the reference accepts `AS alias` after the star range or after the
@@ -262,11 +262,20 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   // ---- view registry: node/edge views created through the dialect
   // (View.cs:689-903). Views are metadata only — the overlay provider
   // exposes them as schema tables built lazily per query, so view DDL
-  // never runs a Spark job.
+  // never runs a Spark job. Catalog-backed sessions load the persisted
+  // registry (the reference's _NodeViewColumnCollection catalog rows)
+  // and write it back on every view DDL, so views survive reloads.
   private val nodeViewsReg =
-    scala.collection.mutable.LinkedHashMap[String, graft.graph.NodeViewDef]()
+    scala.collection.mutable.LinkedHashMap[String, graft.graph.NodeViewDef](
+      catalog.toSeq.flatMap(_.nodeViews).map(v => v.name -> v): _*)
   private val edgeViewsReg =
-    scala.collection.mutable.LinkedHashMap[(String, String), graft.graph.EdgeViewDef]()
+    scala.collection.mutable.LinkedHashMap[(String, String), graft.graph.EdgeViewDef](
+      catalog.toSeq.flatMap(_.edgeViews)
+        .map(ev => (ev.viewTable, ev.name) -> ev): _*)
+
+  private def persistViews(): Unit =
+    catalog.foreach(_.saveViews(nodeViewsReg.values.toSeq,
+      edgeViewsReg.values.toSeq))
   private var overlayCache: Option[graft.graph.ViewProvider] = None
   private var augStatsCache: Option[GraphStats] = None
 
@@ -479,6 +488,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       // default edge views on node-view creation (View.cs:621-668):
       // every edge name shared by >=2 member tables unions automatically
       defaultEdgeViews(v).foreach(ev => edgeViewsReg((v.name, ev.name)) = ev)
+      persistViews()
       invalidateViews()
       affected(0)
     case ViewDdl.CreateEdgeViewRe(viewTable, name, body) =>
@@ -487,6 +497,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       val ev = ViewDdl.edgeView(viewTable, name, body, provider.schema,
         nodeViewsReg.values.toSeq)
       edgeViewsReg((viewTable, name)) = ev // explicit wins over a default
+      persistViews()
       invalidateViews()
       affected(0)
     case ViewDdl.DropNodeViewRe(ifExists, name) =>
@@ -497,12 +508,14 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
           vt != name && ev.sinkTable != name
         }
         spark.catalog.dropTempView(name)
+        persistViews()
         invalidateViews()
       } else require(ifExists != null, s"no node view named $name")
       affected(0)
     case ViewDdl.DropEdgeViewRe(ifExists, viewTable, name) =>
       if (edgeViewsReg.contains((viewTable, name))) {
         edgeViewsReg.remove((viewTable, name))
+        persistViews()
         invalidateViews()
       } else require(ifExists != null,
         s"no edge view named $viewTable.$name")

@@ -92,6 +92,49 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // temperature-balanced source mixing (r5): stratum weights
+    // count^(1/T) normalized, per-stratum acceptance thresholds on the
+    // Bernoulli grid, the same portable id-hash decision. T=2 upweights
+    // small sources toward uniform — the standard low-resource boost.
+    // The oracle re-derives the thresholds (sqrt is IEEE-exact in both
+    // engines; the 1e-9 epsilon absorbs summation-order ulps)
+    "q_temperature_mix" -> QueryDef(
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+         |thr AS (
+         |  SELECT source,
+         |    CAST(FLOOR(LEAST(1.0,
+         |      sqrt(CAST(c AS DOUBLE)) / (SELECT SUM(sqrt(CAST(c AS DOUBLE))) FROM c)
+         |        * 0.5 * (SELECT SUM(c) FROM c) / c) * 10000 + 0.000000001)
+         |      AS BIGINT) AS t
+         |  FROM c)
+         |SELECT d.source, COUNT(*) AS cnt, MIN(doc_id) AS min_id
+         |FROM documents d JOIN thr ON d.source = thr.source
+         |WHERE ${sqlIdHash("doc_id")} % 10000 < thr.t
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      Mixing.temperatureSample(Tables.load(s, d, "documents"),
+        "doc_id", "source", temperature = 2.0, targetFraction = 0.5)
+        .groupBy("source").agg(count(lit(1)).as("cnt"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("source")
+    },
+
+    // token-window document chunking (r5): 128-token chunks, 32-token
+    // overlap (stride 96) — one row per chunk, final chunk may be short.
+    // The oracle replays the start grid + slice over the literal tokens
+    "q_chunk_documents" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, $SqlTokens AS w FROM documents)
+         |SELECT doc_id, CAST(st // 96 AS INTEGER) AS chunk_idx,
+         |  array_to_string(
+         |    w[CAST(st + 1 AS INTEGER):CAST(st + 128 AS INTEGER)], ' ')
+         |    AS chunk_text
+         |FROM t, UNNEST(range(0, GREATEST(len(w), 1), 96)) AS u(st)
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      TextFunctions.chunkDocuments(Tables.load(s, d, "documents"),
+        "text", "doc_id", chunkSize = 128, overlap = 32)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // token-budget sequence packing: docs packed head-to-tail into
     // ~512-token bins per source; per-bin doc count and token mass.
     // The oracle replays the exclusive running sum / floor-divide.

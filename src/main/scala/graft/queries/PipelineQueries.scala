@@ -813,9 +813,10 @@ object PipelineQueries {
 
     // REAL video container demux (ISO BMFF box walk — mvhd duration,
     // tkhd dimensions): synthetic MP4s per doc_id make every demuxed
-    // field a pure id formula for the oracle. Frame decode stays out of
-    // scope (no JDK video codec) — this is the container-metadata layer
-    // a corpus pipeline filters on
+    // field a pure id formula for the oracle. This is the container-
+    // metadata layer a corpus pipeline filters on; REAL frame decode
+    // lives in q_multimodal_video_frames (MJPEG-AVI — the JDK-decodable
+    // codec); H.264-family codecs stay honestly out of JDK reach
     "q_multimodal_video" -> QueryDef(
       """SELECT doc_id AS id, 'isom' AS brand,
         |  CAST(1000 AS BIGINT) AS timescale,
@@ -832,6 +833,31 @@ object PipelineQueries {
         .select(col("id"), col("brand"), col("timescale"),
           col("durationMs").as("duration_ms"), col("width"), col("height"))
         .orderBy("id")
+    },
+
+    // REAL video FRAME decode (r5): MJPEG-in-AVI is the one video codec
+    // the JDK decodes without native libs — a real RIFF container walk
+    // finds the movi frame chunks and javax.imageio decodes each JPEG.
+    // Synthetic AVIs carry solid-gray frames at 16-bucket-center levels,
+    // so decoded dimensions and the mean-luma bucket are pure id/frame
+    // formulas despite JPEG lossiness
+    "q_multimodal_video_frames" -> QueryDef(
+      """SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(64 + (doc_id % 4) * 16 AS INTEGER) AS width,
+        |  CAST(48 + (doc_id % 3) * 16 AS INTEGER) AS height,
+        |  CAST((doc_id * 7 + f * 3) % 16 AS INTEGER) AS luma_bucket
+        |FROM documents, UNNEST(range(0, 1 + doc_id % 5)) AS t(f)
+        |ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
+      import Multimodal._
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, Multimodal.syntheticAviMjpeg(id),
+          "video/x-msvideo"))
+      Multimodal.decodeAviFrames(media).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("width"), col("height"), col("lumaBucket").as("luma_bucket"))
+        .orderBy("id", "frame_idx")
     },
 
     // REAL audio decode (JDK javax.sound.sampled, WAV/PCM): square-wave

@@ -243,6 +243,51 @@ class GraphDdlSpec extends SparkSpec {
     intercept[Exception] { gs.sql("EXEC AddEdge 2, 3").collect() }
   }
 
+  /** Views persist in the catalog meta (the reference's
+    * _NodeViewColumnCollection rows, `View.cs:560-618`) — a reloaded
+    * catalog serves the same MATCH-able views; drops persist too.
+    */
+  test("views persist in the catalog and survive reload") {
+    val dir = Files.createTempDirectory("graft_views").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("CREATE NODE TABLE Food (id INT NODEID, fname VARCHAR(20))")
+    gs.sql("CREATE NODE TABLE Cat (id INT NODEID, cname VARCHAR(20), EDGE likes TO Food)")
+    gs.sql("CREATE NODE TABLE Dog (id INT NODEID, dname VARCHAR(20), EDGE likes TO Food)")
+    gs.sql("INSERT NODE INTO Food SELECT * FROM VALUES (1,'fish'),(2,'bone') AS t(id,fname)")
+    gs.sql("INSERT NODE INTO Cat SELECT * FROM VALUES (1,'tom') AS t(id,cname)")
+    gs.sql("INSERT NODE INTO Dog SELECT * FROM VALUES (1,'rex') AS t(id,dname)")
+    gs.sql("INSERT EDGE INTO Cat.likes SELECT c.id, f.id FROM Cat c, Food f WHERE c.id = 1 AND f.id = 1")
+    gs.sql("INSERT EDGE INTO Dog.likes SELECT d.id, f.id FROM Dog d, Food f WHERE d.id = 1 AND f.id = 2")
+    gs.sql("CREATE NODE VIEW Pet AS SELECT cname AS pname FROM Cat UNION ALL SELECT dname FROM Dog")
+    val q =
+      """SELECT p.pname AS pname, f.fname AS fname
+        |FROM Pet p, Food f MATCH p-[likes]->f ORDER BY pname""".stripMargin
+    def rows(s2: GraphSession) =
+      s2.sql(q).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows(gs) == Seq(("rex", "bone"), ("tom", "fish")))
+
+    // a FRESH catalog + session reads the persisted view registry
+    val gs2 = new GraphSession(spark, new GraphCatalog(spark, dir))
+    assert(rows(gs2) == Seq(("rex", "bone"), ("tom", "fish")))
+
+    // 100 TB posture: a view-column predicate pushes through the union
+    // into EACH member's parquet scan (Catalyst rewrites pname → cname
+    // on the Cat branch and → dname on the Dog branch)
+    val plan = gs2.sql(
+      """SELECT p.pname AS pname FROM Pet p, Food f
+        |MATCH p-[likes]->f WHERE p.pname = 'tom'""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(cname,tom)") ||
+      plan.contains("cname), EqualTo"), s"no pushed filter on cname:\n$plan")
+    assert(plan.contains("EqualTo(dname,tom)") ||
+      plan.contains("dname), EqualTo"), s"no pushed filter on dname:\n$plan")
+
+    // drops persist: a third reload no longer sees the view
+    gs2.sql("DROP NODE VIEW Pet")
+    val gs3 = new GraphSession(spark, new GraphCatalog(spark, dir))
+    intercept[Exception] { rows(gs3) }
+  }
+
   /** Proc bodies with control flow (`WSqlParser.cs:233-362`): DECLARE /
     * SET variables, WHILE loops driving graph DML, IF/ELSE-IF chains.
     */

@@ -65,6 +65,44 @@ class CurationSpec extends SparkSpec {
     assert(all.forall(_ % 2 == 0) && all.length == 500)
   }
 
+  test("temperatureSample flattens source shares as T grows") {
+    val s = spark
+    import s.implicits._
+    // 900 "big" vs 100 "small" docs
+    val rows = (0L until 1000L).map(i => (i, if (i < 900) "big" else "small"))
+      .toDF("id", "src")
+    def shares(t: Double): (Long, Long) = {
+      val kept = Mixing.temperatureSample(rows, "id", "src", t, 0.4)
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (kept.getOrElse("big", 0L), kept.getOrElse("small", 0L))
+    }
+    val (b1, s1) = shares(1.0)    // proportional: small stays ~10%
+    val (b8, s8) = shares(8.0)    // near-uniform: small upweighted hard
+    assert(s1.toDouble / (b1 + s1) < 0.2, s"T=1 small share ${(b1, s1)}")
+    // expected: small saturates at 100 kept, big ~228 → share ~0.3
+    assert(s8.toDouble / (b8 + s8) > 0.25, s"T=8 small share ${(b8, s8)}")
+    // small-source acceptance saturates at 1.0 under extreme temperature
+    assert(s8 <= 100)
+    // deterministic: same inputs, same picks
+    assert(shares(8.0) == ((b8, s8)))
+  }
+
+  test("chunkDocuments windows tokens with overlap; short docs one chunk") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y")).toDF("doc_id", "text")
+    val chunks = TextFunctions.chunkDocuments(df, "text", "doc_id",
+      chunkSize = 4, overlap = 1) // stride 3
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(chunks.filter(_._1 == 1L).map(_._3).toSeq == Seq(
+      "a b c d", "d e f g", "g h i j", "j"))
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("x y"))
+  }
+
   test("packSequences fills ~budget-sized bins in id order per stratum") {
     val s = spark
     import s.implicits._

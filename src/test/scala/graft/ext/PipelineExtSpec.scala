@@ -462,6 +462,28 @@ class PipelineExtSpec extends SparkSpec {
     assert(meta(9L).brand == "" && meta(9L).durationMs == -1L)
   }
 
+  test("real MJPEG-AVI frame decode: RIFF walk + per-frame JPEG decode; " +
+    "malformed containers quarantine") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    val rows = Seq(
+      MediaRow(7L, Multimodal.syntheticAviMjpeg(7L), "video/x-msvideo"),
+      MediaRow(9L, Array[Byte]('R', 'I', 'F', 'F', 1, 0, 0, 0),
+        "video/x-msvideo"))
+    val frames = Multimodal.decodeAviFrames(rows.toDS()).collect()
+    val ok = frames.filter(_.id == 7L).sortBy(_.frameIdx)
+    assert(ok.length == 1 + (7 % 5)) // frame-count formula
+    ok.zipWithIndex.foreach { case (f, i) =>
+      assert(f.frameIdx == i)
+      assert(f.width == 64 + (7 % 4) * 16 && f.height == 48 + (7 % 3) * 16)
+      assert(f.lumaBucket == ((7 * 7 + i * 3) % 16).toInt,
+        s"frame $i decoded luma bucket ${f.lumaBucket}")
+    }
+    val bad = frames.filter(_.id == 9L)
+    assert(bad.map(f => (f.frameIdx, f.width)).toSeq == Seq((-1, -1)))
+  }
+
   test("real audio decode reads rate, frames, and exact square-wave " +
     "statistics; corrupt payloads quarantine") {
     val s = spark

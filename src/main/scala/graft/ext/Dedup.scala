@@ -276,7 +276,10 @@ object Dedup {
     IndexParams.check(spark, indexPath, bandParams(n, numPerms, bands))
     val newBands = bandRows(newDocs, textCol, idCol, n, numPerms, bands)
       .stageBoundary
-    val index = spark.read.parquet(indexPath)
+    // explicit schema: an EMPTY band-partitioned index (bootstrap of the
+    // streaming face) has no data files to infer from
+    val index = spark.read
+      .schema("id LONG, bandHash LONG, band INT").parquet(indexPath)
     // old⋈new across the index + new⋈new within the increment; pair
     // ids ordered so the union is duplicate-free
     val crossCand = newBands.as("a")
@@ -408,7 +411,11 @@ object Dedup {
     IndexParams.check(spark, indexPath, simhashParams(tokenHash))
     val newBands = simhashBandRows(newDocs, textCol, idCol, tokenHash)
       .stageBoundary
-    val index = spark.read.parquet(indexPath)
+    // explicit schema: an empty band-partitioned index has no data
+    // files to infer from
+    val index = spark.read
+      .schema("id LONG, simhash LONG, bandVal LONG, band INT")
+      .parquet(indexPath)
     def pairs(a: DataFrame, b: DataFrame, strict: Boolean) =
       a.as("a").join(b.as("b"),
         col("a.band") === col("b.band") &&

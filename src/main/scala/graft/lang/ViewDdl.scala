@@ -47,20 +47,20 @@ object ViewDdl {
   final case class SelectBlock(elems: Seq[Element], table: String,
       edge: Option[String])
 
-  /** split the view body on top-level UNION ALL (outside quotes/parens) */
+  /** split the view body on top-level UNION ALL (outside quotes,
+    * comments and parens — [[SqlLex]]-mask-aware like every other
+    * dialect splitter)
+    */
   private def splitUnionAll(body: String): Seq[String] = {
+    val m = SqlLex.mask(body)
     val out = Seq.newBuilder[String]
     var depth = 0
-    var quote: Char = 0
     var start = 0
     val upper = body.toUpperCase
     var i = 0
     val kw = "UNION ALL"
     while (i < body.length) {
-      val c = body(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' => quote = c
+      if (!m(i)) body(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>

@@ -172,6 +172,47 @@ object EdgeStream {
         }
       }
 
+  /** Streaming end-to-end curation: each micro-batch runs the FULL
+    * incremental curation pipeline
+    * ([[graft.ext.Pipeline.curateV2Incremental]]: gate → span-clean →
+    * exact → LSH → decontaminate → annotate) against the persisted
+    * index family, sinks the curated rows, and folds the batch into the
+    * indexes ([[graft.ext.Pipeline.curateV2AppendIndexes]]) so later
+    * batches dedup against everything kept so far. The curation state
+    * IS the on-disk index family — restart-safe, shared bit-for-bit
+    * with the batch incremental path (batch and streaming curation are
+    * one code path). First batch bootstraps empty indexes (an empty
+    * history is a valid history). Contract as everywhere incremental:
+    * ids increase across batches.
+    */
+  def curatedDocs(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, indexDir: String,
+      k: Int = 8, minJaccard: Double = 0.9,
+      decontamN: Int = 5, decontamMinHits: Int = 5,
+      minCleanTokens: Int = 10)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.stageBoundary
+        if (!batch.isEmpty) {
+          val winPath = new org.apache.hadoop.fs.Path(s"$indexDir/windows")
+          val fs = winPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(winPath))
+            graft.ext.Pipeline.curateV2WriteIndexes(batch.limit(0),
+              textCol, idCol, indexDir, k, minCleanTokens)
+          val curated = graft.ext.Pipeline.curateV2Incremental(
+            batch, bench, textCol, idCol, indexDir, k, minJaccard,
+            decontamN, decontamMinHits, minCleanTokens)
+            .stageBoundary
+          sink(curated)
+          graft.ext.Pipeline.curateV2AppendIndexes(batch, textCol, idCol,
+            indexDir, k, minCleanTokens)
+        }
+      }
+
   /** Streaming quality gating: the same C4 + Gopher gates the batch
     * pipeline applies ([[graft.ext.TextFunctions.c4DocKeep]] /
     * [[graft.ext.TextFunctions.gopherKeep]]), as a stateless streaming

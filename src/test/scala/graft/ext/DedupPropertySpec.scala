@@ -54,6 +54,43 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("index params sidecars reject mismatched probes and appends") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 6L).map(i => (i, s"some text body number $i with words"))
+      .toDF("doc_id", "text")
+    // window index: k must match
+    val win = java.nio.file.Files.createTempDirectory("params_win").toString
+    SubstringDedup.writeWindowIndex(docs, "text", "doc_id", k = 4, win)
+    intercept[IllegalArgumentException] {
+      SubstringDedup.duplicatedSpansIncremental(docs, win,
+        "text", "doc_id", k = 8).collect()
+    }
+    intercept[IllegalArgumentException] {
+      SubstringDedup.appendWindowIndex(docs, "text", "doc_id", k = 8, win)
+    }
+    // band index: (n, numPerms, bands) must match
+    val band = java.nio.file.Files.createTempDirectory("params_band").toString
+    Dedup.writeBandIndex(docs, "text", "doc_id", band,
+      n = 3, numPerms = 64, bands = 16)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsIncremental(spark, docs, docs, band,
+        "text", "doc_id", n = 3, minJaccard = 0.9,
+        numPerms = 64, bands = 8).collect()
+    }
+    // simhash index: the token hash itself must match
+    val sim = java.nio.file.Files.createTempDirectory("params_sim").toString
+    Dedup.writeSimhashIndex(docs, "text", "doc_id", sim,
+      tokenHash = Dedup.XxTokenHash)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsIncremental(spark, docs, sim, "text", "doc_id",
+        tokenHash = Dedup.PortableTokenHash).collect()
+    }
+    // matching params pass
+    assert(Dedup.simhashPairsIncremental(spark, docs, sim, "text",
+      "doc_id", tokenHash = Dedup.XxTokenHash).count() >= 0)
+  }
+
   test("incremental exact dedup equals full-corpus min-id dedup on the " +
     "increment, across random corpora") {
     val s = spark

@@ -199,6 +199,54 @@ class EdgeStreamSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 11L))
   }
 
+  test("streaming end-to-end curation shares the incremental index family") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def body(i: Int): String = {
+      val fill = Seq("the", "quiet", "study", "of", "corpus", "language",
+        "models", "enjoy", "clean", "and", "varied", "text", "because",
+        "quality", "gates", "check", "for", "stopwords", "and", "mean",
+        "lengths", "while", "duplicate", "ngrams", "must", "stay", "rare",
+        "so", "each", "sentence", "here", "differs", "slightly", "with",
+        "unique", "tails", "that", "keep", "windows", "apart")
+      fill.grouped(4).zipWithIndex
+        .flatMap { case (g, j) => g :+ s"u${i}x$j" }.mkString(" ")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("scur").toString
+    val outDir = s"$tmp/curated"
+    val stream = MemoryStream[(Long, String)]
+    val bench = Seq((900L, "benchmark questions with held out answers"))
+      .toDF("doc_id", "text")
+    val writer = EdgeStream.curatedDocs(
+      stream.toDF().toDF("doc_id", "text"), bench, "text", "doc_id",
+      s"$tmp/indexes", k = 60, minCleanTokens = 5) { curated =>
+      curated.write.mode("append").parquet(outDir)
+    }
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    // batch 1: 3 is an exact dup of 1 (in-batch); 4 is too short (gate)
+    stream.addData(
+      (1L, body(1)), (2L, body(2)), (3L, body(1)),
+      (4L, "too short to pass"))
+    q.processAllAvailable()
+    // batch 2: 10 duplicates streamed-history doc 2; 11 is novel
+    stream.addData((10L, body(2)), (11L, body(11)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 11L))
+    // equals the BATCH incremental path over the same splits: streaming
+    // and batch curation are one code path + one index family
+    val all = Seq((1L, body(1)), (2L, body(2)), (3L, body(1)),
+      (4L, "too short to pass"), (10L, body(2)), (11L, body(11)))
+      .toDF("doc_id", "text")
+    val batchKept = graft.ext.Pipeline
+      .curateV2(all, bench, "text", "doc_id", k = 60, minCleanTokens = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == batchKept)
+  }
+
   test("streaming quality gate filters statelessly as documents arrive") {
     val s = spark
     import s.implicits._

@@ -68,20 +68,38 @@ object GraphSql {
       rest: String, // everything after the MATCH clause (WHERE/GROUP BY/...)
       top: Option[TopSpec] = None)
 
-  private val SelectRe =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)\s+MATCH\s+(.*)$""".r
+  private val SelectHeadRe =
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)\s*$""".r
 
-  def isMatchQuery(sql: String): Boolean =
-    SelectRe.findFirstIn(sql).isDefined
+  /** position of the first MATCH keyword OUTSIDE literals/comments —
+    * `WHERE note = 'a MATCH b'` must NOT make a statement a MATCH query
+    */
+  private def unmaskedMatchIdx(sql: String): Int = {
+    val masked = SqlLex.mask(sql)
+    """(?is)(?<=\s)MATCH\s""".r.findAllMatchIn(sql)
+      .find(m => !masked(m.start)).map(_.start).getOrElse(-1)
+  }
+
+  def isMatchQuery(sql: String): Boolean = {
+    val i = unmaskedMatchIdx(sql)
+    i > 0 && SelectHeadRe.findFirstIn(sql.substring(0, i)).isDefined
+  }
 
   private val TopRe =
     """(?is)^\s*TOP\s*\(?\s*(\d+)\s*\)?\s*(PERCENT\b)?\s*(WITH\s+TIES\b)?\s+(.*)$""".r
 
-  def parse(sql: String): ParsedMatch = sql match {
-    case SelectRe(sel, from, afterMatch) =>
-      // MATCH clause runs until the first top-level keyword
+  def parse(sql: String): ParsedMatch = {
+    val mi = unmaskedMatchIdx(sql)
+    val head = if (mi > 0) sql.substring(0, mi) else ""
+    (head, if (mi > 0) sql.substring(mi + "MATCH".length) else "") match {
+      case (SelectHeadRe(sel, from), afterMatch) =>
+      // MATCH clause runs until the first top-level keyword (outside
+      // literals/comments — a WHERE inside a pattern attr string must
+      // not cut the clause)
       val kw = """(?is)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b""".r
-      val (pat, rest) = kw.findFirstMatchIn(afterMatch) match {
+      val masked = SqlLex.mask(afterMatch)
+      val (pat, rest) = kw.findAllMatchIn(afterMatch)
+        .find(m => !masked(m.start)) match {
         case Some(m) => (afterMatch.substring(0, m.start), afterMatch.substring(m.start))
         case None => (afterMatch, "")
       }
@@ -96,7 +114,8 @@ object GraphSql {
       }
       ParsedMatch(sel2, parseFrom(from), parsePattern(pat.trim), rest.trim,
         topSpec)
-    case _ => throw new IllegalArgumentException(s"not a MATCH query: $sql")
+      case _ => throw new IllegalArgumentException(s"not a MATCH query: $sql")
+    }
   }
 
   private[lang] def parseFromPublic(from: String): Seq[(String, String)] =

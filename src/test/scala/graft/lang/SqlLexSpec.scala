@@ -68,6 +68,21 @@ class SqlLexSpec extends SparkSpec {
     assert(GraphSql.findExistsMatch(sql).isEmpty)
   }
 
+  test("MATCH inside a literal or comment does not make a MATCH query") {
+    assert(!GraphSql.isMatchQuery(
+      "SELECT x FROM t WHERE note = 'a MATCH b'"))
+    assert(!GraphSql.isMatchQuery(
+      "SELECT x FROM t -- MATCH a-[e]->b\nWHERE x > 1"))
+    assert(GraphSql.isMatchQuery(
+      "SELECT a.x FROM T a, T b MATCH a-[e]->b"))
+    // a plain statement with MATCH in a literal flows through to Spark
+    val gs = new GraphSession(spark, peopleProvider)
+    val n = gs.sql(
+      "SELECT x FROM (VALUES (1)) t(x) WHERE 'a MATCH b' = 'a MATCH b'")
+      .count()
+    assert(n == 1)
+  }
+
   test("adversarial literals flow through a full MATCH statement") {
     val gs = new GraphSession(spark, peopleProvider)
     val res = gs.sql(

@@ -214,6 +214,30 @@ object TextFunctions {
         size(g).cast(DoubleType), 6))
   }
 
+  /** Unigram-LM scoring (the shape of CCNet's perplexity filter, with
+    * the corpus itself as the LM): token frequencies from one count
+    * aggregation, each document scored by the mean negative natural
+    * log-probability of its tokens — low = common/boilerplate-like,
+    * high = rare/noisy; curation keeps the middle.
+    *
+    * Scale shape: one token-key count shuffle (map-side combined; hot
+    * tokens cost their occurrence rows, never pairs), one token-key
+    * join back, one doc-key mean — all linear in corpus tokens. The
+    * corpus-wide vocabulary stays distributed (never broadcast/
+    * collected): at 100 TB the vocab itself is table-sized.
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+    val freq = tok.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val total = freq.agg(sum(col("__c")).cast(DoubleType).as("__t"))
+    tok.join(freq, "__w")
+      .crossJoin(broadcast(total)) // one scalar row
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(col("__c").cast(DoubleType) / col("__t"))), 6)
+        .as("nll"))
+  }
+
   /** Token-window document chunking (context-window corpus prep): one
     * row per chunk — (`idCol`, chunk_idx, chunk_text). Chunks start at
     * 0, stride, 2·stride, … (stride = chunkSize − overlap) while the

@@ -135,6 +135,23 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // unigram-LM scoring (r5, CCNet-perplexity shape): the corpus's own
+    // token frequencies score each doc by mean -ln p(token). The oracle
+    // replays frequencies + the mean; ROUND(6) absorbs summation-order
+    // ulps in the double mean
+    "q_unigram_logprob" -> QueryDef(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($SqlTokens) AS w FROM documents),
+         |freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq)
+         |SELECT doc_id, ROUND(AVG(-ln(CAST(c AS DOUBLE) / t)), 6) AS nll
+         |FROM tok JOIN freq USING (w), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextFunctions.unigramLogProb(Tables.load(s, d, "documents"),
+        "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // token-budget sequence packing: docs packed head-to-tail into
     // ~512-token bins per source; per-bin doc count and token mass.
     // The oracle replays the exclusive running sum / floor-divide.

@@ -23,8 +23,11 @@ class SparkEntrySpec extends SparkSpec {
     //                       query-vector set against the corpus scan
     //   q_dedup_embedding   exact all-pairs path, hard-capped at 100k rows
     //                       (above the cap cosinePairs demands SRP blocking)
+    //   q_unigram_logprob   1-row broadcast of the corpus token total
+    //                       (unigramLogProb's normalizing constant)
     val cartesianByDesign =
-      Set("q_cross_join", "q_scalar_subquery", "q_ann_topk", "q_dedup_embedding")
+      Set("q_cross_join", "q_scalar_subquery", "q_ann_topk",
+        "q_dedup_embedding", "q_unigram_logprob")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")

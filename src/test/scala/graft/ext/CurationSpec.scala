@@ -88,6 +88,19 @@ class CurationSpec extends SparkSpec {
     assert(shares(8.0) == ((b8, s8)))
   }
 
+  test("unigramLogProb ranks common-token docs below rare-token docs") {
+    val s = spark
+    import s.implicits._
+    val common = "the the the and and of" // all high-frequency
+    val df = ((1L to 8L).map(i => (i, common)) :+
+      (9L, "zyx qwv jkl")).toDF("doc_id", "text") // singletons
+    val scores = TextFunctions.unigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) == scores(8L)) // identical docs, identical score
+    assert(scores(9L) > scores(1L),
+      s"rare-token doc must score higher: $scores")
+  }
+
   test("chunkDocuments windows tokens with overlap; short docs one chunk") {
     val s = spark
     import s.implicits._

@@ -105,6 +105,67 @@ object Similarity {
       k: Int): DataFrame =
     ivfTopK(spark.read.parquet(path), queries, idCol, vecCol, cellCol, k)
 
+  /** Persist the quantizer WITH the index (`_centroids.json` beside the
+    * cell-partitioned parquet — the underscore keeps it invisible to
+    * the parquet reader), so the index is self-contained: new queries
+    * assign their own probe cells at search time instead of arriving
+    * pre-celled.
+    */
+  def writeCentroids(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Float])]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = centroids.map { case (i, v) =>
+      s"""{"cell":$i,"v":[${v.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Float])] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JArray(cs) => cs.map { c =>
+        val cell = (c \ "cell").asInstanceOf[JInt].num.toInt
+        val v = (c \ "v").asInstanceOf[JArray].arr.map {
+          case JDouble(d) => d.toFloat
+          case JInt(n) => n.toFloat
+          case other => throw new IllegalArgumentException(s"bad $other")
+        }
+        cell -> v
+      }
+      case other => throw new IllegalArgumentException(s"bad centroids $other")
+    }
+  }
+
+  /** One call: assign cells, write the partitioned index, persist the
+    * quantizer beside it.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], path: String): Unit = {
+    writeIvfIndex(assignCells(corpus, vecCol, "__cell", centroids),
+      idCol, vecCol, "__cell", path)
+    writeCentroids(corpus.sparkSession, path, centroids)
+  }
+
+  /** Search a [[buildIvfIndex]] layout with RAW query vectors: the
+    * persisted quantizer assigns each query its `nprobe` nearest cells,
+    * and the cell join drives dynamic partition pruning — only the
+    * probed cells' directories are read. The self-contained-index face
+    * of the IVF family.
+    */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 1): DataFrame =
+    ivfTopKProbe(spark.read.parquet(path),
+      queries, idCol, vecCol, "__cell", k,
+      readCentroids(spark, path), nprobe)
+
   /** int8 scalar quantization of an embedding column: each component
     * scales by 127 and clamps to [-127, 127] — 4× smaller storage for
     * ANN candidate generation (rescoring reads the full-precision

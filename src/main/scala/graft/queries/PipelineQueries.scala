@@ -589,6 +589,49 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // self-contained IVF index (r5): the quantizer persists BESIDE the
+    // cell-partitioned parquet, so raw (un-celled) queries assign their
+    // own probe cells at search time — the oracle replays the
+    // deterministic centroids, both assignments, and the in-cell top-k
+    "q_ann_ivf_search" -> QueryDef(
+      """WITH c AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |         embedding AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |a AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(c.cv AS DOUBLE[])), 9) AS cs
+        |    FROM embeddings e CROSS JOIN c)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                             ORDER BY cs DESC, cell DESC) = 1),
+        |cand AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(n.embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings q
+        |  JOIN a aq ON aq.vec_id = q.vec_id
+        |  JOIN a an ON an.cell = aq.cell
+        |  JOIN embeddings n ON n.vec_id = an.vec_id AND n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |r AS (SELECT qid, nid, cs,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+        |      FROM cand)
+        |SELECT qid, nid, ROUND(cs, 4) AS cs, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfq_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, idx)
+      Similarity.ivfSearchIndexed(s, idx,
+        emb.filter(col("vec_id") < 20).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5, nprobe = 1)
+        .select(col("qid"), col("nid"), round(col("cs"), 4).as("cs"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+
     // scale-aware int8 quantization: per-row max-abs scaling uses the
     // full code range on unnormalized embeddings (no silent saturation)
     "q_embedding_quantize_scaled" -> QueryDef(

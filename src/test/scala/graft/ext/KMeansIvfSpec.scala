@@ -86,6 +86,27 @@ class KMeansIvfSpec extends SparkSpec {
     assert(recall2 >= recall1)
   }
 
+  test("self-contained IVF index: raw queries search via the persisted quantizer") {
+    val cents = Similarity.trainCentroidsKMeansPP(
+      clustered, "vec_id", "embedding", nClusters, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.buildIvfIndex(clustered, "vec_id", "embedding", cents, dir)
+    // quantizer round-trips exactly
+    assert(Similarity.readCentroids(spark, dir) == cents)
+    // raw (un-celled) queries search the index; result equals the
+    // in-memory celled path
+    val queries = clustered.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(20).cache()
+    def rs(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromIndex = rs(Similarity.ivfSearchIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 10, nprobe = 2))
+    val celled = Similarity.assignCells(clustered, "embedding", "cell", cents)
+    val inMemory = rs(Similarity.ivfTopKProbe(celled, queries,
+      "vec_id", "embedding", "cell", 10, cents, 2))
+    assert(fromIndex == inMemory)
+  }
+
   test("semanticDedup accepts trained centroids") {
     val s = spark
     import s.implicits._

@@ -204,8 +204,10 @@ object GraphSql {
   private def parseAttrs(s: Option[String]): Map[String, Any] = s match {
     case None => Map.empty
     case Some(dict) =>
-      dict.stripPrefix("{").stripSuffix("}").split(",").map(_.trim)
-        .filter(_.nonEmpty).map { kv =>
+      // lexer-aware comma split: a ',' inside a quoted attr value
+      // (`{k: 'a, b'}`) is part of the literal, not a separator
+      SqlLex.splitTopLevel(dict.stripPrefix("{").stripSuffix("}"), ',')
+        .map { kv =>
           val Array(k, v) = kv.split(":", 2).map(_.trim)
           k -> parseLit(v)
         }.toMap

@@ -68,6 +68,11 @@ class SqlLexSpec extends SparkSpec {
     assert(GraphSql.findExistsMatch(sql).isEmpty)
   }
 
+  test("pattern attr dict values may contain commas inside quotes") {
+    val hops = GraphSql.parsePattern("a-[e {k: 'x, y', w: 2}]->b")
+    assert(hops.head.attrEq == Map("k" -> "x, y", "w" -> 2L))
+  }
+
   test("MATCH inside a literal or comment does not make a MATCH query") {
     assert(!GraphSql.isMatchQuery(
       "SELECT x FROM t WHERE note = 'a MATCH b'"))

@@ -608,7 +608,7 @@ object Multimodal {
   /** JPEG frame payloads of an AVI's `movi` list, in stream order
     * (chunk ids `##dc`/`##db`); None when the container is malformed
     */
-  private def aviFrameChunks(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+  private def aviFrameChunks(b: Array[Byte]): Option[Seq[Array[Byte]]] = try {
     if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "AVI ")
       return None
     val frames = Seq.newBuilder[Array[Byte]]
@@ -618,8 +618,11 @@ object Multimodal {
         val id = fourCC(b, i)
         val size = leU32(b, i + 4)
         val dataStart = i + 8
+        // bounds-check in Long BEFORE narrowing: leU32 is 0..2^32-1, so a
+        // chunk size near 2^31 would wrap negative as an Int and slip past
+        // an Int comparison against `to`
+        if (size > (to - dataStart).toLong) return false
         val dataEnd = dataStart + size.toInt
-        if (size < 0 || dataEnd > to) return false
         if (id == "LIST") {
           val listType = fourCC(b, dataStart)
           if (!walk(dataStart + 4, dataEnd, inMovi || listType == "movi"))
@@ -633,6 +636,10 @@ object Multimodal {
       true
     }
     if (walk(12, b.length, inMovi = false)) Some(frames.result()) else None
+  } catch {
+    // any surviving parse error on an adversarial container quarantines
+    // as malformed rather than failing the Spark task
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Real per-frame decode of MJPEG-AVI payloads: container walk +

@@ -224,8 +224,13 @@ object Similarity {
     val n = base.count()
     val frac = if (n <= sampleRows) 1.0
       else math.min(1.0, sampleRows.toDouble * 1.25 / n)
+    // order BEFORE limiting: a limit on unordered data is a partition-
+    // layout-dependent subset, so the trained centroids would vary with
+    // cluster parallelism. Sorted-then-limited, the sample is the
+    // deterministic smallest-id prefix of the seeded sample — stable for
+    // a fixed (seed, corpus) across any physical layout.
     val rows = base.sample(withReplacement = false, frac, seed)
-      .limit(sampleRows).orderBy(col(idCol)) // stable order → reproducible
+      .orderBy(col(idCol)).limit(sampleRows)
       .collect()
     require(rows.length >= k,
       s"k-means++: sample has ${rows.length} rows < k=$k")

@@ -421,23 +421,31 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       : Option[DataFrame] = {
     var steps = 0
     val stepCap = maxProcSteps
-    def subst(t: String): String = vars.foldLeft(t) { case (acc, (k, v)) =>
-      acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(k) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(v))
-    }
+    // mask-aware: `@var` occurrences inside string literals/comments are
+    // NOT expanded (T-SQL never substitutes variables into literals)
+    def subst(t: String): String = SqlLex.mapCode(t)(code =>
+      vars.foldLeft(code) { case (acc, (k, v)) =>
+        acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(k) + "\\b",
+          java.util.regex.Matcher.quoteReplacement(v))
+      })
     def tick(): Unit = {
       steps += 1
       require(steps <= stepCap,
         s"procedure exceeded $stepCap control-flow steps")
     }
-    registerTables() // scalar subqueries in initializers/predicates
-    def scalar(e: String): String =
+    // re-registered per evaluation, mirroring the Run case: a loop-body
+    // DML statement rewrites (moves) table files, so a WHILE predicate's
+    // scalar subquery must not read a temp view captured pre-rewrite
+    def scalar(e: String): String = {
+      registerTables()
       spark.sql(s"SELECT (${subst(e)})").head().get(0) match {
         case null => "NULL"
         case s: String => "'" + s.replace("'", "''") + "'"
         case x => x.toString
       }
+    }
     def truthy(c: String): Boolean = {
+      registerTables()
       val r = spark.sql(s"SELECT CAST((${subst(c)}) AS BOOLEAN)").head()
       !r.isNullAt(0) && r.getBoolean(0)
     }

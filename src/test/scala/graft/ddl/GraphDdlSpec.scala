@@ -335,6 +335,37 @@ class GraphDdlSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.proc.maxSteps")
   }
 
+  /** T-SQL never expands variables inside string literals, and IF/WHILE
+    * predicates with scalar subqueries must observe loop-body DML (the
+    * temp views re-register per evaluation, not once per EXEC).
+    */
+  test("proc vars: literal-immune substitution; predicates see loop DML") {
+    val dir = Files.createTempDirectory("graft_procvars").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("CREATE NODE TABLE Thing (id INT NODEID)")
+    gs.sql("""CREATE PROCEDURE LitSafe @n INT AS BEGIN
+             |  SELECT '@n items' AS s, @n AS v
+             |END""".stripMargin)
+    val r = gs.sql("EXEC LitSafe 7").head()
+    assert(r.getString(0) == "@n items", "literal '@n' was corrupted")
+    assert(r.getInt(1) == 7)
+    // the WHILE predicate counts a table the loop body inserts into: a
+    // stale captured view would never see the inserts (the small step
+    // cap turns that bug into a fast failure instead of a hang)
+    gs.sql("""CREATE PROCEDURE FillTo @n INT AS BEGIN
+             |  DECLARE @i INT = 0;
+             |  WHILE (SELECT COUNT(*) FROM Thing) < @n
+             |  BEGIN
+             |    SET @i = @i + 1;
+             |    INSERT NODE INTO Thing SELECT * FROM VALUES (@i) AS t(id);
+             |  END
+             |  SELECT COUNT(*) AS cnt FROM Thing
+             |END""".stripMargin)
+    spark.conf.set("spark.graft.proc.maxSteps", "60")
+    try assert(gs.sql("EXEC FillTo 3").head().getLong(0) == 3L)
+    finally spark.conf.unset("spark.graft.proc.maxSteps")
+  }
+
   test("multi-statement script executes the tutorial batch in order") {
     val dir = Files.createTempDirectory("graft_script").toString
     val gs = new GraphSession(spark, new GraphCatalog(spark, dir))

@@ -467,10 +467,22 @@ class PipelineExtSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     import Multimodal._
+    // adversarial container: RIFF chunk size near 2^32 wraps negative as
+    // an Int — must quarantine, not escape as an uncaught exception
+    val evil = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def cc(t: String): Unit = bos.write(t.getBytes("ISO-8859-1"))
+      def u32(v: Long): Unit =
+        (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xFF).toInt))
+      cc("RIFF"); u32(0xFFFFFFF0L); cc("AVI ")
+      cc("LIST"); u32(0xFFFFFFF0L); cc("movi")
+      bos.toByteArray
+    }
     val rows = Seq(
       MediaRow(7L, Multimodal.syntheticAviMjpeg(7L), "video/x-msvideo"),
       MediaRow(9L, Array[Byte]('R', 'I', 'F', 'F', 1, 0, 0, 0),
-        "video/x-msvideo"))
+        "video/x-msvideo"),
+      MediaRow(11L, evil, "video/x-msvideo"))
     val frames = Multimodal.decodeAviFrames(rows.toDS()).collect()
     val ok = frames.filter(_.id == 7L).sortBy(_.frameIdx)
     assert(ok.length == 1 + (7 % 5)) // frame-count formula
@@ -482,6 +494,8 @@ class PipelineExtSpec extends SparkSpec {
     }
     val bad = frames.filter(_.id == 9L)
     assert(bad.map(f => (f.frameIdx, f.width)).toSeq == Seq((-1, -1)))
+    val adversarial = frames.filter(_.id == 11L)
+    assert(adversarial.map(f => (f.frameIdx, f.width)).toSeq == Seq((-1, -1)))
   }
 
   test("real audio decode reads rate, frames, and exact square-wave " +

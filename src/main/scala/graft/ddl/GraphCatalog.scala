@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 import scala.collection.concurrent.TrieMap
 
 /** Persistent graph catalog — the Spark analogue of the reference's 8
@@ -37,24 +37,40 @@ import scala.collection.concurrent.TrieMap
 class GraphCatalog(val spark: SparkSession, val dir: String,
     bucketsOpt: Option[Int] = None) {
 
-  private val metaPath = Paths.get(dir, "graph_meta.json")
+  // all catalog file operations go through the Hadoop FileSystem API, so
+  // the same code serves file:, hdfs: and s3a: locations — java.nio would
+  // silently only work on the local filesystem
+  private def fsOf(p: HPath): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val metaPath = new HPath(s"$dir/graph_meta.json")
   private val cache = TrieMap[String, DataFrame]()
 
+  private def readMeta(): Option[String] = {
+    val fs = fsOf(metaPath)
+    if (!fs.exists(metaPath)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(metaPath).getLen.toInt)
+      val in = fs.open(metaPath)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8"))
+    }
+  }
+
+  private val metaJson: Option[String] = readMeta()
+
   var schema: GraphSchema =
-    if (Files.exists(metaPath)) CatalogJson.read(Files.readString(metaPath))
-    else GraphSchema(Nil)
+    metaJson.map(CatalogJson.read).getOrElse(GraphSchema(Nil))
 
   /** property-column Spark types per table (persisted alongside roles) */
   var propertyTypes: Map[String, StructType] =
-    if (Files.exists(metaPath)) CatalogJson.readTypes(Files.readString(metaPath))
-    else Map.empty
+    metaJson.map(CatalogJson.readTypes).getOrElse(Map.empty)
 
   /** bucket count: explicit argument wins, else whatever the persisted
     * meta recorded (a reloaded catalog keeps its physical layout)
     */
   val buckets: Option[Int] = bucketsOpt.orElse(
-    if (Files.exists(metaPath)) CatalogJson.readBuckets(Files.readString(metaPath))
-    else None)
+    metaJson.flatMap(CatalogJson.readBuckets))
 
   /** session-catalog identifier for a table's bucketed registration —
     * scoped by the dir hash so independent catalogs never collide
@@ -224,11 +240,6 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
       StructType(fields))
   }
 
-  private def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.delete(f))
-  }
-
   /** initial write of a table that has no readers yet */
   private def writeFresh(tableName: String, df: DataFrame): Unit =
     buckets match {
@@ -248,7 +259,6 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     */
   def rewrite(tableName: String, df: DataFrame): Unit = {
     val tmp = s"$dir/tables/.${tableName}_tmp"
-    val dst = Paths.get(tablePath(tableName))
     buckets match {
       case None => df.write.mode("overwrite").parquet(tmp)
       case Some(n) =>
@@ -259,20 +269,58 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
         // external table: dropping releases only metadata, files remain
         spark.sql(s"DROP TABLE IF EXISTS $tmpIdent")
     }
-    // two-rename swap: the old table stays recoverable (.bak) until the
-    // new one is in place — a crash window loses no committed data (the
-    // production analogue is a Delta/Iceberg metadata swap)
-    val bak = Paths.get(s"$dir/tables/.${tableName}_bak")
-    rm(bak)
-    if (Files.exists(dst)) Files.move(dst, bak)
-    Files.move(Paths.get(tmp), dst)
-    rm(bak)
+    // Two-rename swap through the Hadoop FileSystem API (java.nio only
+    // worked on file: — this path serves hdfs:/s3a: alike; the
+    // production analogue is a Delta/Iceberg metadata swap). The old
+    // table stays recoverable (.bak) until the new one is in place, and
+    // the swap-marker pointer file makes the crash window detectable:
+    // marker present + live dir absent → [[recoverInterruptedSwaps]]
+    // restores the .bak on the next catalog load.
+    val dst = new HPath(tablePath(tableName))
+    val bak = new HPath(s"$dir/tables/.${tableName}_bak")
+    val marker = new HPath(s"$dir/tables/.${tableName}_swap")
+    val fs = fsOf(dst)
+    fs.delete(bak, true)
+    fs.create(marker, true).close()
+    if (fs.exists(dst))
+      require(fs.rename(dst, bak), s"swap: cannot move $dst aside")
+    require(fs.rename(new HPath(tmp), dst), s"swap: cannot publish $tmp")
+    fs.delete(bak, true)
+    fs.delete(marker, false)
     buckets.foreach { _ =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(tableName)}")
       ensureRegistered(tableName)
     }
     cache.remove(tableName)
   }
+
+  /** Recover any rewrite whose process died between the two swap
+    * renames: the marker says a swap began; if the live dir is gone the
+    * `.bak` still holds the last committed table — restore it. A marker
+    * with the live dir present means the crash hit after publish —
+    * drop the leftovers. Runs once per catalog load.
+    */
+  private def recoverInterruptedSwaps(): Unit = {
+    val tablesDir = new HPath(s"$dir/tables")
+    val fs = fsOf(tablesDir)
+    if (!fs.exists(tablesDir)) return
+    val Marker = """\.(.+)_swap""".r
+    fs.listStatus(tablesDir).foreach { st =>
+      st.getPath.getName match {
+        case Marker(name) =>
+          val dst = new HPath(tablePath(name))
+          val bak = new HPath(s"$dir/tables/.${name}_bak")
+          if (!fs.exists(dst) && fs.exists(bak))
+            require(fs.rename(bak, dst), s"swap recovery: cannot restore $bak")
+          fs.delete(bak, true)
+          fs.delete(new HPath(s"$dir/tables/.${name}_tmp"), true)
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+  }
+
+  recoverInterruptedSwaps()
 
   def nextTableId: Int =
     (schema.tables.map(_.tableId) :+ 0).max + 1
@@ -307,11 +355,9 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
   // 560-618), so views survive reconnects. Same here: GraphSession
   // loads this registry at construction and writes back on view DDL.
   var nodeViews: Seq[graft.graph.NodeViewDef] =
-    if (Files.exists(metaPath)) CatalogJson.readNodeViews(Files.readString(metaPath))
-    else Nil
+    metaJson.map(CatalogJson.readNodeViews).getOrElse(Nil)
   var edgeViews: Seq[graft.graph.EdgeViewDef] =
-    if (Files.exists(metaPath)) CatalogJson.readEdgeViews(Files.readString(metaPath))
-    else Nil
+    metaJson.map(CatalogJson.readEdgeViews).getOrElse(Nil)
 
   def saveViews(nv: Seq[graft.graph.NodeViewDef],
       ev: Seq[graft.graph.EdgeViewDef]): Unit = {
@@ -321,9 +367,12 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
   }
 
   private def persistMeta(): Unit = {
-    Files.createDirectories(metaPath.getParent)
-    Files.writeString(metaPath, CatalogJson.write(schema, propertyTypes,
-      buckets, nodeViews, edgeViews))
+    val fs = fsOf(metaPath)
+    fs.mkdirs(metaPath.getParent)
+    val out = fs.create(metaPath, true)
+    try out.write(CatalogJson.write(schema, propertyTypes,
+      buckets, nodeViews, edgeViews).getBytes("UTF-8"))
+    finally out.close()
   }
 }
 

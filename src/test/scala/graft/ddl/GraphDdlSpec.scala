@@ -335,6 +335,36 @@ class GraphDdlSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.proc.maxSteps")
   }
 
+  /** The DML table swap goes through the Hadoop FileSystem API, so the
+    * same code path serves an explicit `file:`-scheme location (the
+    * stand-in for hdfs:/s3a: — java.nio would reject the scheme), and
+    * an interrupted swap recovers from the `.bak` on the next catalog
+    * load via the swap-marker pointer file.
+    */
+  test("rewrite swap is Hadoop-FS-portable and crash-recoverable") {
+    val dir = "file:" + Files.createTempDirectory("graft_hfs").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("CREATE NODE TABLE Pt (id INT NODEID, v INT)")
+    gs.sql("INSERT NODE INTO Pt SELECT * FROM VALUES (1,10),(2,20) AS t(id,v)")
+    gs.sql("UPDATE Pt SET v = 99 WHERE id = 2") // rewrite + swap
+    val cat1 = new GraphCatalog(spark, dir)
+    assert(cat1.provider.nodeTable("Pt").orderBy("id")
+      .select("v").collect().map(_.getInt(0)).toSeq == Seq(10, 99))
+
+    // simulate a crash between the two renames: live dir moved aside,
+    // marker still present — the next catalog load must restore the .bak
+    val live = new org.apache.hadoop.fs.Path(s"$dir/tables/Pt")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/tables/.Pt_bak")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/tables/.Pt_swap")
+    assert(fs.rename(live, bak))
+    fs.create(marker, true).close()
+    val cat2 = new GraphCatalog(spark, dir)
+    assert(!fs.exists(marker) && fs.exists(live) && !fs.exists(bak))
+    assert(cat2.provider.nodeTable("Pt").orderBy("id")
+      .select("v").collect().map(_.getInt(0)).toSeq == Seq(10, 99))
+  }
+
   /** T-SQL never expands variables inside string literals, and IF/WHILE
     * predicates with scalar subqueries must observe loop-body DML (the
     * temp views re-register per evaluation, not once per EXEC).

@@ -117,7 +117,7 @@ final case class ViewProvider(
     */
   private def reversedColsFor(ev: EdgeViewDef, name: String,
       forceEmit: Boolean): Seq[Column] = {
-    val contributing = ev.members.filter { case (m, me) =>
+    val contributing = ev.members.zipWithIndex.filter { case ((m, me), _) =>
       base.schema.table(m).edge(me).sinkTable == name
     }
     val revName = s"${ev.viewTable}_${ev.name}Reversed"
@@ -126,7 +126,14 @@ final case class ViewProvider(
       else Seq(array().cast(revArrayType(ev)).as(revName),
         array().cast(ArrayType(IntegerType)).as(s"${revName}Del"))
     } else {
-      val parts = contributing.map { case (m, me) =>
+      // mirror edgeIds remap with the same `id * |members| + memberIdx`
+      // scheme as the forward adjacency: several members may sink to the
+      // same table, and a backward path walk keys edge-disjointness on
+      // the holder's (node, edgeId) — raw positional ids would collide
+      // across members. Tombstones pre-filter per member on the ORIGINAL
+      // ids before the remap.
+      val nMembers = ev.members.size
+      val parts = contributing.map { case ((m, me), mi) =>
         val ed = base.schema.table(m).edge(me)
         val attrs = ev.attrMapping.map { case (a, byM) =>
           (a, attrType(ev, byM), byM.get((m, me)))
@@ -137,7 +144,7 @@ final case class ViewProvider(
               x.getField("edgeId"))),
           x => struct(
             (Seq(x.getField("sink").as("sink"),
-              x.getField("edgeId").as("edgeId"),
+              (x.getField("edgeId") * nMembers + mi).as("edgeId"),
               x.getField("srcEdgeId").as("srcEdgeId")) ++
               attrs.map { case (a, dt, src) =>
                 src.map(c => x.getField(c).cast(dt))
@@ -165,27 +172,41 @@ final case class ViewProvider(
       val adjT = ArrayType(StructType(
         StructField("sink", LongType) +: StructField("edgeId", IntegerType) +:
           attrs.map(a => StructField(a.name, a.dataType))))
-      ev.members.find(_._1 == m) match {
-        case Some((_, me)) =>
+      // ALL member edges sourced at this table contribute (a view edge
+      // may union several edge columns of one table — e.g. inRegion and
+      // next both from Nation). Concatenating them would collide the
+      // per-member positional edgeIds, so ids remap to
+      // `edgeId * |members| + memberIdx` — unique across the concat and
+      // stable under DML appends (positional ids only grow). Tombstones
+      // pre-filter per member BEFORE the remap (they are positional in
+      // the member's own numbering) and the view's Del column is empty.
+      val mine = ev.members.zipWithIndex.filter(_._1._1 == m)
+      if (mine.isEmpty)
+        Seq(array().cast(adjT).as(ev.name),
+          array().cast(ArrayType(IntegerType)).as(s"${ev.name}Del"),
+          lit(0).as(s"${ev.name}OutDegree"))
+      else {
+        val nMembers = ev.members.size
+        val parts = mine.map { case ((_, me), mi) =>
           val ed = base.schema.table(m).edge(me)
           val mapped = ev.attrMapping.map { case (a, byM) =>
             (a, attrType(ev, byM), byM.get((m, me)))
           }
-          Seq(
-            transform(col(ed.columnName), x => struct(
+          transform(
+            filter(col(ed.columnName), x =>
+              !array_contains(col(ed.delColumnName), x.getField("edgeId"))),
+            x => struct(
               (Seq(x.getField("sink").as("sink"),
-                x.getField("edgeId").as("edgeId")) ++
+                (x.getField("edgeId") * nMembers + mi).as("edgeId")) ++
                 mapped.map { case (a, dt, src) =>
                   src.map(c => x.getField(c).cast(dt))
                     .getOrElse(lit(null).cast(dt)).as(a)
-                }): _*)).as(ev.name),
-            col(ed.delColumnName).as(s"${ev.name}Del"),
-            col(ed.outDegreeColumnName).cast(IntegerType)
-              .as(s"${ev.name}OutDegree"))
-        case None =>
-          Seq(array().cast(adjT).as(ev.name),
-            array().cast(ArrayType(IntegerType)).as(s"${ev.name}Del"),
-            lit(0).as(s"${ev.name}OutDegree"))
+                }): _*))
+        }
+        val adj = concat(parts: _*).cast(adjT)
+        Seq(adj.as(ev.name),
+          array().cast(ArrayType(IntegerType)).as(s"${ev.name}Del"),
+          size(adj).as(s"${ev.name}OutDegree"))
       }
     }
     // when THIS view is the sink of an edge view (possibly attached to a
@@ -198,9 +219,11 @@ final case class ViewProvider(
       (props ++ edgeCols ++ rev)): _*)
   }
 
-  private def unionTable(v: NodeViewDef): DataFrame =
+  private def unionTable(v: NodeViewDef): DataFrame = {
+    require(v.members.nonEmpty, s"node view ${v.name} has no member tables")
     v.members.map(m => memberProjection(v, m, base.nodeTable(m)))
       .reduce(_ unionAll _)
+  }
 }
 
 object ViewProvider {

@@ -297,18 +297,35 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   private def persistViews(): Unit =
     catalog.foreach(_.saveViews(nodeViewsReg.values.toSeq,
       edgeViewsReg.values.toSeq))
-  private var overlayCache: Option[graft.graph.ViewProvider] = None
+  private var overlayCache:
+    Option[(graft.meta.GraphSchema, graft.graph.ViewProvider)] = None
   private var augStatsCache: Option[GraphStats] = None
 
-  /** the provider read paths plan against: base, or base + views */
-  private def g: GraphProvider =
-    if (nodeViewsReg.isEmpty) provider
-    else overlayCache.getOrElse {
-      val p = graft.graph.ViewProvider(provider,
-        nodeViewsReg.values.toSeq, edgeViewsReg.values.toSeq)
-      overlayCache = Some(p)
-      p
+  /** The provider read paths plan against: base + user views + the
+    * implicit `GlobalNodeView` (the reference's schema-wide view,
+    * `View.cs:2046` — its `UpdateGlobalNodeView` refresh is inherently
+    * covered because the view derives on demand from the live schema; a
+    * user-defined view of the same name wins). The overlay rebuilds
+    * whenever the base schema changed (table DDL), so the global view
+    * always spans the current table set.
+    */
+  private def g: GraphProvider = {
+    val baseSchema = provider.schema
+    overlayCache match {
+      case Some((s, p)) if s == baseSchema => p
+      case _ =>
+        val userViews = nodeViewsReg.values.toSeq
+        val nvs =
+          if (nodeViewsReg.contains(GraphSession.GlobalViewName)) userViews
+          else userViews :+ graft.graph.NodeViewDef(
+            GraphSession.GlobalViewName, baseSchema.tables.map(_.name), Nil)
+        val p = graft.graph.ViewProvider(provider, nvs,
+          edgeViewsReg.values.toSeq)
+        overlayCache = Some((baseSchema, p))
+        augStatsCache = None
+        p
     }
+  }
 
   private def invalidateViews(): Unit = {
     overlayCache = None
@@ -588,10 +605,11 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     case _ if GraphSql.findExistsMatch(query).isDefined => correlatedSql(query)
     case _ if GraphSql.isMatchQuery(query) => matchSql(query)
     case _ =>
-      // plain relational statements referencing a node view by name get
-      // the view registered as a temp view first (re-captured per
-      // statement so DML rewrites underneath are visible)
-      nodeViewsReg.keys
+      // plain relational statements referencing a node view (or the
+      // implicit GlobalNodeView) by name get the view registered as a
+      // temp view first (re-captured per statement so DML rewrites
+      // underneath are visible)
+      (nodeViewsReg.keys.toSeq :+ GraphSession.GlobalViewName).distinct
         .filter(n => s"(?i)\\b$n\\b".r.findFirstIn(query).isDefined)
         .foreach(n => g.nodeTable(n).createOrReplaceTempView(n))
       spark.sql(GraphSql.rewriteOffsetFetch(query))
@@ -1157,4 +1175,9 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       else None
     relationalTail(dfOut, outSelect, outRest, outNames, outTop)
   }
+}
+
+object GraphSession {
+  /** the reference's schema-wide implicit view name (`View.cs:2046`) */
+  val GlobalViewName = "GlobalNodeView"
 }

@@ -283,6 +283,67 @@ object SqlQueries {
           |ORDER BY src_type, name, dst_type, akey, amount""".stripMargin)
     },
 
+    // var-length MATCH over a SELF-SINK edge view (the reference
+    // generates a dedicated bfsPath function per edge view,
+    // EdgeViewBfsScriptTemplate.tt:22-115): Place = Nation ∪ Region;
+    // Place.link = inRegion ∪ next has member sinks {Region, Nation} →
+    // resolves to Place itself, and *1..2 walks the unioned adjacency
+    // (two member edges from the SAME source table, remapped edgeIds)
+    "q_sql_view_varlen" -> QueryDef(
+      """WITH nx AS (
+        |  SELECT n_nationkey AS src,
+        |         COALESCE(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey),
+        |                  MIN(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+        |  FROM nation),
+        |e AS (
+        |  SELECT n.n_name AS src, r.r_name AS dst
+        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  UNION ALL
+        |  SELECT a.n_name, b.n_name
+        |  FROM nx JOIN nation a ON nx.src = a.n_nationkey
+        |          JOIN nation b ON nx.dst = b.n_nationkey)
+        |SELECT CAST(1 AS INTEGER) AS hops, src, dst FROM e
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), a.src, b.dst
+        |FROM e a JOIN e b ON a.dst = b.src
+        |ORDER BY hops, src, dst""".stripMargin) { (s, d) =>
+      val gs = session(s, d)
+      gs.sql("DROP NODE VIEW IF EXISTS Place")
+      gs.sql(
+        """CREATE NODE VIEW Place AS
+          |  SELECT n_name AS pname FROM Nation
+          |  UNION ALL SELECT r_name FROM Region""".stripMargin)
+      gs.sql(
+        """CREATE EDGE VIEW Place.link AS
+          |  SELECT NULL FROM Nation.inRegion
+          |  UNION ALL SELECT NULL FROM Nation.next""".stripMargin)
+      gs.sql(
+        """SELECT x_link_y.hops AS hops, x.pname AS src, y.pname AS dst
+          |FROM Place x, Place y
+          |MATCH x-[link*1..2]->y
+          |ORDER BY hops, src, dst""".stripMargin)
+    },
+
+    // the implicit schema-wide GlobalNodeView resolves by name in the
+    // dialect (View.cs:2046), derived on demand from the live schema
+    "q_sql_global_view" -> QueryDef(
+      """SELECT ntype, cnt FROM (
+        |  SELECT 'Region' AS ntype, COUNT(*) AS cnt FROM region
+        |  UNION ALL SELECT 'Nation', COUNT(*) FROM nation
+        |  UNION ALL SELECT 'Customer', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'Supplier', COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'Part', COUNT(*) FROM part
+        |  UNION ALL SELECT 'Order', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'User', COUNT(DISTINCT user_id) FROM events
+        |  UNION ALL SELECT 'Event', COUNT(*) FROM events) t
+        |ORDER BY ntype""".stripMargin) { (s, d) =>
+      session(s, d).sql(
+        """SELECT g._NodeType AS ntype, COUNT(*) AS cnt
+          |FROM GlobalNodeView g
+          |GROUP BY g._NodeType
+          |ORDER BY ntype""".stripMargin)
+    },
+
     "q_sql_varlen" -> QueryDef(
       """WITH e AS (
         |  SELECT n_nationkey AS src,

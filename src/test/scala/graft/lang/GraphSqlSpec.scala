@@ -274,7 +274,9 @@ class GraphSqlSpec extends SparkSpec {
   test("plan-time selectivity probes run on the LocalRelation sample, not the table") {
     val gs = new GraphSession(spark, peopleProvider)
     val st = gs.stats
-    assert(st.samples.keySet == Set("People"))
+    // the implicit GlobalNodeView derives its sample from the members'
+    // samples (pure re-projection — still driver-local, no extra jobs)
+    assert(st.samples.keySet == Set("People", GraphSession.GlobalViewName))
     // the sample is driver-local: plan-time predicate probes scan <=200
     // in-memory rows, never the base table
     val plan = st.samples("People").queryExecution.executedPlan.toString

@@ -188,6 +188,138 @@ class ViewSqlSpec extends SparkSpec {
       ("rex", "Cat", "tom"), ("rex", "Food", "bone")))
   }
 
+  // ---- var-length paths over views: Town carries TWO edges (road →
+  // Town, rail → City); Place = Town ∪ City and Place.link = road ∪ rail
+  // sinks to {Town, City} → resolves to Place itself — the self-sink
+  // edge view the reference's per-EDGE-VIEW bfsPath generator covers
+  // (EdgeViewBfsScriptTemplate.tt:22-115).
+
+  private lazy val townSchema = GraphSchema(Seq(
+    NodeTableDef("Town", 1, Some("id"), Seq("tname"), Seq(
+      EdgeDef("road", "Town", "Town"),
+      EdgeDef("rail", "Town", "City"))),
+    NodeTableDef("City", 2, Some("id"), Seq("cname"), Nil)))
+
+  private lazy val townProvider: GraphProvider = {
+    val s = spark
+    import s.implicits._
+    def gid(t: Int, c: String) = GraphBuilder.gid(t, col(c))
+    val towns = Seq((1, "t1"), (2, "t2"), (3, "t3")).toDF("id", "tname")
+    val cities = Seq((1, "c1"), (2, "c2")).toDF("id", "cname")
+    val roads = Seq((1, 2), (2, 3), (3, 1)).toDF("s", "t")
+      .select(gid(1, "s").as("src"), gid(1, "t").as("sink"))
+    val rails = Seq((1, 1), (3, 2)).toDF("s", "t")
+      .select(gid(1, "s").as("src"), gid(2, "t").as("sink"))
+    val town = GraphBuilder.nodeTable(townSchema.table("Town"), towns, "id",
+      Map("road" -> roads, "rail" -> rails),
+      Seq(townSchema.table("Town").edge("road") -> roads))
+    val city = GraphBuilder.nodeTable(townSchema.table("City"), cities, "id",
+      Map.empty, Seq(townSchema.table("Town").edge("rail") -> rails))
+    val tables = Map("Town" -> town.cache(), "City" -> city.cache())
+    new GraphProvider {
+      val schema: GraphSchema = townSchema
+      def nodeTable(name: String): DataFrame = tables(name)
+    }
+  }
+
+  private val townEdges = Seq(
+    (0, "t1", "t2"), (1, "t2", "t3"), (2, "t3", "t1"),
+    (3, "t1", "c1"), (4, "t3", "c2"))
+
+  /** reference walk: exhaustive driver-side path enumeration over the
+    * 5-edge graph — the ground truth the distributed expansion must match
+    */
+  private def refWalk(minLen: Int, maxLen: Int,
+      nodeDisjoint: Boolean): Seq[(String, String, Int)] = {
+    val out = scala.collection.mutable.Buffer[(String, String, Int)]()
+    def rec(start: String, cur: String, used: Set[Int],
+        visited: Set[String], hops: Int): Unit = {
+      if (hops > 0 && hops >= minLen) out += ((start, cur, hops))
+      if (maxLen >= 0 && hops >= maxLen) return
+      townEdges.foreach { case (eid, s, t) =>
+        if (s == cur && !used(eid) && (!nodeDisjoint || !visited(t)))
+          rec(start, t, used + eid, visited + t, hops + 1)
+      }
+    }
+    val nodes = Seq("t1", "t2", "t3", "c1", "c2")
+    if (minLen == 0) nodes.foreach(n => out += ((n, n, 0)))
+    nodes.foreach(n => rec(n, n, Set.empty, Set(n), 0))
+    out.toSeq
+  }
+
+  private def townViews(gs: GraphSession): Unit = {
+    gs.sql("""CREATE NODE VIEW Place AS
+             |  SELECT tname AS label FROM Town
+             |  UNION ALL SELECT cname FROM City""".stripMargin)
+    gs.sql("""CREATE EDGE VIEW Place.link AS
+             |  SELECT NULL FROM Town.road
+             |  UNION ALL SELECT NULL FROM Town.rail""".stripMargin)
+  }
+
+  private lazy val townOverlay = ViewProvider(townProvider,
+    Seq(graft.graph.NodeViewDef("Place", Seq("Town", "City"),
+      Seq("label" -> Map("Town" -> "tname", "City" -> "cname")))),
+    Seq(graft.graph.EdgeViewDef("link", "Place", "Place",
+      Seq(("Town", "road"), ("Town", "rail")), Nil)))
+
+  test("edge view unions MULTIPLE member edges from the same table with " +
+    "collision-free edgeIds") {
+    val pl = townOverlay.nodeTable("Place")
+    val adj = pl.select(col("label"), col("link")).collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(1))).toMap
+    // t1: road→t2 + rail→c1; t2: road→t3; t3: road→t1 + rail→c2
+    assert(adj("t1").size == 2 && adj("t2").size == 1 && adj("t3").size == 2)
+    assert(adj("c1").isEmpty && adj("c2").isEmpty)
+    // remapped ids are unique within each holder's adjacency
+    adj.values.foreach(ids => assert(ids.distinct.size == ids.size))
+  }
+
+  test("var-length MATCH over a self-sink edge view through the dialect") {
+    val gs = new GraphSession(spark, townProvider)
+    townViews(gs)
+    val got = gs.sql(
+      """SELECT x_link_y.hops AS hops, x.label AS src, y.label AS dst
+        |FROM Place x, Place y
+        |MATCH x-[link*1..2]->y
+        |ORDER BY hops, src, dst""".stripMargin)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getInt(0)))
+    assert(got.sorted.toSeq == refWalk(1, 2, nodeDisjoint = false).sorted)
+  }
+
+  test("unbounded fixpoint over a view equals the exhaustive walk") {
+    val gs = new GraphSession(spark, townProvider)
+    townViews(gs)
+    val got = gs.sql(
+      """SELECT x_link_y.hops AS hops, x.label AS src, y.label AS dst
+        |FROM Place x, Place y
+        |MATCH x-[link*]->y""".stripMargin)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getInt(0)))
+    assert(got.sorted.toSeq == refWalk(0, -1, nodeDisjoint = false).sorted)
+  }
+
+  test("node-disjoint var-length expansion over a view") {
+    val labels = townOverlay.nodeTable("Place")
+      .select(col("GlobalNodeId"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.paths.PathExpand
+      .expand(townOverlay, "Place", "link", 1, 3, graft.paths.PathExpand.NodeDisjoint)
+      .collect().map(r => (labels(r.getLong(0)), labels(r.getLong(1)), r.getInt(2)))
+    assert(got.sorted.toSeq == refWalk(1, 3, nodeDisjoint = true).sorted)
+  }
+
+  test("backward var-length expansion over a view walks the remapped " +
+    "mirrors to the same path set") {
+    val labels = townOverlay.nodeTable("Place")
+      .select(col("GlobalNodeId"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.paths.PathExpand
+      .expand(townOverlay, "Place", "link", 1, 2,
+        graft.paths.PathExpand.EdgeDisjoint, backward = true)
+      .collect().map(r => (labels(r.getLong(0)), labels(r.getLong(1)), r.getInt(2)))
+    assert(got.sorted.toSeq == refWalk(1, 2, nodeDisjoint = false).sorted)
+  }
+
   test("name collisions and unknown members are rejected") {
     val gs = newSession
     intercept[IllegalArgumentException] {

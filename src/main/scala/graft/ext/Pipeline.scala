@@ -204,10 +204,19 @@ object Pipeline {
     * half of the daily-ingest loop. Appends are per-index parquet
     * appends (duplicate fingerprints/windows are harmless to the
     * semi/anti-join probes).
+    *
+    * @param appendTo  when set, append output lands under
+    *   `appendTo(subdir)` instead of `dir/subdir` while the probes keep
+    *   reading `dir` — the staging hook the replay-idempotent streaming
+    *   face uses ([[graft.streaming.BatchLedger]] publishes the staged
+    *   files into the live index under a batch-provenance prefix)
     */
   def curateV2AppendIndexes(newDocs: DataFrame, textCol: String,
       idCol: String, dir: String, k: Int = 8,
-      minCleanTokens: Int = 10): Unit = {
+      minCleanTokens: Int = 10,
+      appendTo: String => String = null): Unit = {
+    val out: String => String =
+      if (appendTo == null) sub => s"$dir/$sub" else appendTo
     val gated = newDocs.filter(TextFunctions.gopherKeep(col(textCol)))
     // probe the PRE-append indexes first (stage boundaries are eager, so
     // `cleaned`/`exact` materialize before any append below lands — an
@@ -220,12 +229,12 @@ object Pipeline {
       cleaned, s"$dir/fingerprints", "cleaned", idCol)
       .stageBoundary
     SubstringDedup.appendWindowIndex(gated, textCol, idCol, k,
-      s"$dir/windows")
+      out("windows"))
     cleaned.select(TextFunctions.fingerprint(col("cleaned")).as("fp"))
-      .distinct().write.mode("append").parquet(s"$dir/fingerprints")
+      .distinct().write.mode("append").parquet(out("fingerprints"))
     exact.select(col(idCol), col("cleaned"))
-      .write.mode("append").parquet(s"$dir/exact_docs")
+      .write.mode("append").parquet(out("exact_docs"))
     Dedup.appendBandIndex(exact.select(col(idCol), col("cleaned")),
-      "cleaned", idCol, s"$dir/bands")
+      "cleaned", idCol, out("bands"))
   }
 }

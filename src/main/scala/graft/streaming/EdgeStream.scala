@@ -104,6 +104,13 @@ object EdgeStream {
     * not executor memory: it survives restarts and is the same artifact
     * the batch incremental path uses.
     *
+    * REPLAY-SAFE: foreachBatch is at-least-once, so each batch commits
+    * through a [[BatchLedger]] — an already-applied batchId skips, a
+    * replayed one first removes its own partial appends so the probe
+    * sees clean history and reproduces the original outcome. `sink`
+    * receives the batchId and must be idempotent per batch (e.g.
+    * overwrite `dir/batch=<id>`).
+    *
     * `corpusDir` must hold the kept documents' (id, text) parquet —
     * candidate verification re-shingles only candidate docs from it;
     * `sink` is responsible for appending survivors there.
@@ -112,65 +119,88 @@ object EdgeStream {
       corpusDir: String, indexDir: String,
       n: Int = 3, minJaccard: Double = 0.9,
       numPerms: Int = 64, bands: Int = 16)(
-      sink: DataFrame => Unit): DataStreamWriter[Row] =
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
-        val spark = batch0.sparkSession
-        val batch = batch0.stageBoundary
-        if (!batch.isEmpty) {
-          // Hadoop FS existence check, not java.io.File — the corpus and
-          // index live wherever spark.read.parquet reads from (HDFS/S3
-          // on a cluster), and a silently "absent" history index would
-          // fall back to self-dedup and admit duplicates of history
-          def exists(dir: String): Boolean = {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(p)
-          }
-          val corpus =
-            if (exists(corpusDir))
-              spark.read.parquet(corpusDir)
-                .select(col(idCol), col(textCol))
-            else batch.select(col(idCol), col(textCol)).limit(0)
-          val haveIndex = exists(indexDir)
-          val doomed =
-            if (!haveIndex) {
-              // first batch: self-dedup only
-              graft.ext.Dedup.minhashLshPairs(batch, textCol, idCol,
-                n, minJaccard, numPerms, bands)
-                .select(col("id_b").as(idCol)).distinct()
-            } else {
-              // a batch doc drops when it near-matches history (history
-              // always wins) or is the larger id of an in-batch pair —
-              // the same greedy policy as Pipeline.curate
-              val batchIds = batch.select(col(idCol)).distinct()
-                .stageBoundary
-              val aIds = batchIds.withColumnRenamed(idCol, "id_a")
-              val bIds = batchIds.withColumnRenamed(idCol, "id_b")
-              val pairs = graft.ext.Dedup.minhashLshPairsIncremental(
-                spark, batch, corpus, indexDir, textCol, idCol,
-                n, minJaccard, numPerms, bands)
-                .stageBoundary
-              val aInBatch = pairs.join(aIds, Seq("id_a"), "left_semi")
-              val bothInBatch =
-                aInBatch.join(bIds, Seq("id_b"), "left_semi")
-              val vsHistoryA = aInBatch // a in batch, b in history
-                .join(bIds, Seq("id_b"), "left_anti")
-                .select(col("id_a").as(idCol))
-              val vsHistoryB = pairs   // a in history, b in batch
-                .join(aIds, Seq("id_a"), "left_anti")
-                .select(col("id_b").as(idCol))
-              bothInBatch.select(col("id_b").as(idCol))
-                .union(vsHistoryA).union(vsHistoryB).distinct()
-            }
-          val kept = batch.join(doomed, Seq(idCol), "left_anti")
-            .stageBoundary
-          sink(kept)
-          graft.ext.Dedup.appendBandIndex(kept, textCol, idCol, indexDir,
-            n, numPerms, bands)
-        }
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        nearDedupBatch(batch0, batchId, textCol, idCol, corpusDir,
+          indexDir, n, minJaccard, numPerms, bands, sink)
       }
+
+  /** one [[nearDedupedDocs]] micro-batch, exposed so a replay (same
+    * batchId) is directly testable — idempotent via [[BatchLedger]]
+    */
+  private[streaming] def nearDedupBatch(batch0: DataFrame, batchId: Long,
+      textCol: String, idCol: String, corpusDir: String, indexDir: String,
+      n: Int, minJaccard: Double, numPerms: Int, bands: Int,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch0.sparkSession
+    val ledger = new BatchLedger(spark, indexDir, Seq(indexDir))
+    if (ledger.applied(batchId)) return
+    val batch = batch0.stageBoundary
+    if (batch.isEmpty) return
+    // drop a crashed attempt's partial appends BEFORE probing — the
+    // batch must never see its own bands as history
+    ledger.begin(batchId)
+    // Hadoop FS existence check, not java.io.File — the corpus and
+    // index live wherever spark.read.parquet reads from (HDFS/S3
+    // on a cluster), and a silently "absent" history index would
+    // fall back to self-dedup and admit duplicates of history
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(p)
+    }
+    val corpus =
+      if (exists(corpusDir))
+        spark.read.parquet(corpusDir)
+          .select(col(idCol), col(textCol))
+      else batch.select(col(idCol), col(textCol)).limit(0)
+    val haveIndex = exists(indexDir)
+    val doomed =
+      if (!haveIndex) {
+        // first batch: self-dedup only
+        graft.ext.Dedup.minhashLshPairs(batch, textCol, idCol,
+          n, minJaccard, numPerms, bands)
+          .select(col("id_b").as(idCol)).distinct()
+      } else {
+        // a batch doc drops when it near-matches history (history
+        // always wins) or is the larger id of an in-batch pair —
+        // the same greedy policy as Pipeline.curate
+        val batchIds = batch.select(col(idCol)).distinct()
+          .stageBoundary
+        val aIds = batchIds.withColumnRenamed(idCol, "id_a")
+        val bIds = batchIds.withColumnRenamed(idCol, "id_b")
+        val pairs = graft.ext.Dedup.minhashLshPairsIncremental(
+          spark, batch, corpus, indexDir, textCol, idCol,
+          n, minJaccard, numPerms, bands)
+          .stageBoundary
+        val aInBatch = pairs.join(aIds, Seq("id_a"), "left_semi")
+        val bothInBatch =
+          aInBatch.join(bIds, Seq("id_b"), "left_semi")
+        val vsHistoryA = aInBatch // a in batch, b in history
+          .join(bIds, Seq("id_b"), "left_anti")
+          .select(col("id_a").as(idCol))
+        val vsHistoryB = pairs   // a in history, b in batch
+          .join(aIds, Seq("id_a"), "left_anti")
+          .select(col("id_b").as(idCol))
+        bothInBatch.select(col("id_b").as(idCol))
+          .union(vsHistoryA).union(vsHistoryB).distinct()
+      }
+    val kept = batch.join(doomed, Seq(idCol), "left_anti")
+      .stageBoundary
+    sink(kept, batchId)
+    if (!haveIndex) {
+      // bootstrap an empty index so the staged append publishes into a
+      // consistent live layout
+      graft.ext.Dedup.writeBandIndex(kept.limit(0), textCol, idCol,
+        indexDir, n, numPerms, bands)
+    }
+    graft.ext.Dedup.appendBandIndex(kept, textCol, idCol,
+      ledger.stagingFor(batchId, indexDir), n, numPerms, bands)
+    ledger.publish(batchId)
+    ledger.commit(batchId)
+  }
 
   /** Streaming end-to-end curation: each micro-batch runs the FULL
     * incremental curation pipeline
@@ -190,28 +220,53 @@ object EdgeStream {
       k: Int = 8, minJaccard: Double = 0.9,
       decontamN: Int = 5, decontamMinHits: Int = 5,
       minCleanTokens: Int = 10)(
-      sink: DataFrame => Unit): DataStreamWriter[Row] =
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
-        val spark = batch0.sparkSession
-        val batch = batch0.stageBoundary
-        if (!batch.isEmpty) {
-          val winPath = new org.apache.hadoop.fs.Path(s"$indexDir/windows")
-          val fs = winPath.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(winPath))
-            graft.ext.Pipeline.curateV2WriteIndexes(batch.limit(0),
-              textCol, idCol, indexDir, k, minCleanTokens)
-          val curated = graft.ext.Pipeline.curateV2Incremental(
-            batch, bench, textCol, idCol, indexDir, k, minJaccard,
-            decontamN, decontamMinHits, minCleanTokens)
-            .stageBoundary
-          sink(curated)
-          graft.ext.Pipeline.curateV2AppendIndexes(batch, textCol, idCol,
-            indexDir, k, minCleanTokens)
-        }
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        curateBatch(batch0, batchId, bench, textCol, idCol, indexDir,
+          k, minJaccard, decontamN, decontamMinHits, minCleanTokens, sink)
       }
+
+  /** the index subdirs of the curation family a batch appends to */
+  private def curationDirs(indexDir: String): Seq[String] =
+    Seq("windows", "fingerprints", "exact_docs", "bands")
+      .map(s => s"$indexDir/$s")
+
+  /** One [[curatedDocs]] micro-batch, exposed so a replay (same batchId)
+    * is directly testable. Idempotent via [[BatchLedger]]: an applied
+    * batch skips; a replayed one removes its own partial index appends
+    * BEFORE probing (otherwise its documents would classify as
+    * duplicates of "history" and the epoch's output would collapse),
+    * recomputes deterministically, and re-publishes.
+    */
+  private[streaming] def curateBatch(batch0: DataFrame, batchId: Long,
+      bench: DataFrame, textCol: String, idCol: String, indexDir: String,
+      k: Int, minJaccard: Double, decontamN: Int, decontamMinHits: Int,
+      minCleanTokens: Int, sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch0.sparkSession
+    val ledger = new BatchLedger(spark, indexDir, curationDirs(indexDir))
+    if (ledger.applied(batchId)) return
+    val batch = batch0.stageBoundary
+    if (batch.isEmpty) return
+    ledger.begin(batchId)
+    val winPath = new org.apache.hadoop.fs.Path(s"$indexDir/windows")
+    val fs = winPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(winPath))
+      graft.ext.Pipeline.curateV2WriteIndexes(batch.limit(0),
+        textCol, idCol, indexDir, k, minCleanTokens)
+    val curated = graft.ext.Pipeline.curateV2Incremental(
+      batch, bench, textCol, idCol, indexDir, k, minJaccard,
+      decontamN, decontamMinHits, minCleanTokens)
+      .stageBoundary
+    sink(curated, batchId)
+    graft.ext.Pipeline.curateV2AppendIndexes(batch, textCol, idCol,
+      indexDir, k, minCleanTokens,
+      appendTo = sub => ledger.stagingFor(batchId, s"$indexDir/$sub"))
+    ledger.publish(batchId)
+    ledger.commit(batchId)
+  }
 
   /** Streaming quality gating: the same C4 + Gopher gates the batch
     * pipeline applies ([[graft.ext.TextFunctions.c4DocKeep]] /

@@ -178,8 +178,8 @@ class EdgeStreamSpec extends SparkSpec {
     val writer = EdgeStream.nearDedupedDocs(
       stream.toDF().toDF("doc_id", "text"), "text", "doc_id",
       corpusDir, indexDir, n = 2, minJaccard = 0.6,
-      numPerms = 16, bands = 8) { kept =>
-      kept.write.mode("append").parquet(corpusDir)
+      numPerms = 16, bands = 8) { (kept, batchId) =>
+      kept.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
     }
     val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
     // batch 1: 2 is a near-dup of 1 (greedy: smaller id survives)
@@ -220,8 +220,8 @@ class EdgeStreamSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val writer = EdgeStream.curatedDocs(
       stream.toDF().toDF("doc_id", "text"), bench, "text", "doc_id",
-      s"$tmp/indexes", k = 60, minCleanTokens = 5) { curated =>
-      curated.write.mode("append").parquet(outDir)
+      s"$tmp/indexes", k = 60, minCleanTokens = 5) { (curated, batchId) =>
+      curated.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
     val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
     // batch 1: 3 is an exact dup of 1 (in-batch); 4 is too short (gate)
@@ -245,6 +245,115 @@ class EdgeStreamSpec extends SparkSpec {
       .curateV2(all, bench, "text", "doc_id", k = 60, minCleanTokens = 5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == batchKept)
+  }
+
+  /** foreachBatch is at-least-once: a failed epoch REPLAYS with the same
+    * batchId. The ledger must (a) skip an already-committed batch, and
+    * (b) on a replay of an uncommitted batch, strip the batch's own
+    * partial index appends before probing — otherwise its docs classify
+    * as duplicates of "history" and the epoch's sink output collapses.
+    */
+  test("curation micro-batch replay is idempotent (batchId-keyed appends)") {
+    val s = spark
+    import s.implicits._
+    def body(i: Int): String = {
+      val fill = Seq("the", "quiet", "study", "of", "corpus", "language",
+        "models", "enjoy", "clean", "and", "varied", "text", "because",
+        "quality", "gates", "check", "for", "stopwords", "and", "mean",
+        "lengths", "while", "duplicate", "ngrams", "must", "stay", "rare",
+        "so", "each", "sentence", "here", "differs", "slightly", "with",
+        "unique", "tails", "that", "keep", "windows", "apart")
+      fill.grouped(4).zipWithIndex
+        .flatMap { case (g, j) => g :+ s"u${i}x$j" }.mkString(" ")
+    }
+    val bench = Seq((900L, "benchmark questions with held out answers"))
+      .toDF("doc_id", "text")
+    val b0 = Seq((1L, body(1)), (2L, body(2)), (3L, body(1)))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, body(2)), (11L, body(11))).toDF("doc_id", "text")
+
+    def run(withReplays: Boolean): (String, Set[(Long, Long)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("screplay").toString
+      val outDir = s"$dir/curated"
+      def exec(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        EdgeStream.curateBatch(df, id, bench, "text", "doc_id",
+          s"$dir/indexes", 60, 0.9, 5, 5, 5, (curated, bid) =>
+            curated.write.mode("overwrite").parquet(s"$outDir/batch=$bid"))
+      exec(b0, 0)
+      if (withReplays) {
+        exec(b0, 0) // committed replay: marker short-circuits
+        // crash-window replay: marker lost AFTER the appends published —
+        // begin() must strip the batch's own rows before re-probing
+        val m = new org.apache.hadoop.fs.Path(s"$dir/indexes/_applied/b0")
+        m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(m, false)
+        exec(b0, 0)
+      }
+      exec(b1, 1)
+      if (withReplays) exec(b1, 1)
+      val sinkRows = spark.read.parquet(outDir)
+        .select(col("batch").cast("long"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (dir, sinkRows)
+    }
+
+    val (refDir, refRows) = run(withReplays = false)
+    val (repDir, repRows) = run(withReplays = true)
+    assert(repRows == refRows)
+    assert(repRows.map(_._2) == Set(1L, 2L, 11L))
+
+    // index contents equal the replay-free run's, row for row
+    def windowSet(d: String) = spark.read
+      .parquet(s"$d/indexes/windows").collect().map(_.getLong(0)).toSet
+    def fpSet(d: String) = spark.read
+      .parquet(s"$d/indexes/fingerprints").collect().map(_.get(0).toString).toSet
+    def exactSet(d: String) = spark.read
+      .parquet(s"$d/indexes/exact_docs").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def bandRows(d: String) = spark.read
+      .parquet(s"$d/indexes/bands").select("id", "band", "bandHash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(windowSet(repDir) == windowSet(refDir))
+    assert(fpSet(repDir) == fpSet(refDir))
+    assert(exactSet(repDir) == exactSet(refDir))
+    assert(bandRows(repDir).sorted == bandRows(refDir).sorted) // no dup rows
+  }
+
+  test("near-dedup micro-batch replay is idempotent") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sndreplay").toString
+    val corpusDir = s"$tmp/corpus"
+    val indexDir = s"$tmp/index"
+    def exec(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EdgeStream.nearDedupBatch(df, id, "text", "doc_id", corpusDir,
+        indexDir, 2, 0.6, 16, 8, (kept, bid) =>
+          kept.write.mode("overwrite").parquet(s"$corpusDir/batch=$bid"))
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words about spark query engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "fresh material nobody has ever streamed before"))
+      .toDF("doc_id", "text")
+    exec(b0, 0)
+    exec(b0, 0) // committed replay skips
+    // crash-window replay: published appends present, marker gone
+    val m = new org.apache.hadoop.fs.Path(s"$indexDir/_applied/b0")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+    exec(b0, 0)
+    exec(b1, 1)
+    val kept = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 11L))
+    // 8 band rows per kept doc, no duplicates from the replay
+    val bandRows = spark.read.parquet(indexDir)
+      .select("id", "band", "bandHash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(bandRows.map(_._1).toSet == Set(1L, 3L, 11L))
+    assert(bandRows.size == 3 * 8 && bandRows.distinct.size == bandRows.size)
   }
 
   test("streaming quality gate filters statelessly as documents arrive") {

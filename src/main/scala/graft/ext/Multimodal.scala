@@ -689,6 +689,54 @@ object Multimodal {
   def decodeAviFrames(ds: Dataset[MediaRow]): Dataset[VideoFrame] =
     ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeAviFramesBatch))
 
+  // ---- perceptual video dedup: real frame decode × dHash ----
+
+  final case class VideoFrameHash(id: Long, frameIdx: Int, dhash: Long)
+  implicit val videoFrameHashEnc: Encoder[VideoFrameHash] =
+    Encoders.product[VideoFrameHash]
+
+  /** per-frame dHash of MJPEG-AVI payloads: the real RIFF walk finds
+    * each JPEG frame, [[dHashBatch]] fingerprints it; malformed
+    * containers (and undecodable frames) quarantine as dhash = -1
+    */
+  def videoFrameHashesBatch(batch: Seq[MediaRow]): Seq[VideoFrameHash] = {
+    headless()
+    batch.flatMap { m =>
+      aviFrameChunks(m.content) match {
+        case None => Seq(VideoFrameHash(m.id, -1, -1L))
+        case Some(chunks) if chunks.isEmpty =>
+          Seq(VideoFrameHash(m.id, -1, -1L))
+        case Some(chunks) => chunks.zipWithIndex.map { case (jp, i) =>
+          VideoFrameHash(m.id, i,
+            dHashBatch(Seq(MediaRow(m.id, jp, "image/jpeg"))).head.dhash)
+        }
+      }
+    }
+  }
+
+  def videoFrameHashes(ds: Dataset[MediaRow]): Dataset[VideoFrameHash] =
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(videoFrameHashesBatch))
+
+  /** Perceptual video near-dup groups: a video's fingerprint is its SET
+    * of frame dHashes (sorted distinct — frame order, repetition and
+    * container packaging drop out, so padded / re-encoded / frame-looped
+    * variants group together); groups key on that signature with a
+    * min-id keeper — the video face of [[dHashGroups]]. Videos with no
+    * decodable frame are quarantined out. Scale shape: the codec work is
+    * one batched `mapPartitions` pass; the only shuffles are the
+    * per-video set aggregation and the group-by on the tiny signature
+    * (≤ 8 bytes per distinct frame class).
+    */
+  def videoFingerprintGroups(ds: Dataset[MediaRow])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    videoFrameHashes(ds).toDF()
+      .filter(col("dhash") =!= -1L)
+      .groupBy("id").agg(sort_array(collect_set(col("dhash"))).as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("keeper"))
+  }
+
   /** deterministic MJPEG-AVI: `1 + id % 5` solid-gray JPEG frames of
     * formula-derived size; gray levels sit at 16-bucket centers
     * (8 + 16k) so the decoded mean-luma bucket is a pure id/frame
@@ -738,6 +786,68 @@ object Multimodal {
     val movi = list("movi",
       jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
     val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ body
+  }
+
+  /** Deterministic striped MJPEG-AVI: every frame carries the same
+    * 9-column block pattern keyed by `id mod 4` (levels 64/192 — far
+    * enough apart that JPEG noise never flips a dHash gradient sign),
+    * while the CONTAINER varies with the id: frame count (1 + id mod 3),
+    * resolution (72×64 or 144×64 — the "re-encoded at another size"
+    * variant), and a JUNK padding chunk of id-dependent length. Same
+    * visual class → same perceptual fingerprint, so grouping has a
+    * pure-formula oracle: group = id mod 4.
+    */
+  def syntheticPatternAvi(id: Long): Array[Byte] = {
+    headless()
+    val scale = 1 + ((id / 4) % 2).toInt
+    val w = 72 * scale
+    val h = 64
+    val cellW = w / 9
+    val phase = (id % 4).toInt
+    val frames = 1 + (id % 3).toInt
+    def u32le(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      cc.getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ padded
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ISO-8859-1") ++ body)
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      var cx = 0
+      while (cx < 9) {
+        val v = if (((cx + phase) % 4) < 2) 64 else 192
+        g2.setColor(new java.awt.Color(v, v, v))
+        g2.fillRect(cx * cellW, 0, cellW, h)
+        cx += 1
+      }
+      g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = chunk("avih",
+      u32le(33333) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+        u32le(frames.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+        u32le(w.toLong) ++ u32le(h.toLong) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ "MJPG".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](12)(0) ++ u32le(1) ++ u32le(30) ++ u32le(0) ++
+        u32le(frames.toLong) ++ Array.fill[Byte](16)(0))
+    val strf = chunk("strf",
+      u32le(40) ++ u32le(w.toLong) ++ u32le(h.toLong) ++
+        Array((1 & 0xFF).toByte, 0.toByte, 24.toByte, 0.toByte) ++
+        "MJPG".getBytes("ISO-8859-1") ++ Array.fill[Byte](20)(0))
+    val junk = chunk("JUNK", Array.fill[Byte]((8 + id % 16).toInt)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      (0 until frames).map(_ => chunk("00dc", jpeg)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ junk ++ movi
     "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ body
   }
 

@@ -903,6 +903,26 @@ object PipelineQueries {
         .orderBy("id", "frame_idx")
     },
 
+    // perceptual VIDEO dedup over the real frame-decode path: striped
+    // MJPEG-AVIs whose containers vary per id (frame count, resolution,
+    // JUNK padding) but whose frame CONTENT class is id%4 — the
+    // frame-dHash-set fingerprint groups re-encoded/padded variants
+    // together, reproducing the pure id-formula groups
+    "q_multimodal_video_dedup" -> QueryDef(
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS cnt
+        |FROM documents GROUP BY doc_id % 4 ORDER BY keeper""".stripMargin) {
+      (s, d) =>
+      import Multimodal._
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, Multimodal.syntheticPatternAvi(id),
+          "video/x-msvideo"))
+      Multimodal.videoFingerprintGroups(media)
+        .select(col("keeper"), col("cnt"))
+        .orderBy("keeper")
+    },
+
     // REAL audio decode (JDK javax.sound.sampled, WAV/PCM): square-wave
     // WAVs generated per doc_id — every decoded statistic (rate,
     // channels, frames, RMS, peak) is a pure formula of the id, so the

@@ -498,6 +498,29 @@ class PipelineExtSpec extends SparkSpec {
     assert(adversarial.map(f => (f.frameIdx, f.width)).toSeq == Seq((-1, -1)))
   }
 
+  test("video near-dup: frame-dHash-set fingerprints group re-encoded/" +
+    "padded striped AVIs by content class") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    // ids 0..7 → phases 0..3 twice, where the second occurrence differs
+    // in frame count, resolution (72 vs 144 wide) and JUNK padding;
+    // id 99 is a corrupt container → quarantined out of the groups
+    val rows = (0L until 8L).map(id =>
+      MediaRow(id, Multimodal.syntheticPatternAvi(id), "video/x-msvideo")) :+
+      MediaRow(99L, Array[Byte]('R', 'I', 'F', 'F', 9, 9), "video/x-msvideo")
+    val groups = Multimodal.videoFingerprintGroups(rows.toDS())
+      .select(col("keeper"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(groups.toSeq == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L)))
+    // within one video every frame shares the dHash (same striped
+    // pattern per frame), and phases give 4 distinct hashes
+    val hashes = Multimodal.videoFrameHashes(rows.take(8).toDS())
+      .collect().filter(_.dhash != -1L)
+    assert(hashes.groupBy(_.id).forall(_._2.map(_.dhash).distinct.size == 1))
+    assert(hashes.map(_.dhash).distinct.length == 4)
+  }
+
   test("real audio decode reads rate, frames, and exact square-wave " +
     "statistics; corrupt payloads quarantine") {
     val s = spark

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Stage.StageOps
 import graft.functions.SrpBands
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -297,6 +298,209 @@ object Similarity {
     }
     centroids.zipWithIndex
       .map { case (v, i) => i -> v.map(_.toFloat).toSeq }.toSeq
+  }
+
+  /** k-means‖ (oversampled distributed init, Bahmani et al. VLDB'12) —
+    * the LARGE-k trainer that lifts [[trainCentroidsKMeansPP]]'s
+    * k ≤ driver-sample ceiling (a 4096-row sample cannot seed 65k cells
+    * for a trillion-row corpus; this trainer can, because seeding is
+    * distributed):
+    *
+    *   1. start from the min-id vector (deterministic);
+    *   2. `rounds` oversampling passes: every row joins the candidate
+    *      set independently with probability `l·d²(x,C)/φ` where
+    *      l = oversample·k and φ = Σd² — expected l new candidates per
+    *      round, chosen where the current candidates cover badly. The
+    *      coin is `xxhash64(id, round, seed)`, so the sample is
+    *      deterministic and independent of physical partitioning;
+    *      per-row d² updates incrementally against ONLY the new
+    *      candidates (never the whole set twice);
+    *   3. one distributed pass weights each candidate by the number of
+    *      corpus rows nearest to it;
+    *   4. driver-side WEIGHTED k-means++ + Lloyd over the ≈rounds·l
+    *      candidates reduces them to k centroids (the candidate set is a
+    *      weighted sketch of the corpus — Bahmani's re-clustering step);
+    *   5. optional `lloydIters` distributed Lloyd refinements over the
+    *      full corpus (spherical: mean + re-normalize; empty cells keep
+    *      their centroid).
+    *
+    * Driver memory is bounded by the candidate sketch (≈ rounds·l
+    * vectors) and the k×dim centroid matrix — never by the corpus.
+    * Distances are spherical (cosine on normalized vectors), matching
+    * [[assignCells]]. Deterministic for a fixed (seed, corpus).
+    */
+  def trainCentroidsKMeansParallel(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rounds: Int = 3, oversample: Double = 2.0,
+      lloydIters: Int = 0, seed: Long = 42L): Seq[(Int, Seq[Float])] = {
+    require(k >= 1 && rounds >= 1)
+    val l = math.max((oversample * k).toInt, 1)
+    // normalized working set, materialized once (scanned every round)
+    val normE = sqrt(aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    val pts = corpus.select(
+      col(idCol).cast(LongType).as("__id"),
+      transform(col(vecCol),
+        x => x.cast(DoubleType) / greatest(normE, lit(1e-12))).as("__v"))
+      .stageBoundary
+
+    // cosine distance of __v to a literal centroid array: 1 - max dot
+    def minDistTo(cands: Seq[Array[Double]]): Column = {
+      val centArr = array(cands.map(c => typedlit(c.toSeq)): _*)
+      lit(1.0) - array_max(transform(centArr, c => round(cosine(col("__v"), c), 9)))
+    }
+
+    val first = pts.orderBy(col("__id")).limit(1).collect()
+    require(first.nonEmpty, "k-means‖: empty corpus")
+    val cands = scala.collection.mutable.ArrayBuffer[Array[Double]](
+      first(0).getSeq[Double](1).toArray)
+
+    var cur = pts
+      .withColumn("__d2", greatest(minDistTo(cands.toSeq), lit(0.0)))
+      .stageBoundary
+    (1 to rounds).foreach { r =>
+      val phi = cur.agg(sum(col("__d2"))).head().getDouble(0)
+      if (phi > 0) {
+        // deterministic per-(id, round) uniform in [0, 1)
+        val u = pmod(xxhash64(col("__id"), lit(r), lit(seed)), lit(1000000L))
+          .cast(DoubleType) / 1e6
+        // hard cap at 8l (orderBy id first: deterministic prefix) keeps
+        // the driver sketch bounded even on adversarial d² skew
+        val picked = cur
+          .filter(u < lit(l.toDouble) * col("__d2") / lit(phi))
+          .select(col("__id"), col("__v"))
+          .orderBy(col("__id")).limit(8 * l)
+          .collect().map(_.getSeq[Double](1).toArray)
+        if (picked.nonEmpty) {
+          cands ++= picked
+          if (r < rounds) // last round's d² is never read again
+            cur = cur.withColumn("__d2",
+              greatest(least(col("__d2"), minDistTo(picked.toSeq)), lit(0.0)))
+              .stageBoundary
+        }
+      }
+    }
+
+    // weight candidates by |rows nearest to them| — one distributed pass
+    val weights = assignToNearest(cur, cands.toSeq)
+      .groupBy("__cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val weighted = cands.toArray.zipWithIndex.map { case (v, i) =>
+      (v, math.max(weights.getOrElse(i, 0L), 1L).toDouble)
+    }
+
+    // driver-side weighted k-means++ + Lloyd over the candidate sketch
+    var centroids = weightedKMeans(weighted, math.min(k, weighted.length), seed)
+
+    // optional distributed spherical Lloyd over the full corpus
+    (1 to lloydIters).foreach { _ =>
+      val assigned = assignToNearest(cur, centroids.toSeq)
+      val sums = assigned
+        .select(col("__cell"), posexplode(col("__v")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val dim = centroids.head.length
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        val v = Array.tabulate(dim)(j => sums.getOrElse((c, j), 0.0))
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) old else v.map(_ / n)
+      }
+    }
+    centroids.zipWithIndex
+      .map { case (v, i) => i -> v.map(_.toFloat).toSeq }.toSeq
+  }
+
+  /** argmax-cosine assignment of `__v` rows to a literal centroid list
+    * (the [[assignCells]] shape over double vectors, cell = array index)
+    */
+  private def assignToNearest(pts: DataFrame,
+      cents: Seq[Array[Double]]): DataFrame = {
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(round(cosine(col("__v"), typedlit(c.toSeq)), 9).as("cs"),
+        lit(i).as("cell"))
+    }: _*)
+    pts.withColumn("__cell", array_max(centArr).getField("cell"))
+  }
+
+  /** Driver-local weighted spherical k-means++ seeding + Lloyd — the
+    * candidate-reduction step of [[trainCentroidsKMeansParallel]].
+    * `restarts` seeded attempts, best weighted cost wins: a single
+    * k-means++ seeding can land two seeds in one cluster and merge a
+    * pair elsewhere (a local optimum Lloyd never escapes); restarts on
+    * the tiny candidate sketch are nearly free and reliably avoid it.
+    */
+  private def weightedKMeans(pts: Array[(Array[Double], Double)], k: Int,
+      seed: Long, iters: Int = 8, restarts: Int = 5): Array[Array[Double]] = {
+    val dim = pts.head._1.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.max(0.0, 1.0 - dot(a, b))
+
+    def attempt(attemptSeed: Long): (Array[Array[Double]], Double) = {
+      val rng = new scala.util.Random(attemptSeed)
+      val cents = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      cents += pts(rng.nextInt(pts.length))._1
+      val d2 = pts.map { case (p, w) => dist(p, cents.head) * w }
+      while (cents.size < k) {
+        val total = d2.sum
+        val pick =
+          if (total <= 0) rng.nextInt(pts.length)
+          else {
+            var r = rng.nextDouble() * total
+            var i = 0
+            while (i < pts.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+            i
+          }
+        val c = pts(pick)._1
+        cents += c
+        var i = 0
+        while (i < pts.length) {
+          val d = dist(pts(i)._1, c) * pts(i)._2
+          if (d < d2(i)) d2(i) = d
+          i += 1
+        }
+      }
+      var centroids = cents.toArray
+      (1 to iters).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Double](k)
+        pts.foreach { case (p, w) =>
+          var best = 0; var bestDot = dot(p, centroids(0)); var c = 1
+          while (c < k) {
+            val dp = dot(p, centroids(c))
+            if (dp > bestDot) { best = c; bestDot = dp }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += p(i) * w; i += 1 }
+          counts(best) += w
+        }
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else {
+            val v = sums(c)
+            val n = math.sqrt(v.map(x => x * x).sum)
+            if (n == 0) old else v.map(_ / n)
+          }
+        }
+      }
+      val cost = pts.map { case (p, w) =>
+        var best = dist(p, centroids(0)); var c = 1
+        while (c < k) {
+          val d = dist(p, centroids(c))
+          if (d < best) best = d
+          c += 1
+        }
+        best * w
+      }.sum
+      (centroids, cost)
+    }
+
+    (0 until restarts).map(a => attempt(seed + a)).minBy(_._2)._1
   }
 
   /** Multi-probe IVF top-k: each query scores against its `nprobe`

@@ -107,6 +107,81 @@ class KMeansIvfSpec extends SparkSpec {
     assert(fromIndex == inMemory)
   }
 
+  test("k-means|| matches the sampled trainer's quality at small k and " +
+    "is deterministic per seed") {
+    // small k → few candidates (≈ rounds·2k): the distributed Lloyd
+    // refinement is what polishes the sketch-reduced centroids onto the
+    // true cluster means (and this exercises that code path)
+    // small k needs a denser sketch (rounds·oversample·k candidates out
+    // of 480 rows) for the reduction to see every cluster; the
+    // distributed Lloyd refinement then polishes onto the cluster means
+    // (and exercises that code path)
+    def train() = Similarity.trainCentroidsKMeansParallel(
+      clustered, "vec_id", "embedding", nClusters,
+      rounds = 5, oversample = 4.0, lloydIters = 2, seed = 11L)
+    val a = train()
+    val b = train()
+    assert(a == b, "same seed must reproduce the same centroids")
+    val celled = Similarity.assignCells(clustered, "embedding", "cell", a)
+    val purity = celled.groupBy("cell", "true_cluster").count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("count").desc)))
+      .filter(col("rk") === 1)
+      .agg(sum("count")).head().getLong(0).toDouble /
+      (nClusters * perCluster)
+    assert(purity >= 0.95, s"cell purity $purity")
+  }
+
+  /** The large-k case the sampled trainer cannot touch (its 4096-row
+    * driver sample cannot seed k ≫ sample): k = 1024 over a ~100k-row
+    * clustered corpus. Driver work stays bounded by the candidate
+    * sketch, never the corpus.
+    */
+  test("k-means|| trains k=1024 over a 100k clustered corpus") {
+    val s = spark
+    import s.implicits._
+    val bigK = 1024
+    val per = 97
+    val bigDim = 8
+    val rng = new scala.util.Random(13L)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(bigK)(unit(Array.fill(bigDim)(rng.nextGaussian())))
+    val big = (0 until bigK).flatMap { c =>
+      (0 until per).map { j =>
+        val p = unit(centers(c).map(_ + 0.02 * rng.nextGaussian()))
+        (c.toLong * 1000 + j, p.map(_.toFloat).toSeq, c)
+      }
+    }.toDF("vec_id", "embedding", "true_cluster")
+      .repartition(32).cache()
+    assert(big.count() == bigK.toLong * per)
+
+    // sampled trainer fails fast: 4096-row sample < k — the ceiling
+    intercept[IllegalArgumentException] {
+      Similarity.trainCentroidsKMeansPP(big, "vec_id", "embedding", 4097)
+    }
+
+    val cents = Similarity.trainCentroidsKMeansParallel(
+      big, "vec_id", "embedding", bigK,
+      rounds = 2, oversample = 1.25, seed = 17L)
+    assert(cents.size == bigK)
+    val celled = Similarity.assignCells(big, "embedding", "cell", cents)
+      .cache()
+    val nonEmpty = celled.select("cell").distinct().count()
+    assert(nonEmpty >= bigK * 85 / 100,
+      s"only $nonEmpty of $bigK cells populated — quantizer collapsed")
+    // purity: rows landing in their cell's dominant true cluster
+    val purity = celled.groupBy("cell", "true_cluster").count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("count").desc)))
+      .filter(col("rk") === 1)
+      .agg(sum("count")).head().getLong(0).toDouble / (bigK.toLong * per)
+    assert(purity >= 0.85, s"cell purity $purity at k=$bigK")
+  }
+
   test("semanticDedup accepts trained centroids") {
     val s = spark
     import s.implicits._

@@ -30,6 +30,16 @@ object Stage {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** This session's stage namespace: every `parquet` boundary lands
+    * under `<stage dir>/<runId>/`, so [[clean]] can reclaim OTHER runs'
+    * accumulated stage dirs without touching paths the current
+    * session's plans may still lazily re-read.
+    */
+  val runId: String =
+    "run-" + java.lang.Long.toHexString(System.currentTimeMillis()) + "-" +
+      java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+
   def boundary(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {
@@ -39,7 +49,8 @@ object Stage {
           spark.sparkContext.setCheckpointDir(requiredDir(spark) + "/rdd")
         df.checkpoint(true)
       case "parquet" =>
-        val path = s"${requiredDir(spark)}/stage-${counter.incrementAndGet()}-" +
+        val path = s"${requiredDir(spark)}/$runId/" +
+          s"stage-${counter.incrementAndGet()}-" +
           java.lang.Long.toHexString(System.nanoTime())
         df.write.parquet(path)
         spark.read.parquet(path)
@@ -47,6 +58,24 @@ object Stage {
         s"$ModeKey must be local|reliable|parquet, got $other")
     }
   }
+
+  /** Maintenance: delete other runs' `run-*` stage namespaces under the
+    * stage dir (stage paths otherwise accumulate forever). The current
+    * run's namespace stays — a plan built on a parquet boundary re-reads
+    * its stage files lazily, so only FOREIGN runs' dirs are safe to
+    * reclaim while this session still executes.
+    */
+  def clean(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.getOption(DirKey).foreach { dir =>
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("run-") && n != runId)
+            fs.delete(st.getPath, true)
+        }
+    }
 
   private def requiredDir(spark: org.apache.spark.sql.SparkSession): String =
     spark.conf.getOption(DirKey).getOrElse(throw new IllegalArgumentException(

@@ -57,8 +57,30 @@ class StageSpec extends SparkSpec {
     assert(local.nonEmpty)
     assert(reliable == local)
     assert(parquet == local)
-    // parquet mode actually wrote stages
-    assert(new java.io.File(tmpP).listFiles().exists(_.getName.startsWith("stage-")))
+    // parquet mode actually wrote stages, namespaced under this run
+    assert(new java.io.File(tmpP, Stage.runId).listFiles()
+      .exists(_.getName.startsWith("stage-")))
+  }
+
+  test("Stage.clean reclaims other runs' dirs; current plans keep working") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stage-clean").toString
+    withMode("parquet", Some(tmp)) {
+      // a dead previous session's leftovers
+      val dead = new java.io.File(tmp, "run-dead-cafe/stage-1-aa")
+      assert(dead.mkdirs())
+      // a LAZY dependent plan over a current-run boundary: the stage
+      // files must survive clean() because this plan re-reads them
+      val staged = Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v").stageBoundary
+      val dependent = staged.filter(col("v") > 10).agg(sum("v"))
+      Stage.clean(spark)
+      assert(!new java.io.File(tmp, "run-dead-cafe").exists(),
+        "foreign run dir not reclaimed")
+      assert(new java.io.File(tmp, Stage.runId).exists(),
+        "current run dir must survive clean")
+      assert(dependent.head().getLong(0) == 50L)
+    }
   }
 
   test("default mode is local; unknown mode and missing dir fail fast") {

@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-regression tripwire: EXPLAIN fingerprints (exchange / broadcast
+  * / generate node counts, zero cartesian products) for golden queries,
+  * pinned so a change that un-pushes a filter, drops a broadcast, or
+  * introduces an extra shuffle fails CI instead of surfacing as a
+  * silent slowdown. Counts include the cached graph-build lineage
+  * (InMemoryRelation prints its child plan) — intentional: the build's
+  * shuffle shape is part of the contract.
+  *
+  * If a DELIBERATE plan improvement changes a count, update the pinned
+  * fingerprint in the same commit and note why.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private case class Fingerprint(shuffle: Int, broadcast: Int,
+      generate: Int, cartesian: Int)
+
+  private def fingerprint(query: String): Fingerprint = {
+    val plan = SparkEntry.defs(query).run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    def c(re: String) = re.r.findAllIn(plan).size
+    Fingerprint(
+      c("Exchange (hash|range|Single)"),
+      c("BroadcastExchange"),
+      c("Generate"),
+      c("CartesianProduct"))
+  }
+
+  private val golden = Map(
+    // 2-hop MATCH: frontier joins + edge explodes over the cached graph
+    "q_match_2hop" -> Fingerprint(11, 8, 5, 0),
+    // MATCH over a multi-sink edge view: member-union plan, predicates
+    // pushed into each member scan
+    "q_sql_edge_view" -> Fingerprint(27, 17, 7, 0),
+    // as-of join: one shuffle per side, no broadcast, no explode
+    "q_asof_join" -> Fingerprint(2, 0, 0, 0),
+    // incremental probe: window-index join + per-doc fold
+    "q_substring_dedup_incremental" -> Fingerprint(4, 2, 1, 0))
+
+  golden.foreach { case (q, expected) =>
+    test(s"golden plan fingerprint: $q") {
+      val got = fingerprint(q)
+      assert(got == expected,
+        s"$q plan fingerprint drifted: got $got, pinned $expected — " +
+          "if the change is a deliberate plan improvement, re-pin this " +
+          "fingerprint in the same commit")
+    }
+  }
+}

@@ -538,6 +538,17 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       invalidateViews()
       affected(0)
     case ViewDdl.CreateEdgeViewRe(viewTable, name, body) =>
+      // an edge view may attach to the implicit GlobalNodeView: the
+      // schema-wide view materializes into the registry on first use
+      // (members = the CURRENT table set, like the reference's
+      // UpdateGlobalNodeView refresh at view DDL time, View.cs:2046)
+      if (viewTable == GraphSession.GlobalViewName &&
+          !nodeViewsReg.contains(viewTable)) {
+        nodeViewsReg(viewTable) = graft.graph.NodeViewDef(
+          GraphSession.GlobalViewName,
+          provider.schema.tables.map(_.name), Nil)
+        persistViews()
+      }
       require(nodeViewsReg.contains(viewTable),
         s"edge view $viewTable.$name: no node view named $viewTable")
       val ev = ViewDdl.edgeView(viewTable, name, body, provider.schema,

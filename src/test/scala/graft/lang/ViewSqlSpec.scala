@@ -320,6 +320,30 @@ class ViewSqlSpec extends SparkSpec {
     assert(got.sorted.toSeq == refWalk(1, 2, nodeDisjoint = false).sorted)
   }
 
+  test("GlobalNodeView is queryable and matchable through the dialect") {
+    val gs = newSession
+    // plain SQL over the implicit schema-wide view
+    val counts = gs.sql(
+      """SELECT g._NodeType AS t, COUNT(*) AS cnt FROM GlobalNodeView g
+        |GROUP BY g._NodeType ORDER BY t""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(counts.toSeq == Seq(("Cat", 2L), ("Dog", 2L), ("Food", 3L)))
+    // an edge view may attach to it (the implicit view materializes
+    // into the registry on first use) — and then it is a MATCH endpoint
+    gs.sql(
+      """CREATE EDGE VIEW GlobalNodeView.locs AS
+        |  SELECT NULL FROM Cat.likes
+        |  UNION ALL SELECT NULL FROM Dog.likes""".stripMargin)
+    val rows = gs.sql(
+      """SELECT g._NodeType AS t, f.fname AS fname
+        |FROM GlobalNodeView g, Food f
+        |MATCH g-[locs]->f
+        |ORDER BY t, fname""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("Cat", "fish"), ("Cat", "milk"),
+      ("Cat", "milk"), ("Dog", "bone"), ("Dog", "bone"), ("Dog", "fish")))
+  }
+
   test("name collisions and unknown members are rejected") {
     val gs = newSession
     intercept[IllegalArgumentException] {

@@ -167,6 +167,47 @@ object Similarity {
       queries, idCol, vecCol, "__cell", k,
       readCentroids(spark, path), nprobe)
 
+  /** Incremental embedding near-dup against a [[buildIvfIndex]] layout —
+    * the persisted-index face of [[cosinePairs]], completing the dedup
+    * family's daily-ingest symmetry (exact/LSH/simhash/span all have
+    * one): the increment assigns its cells with the persisted quantizer,
+    * probes ONLY the matching cell partitions of the index (the cell
+    * equi-join prunes history's untouched partition directories —
+    * history text/vectors outside those cells are never read), pairs
+    * within the increment itself, and verifies every candidate with the
+    * exact cosine. Semantics match [[cosinePairs]] with the cell as the
+    * block key over history ∪ increment, restricted to
+    * increment-touching pairs (cross-cell pairs are by contract not
+    * candidates — the coarse quantizer IS the blocking, as in the
+    * blocked batch variant).
+    */
+  def cosinePairsIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val cents = readCentroids(spark, indexPath)
+    val inc = assignCells(
+      newDocs.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "v", "cell", cents)
+      .stageBoundary
+    val hist = spark.read.parquet(indexPath).select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      col("__cell").cast(IntegerType).as("cell"))
+    def verified(cand: DataFrame) = cand
+      .withColumn("cs", cosine(col("va"), col("vb")))
+      .filter(col("cs") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cs"))
+    val cross = inc.as("a").join(hist.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+    val self = inc.as("a").join(inc.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+    verified(cross).union(verified(self))
+  }
+
   /** int8 scalar quantization of an embedding column: each component
     * scales by 127 and clamps to [-127, 127] — 4× smaller storage for
     * ANN candidate generation (rescoring reads the full-precision

@@ -375,6 +375,57 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // embedding near-dup INCREMENTAL: history persists as the
+    // cell-partitioned IVF index (quantizer sidecar included); the
+    // increment assigns its cells from the persisted quantizer, probes
+    // only matching cell partitions + itself, verifies exact cosine.
+    // Oracle replays quantizer (8 smallest history ids), rounded argmax
+    // assignment (ties to the larger cell) and both candidate joins.
+    "q_dedup_embedding_incremental" -> QueryDef(
+      """WITH hist AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings WHERE vec_id % 2 = 1),
+        |inc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id % 2 = 0),
+        |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                CAST(embedding AS DOUBLE[]) AS cv
+        |         FROM (SELECT vec_id, embedding FROM embeddings
+        |               WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 8) s),
+        |asg_h AS (SELECT h.vec_id, h.v,
+        |            (SELECT c.cell FROM cent c
+        |             ORDER BY ROUND(list_cosine_similarity(c.cv, h.v), 9) DESC,
+        |                      c.cell DESC LIMIT 1) AS cell
+        |          FROM hist h),
+        |asg_i AS (SELECT i.vec_id, i.v,
+        |            (SELECT c.cell FROM cent c
+        |             ORDER BY ROUND(list_cosine_similarity(c.cv, i.v), 9) DESC,
+        |                      c.cell DESC LIMIT 1) AS cell
+        |          FROM inc i),
+        |cand AS (
+        |  SELECT LEAST(a.vec_id, b.vec_id) AS id_a,
+        |         GREATEST(a.vec_id, b.vec_id) AS id_b, a.v AS av, b.v AS bv
+        |  FROM asg_i a JOIN asg_h b ON a.cell = b.cell
+        |  UNION ALL
+        |  SELECT a.vec_id, b.vec_id, a.v, b.v
+        |  FROM asg_i a JOIN asg_i b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |       ROUND(list_cosine_similarity(av, bv), 4) AS cs
+        |FROM cand WHERE list_cosine_similarity(av, bv) >= 0.46
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val hist = emb.filter(col("vec_id") % 2 === 1)
+      val inc = emb.filter(col("vec_id") % 2 === 0)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_emb_idx").toString
+      val cents = Similarity.trainCentroids(hist, "vec_id", "embedding", 8)
+      Similarity.buildIvfIndex(hist.select("vec_id", "embedding"),
+        "vec_id", "embedding", cents, idx)
+      Similarity.cosinePairsIncremental(s, idx, inc,
+        "vec_id", "embedding", minCosine = 0.46)
+        .select(col("id_a"), col("id_b"), round(col("cs"), 4).as("cs"))
+        .orderBy("id_a", "id_b")
+    },
+
     // SemDeDup-style semantic dedup: deterministic coarse quantization
     // (8 smallest-id seed centroids, argmax-cosine cells) → within-cell
     // pairs at cosine >= 0.46 → transitive clusters → keep min-id per

@@ -106,6 +106,38 @@ object Mixing {
     df.filter(pmod(idHash(col(idCol)), lit(10000L)) < threshold)
   }
 
+  /** Epoch-weight UPSAMPLING — the complement of [[temperatureSample]]'s
+    * downsampling: training mixes REPEAT under-represented sources
+    * (fractional epochs, e.g. a high-quality source at 2.5×). Each row
+    * emits `floor(f)` copies plus one more iff the id-hash Bernoulli
+    * accepts the fractional remainder — deterministic and
+    * engine-replayable like every mixing decision here, and a narrow
+    * map stage (explode of a per-row range; no shuffle). Output carries
+    * an `epoch` column (0-based copy index) so downstream packing can
+    * interleave copies. `f < 1` degenerates to Bernoulli downsampling
+    * (≡ [[sampleStratified]] at rate f). Strata absent from `factors`
+    * use `defaultFactor`.
+    */
+  def repeatSample(df: DataFrame, idCol: String, strataCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values.toSeq :+ defaultFactor).forall(_ >= 0),
+      "factors must be >= 0")
+    def copiesFor(f: Double): Column = {
+      val base = math.floor(f).toLong
+      // the same 1e-4 Bernoulli grid + FLOOR epsilon as the samplers
+      val frac = math.floor((f - base) * 10000 + 1e-9).toLong
+      lit(base) +
+        when(pmod(idHash(col(idCol)), lit(10000L)) < frac, 1L).otherwise(0L)
+    }
+    val copies = factors.foldLeft(copiesFor(defaultFactor)) {
+      case (acc, (s, f)) => when(col(strataCol) === s, copiesFor(f)).otherwise(acc)
+    }
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0) // sequence(0, -1) would count DOWN
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Token-budget sequence packing (context-window assembly): within
     * each stratum, docs in id order are laid head-to-tail and cut into
     * bins of ~`budgetTokens` — bin = ⌊exclusive-running-token-sum /

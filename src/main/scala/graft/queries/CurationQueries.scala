@@ -119,6 +119,30 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // epoch-weight UPSAMPLING (r6): fractional source repetition — src0
+    // at 2.5 epochs (2 copies + hash-coin half), src1 at 0.5
+    // (degenerates to Bernoulli downsampling), everything else 1.0.
+    // The oracle re-derives copy counts and explodes the same 0-based
+    // epoch range; full row-level compare
+    "q_repeat_mix" -> QueryDef(
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+         |    + (CASE WHEN ${sqlIdHash("doc_id")} % 10000 <
+         |         (CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 5000
+         |                      ELSE 0 END)
+         |       THEN 1 ELSE 0 END) AS n
+         |  FROM documents)
+         |SELECT d.doc_id, CAST(t.e AS BIGINT) AS epoch, d.source
+         |FROM base d, UNNEST(range(0, n)) AS t(e)
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+      Mixing.repeatSample(Tables.load(s, d, "documents"),
+        "doc_id", "source",
+        factors = Map("src0" -> 2.5, "src1" -> 0.5), defaultFactor = 1.0)
+        .select(col("doc_id"), col("epoch"), col("source"))
+        .orderBy("doc_id", "epoch")
+    },
+
     // token-window document chunking (r5): 128-token chunks, 32-token
     // overlap (stride 96) — one row per chunk, final chunk may be short.
     // The oracle replays the start grid + slice over the literal tokens

@@ -320,6 +320,25 @@ class ViewSqlSpec extends SparkSpec {
     assert(got.sorted.toSeq == refWalk(1, 2, nodeDisjoint = false).sorted)
   }
 
+  test("SELECT p.* over a view var-length path renders PathMessage JSON") {
+    val gs = new GraphSession(spark, townProvider)
+    townViews(gs)
+    val rows = gs.sql(
+      """SELECT x.label AS src, y.label AS dst, p.*
+        |FROM Place x, Place y
+        |MATCH x-[link*1..2 AS p]->y
+        |ORDER BY src, dst, p""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 10)
+    // alternating node/edge objects with per-table local ids, the view
+    // name as the NodeType (the view's bfs surface, as the reference's
+    // per-edge-view generated function)
+    assert(rows.contains(("t1", "c1",
+      """[{"NodeType":"Place","Id":1},{"EdgeType":"link"},{"NodeType":"Place","Id":1}]""")))
+    assert(rows.contains(("t1", "t3",
+      """[{"NodeType":"Place","Id":1},{"EdgeType":"link"},{"NodeType":"Place","Id":2},{"EdgeType":"link"},{"NodeType":"Place","Id":3}]""")))
+  }
+
   test("GlobalNodeView is queryable and matchable through the dialect") {
     val gs = newSession
     // plain SQL over the implicit schema-wide view

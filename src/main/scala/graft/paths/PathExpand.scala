@@ -81,7 +81,11 @@ object PathExpand {
     // adjacency relation for the step join: node → (edges, tombstones).
     // Each direction filters its own tombstone column (forward DeleteCol /
     // reversed mirror DeleteCol, both appended incrementally by DML).
-    val adj =
+    // Holders with an EMPTY adjacency are dropped map-side before the
+    // step shuffle — they can contribute no step rows, and over a view
+    // union this prunes entire non-contributing member tables (e.g. a
+    // sink-only member) from every hop's frontier join.
+    val adj = (
       if (!backward)
         nt.select(col("GlobalNodeId").as("__node"),
           col(ed.columnName).as("__adj"), col(ed.delColumnName).as("__del"))
@@ -89,6 +93,7 @@ object PathExpand {
         nt.select(col("GlobalNodeId").as("__node"),
           col(ed.reversedColumnName).as("__adj"),
           col(ed.reversedDelColumnName).as("__del"))
+      ).filter(size(col("__adj")) > 0)
 
     val edgeKeyType = ArrayType(StructType(Seq(
       StructField("node", LongType), StructField("edgeId", IntegerType))))

@@ -189,9 +189,17 @@ object Similarity {
       newDocs.select(col(idCol).as("id"), col(vecCol).as("v")),
       "v", "cell", cents)
       .stageBoundary
+    // partition pruning must be GUARANTEED, not hoped for: a plain
+    // equi-join may plan as SMJ scanning every cell directory. The
+    // broadcast semi-join on the increment's distinct cells (≤ k rows)
+    // drives dynamic partition pruning on the index's partition column —
+    // the same trigger the indexed ANN search path uses — so history
+    // cells the increment never touches are never read
+    val probeCells = inc.select(col("cell").as("__pc")).distinct()
     val hist = spark.read.parquet(indexPath).select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      col("__cell").cast(IntegerType).as("cell"))
+        col(idCol).as("id"), col(vecCol).as("v"),
+        col("__cell").cast(IntegerType).as("cell"))
+      .join(broadcast(probeCells), col("cell") === col("__pc"), "left_semi")
     def verified(cand: DataFrame) = cand
       .withColumn("cs", cosine(col("va"), col("vb")))
       .filter(col("cs") >= minCosine)

@@ -365,6 +365,23 @@ class GraphDdlSpec extends SparkSpec {
       .select("v").collect().map(_.getInt(0)).toSeq == Seq(10, 99))
   }
 
+  /** The bucketed layout must survive the Hadoop-FS swap under an
+    * explicit scheme too: external bucketed registration, DML rewrite,
+    * and reload all against a `file:`-scheme location.
+    */
+  test("bucketed catalog works at a file:-scheme location") {
+    val dir = "file:" + Files.createTempDirectory("graft_hfsb").toString
+    val gs = new GraphSession(spark,
+      new GraphCatalog(spark, dir, bucketsOpt = Some(4)))
+    gs.sql("CREATE NODE TABLE Bk (id INT NODEID, v INT)")
+    gs.sql("INSERT NODE INTO Bk SELECT * FROM VALUES (1,10),(2,20),(3,30) AS t(id,v)")
+    gs.sql("UPDATE Bk SET v = 99 WHERE id = 3")
+    val reloaded = new GraphCatalog(spark, dir)
+    assert(reloaded.buckets.contains(4))
+    assert(reloaded.provider.nodeTable("Bk").orderBy("id")
+      .select("v").collect().map(_.getInt(0)).toSeq == Seq(10, 20, 99))
+  }
+
   /** T-SQL never expands variables inside string literals, and IF/WHILE
     * predicates with scalar subqueries must observe loop-body DML (the
     * temp views re-register per evaluation, not once per EXEC).

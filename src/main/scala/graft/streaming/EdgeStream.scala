@@ -250,10 +250,14 @@ object EdgeStream {
     val batch = batch0.stageBoundary
     if (batch.isEmpty) return
     ledger.begin(batchId)
-    val winPath = new org.apache.hadoop.fs.Path(s"$indexDir/windows")
-    val fs = winPath.getFileSystem(
+    // bootstrap-completeness probe on the LAST artifact
+    // curateV2WriteIndexes writes (bands): a crash mid-bootstrap then
+    // re-runs the whole (idempotent, all-overwrite) bootstrap instead of
+    // leaving later probes to fail on a half-written family
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fs = bandsPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(winPath))
+    if (!fs.exists(bandsPath))
       graft.ext.Pipeline.curateV2WriteIndexes(batch.limit(0),
         textCol, idCol, indexDir, k, minCleanTokens)
     val curated = graft.ext.Pipeline.curateV2Incremental(

@@ -190,16 +190,19 @@ object Similarity {
       "v", "cell", cents)
       .stageBoundary
     // partition pruning must be GUARANTEED, not hoped for: a plain
-    // equi-join may plan as SMJ scanning every cell directory. The
-    // broadcast semi-join on the increment's distinct cells (≤ k rows)
-    // drives dynamic partition pruning on the index's partition column —
-    // the same trigger the indexed ANN search path uses — so history
-    // cells the increment never touches are never read
-    val probeCells = inc.select(col("cell").as("__pc")).distinct()
-    val hist = spark.read.parquet(indexPath).select(
-        col(idCol).as("id"), col(vecCol).as("v"),
+    // equi-join may plan as SMJ scanning every cell directory, and
+    // dynamic partition pruning won't fire off a checkpointed increment
+    // (no selective predicate on that side). The increment's distinct
+    // probe cells are ≤ k values — strictly smaller than the k×dim
+    // quantizer this function already holds on the driver — so a STATIC
+    // partition filter is both safe and certain: untouched history cell
+    // directories are never listed, let alone read.
+    val probeCells = inc.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val hist = spark.read.parquet(indexPath)
+      .filter(col("__cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
         col("__cell").cast(IntegerType).as("cell"))
-      .join(broadcast(probeCells), col("cell") === col("__pc"), "left_semi")
     def verified(cand: DataFrame) = cand
       .withColumn("cs", cosine(col("va"), col("vb")))
       .filter(col("cs") >= minCosine)

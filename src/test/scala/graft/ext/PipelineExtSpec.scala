@@ -293,6 +293,45 @@ class PipelineExtSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("incremental embedding probe prunes history cell partitions and " +
+    "equals the blocked batch pairs restricted to the increment") {
+    val s = spark
+    import s.implicits._
+    val emb = (1L to 60L).map(i =>
+      (i, Array.tabulate(4)(j => (i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val hist = emb.filter(col("vec_id") % 2 === 1)
+    val inc = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 10)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embinc_spec").toString
+    val cents = Similarity.trainCentroids(hist, "vec_id", "embedding", 5)
+    Similarity.buildIvfIndex(hist, "vec_id", "embedding", cents, idx)
+    val plan = Similarity.cosinePairsIncremental(s, idx, inc,
+      "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    // the history scan must carry a STATIC partition filter on the cell
+    // column (the increment's distinct probe cells) — directories of
+    // cells the increment never probes are never listed or read
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      plan)
+    // semantics: cell-blocked pairs over history ∪ increment, restricted
+    // to increment-touching pairs
+    val corpus = hist.unionAll(inc)
+    val celled = Similarity.assignCells(corpus, "embedding", "cell", cents)
+    val full = Similarity.cosinePairs(celled, "vec_id", "embedding", 0.9,
+      blockCol = Some("cell"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incIds = inc.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect = full.filter(p => incIds(p._1) || incIds(p._2))
+    val got = Similarity.cosinePairsIncremental(s, idx, inc,
+      "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"got $got, expected $expect")
+    assert(got.nonEmpty)
+  }
+
   test("salted joins preserve exact join semantics") {
     val s = spark
     import s.implicits._

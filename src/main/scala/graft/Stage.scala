@@ -61,18 +61,24 @@ object Stage {
 
   /** Maintenance: delete other runs' `run-*` stage namespaces under the
     * stage dir (stage paths otherwise accumulate forever). The current
-    * run's namespace stays — a plan built on a parquet boundary re-reads
-    * its stage files lazily, so only FOREIGN runs' dirs are safe to
-    * reclaim while this session still executes.
+    * run's namespace always stays — a plan built on a parquet boundary
+    * re-reads its stage files lazily. Foreign namespaces are only
+    * reclaimed when older than `olderThanMs` (default 24h): on a SHARED
+    * stage dir another session may still be executing against its own
+    * run dir, and liveness can't be probed portably — age is the guard.
+    * Pass 0 only when the dir is known to be exclusively this job's.
     */
-  def clean(spark: org.apache.spark.sql.SparkSession): Unit =
+  def clean(spark: org.apache.spark.sql.SparkSession,
+      olderThanMs: Long = 24L * 3600 * 1000): Unit =
     spark.conf.getOption(DirKey).foreach { dir =>
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cutoff = System.currentTimeMillis() - olderThanMs
       if (fs.exists(root))
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("run-") && n != runId)
+          if (st.isDirectory && n.startsWith("run-") && n != runId &&
+              st.getModificationTime <= cutoff)
             fs.delete(st.getPath, true)
         }
     }

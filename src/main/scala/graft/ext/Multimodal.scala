@@ -502,6 +502,34 @@ object Multimodal {
     * rescaling, cheap enough for a corpus-wide map pass. Undecodable
     * payloads hash to -1 (quarantine).
     */
+  /** the dHash kernel over an already-decoded image */
+  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val out = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = out.createGraphics()
+    gfx.setRenderingHint(
+      java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    gfx.drawImage(img, 0, 0, 9, 8, null)
+    gfx.dispose()
+    def luma(x: Int, y: Int): Double = {
+      val p = out.getRGB(x, y)
+      0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+        0.114 * (p & 0xFF)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   def dHashBatch(batch: Seq[MediaRow]): Seq[ImageHash] = {
     headless()
     batch.map { m =>
@@ -509,32 +537,7 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
         catch { case _: Exception => null }
       if (img == null) ImageHash(m.id, -1L)
-      else {
-        val out = new java.awt.image.BufferedImage(9, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val gfx = out.createGraphics()
-        gfx.setRenderingHint(
-          java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        gfx.drawImage(img, 0, 0, 9, 8, null)
-        gfx.dispose()
-        def luma(x: Int, y: Int): Double = {
-          val p = out.getRGB(x, y)
-          0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
-            0.114 * (p & 0xFF)
-        }
-        var hash = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 8 + x)
-            x += 1
-          }
-          y += 1
-        }
-        ImageHash(m.id, hash)
-      }
+      else ImageHash(m.id, dHashOf(img))
     }
   }
 
@@ -695,9 +698,12 @@ object Multimodal {
   implicit val videoFrameHashEnc: Encoder[VideoFrameHash] =
     Encoders.product[VideoFrameHash]
 
-  /** per-frame dHash of MJPEG-AVI payloads: the real RIFF walk finds
-    * each JPEG frame, [[dHashBatch]] fingerprints it; malformed
-    * containers (and undecodable frames) quarantine as dhash = -1
+  /** Per-frame dHash of MJPEG-AVI payloads: the real RIFF walk finds
+    * each JPEG frame, the [[dHashOf]] kernel fingerprints the decoded
+    * image. Quarantine is keyed on `frameIdx = -1` (malformed container
+    * or undecodable frame), NOT on the hash value — a legitimate frame
+    * whose gradient pattern hashes to -1 keeps its place in the
+    * signature.
     */
   def videoFrameHashesBatch(batch: Seq[MediaRow]): Seq[VideoFrameHash] = {
     headless()
@@ -707,8 +713,11 @@ object Multimodal {
         case Some(chunks) if chunks.isEmpty =>
           Seq(VideoFrameHash(m.id, -1, -1L))
         case Some(chunks) => chunks.zipWithIndex.map { case (jp, i) =>
-          VideoFrameHash(m.id, i,
-            dHashBatch(Seq(MediaRow(m.id, jp, "image/jpeg"))).head.dhash)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jp))
+            catch { case _: Exception => null }
+          if (img == null) VideoFrameHash(m.id, -1, -1L)
+          else VideoFrameHash(m.id, i, dHashOf(img))
         }
       }
     }
@@ -731,7 +740,7 @@ object Multimodal {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     videoFrameHashes(ds).toDF()
-      .filter(col("dhash") =!= -1L)
+      .filter(col("frameIdx") >= 0) // quarantine key, not the hash value
       .groupBy("id").agg(sort_array(collect_set(col("dhash"))).as("sig"))
       .groupBy("sig")
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("keeper"))

@@ -216,7 +216,12 @@ object Similarity {
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.v").as("va"), col("b.v").as("vb"))
-    verified(cross).union(verified(self))
+    // distinct: if an increment id already exists in the index (a replay
+    // of an already-merged increment), the same pair surfaces from both
+    // the cross and self joins — each pair must appear once, matching
+    // the batch cosinePairs contract (the LSH incremental dedups its
+    // candidates the same way)
+    verified(cross).union(verified(self)).distinct()
   }
 
   /** int8 scalar quantization of an embedding column: each component
@@ -385,6 +390,12 @@ object Similarity {
       vecCol: String, k: Int, rounds: Int = 3, oversample: Double = 2.0,
       lloydIters: Int = 0, seed: Long = 42L): Seq[(Int, Seq[Float])] = {
     require(k >= 1 && rounds >= 1)
+    // fail fast on non-numeric ids: a silent cast-to-NULL would collapse
+    // the per-row sampling coin and the deterministic min-id ordering
+    require(corpus.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"k-means‖ needs a numeric id column, got " +
+        corpus.schema(idCol).dataType.simpleString)
     val l = math.max((oversample * k).toInt, 1)
     // normalized working set, materialized once (scanned every round)
     val normE = sqrt(aggregate(col(vecCol), lit(0.0d),

@@ -126,12 +126,14 @@ final case class ViewProvider(
       else Seq(array().cast(revArrayType(ev)).as(revName),
         array().cast(ArrayType(IntegerType)).as(s"${revName}Del"))
     } else {
-      // mirror edgeIds remap with the same `id * |members| + memberIdx`
-      // scheme as the forward adjacency: several members may sink to the
-      // same table, and a backward path walk keys edge-disjointness on
-      // the holder's (node, edgeId) — raw positional ids would collide
-      // across members. Tombstones pre-filter per member on the ORIGINAL
-      // ids before the remap.
+      // mirror edgeIds AND srcEdgeIds remap with the same
+      // `id * |members| + memberIdx` scheme as the forward adjacency:
+      // several members may sink to the same table (edgeId collisions
+      // would break backward edge-disjointness), and srcEdgeId is what a
+      // reversed MATCH reports as the edge's id — it must equal the
+      // remapped id the forward direction reports for the same physical
+      // edge. Tombstones pre-filter per member on the ORIGINAL ids
+      // before the remap.
       val nMembers = ev.members.size
       val parts = contributing.map { case ((m, me), mi) =>
         val ed = base.schema.table(m).edge(me)
@@ -145,7 +147,7 @@ final case class ViewProvider(
           x => struct(
             (Seq(x.getField("sink").as("sink"),
               (x.getField("edgeId") * nMembers + mi).as("edgeId"),
-              x.getField("srcEdgeId").as("srcEdgeId")) ++
+              (x.getField("srcEdgeId") * nMembers + mi).as("srcEdgeId")) ++
               attrs.map { case (a, dt, src) =>
                 src.map(c => x.getField(c).cast(dt))
                   .getOrElse(lit(null).cast(dt)).as(a)

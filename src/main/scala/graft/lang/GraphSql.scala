@@ -316,7 +316,12 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       case _ =>
         val userViews = nodeViewsReg.values.toSeq
         val nvs =
-          if (nodeViewsReg.contains(GraphSession.GlobalViewName)) userViews
+          // no implicit view over an EMPTY schema: registerTables() maps
+          // every schema table through nodeTable, and a member-less
+          // union has nothing to union (fresh catalogs must still run
+          // procs/DDL before their first CREATE NODE TABLE)
+          if (nodeViewsReg.contains(GraphSession.GlobalViewName) ||
+              baseSchema.tables.isEmpty) userViews
           else userViews :+ graft.graph.NodeViewDef(
             GraphSession.GlobalViewName, baseSchema.tables.map(_.name), Nil)
         val p = graft.graph.ViewProvider(provider, nvs,

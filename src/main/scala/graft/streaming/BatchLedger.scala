@@ -91,7 +91,10 @@ final class BatchLedger(spark: SparkSession, ledgerRoot: String,
       val staged = new HPath(stagingFor(batchId, dirS))
       val f = fs(staged)
       if (f.exists(staged)) {
-        val base = staged.toUri.getPath
+        // qualify the base the same way listFiles qualifies its results,
+        // or a RELATIVE ledger root would make stripPrefix a no-op and
+        // publish files into a junk nested dir inside the live index
+        val base = f.makeQualified(staged).toUri.getPath
         val it = f.listFiles(staged, true)
         while (it.hasNext) {
           val st = it.next()

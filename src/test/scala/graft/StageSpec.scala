@@ -74,7 +74,8 @@ class StageSpec extends SparkSpec {
       // files must survive clean() because this plan re-reads them
       val staged = Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v").stageBoundary
       val dependent = staged.filter(col("v") > 10).agg(sum("v"))
-      Stage.clean(spark)
+      // age guard disarmed: this temp dir is exclusively ours
+      Stage.clean(spark, olderThanMs = 0)
       assert(!new java.io.File(tmp, "run-dead-cafe").exists(),
         "foreign run dir not reclaimed")
       assert(new java.io.File(tmp, Stage.runId).exists(),

@@ -365,6 +365,17 @@ class GraphDdlSpec extends SparkSpec {
       .select("v").collect().map(_.getInt(0)).toSeq == Seq(10, 99))
   }
 
+  /** A fresh catalog has zero tables; statement paths that register
+    * temp views (proc scalar evaluation) must not trip over the
+    * implicit GlobalNodeView, which has no members to union yet.
+    */
+  test("procs evaluate on a fresh empty catalog") {
+    val dir = Files.createTempDirectory("graft_empty").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("CREATE PROCEDURE P AS BEGIN DECLARE @x INT = 1; SELECT @x AS v END")
+    assert(gs.sql("EXEC P").head().getInt(0) == 1)
+  }
+
   /** The bucketed layout must survive the Hadoop-FS swap under an
     * explicit scheme too: external bucketed registration, DML rewrite,
     * and reload all against a `file:`-scheme location.

@@ -555,7 +555,7 @@ class PipelineExtSpec extends SparkSpec {
     // within one video every frame shares the dHash (same striped
     // pattern per frame), and phases give 4 distinct hashes
     val hashes = Multimodal.videoFrameHashes(rows.take(8).toDS())
-      .collect().filter(_.dhash != -1L)
+      .collect().filter(_.frameIdx >= 0)
     assert(hashes.groupBy(_.id).forall(_._2.map(_.dhash).distinct.size == 1))
     assert(hashes.map(_.dhash).distinct.length == 4)
   }

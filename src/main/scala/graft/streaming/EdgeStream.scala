@@ -41,6 +41,15 @@ object EdgeStream {
     * two-sided consistency the batch DML path maintains. For
     * self-referencing edges pass the SAME accessors for both sides;
     * the updates fold sequentially like the bulk-load path.
+    *
+    * DELIVERY CONTRACT: at-least-once. The mutation is a whole-table
+    * swap through the caller's `setTable`, so a micro-batch whose epoch
+    * fails AFTER the swap re-applies on replay and duplicates its edges
+    * — unlike [[curatedDocs]]/[[nearDedupedDocs]], there is no
+    * per-batch file provenance to strip (the swap rewrites the table).
+    * Exactly-once upserts need a transactional table format underneath
+    * (the Delta/Iceberg analogue the catalog docs name), where the
+    * batchId rides the commit (`txnAppId`/`txnVersion`).
     */
   def edgeUpserts(
       events: DataFrame,

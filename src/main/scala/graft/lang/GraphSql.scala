@@ -1064,8 +1064,8 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     * any user LIMIT instead of emitting invalid `LIMIT x LIMIT n`);
     * `n PERCENT` resolves the cutoff against the tail's row count;
     * `WITH TIES` keeps every row tying with the cutoff rank of the
-    * ORDER BY keys (the same global-sort shape the ordered tail already
-    * pays — rank piggybacks on it).
+    * ORDER BY keys — via the distributed cutoff-key shape
+    * ([[graft.ext.TiesCutoff]]), never a single-partition rank window.
     */
   private def applyTop(t: GraphSql.TopSpec, sel: String, view: String,
       restRw: String): DataFrame = {
@@ -1093,30 +1093,30 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
             else (s0, false)
           }
         }
-        val W = org.apache.spark.sql.expressions.Window
-        val orderCols = items.map { case (e, desc) =>
-          if (desc) expr(e).desc else expr(e).asc
-        }
-        // rank over the projected result when the keys resolve there
-        // (ORDER BY on projection aliases); else rank inside the view
-        // via hidden key columns (ORDER BY on unprojected pattern cols)
+        // cutoff keys over the projected result when they resolve there
+        // (ORDER BY on projection aliases); else via hidden key columns
+        // inside the view (ORDER BY on unprojected pattern cols)
         try {
-          base.withColumn("__rk", rank().over(W.orderBy(orderCols: _*)))
-            .filter(col("__rk") <= k)
+          val keys = items.map { case (e, desc) => (expr(e), desc) }
+          val orderCols = items.map { case (e, desc) =>
+            if (desc) expr(e).desc else expr(e).asc
+          }
+          graft.ext.TiesCutoff.topWithTies(base, keys, k)
             .orderBy(orderCols: _*)
-            .drop("__rk")
         } catch { case _: org.apache.spark.sql.AnalysisException =>
           val obHidden = items.zipWithIndex
             .map { case ((e, _), i) => s"($e) AS __ob_$i" }.mkString(", ")
           val coreNoOb = obRe.replaceFirstIn(core, "").trim
+          val hiddenKeys = items.zipWithIndex.map { case ((_, desc), i) =>
+            (col(s"__ob_$i"), desc)
+          }
           val hiddenCols = items.zipWithIndex.map { case ((_, desc), i) =>
             if (desc) col(s"__ob_$i").desc else col(s"__ob_$i").asc
           }
-          spark.sql(s"SELECT $sel, $obHidden FROM $view $coreNoOb")
-            .withColumn("__rk", rank().over(W.orderBy(hiddenCols: _*)))
-            .filter(col("__rk") <= k)
+          val widened = spark.sql(s"SELECT $sel, $obHidden FROM $view $coreNoOb")
+          graft.ext.TiesCutoff.topWithTies(widened, hiddenKeys, k)
             .orderBy(hiddenCols: _*)
-            .drop(items.indices.map(i => s"__ob_$i") :+ "__rk": _*)
+            .drop(items.indices.map(i => s"__ob_$i"): _*)
         }
       }
     userLimit.fold(topped)(m => topped.limit(m))

@@ -205,17 +205,16 @@ object Relational {
         .limit(10)
     },
 
-    // §2.7 TOP n WITH TIES ≡ RANK() <= n
+    // §2.7 TOP n WITH TIES ≡ RANK() <= n — cutoff-key shape (TakeOrdered
+    // for the k-th key, then filter), no single-partition window
     "q_top_ties" -> QueryDef(
       """SELECT c_custkey, c_acctbal FROM (
         |  SELECT c_custkey, c_acctbal,
         |         RANK() OVER (ORDER BY c_acctbal DESC) AS rk
         |  FROM customer) t
         |WHERE rk <= 10 ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      Tables.load(s, d, "customer")
-        .withColumn("rk", rank().over(Window.orderBy(col("c_acctbal").desc)))
-        .filter(col("rk") <= 10)
-        .select("c_custkey", "c_acctbal")
+      val c = Tables.load(s, d, "customer").select("c_custkey", "c_acctbal")
+      graft.ext.TiesCutoff.topWithTies(c, Seq((col("c_acctbal"), true)), 10)
         .orderBy("c_custkey")
     },
 
@@ -519,7 +518,9 @@ object Relational {
             col("__exact") * 0.05).as("approx_ok"))
     },
 
-    // §2.7 TOP n PERCENT (rank against the window-counted total)
+    // §2.7 TOP n PERCENT — ROW_NUMBER over the total order (acctbal DESC,
+    // custkey) <= ceil(n%) IS the ordered top-k, so count + TakeOrdered
+    // replaces the unpartitioned COUNT(*)/ROW_NUMBER() windows
     "q_top_percent" -> QueryDef(
       """WITH t AS (SELECT c_custkey, c_acctbal,
         |             ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
@@ -527,13 +528,10 @@ object Relational {
         |           FROM customer)
         |SELECT c_custkey, c_acctbal FROM t
         |WHERE rn <= CEIL(n * 0.01) ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      Tables.registerAll(s, d)
-      s.sql("""WITH t AS (SELECT c_custkey, c_acctbal,
-              |             ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
-              |             COUNT(*) OVER () AS n
-              |           FROM customer)
-              |SELECT c_custkey, c_acctbal FROM t
-              |WHERE rn <= CEIL(n * 0.01) ORDER BY c_custkey""".stripMargin)
+      val c = Tables.load(s, d, "customer").select("c_custkey", "c_acctbal")
+      val k = math.ceil(c.count() * 0.01).toInt
+      c.orderBy(col("c_acctbal").desc, col("c_custkey")).limit(k)
+        .orderBy("c_custkey")
     },
 
     // §2.7 INTERSECT ALL (bag semantics)

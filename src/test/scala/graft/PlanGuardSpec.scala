@@ -49,4 +49,23 @@ class PlanGuardSpec extends SparkSpec {
           "fingerprint in the same commit")
     }
   }
+
+  // The TOP family uses the cutoff-key shape (ordered TakeOrdered for
+  // the k-th key, then a distributed filter) precisely so that no query
+  // funnels every row through one task: a rank()/COUNT(*) window with no
+  // PARTITION BY plans an `Exchange SinglePartition` — fine at sf0.1,
+  // catastrophic at 100×. Pin its absence.
+  private val noSinglePartition =
+    Seq("q_top_k", "q_top_percent", "q_top_ties",
+      "q_sql_top_percent", "q_sql_top_ties")
+
+  noSinglePartition.foreach { q =>
+    test(s"no single-partition exchange: $q") {
+      val plan = SparkEntry.defs(q).run(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q plans an Exchange SinglePartition — the TOP family must " +
+          "keep the distributed cutoff-key shape (graft.ext.TiesCutoff)")
+    }
+  }
 }

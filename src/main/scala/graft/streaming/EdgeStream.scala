@@ -42,14 +42,19 @@ object EdgeStream {
     * self-referencing edges pass the SAME accessors for both sides;
     * the updates fold sequentially like the bulk-load path.
     *
-    * DELIVERY CONTRACT: at-least-once. The mutation is a whole-table
-    * swap through the caller's `setTable`, so a micro-batch whose epoch
-    * fails AFTER the swap re-applies on replay and duplicates its edges
-    * — unlike [[curatedDocs]]/[[nearDedupedDocs]], there is no
-    * per-batch file provenance to strip (the swap rewrites the table).
-    * Exactly-once upserts need a transactional table format underneath
-    * (the Delta/Iceberg analogue the catalog docs name), where the
-    * batchId rides the commit (`txnAppId`/`txnVersion`).
+    * DELIVERY CONTRACT: effectively-once when `ledgerDir` is given. The
+    * mutation is a whole-table swap through the caller's `setTable`, so
+    * a replayed micro-batch would re-apply and duplicate its edges; a
+    * [[BatchLedger]] marker beside the table (committed after the swap
+    * sequence, checked before it) makes a batch whose PREVIOUS attempt
+    * committed skip entirely — the `edgeUpserts` face of the same
+    * protection [[curatedDocs]]/[[nearDedupedDocs]] already carry. The
+    * residual window is a crash BETWEEN the swap and the marker write
+    * (the swap rewrites the table, so there is no per-batch file
+    * provenance to strip on replay); closing it needs a transactional
+    * table format underneath (the Delta/Iceberg analogue the catalog
+    * docs name), where the batchId rides the commit
+    * (`txnAppId`/`txnVersion`). Without `ledgerDir`: at-least-once.
     */
   def edgeUpserts(
       events: DataFrame,
@@ -58,25 +63,43 @@ object EdgeStream {
       setTable: DataFrame => Unit,
       toPairs: DataFrame => DataFrame,
       getSink: Option[() => DataFrame] = None,
-      setSink: Option[DataFrame => Unit] = None): DataStreamWriter[Row] =
+      setSink: Option[DataFrame => Unit] = None,
+      ledgerDir: Option[String] = None): DataStreamWriter[Row] =
     events.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pairs = toPairs(batch).stageBoundary
-        if (!pairs.isEmpty) {
-          val pre = getTable()
-          // forward edgeIds assigned by this batch's insert, numbered
-          // against the pre-insert table — the sink mirror's srcEdgeId
-          val numbered = GraphDml.numberNewEdges(pre, edge, pairs)
-            .stageBoundary
-          setTable(GraphDml.insertEdges(pre, edge, pairs)
-            .stageBoundary)
-          for (g <- getSink; s <- setSink) {
-            s(GraphDml.insertEdgesSinkSide(g(), edge, numbered)
-              .stageBoundary)
-          }
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, batchId, edge, getTable, setTable, toPairs,
+          getSink, setSink, ledgerDir)
       }
+
+  /** one `edgeUpserts` micro-batch (extracted so the replay matrix can
+    * drive it with a pinned batchId) */
+  private[streaming] def upsertBatch(
+      batch: DataFrame, batchId: Long, edge: EdgeDef,
+      getTable: () => DataFrame, setTable: DataFrame => Unit,
+      toPairs: DataFrame => DataFrame,
+      getSink: Option[() => DataFrame],
+      setSink: Option[DataFrame => Unit],
+      ledgerDir: Option[String]): Unit = {
+    val ledger = ledgerDir.map(d =>
+      new BatchLedger(batch.sparkSession, d, Nil))
+    if (ledger.exists(_.applied(batchId))) return
+    val pairs = toPairs(batch).stageBoundary
+    if (!pairs.isEmpty) {
+      val pre = getTable()
+      // forward edgeIds assigned by this batch's insert, numbered
+      // against the pre-insert table — the sink mirror's srcEdgeId
+      val numbered = GraphDml.numberNewEdges(pre, edge, pairs)
+        .stageBoundary
+      setTable(GraphDml.insertEdges(pre, edge, pairs)
+        .stageBoundary)
+      for (g <- getSink; s <- setSink) {
+        s(GraphDml.insertEdgesSinkSide(g(), edge, numbered)
+          .stageBoundary)
+      }
+    }
+    ledger.foreach(_.commit(batchId))
+  }
 
   /** watermarked tumbling-window counts per user over an event stream */
   def windowedEventCounts(events: DataFrame, tsCol: String,

@@ -214,6 +214,14 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     replaceTable(td.copy(edges = td.edges.filterNot(_.name == edgeName)))
     rewrite(table, provider.nodeTable(table)
       .drop(e.columnName, e.delColumnName, e.outDegreeColumnName))
+    dropSinkMirror(e)
+    persistMeta()
+  }
+
+  /** remove one edge's reversed mirror from its sink table and recompute
+    * the sink's InDegree from the remaining mirrors
+    */
+  private def dropSinkMirror(e: EdgeDef): Unit = {
     val sink = provider.nodeTable(e.sinkTable)
     if (sink.columns.contains(e.reversedColumnName)) {
       val dropped = sink.drop(e.reversedColumnName, e.reversedDelColumnName)
@@ -230,7 +238,37 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
       rewrite(e.sinkTable,
         dropped.withColumn("InDegree", inDeg.cast(IntegerType)))
     }
+  }
+
+  /** DROP NODE TABLE — the reference's
+    * `GraphViewConnection.DropNodeTable` (`GraphViewConnection.cs:1496`):
+    * refuses while another table's edges still sink here (the
+    * reference's dependency guard on the teardown path,
+    * `GraphViewConnection.cs:520`), tears down the reversed-adjacency
+    * columns this table's own edges induced on OTHER tables (the
+    * function/assembly cleanup analogue, `GraphViewConnection.cs:1428`),
+    * then removes the physical table, its session-catalog registration
+    * and the schema entry. View-dependency guards live one layer up in
+    * the dialect, where the view registry is.
+    */
+  def dropNodeTable(name: String): Unit = {
+    val td = schema.table(name)
+    val inbound = schema.tables.filter(_.name != name)
+      .flatMap(t => t.edges.filter(_.sinkTable == name)
+        .map(e => s"${t.name}.${e.name}"))
+    require(inbound.isEmpty,
+      s"cannot drop node table $name: edges still sink here " +
+        s"(${inbound.mkString(", ")}) — drop those edges first")
+    td.edges.filter(e => e.sinkTable != name && schema.hasTable(e.sinkTable))
+      .foreach(dropSinkMirror)
+    schema = GraphSchema(schema.tables.filterNot(_.name == name))
+    propertyTypes -= name
     persistMeta()
+    val p = new HPath(tablePath(name))
+    fsOf(p).delete(p, true)
+    buckets.foreach(_ =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(name)}"))
+    cache.remove(name)
   }
 
   private def emptyPairs(e: EdgeDef): DataFrame = {

@@ -89,6 +89,18 @@ object GraphDdl {
   private val AlterDropEdgeRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+EDGE\s+(\w+)\s*$""".r
 
+  private val DropNodeTableRe =
+    """(?is)^\s*DROP\s+NODE\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*$""".r
+
+  /** `DROP NODE TABLE [IF EXISTS] T` → (ifExists, table) — the
+    * reference's `GraphViewConnection.DropNodeTable`
+    * (`GraphViewConnection.cs:1496`)
+    */
+  def parseDropNodeTable(sql: String): Option[(Boolean, String)] = sql match {
+    case DropNodeTableRe(ifex, name) => Some((ifex != null, name))
+    case _ => None
+  }
+
   def parseAlter(sql: String): Option[AlterStmt] = sql match {
     case AlterAddEdgeRe(t, e, sink, attrs) =>
       val as = Option(attrs).toSeq.flatMap(splitTopLevel).map { a =>

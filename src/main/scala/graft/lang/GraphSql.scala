@@ -566,21 +566,24 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       invalidateViews()
       affected(0)
     case ViewDdl.CreateEdgeViewRe(viewTable, name, body) =>
-      // an edge view may attach to the implicit GlobalNodeView: the
-      // schema-wide view materializes into the registry on first use
-      // (members = the CURRENT table set, like the reference's
-      // UpdateGlobalNodeView refresh at view DDL time, View.cs:2046)
-      if (viewTable == GraphSession.GlobalViewName &&
-          !nodeViewsReg.contains(viewTable)) {
-        nodeViewsReg(viewTable) = graft.graph.NodeViewDef(
-          GraphSession.GlobalViewName,
-          provider.schema.tables.map(_.name), Nil)
-        persistViews()
-      }
-      require(nodeViewsReg.contains(viewTable),
+      // An edge view may attach to the implicit GlobalNodeView WITHOUT
+      // materializing it into the registry: the overlay keeps deriving
+      // the view's members from the live schema, so node tables created
+      // after this DDL still join it — the reference refreshes the
+      // global view at every table create/drop (UpdateGlobalNodeView,
+      // View.cs:2046), and a frozen member snapshot would diverge.
+      val implicitGlobal = viewTable == GraphSession.GlobalViewName &&
+        !nodeViewsReg.contains(viewTable)
+      require(implicitGlobal || nodeViewsReg.contains(viewTable),
         s"edge view $viewTable.$name: no node view named $viewTable")
+      val resolveViews =
+        if (implicitGlobal)
+          nodeViewsReg.values.toSeq :+ graft.graph.NodeViewDef(
+            GraphSession.GlobalViewName,
+            provider.schema.tables.map(_.name), Nil)
+        else nodeViewsReg.values.toSeq
       val ev = ViewDdl.edgeView(viewTable, name, body, provider.schema,
-        nodeViewsReg.values.toSeq)
+        resolveViews)
       edgeViewsReg((viewTable, name)) = ev // explicit wins over a default
       persistViews()
       invalidateViews()
@@ -609,6 +612,30 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       val cat = requireCatalog()
       val (td, props) = graft.ddl.GraphDdl.parseCreateNodeTable(query, cat.nextTableId)
       cat.createNodeTable(td, props)
+      affected(0)
+    case _ if graft.ddl.GraphDdl.parseDropNodeTable(query).isDefined =>
+      val cat = requireCatalog()
+      val (ifExists, name) = graft.ddl.GraphDdl.parseDropNodeTable(query).get
+      if (!cat.schema.hasTable(name)) {
+        require(ifExists, s"no node table named $name")
+      } else {
+        // the reference refuses to drop a table a view still references
+        // (dependency checks on the DropNodeTable path); the implicit
+        // GlobalNodeView derives from the live schema, so it never
+        // blocks a drop
+        val viewRefs =
+          nodeViewsReg.values.filter(_.members.contains(name)).map(_.name) ++
+            edgeViewsReg.values.collect {
+              case ev if ev.members.exists(_._1 == name) ||
+                  ev.sinkTable == name => s"${ev.viewTable}.${ev.name}"
+            }
+        require(viewRefs.isEmpty,
+          s"cannot drop node table $name: referenced by views " +
+            s"(${viewRefs.mkString(", ")}) — drop those views first")
+        cat.dropNodeTable(name)
+        spark.catalog.dropTempView(name)
+        invalidateViews()
+      }
       affected(0)
     case _ if graft.ddl.GraphDdl.parseAlter(query).isDefined =>
       val cat = requireCatalog()

@@ -161,6 +161,44 @@ object SqlQueries {
           |ORDER BY custkey""".stripMargin)
     },
 
+    // DROP NODE TABLE through the dialect
+    // (GraphViewConnection.DropNodeTable, GraphViewConnection.cs:1496):
+    // a scratch catalog loads region/nation, the nation table drops —
+    // tearing down the reversed mirror + InDegree it induced on the
+    // region table — and recreates empty. The oracle replays the pre-
+    // drop InDegree from the flat tables; post-drop is the torn-down 0.
+    "q_sql_drop_table" -> QueryDef(
+      """SELECT r_name AS rname,
+        |  CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS INTEGER) AS pre_in,
+        |  0 AS post_in
+        |FROM region ORDER BY rname""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      // scratch catalog per invocation (driver-side temp dir, same class
+      // of use as the bench harness's): the query owns its lifecycle and
+      // deletes it after materializing the 5-row result
+      val dir = java.nio.file.Files.createTempDirectory("graft_drop_q").toString
+      val gs = new GraphSession(s, new graft.ddl.GraphCatalog(s, dir))
+      graft.Tables.registerAll(s, d)
+      gs.sql("CREATE NODE TABLE Region2 (rk INT NODEID, rname STRING)")
+      gs.sql("CREATE NODE TABLE Nation2 (nk INT NODEID, nname STRING, EDGE inRegion TO Region2)")
+      gs.sql("INSERT NODE INTO Region2 SELECT r_regionkey AS rk, r_name AS rname FROM region")
+      gs.sql("INSERT NODE INTO Nation2 SELECT n_nationkey AS nk, n_name AS nname FROM nation")
+      gs.sql("INSERT EDGE INTO Nation2.inRegion SELECT n_nationkey, n_regionkey FROM nation")
+      val pre = gs.catalog.get.provider.nodeTable("Region2")
+        .select(col("rname"), col("InDegree").as("pre_in"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+      gs.sql("DROP NODE TABLE Nation2")
+      gs.sql("CREATE NODE TABLE Nation2 (nk INT NODEID, nname STRING, EDGE inRegion TO Region2)")
+      val rows = gs.catalog.get.provider.nodeTable("Region2")
+        .select(col("rname"), col("InDegree").as("post_in"))
+        .collect().map(r => (r.getString(0), pre(r.getString(0)), r.getInt(1)))
+        .sortBy(_._1).toSeq
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      rows.toDF("rname", "pre_in", "post_in")
+    },
+
     // T-SQL OFFSET ... FETCH through the dialect: normalized to Spark's
     // LIMIT/OFFSET ordering and pushed through the delegated tail
     "q_sql_offset_fetch" -> QueryDef(

@@ -500,4 +500,91 @@ class GraphDdlSpec extends SparkSpec {
     assert(!reloaded.provider.nodeTable("People").columns.contains("age"))
     assert(reloaded.schema.table("People").edges.map(_.name) == Seq("Knows"))
   }
+
+  /** DROP NODE TABLE (`GraphViewConnection.cs:1496`): dependency guards
+    * (inbound edges, views), cross-table reversed-column teardown
+    * (`GraphViewConnection.cs:520`, `:1428`), recreate-after-drop, and
+    * persistence across a catalog reload.
+    */
+  test("DROP NODE TABLE: guards, reversed teardown, recreate, reload") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_droptbl").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("CREATE NODE TABLE Place (id INT NODEID, pname STRING)")
+    gs.sql("""CREATE NODE TABLE City (
+             |  id INT NODEID, cname STRING, EDGE inPlace TO Place)""".stripMargin)
+    gs.sql("INSERT NODE INTO Place SELECT * FROM VALUES (1,'north'),(2,'south') AS t(id,pname)")
+    gs.sql("INSERT NODE INTO City SELECT * FROM VALUES (10,'oslo'),(11,'cairo') AS t(id,cname)")
+    gs.sql("INSERT EDGE INTO City.inPlace SELECT c.id, p.id FROM City c, Place p WHERE c.id = 10 AND p.id = 1")
+    gs.sql("INSERT EDGE INTO City.inPlace SELECT c.id, p.id FROM City c, Place p WHERE c.id = 11 AND p.id = 1")
+
+    // City's edge induced a reversed mirror + InDegree on Place
+    val place = gs.catalog.get.provider.nodeTable("Place")
+    assert(place.columns.contains("City_inPlaceReversed"))
+    assert(place.filter(col("pname") === "north")
+      .select("InDegree").head().getInt(0) == 2)
+
+    // guard: City's edges sink at Place → Place cannot drop
+    intercept[IllegalArgumentException] { gs.sql("DROP NODE TABLE Place") }
+    // guard: a view referencing City blocks its drop until the view goes
+    gs.sql("CREATE NODE VIEW CityView AS SELECT cname AS vname FROM City")
+    intercept[IllegalArgumentException] { gs.sql("DROP NODE TABLE City") }
+    gs.sql("DROP NODE VIEW CityView")
+
+    // drop City: table gone, Place loses the mirror, InDegree recomputed
+    gs.sql("DROP NODE TABLE City")
+    assert(!gs.catalog.get.schema.hasTable("City"))
+    val placeAfter = gs.catalog.get.provider.nodeTable("Place")
+    assert(!placeAfter.columns.contains("City_inPlaceReversed"))
+    assert(placeAfter.select("InDegree").collect()
+      .map(_.getInt(0)).toSet == Set(0))
+
+    // IF EXISTS tolerates a missing table; the plain form refuses
+    gs.sql("DROP NODE TABLE IF EXISTS City")
+    intercept[IllegalArgumentException] { gs.sql("DROP NODE TABLE City") }
+
+    // recreate under the same name: empty, and the edge re-induces the
+    // reversed mirror on Place (same upkeep as the original create)
+    gs.sql("CREATE NODE TABLE City (id INT NODEID, cname STRING, EDGE inPlace TO Place)")
+    assert(gs.catalog.get.provider.nodeTable("City").count() == 0)
+    assert(gs.catalog.get.provider.nodeTable("Place")
+      .columns.contains("City_inPlaceReversed"))
+
+    // reload: drop + recreate persisted
+    val reloaded = new GraphCatalog(spark, dir)
+    assert(reloaded.schema.hasTable("City"))
+    assert(reloaded.provider.nodeTable("City").count() == 0)
+    assert(reloaded.provider.nodeTable("Place")
+      .filter(col("pname") === "north").select("InDegree").head().getInt(0) == 0)
+  }
+
+  /** The implicit GlobalNodeView must keep deriving from the LIVE
+    * schema even after an edge view attaches to it — the reference
+    * refreshes the global view at every table create/drop
+    * (UpdateGlobalNodeView call sites in GraphViewConnection.cs).
+    */
+  test("GlobalNodeView tracks table DDL after an edge-view attach") {
+    val dir = Files.createTempDirectory("graft_gview").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    gs.sql("CREATE NODE TABLE Food (id INT NODEID, fname STRING)")
+    gs.sql("CREATE NODE TABLE Cat (id INT NODEID, cname STRING, EDGE likes TO Food)")
+    gs.sql("INSERT NODE INTO Food SELECT * FROM VALUES (1,'fish') AS t(id,fname)")
+    gs.sql("INSERT NODE INTO Cat SELECT * FROM VALUES (1,'tom') AS t(id,cname)")
+    gs.sql("INSERT EDGE INTO Cat.likes SELECT c.id, f.id FROM Cat c, Food f")
+    gs.sql("CREATE EDGE VIEW GlobalNodeView.eats AS SELECT NULL FROM Cat.likes")
+    def globalCount(): Long =
+      gs.sql("SELECT COUNT(*) AS n FROM GlobalNodeView").head().getLong(0)
+    assert(globalCount() == 2)
+    // a table created AFTER the attach still joins the global view
+    gs.sql("CREATE NODE TABLE Dog (id INT NODEID, dname STRING)")
+    gs.sql("INSERT NODE INTO Dog SELECT * FROM VALUES (1,'rex'),(2,'lassie') AS t(id,dname)")
+    assert(globalCount() == 4)
+    // the attached edge view still matches through the refreshed view
+    assert(gs.sql(
+      """SELECT f.fname AS f FROM GlobalNodeView g, Food f
+        |MATCH g-[eats]->f""".stripMargin).count() == 1)
+    // and a drop narrows it again
+    gs.sql("DROP NODE TABLE Dog")
+    assert(globalCount() == 2)
+  }
 }

@@ -347,8 +347,9 @@ class ViewSqlSpec extends SparkSpec {
         |GROUP BY g._NodeType ORDER BY t""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(counts.toSeq == Seq(("Cat", 2L), ("Dog", 2L), ("Food", 3L)))
-    // an edge view may attach to it (the implicit view materializes
-    // into the registry on first use) — and then it is a MATCH endpoint
+    // an edge view may attach to it (the implicit view stays DERIVED
+    // from the live schema — never frozen into the registry) — and
+    // then it is a MATCH endpoint
     gs.sql(
       """CREATE EDGE VIEW GlobalNodeView.locs AS
         |  SELECT NULL FROM Cat.likes

@@ -59,6 +59,15 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
 
   private val metaJson: Option[String] = readMeta()
 
+  // refuse a meta written by a newer library instead of misreading it
+  metaJson.foreach { j =>
+    val v = CatalogJson.readVersion(j)
+    require(v <= CatalogJson.CurrentVersion,
+      s"graph_meta.json at $dir is layout version $v, but this library " +
+        s"supports up to ${CatalogJson.CurrentVersion} — use a newer " +
+        "library version or migrate the catalog")
+  }
+
   var schema: GraphSchema =
     metaJson.map(CatalogJson.read).getOrElse(GraphSchema(Nil))
 
@@ -468,7 +477,8 @@ object CatalogJson {
               }))
         }.toList))
     }
-    val fields = ("tables" -> (JArray(tables.toList): JValue)) ::
+    val fields = ("version" -> (JInt(CurrentVersion): JValue)) ::
+      ("tables" -> (JArray(tables.toList): JValue)) ::
       buckets.map(n => "buckets" -> (JInt(n): JValue)).toList :::
       (if (nodeViews.isEmpty) Nil
        else List("nodeViews" -> (JArray(nvs.toList): JValue))) :::
@@ -516,6 +526,20 @@ object CatalogJson {
     JsonMethods.parse(json) \ "buckets" match {
       case JInt(n) => Some(n.toInt)
       case _ => None
+    }
+
+  /** Meta layout version (the reference versions its meta tables and
+    * ships `UpgradeMetaTableV100.sql`-style migrations). Bump on any
+    * layout change; a catalog written by a NEWER library refuses to
+    * load instead of silently misreading. Metas written before
+    * versioning carry no field and read as version 1 (same layout).
+    */
+  val CurrentVersion = 1
+
+  def readVersion(json: String): Int =
+    JsonMethods.parse(json) \ "version" match {
+      case JInt(n) => n.toInt
+      case _ => 1
     }
 
   def read(json: String): GraphSchema = {

@@ -558,6 +558,42 @@ class GraphDdlSpec extends SparkSpec {
       .filter(col("pname") === "north").select("InDegree").head().getInt(0) == 0)
   }
 
+  /** Meta layout versioning: current metas carry `version: 1`, a meta
+    * stamped by a NEWER library refuses to load with a clear message,
+    * and a pre-versioning meta (no field) still loads as version 1.
+    */
+  test("catalog meta version: stamped on write, newer versions refused") {
+    val dir = Files.createTempDirectory("graft_ver").toString
+    val cat = new GraphCatalog(spark, dir)
+    val (td, props) = GraphDdl.parseCreateNodeTable(
+      "CREATE NODE TABLE T (id INT NODEID)", cat.nextTableId)
+    cat.createNodeTable(td, props)
+
+    val metaPath = java.nio.file.Path.of(dir, "graph_meta.json")
+    val meta = Files.readString(metaPath)
+    assert(meta.contains("\"version\" : 1") || meta.contains("\"version\":1"))
+    new GraphCatalog(spark, dir) // reloads fine at the current version
+
+    // the catalog wrote through Hadoop's checksummed local FS — editing
+    // the file directly invalidates the .crc sidecar, so drop it
+    def editMeta(content: String): Unit = {
+      Files.writeString(metaPath, content)
+      Files.deleteIfExists(java.nio.file.Path.of(dir, ".graph_meta.json.crc"))
+    }
+
+    // future layout → refuse with a message naming both versions
+    editMeta(meta.replaceFirst(
+      "\"version\"\\s*:\\s*1", "\"version\" : 99"))
+    val ex = intercept[IllegalArgumentException] {
+      new GraphCatalog(spark, dir)
+    }
+    assert(ex.getMessage.contains("99") && ex.getMessage.contains("1"))
+
+    // pre-versioning meta (field absent) loads as version 1
+    editMeta(meta.replaceFirst("\"version\"\\s*:\\s*1\\s*,", ""))
+    assert(new GraphCatalog(spark, dir).schema.hasTable("T"))
+  }
+
   /** The implicit GlobalNodeView must keep deriving from the LIVE
     * schema even after an edge view attaches to it — the reference
     * refreshes the global view at every table create/drop

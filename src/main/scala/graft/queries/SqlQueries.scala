@@ -362,6 +362,43 @@ object SqlQueries {
           |ORDER BY hops, src, dst""".stripMargin)
     },
 
+    // correlated EXISTS × view var-length paths: the r6 round's two
+    // newest seams composed — the subquery's pattern walks the Place
+    // view's unioned link edges 1..2 hops from the OUTER alias
+    "q_sql_correlated_view" -> QueryDef(
+      """WITH nx AS (
+        |  SELECT n_nationkey AS src,
+        |         COALESCE(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey),
+        |                  MIN(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+        |  FROM nation),
+        |e AS (
+        |  SELECT n.n_name AS src, r.r_name AS dst
+        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  UNION ALL
+        |  SELECT a.n_name, b.n_name
+        |  FROM nx JOIN nation a ON nx.src = a.n_nationkey
+        |          JOIN nation b ON nx.dst = b.n_nationkey)
+        |SELECT DISTINCT src FROM (
+        |  SELECT src, dst FROM e
+        |  UNION ALL SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src)
+        |WHERE dst = 'ASIA' ORDER BY src""".stripMargin) { (s, d) =>
+      val gs = session(s, d)
+      gs.sql("DROP NODE VIEW IF EXISTS Place")
+      gs.sql(
+        """CREATE NODE VIEW Place AS
+          |  SELECT n_name AS pname FROM Nation
+          |  UNION ALL SELECT r_name FROM Region""".stripMargin)
+      gs.sql(
+        """CREATE EDGE VIEW Place.link AS
+          |  SELECT NULL FROM Nation.inRegion
+          |  UNION ALL SELECT NULL FROM Nation.next""".stripMargin)
+      gs.sql(
+        """SELECT x.pname AS src FROM Place x
+          |WHERE EXISTS (SELECT 1 FROM Place y
+          |  MATCH x-[link*1..2]->y WHERE y.pname = 'ASIA')
+          |ORDER BY src""".stripMargin)
+    },
+
     // the implicit schema-wide GlobalNodeView resolves by name in the
     // dialect (View.cs:2046), derived on demand from the live schema
     "q_sql_global_view" -> QueryDef(

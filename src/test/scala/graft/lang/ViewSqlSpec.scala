@@ -320,6 +320,20 @@ class ViewSqlSpec extends SparkSpec {
     assert(got.sorted.toSeq == refWalk(1, 2, nodeDisjoint = false).sorted)
   }
 
+  test("correlated [NOT] EXISTS composes with a view var-length pattern") {
+    val gs = new GraphSession(spark, townProvider)
+    townViews(gs)
+    def q(neg: String): Seq[String] = gs.sql(
+      s"""SELECT x.label AS src FROM Place x
+         |WHERE $neg EXISTS (SELECT 1 FROM Place y
+         |  MATCH x-[link*1..2]->y WHERE y.label = 'c2')
+         |ORDER BY src""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    // reaches c2 within 1..2 hops: t3 (rail), t2 (road then rail)
+    assert(q("") == Seq("t2", "t3"))
+    assert(q("NOT") == Seq("c1", "c2", "t1"))
+  }
+
   test("SELECT p.* over a view var-length path renders PathMessage JSON") {
     val gs = new GraphSession(spark, townProvider)
     townViews(gs)

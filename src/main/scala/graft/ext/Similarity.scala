@@ -381,10 +381,15 @@ object Similarity {
     *      full corpus (spherical: mean + re-normalize; empty cells keep
     *      their centroid).
     *
-    * Driver memory is bounded by the candidate sketch (≈ rounds·l
-    * vectors) and the k×dim centroid matrix — never by the corpus.
-    * Distances are spherical (cosine on normalized vectors), matching
-    * [[assignCells]]. Deterministic for a fixed (seed, corpus).
+    * Driver memory: below l ≤ 2048 candidate draws per round the sketch
+    * (≈ rounds·l vectors) collects to the driver and distances compile
+    * as literal expressions (fastest at small k); above it the trainer
+    * switches to [[trainKMeansParallelDistributed]], where candidates
+    * stay in staged DataFrames, a composable-coreset reduction shrinks
+    * the sketch to Θ(k) distributedly, and the driver holds only the
+    * reduced reps + the k×dim result — lifting the former 65k-cell
+    * ceiling. Distances are spherical (cosine on normalized vectors),
+    * matching [[assignCells]]. Deterministic for a fixed (seed, corpus).
     */
   def trainCentroidsKMeansParallel(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, rounds: Int = 3, oversample: Double = 2.0,
@@ -405,6 +410,16 @@ object Similarity {
       transform(col(vecCol),
         x => x.cast(DoubleType) / greatest(normE, lit(1e-12))).as("__v"))
       .stageBoundary
+
+    // Above the literal-expression regime (l candidate literals per
+    // round stop codegen-ing and the accumulated sketch would sit on the
+    // driver — ~4 GB at k=65k/768-dim), switch to the fully distributed
+    // path: candidates live in staged DataFrames, d² updates and
+    // weighting run as broadcast-nested-loop joins, and a composable-
+    // coreset reduction shrinks the sketch to Θ(k) before the only
+    // driver-side step.
+    if (l > LiteralRoundCap)
+      return trainKMeansParallelDistributed(pts, k, rounds, l, lloydIters, seed)
 
     // cosine distance of __v to a literal centroid array: 1 - max dot
     def minDistTo(cands: Seq[Array[Double]]): Column = {
@@ -451,8 +466,13 @@ object Similarity {
       (v, math.max(weights.getOrElse(i, 0L), 1L).toDouble)
     }
 
-    // driver-side weighted k-means++ + Lloyd over the candidate sketch
-    var centroids = weightedKMeans(weighted, math.min(k, weighted.length), seed)
+    // driver-side weighted k-means++ + Lloyd over the candidate sketch;
+    // an undershooting sketch fails fast (same contract as the sampled
+    // trainer) instead of silently returning an undersized quantizer
+    require(weighted.length >= k,
+      s"k-means‖ candidate sketch holds ${weighted.length} vectors < " +
+        s"k=$k — increase rounds and/or oversample")
+    var centroids = weightedKMeans(weighted, k, seed)
 
     // optional distributed spherical Lloyd over the full corpus
     (1 to lloydIters).foreach { _ =>
@@ -471,6 +491,209 @@ object Similarity {
     }
     centroids.zipWithIndex
       .map { case (v, i) => i -> v.map(_.toFloat).toSeq }.toSeq
+  }
+
+  /** per-round candidate count beyond which literal-expression distance
+    * updates (and a driver-held sketch) stop being viable
+    */
+  private val LiteralRoundCap = 2048
+
+  /** The large-k regime of [[trainCentroidsKMeansParallel]] (l > 2k
+    * candidate draws per round): everything except the final Θ(k)
+    * re-clustering stays distributed.
+    *
+    *  - candidates accumulate in STAGED DataFrames, never a driver
+    *    array (the r6 ceiling: rounds·8l vectors ≈ 4 GB at 65k cells /
+    *    768-dim);
+    *  - per-round d² updates and the corpus weighting run as
+    *    broadcast-nested-loop joins + min-aggregation (the codegen
+    *    analogue of MLlib's broadcast-and-loop, with map-side partial
+    *    aggregation — one corpus shuffle on `__id` per round);
+    *  - a composable-coreset reduction ([[reduceCandidates]]) shrinks
+    *    the sketch to ~max(2k, 4096) representatives inside
+    *    mapPartitions before anything is collected;
+    *  - the driver then holds only the reduced reps + the k×dim result
+    *    (Θ(k·dim) — the same order as the returned centroids), running
+    *    weighted k-means++ with fewer restarts/iters (the reps are
+    *    already a diverse coreset, and at this k each driver pass is
+    *    O(k²·dim)).
+    */
+  private def trainKMeansParallelDistributed(pts: DataFrame, k: Int,
+      rounds: Int, l: Int, lloydIters: Int, seed: Long): Seq[(Int, Seq[Float])] = {
+    def distCol(v: Column, cv: Column): Column =
+      lit(1.0) - round(cosine(v, cv), 9)
+    // CRITICAL plan constraint: every aggregation over the 10⁹-row
+    // BNLJ stream must stay HashAggregate with map-side combine. Only
+    // primitive columns may cross the agg — min(struct)/first(array)
+    // fall back to SortAggregate, which SORTS (and spills) the entire
+    // joined stream. Argmins therefore encode (rounded dist ≪ 24) | idx
+    // into one long; wide columns join back on __id afterwards.
+    val IdxBits = 24
+    val IdxMask = (1L << IdxBits) - 1
+    def encDist(d: Column, idx: Column): Column =
+      round(d * lit(1e9)).cast(LongType) * lit(1L << IdxBits) + idx
+
+    /** id → min distance to any of `candVec(__cv)` (primitive-only agg) */
+    def minDistTo(candVec: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(candVec))
+        .select(col("__id"), distCol(col("__v"), col("__cv")).as("__d"))
+        .groupBy(col("__id")).agg(min(col("__d")).as("__dn"))
+
+    /** id → index of the nearest of `cands(__ci, __cv)` (encoded argmin;
+      * ties break to the smallest index, deterministically) */
+    def nearestIdx(cands: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(cands))
+        .select(col("__id"),
+          encDist(distCol(col("__v"), col("__cv")), col("__ci")).as("__e"))
+        .groupBy(col("__id")).agg(min(col("__e")).as("__e"))
+        .select(col("__id"),
+          col("__e").bitwiseAND(lit(IdxMask)).cast(IntegerType).as("__ci"))
+
+    val firstPt = pts.orderBy(col("__id")).limit(1)
+    require(!firstPt.isEmpty, "k-means‖: empty corpus")
+    var candsDf = firstPt
+      .select(col("__id").as("__cid"), col("__v").as("__cv")).stageBoundary
+    var cur = pts
+      .join(minDistTo(candsDf.select(col("__cv"))), Seq("__id"))
+      .select(col("__id"), col("__v"),
+        greatest(col("__dn"), lit(0.0)).as("__d2"))
+      .stageBoundary
+
+    (1 to rounds).foreach { r =>
+      val phi = cur.agg(sum(col("__d2"))).head().getDouble(0)
+      if (phi > 0) {
+        val u = pmod(xxhash64(col("__id"), lit(r), lit(seed)), lit(1000000L))
+          .cast(DoubleType) / 1e6
+        val picked = cur
+          .filter(u < lit(l.toDouble) * col("__d2") / lit(phi))
+          .select(col("__id").as("__cid"), col("__v").as("__cv"))
+          .stageBoundary
+        if (!picked.isEmpty) {
+          candsDf = candsDf.union(picked)
+          if (r < rounds)
+            cur = cur
+              .join(minDistTo(picked.select(col("__cv"))), Seq("__id"))
+              .select(col("__id"), col("__v"),
+                greatest(least(col("__d2"), col("__dn")), lit(0.0)).as("__d2"))
+              .stageBoundary
+        }
+      }
+    }
+
+    val sketchSize = candsDf.count()
+    require(sketchSize >= k,
+      s"k-means‖ candidate sketch holds $sketchSize vectors < k=$k — " +
+        "increase rounds and/or oversample")
+    val target = math.min(sketchSize, math.max(2L * k, 4096L)).toInt
+    val repsDf =
+      if (sketchSize <= target) candsDf
+      else reduceCandidates(candsDf, target, seed)
+
+    // the reduced reps are Θ(k·dim) — the same order as the returned
+    // centroid matrix — so they may collect; re-indexed densely from
+    // the driver for the encoded argmin
+    val reps = repsDf.orderBy(col("__cid")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(reps.length >= k,
+      s"k-means‖ reduced sketch holds ${reps.length} vectors < k=$k — " +
+        "increase rounds and/or oversample")
+    require(reps.length <= IdxMask, s"rep count ${reps.length} overflows " +
+      "the encoded-argmin index width")
+    val s2 = pts.sparkSession
+    import s2.implicits._
+    def idxDf(vs: Array[Array[Double]]): DataFrame =
+      vs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toSeq.toDF("__ci", "__cv")
+
+    // corpus-mass weights per representative (Bahmani's weighting pass)
+    val weights = nearestIdx(idxDf(reps))
+      .groupBy(col("__ci")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val weighted = reps.zipWithIndex.map { case (v, i) =>
+      (v, math.max(weights.getOrElse(i, 0L), 1L).toDouble)
+    }
+    var centroids = weightedKMeans(weighted, k, seed, iters = 4, restarts = 2)
+
+    // optional distributed spherical Lloyd over the full corpus — the
+    // k centroids broadcast from the driver (Θ(k·dim), already held)
+    (1 to lloydIters).foreach { _ =>
+      val sums = pts
+        .join(nearestIdx(idxDf(centroids)), Seq("__id"))
+        .select(col("__ci").as("__cell"), posexplode(col("__v")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val dim = centroids.head.length
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        val v = Array.tabulate(dim)(j => sums.getOrElse((c, j), 0.0))
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) old else v.map(_ / n)
+      }
+    }
+    centroids.zipWithIndex
+      .map { case (v, i) => i -> v.map(_.toFloat).toSeq }.toSeq
+  }
+
+  /** Distributed reduction of an oversized candidate sketch to ~target
+    * diverse representatives: hash-partition by candidate id, run
+    * seeded local D²-sampling (k-means++ seeding) inside each partition
+    * via mapPartitions, and union the per-partition picks — the
+    * composable-coreset shape. The driver never materializes the full
+    * sketch; corpus-mass weighting happens downstream against the
+    * reduced set.
+    */
+  private def reduceCandidates(cands: DataFrame, target: Int,
+      seed: Long): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val parts = 32
+    val m = math.max(1, (target + parts - 1) / parts)
+    cands.select(col("__cid").cast(LongType), col("__cv"))
+      .as[(Long, Seq[Double])]
+      .repartition(parts, col("__cid"))
+      .sortWithinPartitions(col("__cid"))
+      .mapPartitions { it =>
+        val pts = it.map { case (id, v) => (id, v.toArray) }.toArray
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val dim = pts(0)._2.length
+          def dot(a: Array[Double], b: Array[Double]): Double = {
+            var s = 0.0; var i = 0
+            while (i < dim) { s += a(i) * b(i); i += 1 }
+            s
+          }
+          def d(a: Array[Double], b: Array[Double]): Double =
+            math.max(0.0, 1.0 - dot(a, b))
+          val n = pts.length
+          val take = math.min(m, n)
+          val rng = new scala.util.Random(seed ^ pts(0)._1)
+          val chosen = new Array[Int](take)
+          chosen(0) = 0
+          val d2 = Array.tabulate(n)(i => d(pts(i)._2, pts(0)._2))
+          var c = 1
+          while (c < take) {
+            val total = d2.sum
+            val pick =
+              if (total <= 0) rng.nextInt(n)
+              else {
+                var r = rng.nextDouble() * total
+                var j = 0
+                while (j < n - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+                j
+              }
+            chosen(c) = pick
+            val cv = pts(pick)._2
+            var j = 0
+            while (j < n) {
+              val nd = d(pts(j)._2, cv)
+              if (nd < d2(j)) d2(j) = nd
+              j += 1
+            }
+            c += 1
+          }
+          chosen.iterator.map(ix => (pts(ix)._1, pts(ix)._2.toSeq))
+        }
+      }.toDF("__cid", "__cv")
   }
 
   /** argmax-cosine assignment of `__v` rows to a literal centroid list
@@ -727,4 +950,5 @@ object Similarity {
       .filter(col("cs") >= minCosine)
       .select("id_a", "id_b", "cs")
   }
+
 }

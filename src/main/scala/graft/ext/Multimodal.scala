@@ -730,18 +730,25 @@ object Multimodal {
     * of frame dHashes (sorted distinct — frame order, repetition and
     * container packaging drop out, so padded / re-encoded / frame-looped
     * variants group together); groups key on that signature with a
-    * min-id keeper — the video face of [[dHashGroups]]. Videos with no
-    * decodable frame are quarantined out. Scale shape: the codec work is
-    * one batched `mapPartitions` pass; the only shuffles are the
-    * per-video set aggregation and the group-by on the tiny signature
+    * min-id keeper — the video face of [[dHashGroups]]. Videos with ANY
+    * undecodable frame (`frameIdx = -1` sentinel) are quarantined out,
+    * not just fully-undecodable ones: a partially-corrupt variant's
+    * subset signature must not group it with clean videos. Scale shape:
+    * the codec work is one batched `mapPartitions` pass; the only
+    * shuffles are the per-video set aggregation (where the sentinel
+    * check rides along as a max) and the group-by on the tiny signature
     * (≤ 8 bytes per distinct frame class).
     */
   def videoFingerprintGroups(ds: Dataset[MediaRow])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     videoFrameHashes(ds).toDF()
-      .filter(col("frameIdx") >= 0) // quarantine key, not the hash value
-      .groupBy("id").agg(sort_array(collect_set(col("dhash"))).as("sig"))
+      .groupBy("id").agg(
+        // collect_set skips nulls, so sentinel rows contribute no hash
+        sort_array(collect_set(when(col("frameIdx") >= 0, col("dhash"))))
+          .as("sig"),
+        max((col("frameIdx") < 0).cast("int")).as("corrupt"))
+      .filter(col("corrupt") === 0) // quarantine key, not the hash value
       .groupBy("sig")
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("keeper"))
   }

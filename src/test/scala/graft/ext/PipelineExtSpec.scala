@@ -560,6 +560,36 @@ class PipelineExtSpec extends SparkSpec {
     assert(hashes.map(_.dhash).distinct.length == 4)
   }
 
+  test("video near-dup: a PARTIALLY corrupt video is quarantined, not " +
+    "grouped via its decodable-subset signature") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    // id 4 is the phase-0 twin of id 0 (2 frames); corrupt the SECOND
+    // 00dc chunk's JPEG payload so one frame still decodes — its subset
+    // signature would equal id 0's, the exact grouping the quarantine
+    // must prevent
+    val partial = Multimodal.syntheticPatternAvi(4L)
+    val tag = "00dc".getBytes("ISO-8859-1")
+    def find(from: Int): Int = partial.indexOfSlice(tag, from)
+    val second = find(find(0) + 1)
+    assert(second > 0, "fixture needs two frame chunks")
+    (0 until 4).foreach(i => partial(second + 8 + i) = 0)
+    val rows = (0L until 8L).map { id =>
+      val b = if (id == 4L) partial else Multimodal.syntheticPatternAvi(id)
+      MediaRow(id, b, "video/x-msvideo")
+    }
+    // id 4 emitted one good frame AND a sentinel → quarantined, so the
+    // phase-0 group keeps only id 0
+    val frames4 = Multimodal.videoFrameHashes(rows.filter(_.id == 4L).toDS())
+      .collect()
+    assert(frames4.exists(_.frameIdx >= 0) && frames4.exists(_.frameIdx < 0))
+    val groups = Multimodal.videoFingerprintGroups(rows.toDS())
+      .select(col("keeper"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(groups.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("real audio decode reads rate, frames, and exact square-wave " +
     "statistics; corrupt payloads quarantine") {
     val s = spark

@@ -49,14 +49,29 @@ object Stage {
           spark.sparkContext.setCheckpointDir(requiredDir(spark) + "/rdd")
         df.checkpoint(true)
       case "parquet" =>
-        val path = s"${requiredDir(spark)}/$runId/" +
-          s"stage-${counter.incrementAndGet()}-" +
+        val ns = s"${requiredDir(spark)}/$runId"
+        val path = s"$ns/stage-${counter.incrementAndGet()}-" +
           java.lang.Long.toHexString(System.nanoTime())
         df.write.parquet(path)
+        touchHeartbeat(spark, ns)
         spark.read.parquet(path)
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be local|reliable|parquet, got $other")
     }
+  }
+
+  /** heartbeat marker inside a run namespace: FILE mtimes are reliable
+    * on object stores (s3a directory mtimes are synthetic/often 0), so
+    * [[clean]] keys its liveness age check on this file, refreshed on
+    * every parquet boundary the run writes
+    */
+  private val HeartbeatName = "_heartbeat"
+
+  private def touchHeartbeat(spark: org.apache.spark.sql.SparkSession,
+      ns: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ns, HeartbeatName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
   }
 
   /** Maintenance: delete other runs' `run-*` stage namespaces under the
@@ -66,7 +81,11 @@ object Stage {
     * reclaimed when older than `olderThanMs` (default 24h): on a SHARED
     * stage dir another session may still be executing against its own
     * run dir, and liveness can't be probed portably — age is the guard.
-    * Pass 0 only when the dir is known to be exclusively this job's.
+    * The age check keys on the run's `_heartbeat` FILE (refreshed per
+    * boundary write; file mtimes are reliable on object stores where
+    * directory mtimes are synthetic), falling back to the directory
+    * mtime for namespaces written by pre-heartbeat versions. Pass 0
+    * only when the dir is known to be exclusively this job's.
     */
   def clean(spark: org.apache.spark.sql.SparkSession,
       olderThanMs: Long = 24L * 3600 * 1000): Unit =
@@ -77,8 +96,13 @@ object Stage {
       if (fs.exists(root))
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
+          val hb = new org.apache.hadoop.fs.Path(st.getPath, HeartbeatName)
+          def lastAlive: Long =
+            try fs.getFileStatus(hb).getModificationTime
+            catch { case _: java.io.FileNotFoundException =>
+              st.getModificationTime }
           if (st.isDirectory && n.startsWith("run-") && n != runId &&
-              st.getModificationTime <= cutoff)
+              lastAlive <= cutoff)
             fs.delete(st.getPath, true)
         }
     }

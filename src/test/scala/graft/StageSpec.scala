@@ -84,6 +84,33 @@ class StageSpec extends SparkSpec {
     }
   }
 
+  test("Stage.clean keys liveness on the heartbeat file, not dir mtime") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stage-hb").toString
+    withMode("parquet", Some(tmp)) {
+      // a boundary write refreshes this run's heartbeat
+      Seq((1, 1)).toDF("k", "v").stageBoundary
+      assert(new java.io.File(new java.io.File(tmp, Stage.runId),
+        "_heartbeat").exists(), "boundary write must touch the heartbeat")
+      // foreign run, synthetic/ancient DIR mtime (the s3a failure mode)
+      // but a fresh heartbeat → still live, must survive
+      val live = new java.io.File(tmp, "run-live-beef")
+      assert(live.mkdirs())
+      assert(new java.io.File(live, "_heartbeat").createNewFile())
+      live.setLastModified(0L)
+      // foreign run whose heartbeat went stale → reclaimable
+      val dead = new java.io.File(tmp, "run-dead-f00d")
+      assert(dead.mkdirs())
+      val dhb = new java.io.File(dead, "_heartbeat")
+      assert(dhb.createNewFile())
+      dhb.setLastModified(1000L)
+      Stage.clean(spark, olderThanMs = 60000L)
+      assert(live.exists(), "fresh-heartbeat run reclaimed while live")
+      assert(!dead.exists(), "stale-heartbeat run not reclaimed")
+    }
+  }
+
   test("default mode is local; unknown mode and missing dir fail fast") {
     val s = spark
     import s.implicits._

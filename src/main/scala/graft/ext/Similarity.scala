@@ -951,4 +951,274 @@ object Similarity {
       .select("id_a", "id_b", "cs")
   }
 
+  // ---- product quantization (PQ / IVF-PQ) ----
+  //
+  // The 100 TB ANN memory story: a 768-dim float corpus stores dim·4
+  // bytes per vector; PQ splits the vector into `m` subspaces and
+  // stores one byte-sized code per subspace — m bytes/vector, a
+  // 32-192× cut. Search is ADC (asymmetric distance): the query keeps
+  // full precision, the corpus is touched only through its codes and a
+  // per-query lookup table of subspace inner products.
+
+  /** Deterministic PQ codebooks for oracle replay: subspace `j`'s
+    * codebook = the j-th subvectors of the `codes` smallest-id rows —
+    * the PQ face of [[trainCentroids]] (reproducible in any engine).
+    * The production trainer is [[trainPqCodebooksKMeans]]; the
+    * encode/search paths are identical for both.
+    * Returns codebooks(j)(c) = centroid subvector (m × codes × dim/m).
+    */
+  def trainPqSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, codes: Int): Seq[Seq[Seq[Double]]] = {
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(codes).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(seeds.length >= codes,
+      s"PQ seeds: corpus has ${seeds.length} rows < codes=$codes")
+    splitSubspaces(seeds, m)
+  }
+
+  /** Production PQ trainer: ONE seeded sample job bounds driver work
+    * (the [[trainCentroidsKMeansPP]] shape — `sampleRows`×dim doubles,
+    * independent of corpus size), then per-subspace k-means++ + Lloyd
+    * under L2 runs driver-local on the sample's subvectors. L2 (not
+    * spherical) is the right metric: subvectors are unnormalized slices.
+    * Deterministic for a fixed (seed, corpus).
+    */
+  def trainPqCodebooksKMeans(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, codes: Int, sampleRows: Int = 4096,
+      iters: Int = 10, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val base = corpus.select(col(idCol), col(vecCol))
+    val n = base.count()
+    val frac = if (n <= sampleRows) 1.0
+      else math.min(1.0, sampleRows.toDouble * 1.25 / n)
+    val rows = base.sample(withReplacement = false, frac, seed)
+      .orderBy(col(idCol)).limit(sampleRows).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.length >= codes,
+      s"PQ k-means: sample has ${rows.length} rows < codes=$codes")
+    splitSubspaces(rows, m).zipWithIndex.map { case (pts, j) =>
+      lloydL2(pts.map(_.toArray).toArray, codes,
+        seed ^ (j.toLong * 0x9E3779B97F4A7C15L), iters)
+        .map(_.toSeq).toSeq
+    }
+  }
+
+  private def splitSubspaces(rows: Array[Array[Double]],
+      m: Int): Seq[Seq[Seq[Double]]] = {
+    val dim = rows(0).length
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map(j =>
+      rows.toSeq.map(v => v.slice(j * sub, (j + 1) * sub).toSeq))
+  }
+
+  /** driver-local L2 k-means++ seeding + Lloyd (per-subspace PQ
+    * training; input is a bounded sample, so O(n·k·dim) per iteration
+    * is driver-trivial). Deterministic for a fixed seed.
+    */
+  private def lloydL2(pts: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    val dim = pts(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rng = new scala.util.Random(seed)
+    val kk = k // callers require pts.length >= k before dispatching here
+    val cents = new Array[Array[Double]](kk)
+    cents(0) = pts(rng.nextInt(pts.length)).clone()
+    val best = pts.map(d2(_, cents(0)))
+    var c = 1
+    while (c < kk) {
+      val total = best.sum
+      val pick =
+        if (total <= 0) rng.nextInt(pts.length)
+        else {
+          var r = rng.nextDouble() * total
+          var j = 0
+          while (j < pts.length - 1 && r > best(j)) { r -= best(j); j += 1 }
+          j
+        }
+      cents(c) = pts(pick).clone()
+      var j = 0
+      while (j < pts.length) {
+        val nd = d2(pts(j), cents(c))
+        if (nd < best(j)) best(j) = nd
+        j += 1
+      }
+      c += 1
+    }
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      pts.foreach { p =>
+        var bi = 0; var bd = Double.MaxValue; var i = 0
+        while (i < kk) {
+          val d = d2(p, cents(i)); if (d < bd) { bd = d; bi = i }; i += 1
+        }
+        counts(bi) += 1
+        var x = 0
+        while (x < dim) { sums(bi)(x) += p(x); x += 1 }
+      }
+      var i = 0
+      while (i < kk) {
+        if (counts(i) > 0) cents(i) = sums(i).map(_ / counts(i))
+        i += 1
+      }
+    }
+    cents
+  }
+
+  /** Append `codeCol` (array<int> of length m): per-subspace argmin-L2
+    * code against literal codebooks — one map-only codegen'd pass, the
+    * compression step of the PQ index build. The argmin keys on
+    * (L2 distance rounded to 1e-9, code) exactly like [[assignCells]],
+    * so an oracle replays it with
+    * `ROW_NUMBER() OVER (PARTITION BY vec, j ORDER BY ROUND(dist,9), code)`.
+    */
+  def encodePq(df: DataFrame, vecCol: String, codeCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
+      val subv = slice(col(vecCol), j * sub + 1, sub)
+      val scored = array(cb.zipWithIndex.map { case (cv, cc) =>
+        struct(round(l2Dist(subv, typedlit(cv)), 9).as("d"),
+          lit(cc).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }
+    df.withColumn(codeCol, array(codeCols: _*))
+  }
+
+  /** double-precision L2 distance between numeric-array columns —
+    * element-order accumulation (matches DuckDB's `list_distance`)
+    */
+  private def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** ADC top-k over a PQ-encoded corpus ([[encodePq]] layout).
+    *
+    * The broadcast query side carries, per query, a lookup table of
+    * subspace inner products against every code's centroid (m·codes
+    * doubles — built once per query by a codegen'd expression); the
+    * corpus streams past touching only its m int codes:
+    * `score(q, x) = cosine(q, recon(x))` where both the inner product
+    * and the reconstruction norm are sums of LUT lookups. No vector
+    * math and no vector bytes on the big side — at 100 TB the scan
+    * reads codes (m bytes/row) instead of dim·4.
+    *
+    * Cross-engine determinism: LUT summation groups floats differently
+    * than a flat SQL SUM, so ranking keys on (ROUND(cs, 6), nid) — the
+    * rounding absorbs grouping-order divergence, nid breaks collapsed
+    * ties.
+    *
+    * Pass `cellCol` (present in both `encoded` and `queries`) to
+    * restrict candidates IVF-style to the query's coarse cell — the
+    * IVF-PQ composition: cell pruning bounds candidates, codes bound
+    * bytes.
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codeCol: String, codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, cellCol: Option[String] = None): DataFrame = {
+    requireBroadcastableQueries(queries)
+    val m = codebooks.length
+    val codes = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val cbLit = typedlit(codebooks)
+    val cn2Lit = typedlit(codebooks.map(_.map(cv => cv.map(x => x * x).sum)))
+    val lut = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(codes - 1)), c =>
+        aggregate(
+          zip_with(
+            slice(col("qv"), j * lit(sub) + lit(1), lit(sub)),
+            element_at(element_at(cbLit, (j + lit(1)).cast(IntegerType)),
+              (c + lit(1)).cast(IntegerType)),
+            (x, y) => x.cast(DoubleType) * y),
+          lit(0.0), (acc, v) => acc + v)))
+    val qCell = cellCol.map(cc => col(cc).as("qcell")).toSeq
+    val q = queries
+      .select(Seq(col(idCol).as("qid"), col(vecCol).as("qv")) ++ qCell: _*)
+      .withColumn("qn", sqrt(aggregate(
+        transform(col("qv"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("lut", lut)
+      .drop("qv")
+    val nCell = cellCol.map(cc => col(cc).as("ncell")).toSeq
+    val c = encoded.select(
+      Seq(col(idCol).as("nid"), col(codeCol).as("pqc")) ++ nCell: _*)
+    val cond = cellCol
+      .map(_ => col("ncell") === col("qcell") && col("nid") =!= col("qid"))
+      .getOrElse(col("nid") =!= col("qid"))
+    def sumLut(table: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) => {
+        val jj = (j + lit(1)).cast(IntegerType)
+        val cc = (element_at(col("pqc"), jj) + lit(1)).cast(IntegerType)
+        acc + element_at(element_at(table, jj), cc)
+      })
+    c.join(broadcast(q), cond)
+      .withColumn("cs", round(
+        sumLut(col("lut")) /
+          greatest(col("qn") * sqrt(sumLut(cn2Lit)), lit(1e-12)), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
+  }
+
+  /** PQ index persistence: the codes-only parquet (m ints/vector, no
+    * raw vectors) partitioned by the coarse cell when given — the
+    * IVF-PQ inverted-list layout as Spark partitioning — with the
+    * codebooks in a `_pq_codebooks.json` sidecar (the [[writeCentroids]]
+    * self-contained-index pattern), so search sessions reconstruct the
+    * LUTs without retraining.
+    */
+  def writePqIndex(encoded: DataFrame, idCol: String, codeCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], path: String,
+      cellCol: Option[String] = None): Unit = {
+    val base = encoded.select(
+      (Seq(col(idCol), col(codeCol)) ++ cellCol.map(col)): _*)
+    cellCol match {
+      case Some(cc) => base.repartition(col(cc)).sortWithinPartitions(idCol)
+        .write.mode("overwrite").partitionBy(cc).parquet(path)
+      case None => base.write.mode("overwrite").parquet(path)
+    }
+    val p = new org.apache.hadoop.fs.Path(path, "_pq_codebooks.json")
+    val fs = p.getFileSystem(
+      encoded.sparkSession.sparkContext.hadoopConfiguration)
+    val json = codebooks.map(cb =>
+      cb.map(cv => cv.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_pq_codebooks.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    import org.json4s._
+    def nums(v: JValue): Seq[Double] = v match {
+      case JArray(xs) => xs.map {
+        case JDouble(d) => d
+        case JInt(n) => n.toDouble
+        case other => throw new IllegalArgumentException(s"bad $other")
+      }
+      case other => throw new IllegalArgumentException(s"bad $other")
+    }
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JArray(cbs) => cbs.map {
+        case JArray(cvs) => cvs.map(nums)
+        case other => throw new IllegalArgumentException(s"bad $other")
+      }
+      case other => throw new IllegalArgumentException(s"bad codebooks $other")
+    }
+  }
 }

@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
 object Scrub {
 
   /** (name, pattern, replacement) — order matters: emails first so their
-    * digit runs can't be half-eaten by the phone pattern.
+    * digit runs can't be half-eaten by the phone pattern, SSNs before
+    * phones so the dash-separated 3-2-4 shape keeps its own class.
+    * The phone pattern requires the leading '+' (international form,
+    * dashes allowed, 7-15 digits): unprefixed digit runs are far more
+    * often ids/dates than phone numbers, so they pass through.
     */
   val DefaultPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
     ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\+[0-9]{7,15}\\b", "<PHONE>"))
+    ("phone", "\\+[0-9-]{6,14}[0-9]\\b", "<PHONE>"))
 
   /** Redacted text: each pattern replaced globally, in order. */
   def redact(text: Column,
@@ -43,5 +48,13 @@ object Scrub {
           cs :+ size(regexp_extract_all(acc, lit(re), lit(0))))
     }
     counts.reduce(_ + _)
+  }
+
+  /** matches of ONE named pattern, on the raw text (per-class audit) */
+  def matchCount(text: Column, name: String,
+      patterns: Seq[(String, String, String)] = DefaultPatterns): Column = {
+    val re = patterns.collectFirst { case (n, r, _) if n == name => r }
+      .getOrElse(throw new IllegalArgumentException(s"unknown pattern $name"))
+    size(regexp_extract_all(text, lit(re), lit(0)))
   }
 }

@@ -245,14 +245,17 @@ object CurationQueries {
         |r1 AS (SELECT doc_id, t,
         |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t1 FROM injected),
         |r2 AS (SELECT doc_id, t, t1,
-        |  regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM r1),
+        |  regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t2 FROM r1),
         |r3 AS (SELECT doc_id, t, t1, t2,
-        |  regexp_replace(t2, '\+[0-9]{7,15}\b', '<PHONE>', 'g') AS t3 FROM r2)
-        |SELECT doc_id, t3 AS redacted,
+        |  regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t3 FROM r2),
+        |r4 AS (SELECT doc_id, t, t1, t2, t3,
+        |  regexp_replace(t3, '\+[0-9-]{6,14}[0-9]\b', '<PHONE>', 'g') AS t4 FROM r3)
+        |SELECT doc_id, t4 AS redacted,
         |  CAST(len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
-        |     + len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
-        |     + len(regexp_extract_all(t2, '\+[0-9]{7,15}\b')) AS INTEGER) AS n_hits
-        |FROM r3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |     + len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |     + len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |     + len(regexp_extract_all(t3, '\+[0-9-]{6,14}[0-9]\b')) AS INTEGER) AS n_hits
+        |FROM r4 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val injected = Tables.load(s, d, "documents")
         .select(col("doc_id"),
           when(col("doc_id") % 5 === 0,

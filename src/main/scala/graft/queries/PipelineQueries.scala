@@ -116,6 +116,103 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // The Scrub classes q_scrub_pii doesn't exercise: SSN and dashed
+    // international phones, with per-class audit counts. Every doc gets
+    // a deterministic doc_id-derived specimen of each class appended;
+    // the oracle replays the Scrub.DefaultPatterns chain verbatim
+    // (Java-regex ∩ RE2 dialect) in the same order.
+    "q_pii_redact" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+        |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+[0-9-]{6,14}[0-9]\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INTEGER) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+[0-9-]{6,14}[0-9]\b')) AS INTEGER) AS n_phone
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast(StringType),
+          lit("@mail.example or +1-555-"),
+          (lit(1000) + col("doc_id") % 9000).cast(StringType),
+          lit(" from 10.0."), (col("doc_id") % 256).cast(StringType),
+          lit(".7 ssn 123-45-6789")).as("t"))
+      aug.select(col("doc_id"),
+        Scrub.redact(col("t")).as("redacted"),
+        Scrub.matchCount(col("t"), "email").as("n_email"),
+        Scrub.matchCount(col("t"), "ssn").as("n_ssn"),
+        Scrub.matchCount(col("t"), "phone").as("n_phone"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/validation/test split: the portable 60-bit
+    // md5 bucket (the cross-engine hash pattern) keyed on a salted
+    // doc_id — membership is a pure function of the id, so re-runs,
+    // engines and increments agree; map-only at any scale
+    "q_split_assign" -> QueryDef(
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |       AS BIGINT) % 100 AS INTEGER) AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |            AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |            AS BIGINT) % 100 < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("doc_id").cast(StringType))), 1, 15),
+        16, 10).cast(LongType) % 100
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), bucket.cast(IntegerType).as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "validation")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Source-level quality gate (the C4/RefinedWeb domain-filter
+    // shape): per-source mean quality via one map-combined aggregation
+    // over a tiny key space, kept sources broadcast back against the
+    // corpus — no corpus-sized shuffle at any scale
+    "q_source_quality_gate" -> QueryDef(
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ROUND((
+         |      LEAST(length(text) / 500.0, 1.0)
+         |    + 1.0 - LEAST(((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')))
+         |                   * 1.0 / GREATEST(length(text), 1)) * 5.0, 1.0)
+         |    + LEAST((CAST(len(list_filter($SqlTokens,
+         |        w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+         |        / GREATEST(len($SqlTokens), 1)) * 4.0, 1.0)
+         |  ) / 3.0, 6) AS quality FROM documents),
+         |stats AS (
+         |  SELECT source, ROUND(AVG(quality), 6) AS src_quality
+         |  FROM q GROUP BY source)
+         |SELECT q.doc_id, q.source, stats.src_quality
+         |FROM q JOIN stats ON q.source = stats.source
+         |WHERE stats.src_quality >= 0.605
+         |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      val q = Tables.load(s, d, "documents").select(col("doc_id"),
+        col("source"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      val stats = q.groupBy("source")
+        .agg(round(avg(col("quality")), 6).as("src_quality"))
+      q.join(broadcast(stats.filter(col("src_quality") >= 0.605)), "source")
+        .select(col("doc_id"), col("source"), col("src_quality"))
+        .orderBy("doc_id")
+    },
+
     "q_text_langid" -> QueryDef(
       s"""WITH scores AS (
          |  SELECT doc_id,

@@ -165,6 +165,17 @@ class CurationSpec extends SparkSpec {
         Scrub.redactionCount(col("t")).as("n")).head()
     assert(scrubbed.getString(0) == "mail <EMAIL> and <IP> call <PHONE> done")
     assert(scrubbed.getInt(1) == 3)
+
+    // the r7 classes: SSN keeps its own token (ordered before phones),
+    // dashed international phones redact, bare digit runs pass through
+    val more = Seq("ssn 123-45-6789 tel +1-555-0100 order 12345678 x")
+      .toDF("t")
+      .select(Scrub.redact(col("t")).as("r"),
+        Scrub.redactionCount(col("t")).as("n"),
+        Scrub.matchCount(col("t"), "ssn").as("ns"),
+        Scrub.matchCount(col("t"), "phone").as("np")).head()
+    assert(more.getString(0) == "ssn <SSN> tel <PHONE> order 12345678 x")
+    assert(more.getInt(1) == 2 && more.getInt(2) == 1 && more.getInt(3) == 1)
   }
 
   test("repetition signals: dup and top n-gram fractions") {

@@ -259,4 +259,84 @@ object TextFunctions {
           st => concat_ws(" ", slice(col("__t"), st + 1, lit(chunkSize))))))
       .toDF(idCol, "chunk_idx", "chunk_text")
   }
+
+  // ---- BPE merge training (real learned merges, not the regex
+  // estimate above) ----
+  //
+  // Classic Sennrich BPE over the word vocabulary: start from per-word
+  // character sequences, repeatedly merge the corpus-wide most frequent
+  // adjacent symbol pair. The symbol state is encoded as a STRING with
+  // double-space separators ("  a  b  c  "), which makes one merge a
+  // literal `replace(state, ' a  b ', ' ab ')`: replace's left-to-right
+  // non-overlapping scan is EXACTLY the list-based BPE merge (each
+  // match consumes one of the two separator spaces on each side, so
+  // adjacent matches keep their boundary — "a a a a" merges to
+  // "aa aa", not "aa a a"), and any engine replays it bit-for-bit.
+  //
+  // Scale shape: the corpus is touched ONCE (tokenize + word count);
+  // each round then runs one map-combined pair-count aggregation over
+  // the DISTINCT-WORD vocabulary and moves a single rule row to the
+  // driver (the k-means-style driver-iteration pattern) — rounds ×
+  // vocab-sized shuffles, never corpus-sized.
+
+  /** the double-space symbol encoding of a word */
+  private def bpeState(word: Column): Column =
+    concat(lit("  "), array_join(split(word, ""), "  "), lit("  "))
+
+  private def bpeMergeOnce(state: Column, a: String, b: String): Column =
+    call_function("replace", state, lit(s" $a  $b "), lit(s" $a$b "))
+
+  /** Learn `rounds` merge rules from the corpus. Returns
+    * (left, right, pair count) in application order — deterministic:
+    * counts are exact integers, ties break on (left, right).
+    */
+  def trainBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): Seq[(String, String, Long)] = {
+    var state = df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .select(bpeState(col("__w")).as("__s"), col("__f"))
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var exhausted = false
+    (1 to rounds).foreach { _ =>
+      if (!exhausted) {
+        val syms = filter(split(col("__s"), "  "), x => length(x) > 0)
+        val best = state
+          .select(col("__f"), syms.as("__sy"))
+          .filter(size(col("__sy")) >= 2)
+          .select(col("__f"), explode(transform(
+            sequence(lit(1), size(col("__sy")) - 1),
+            i => struct(get(col("__sy"), i - 1).as("a"),
+              get(col("__sy"), i).as("b")))).as("__p"))
+          .select(col("__f"), col("__p.a").as("a"), col("__p.b").as("b"))
+          .groupBy("a", "b").agg(sum(col("__f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b) = (best(0).getString(0), best(0).getString(1))
+          out += ((a, b, best(0).getLong(2)))
+          // localCheckpoint per round: keeps the replace-chain lineage
+          // flat so round r doesn't recompute rounds 1..r-1
+          state = state
+            .withColumn("__s", bpeMergeOnce(col("__s"), a, b))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Segment text with learned merges: every word's character state
+    * runs the merge chain in order, then splits back to subword tokens
+    * (flattened, in document order). Map-only — the rules are literals
+    * in the plan, so application scales as a narrow pass.
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(tokens(text), w =>
+      filter(split(
+        merges.foldLeft(bpeState(w)) { case (s, (a, b)) =>
+          bpeMergeOnce(s, a, b)
+        }, "  "), x => length(x) > 0)))
 }

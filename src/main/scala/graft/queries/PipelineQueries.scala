@@ -16,6 +16,32 @@ object PipelineQueries {
   /** the shared DuckDB tokenization mirror of TextFunctions.tokens */
   private val SqlTokens = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** DuckDB replay of [[TextFunctions.trainBpeMerges]]: the chained
+    * per-round CTEs (symbol split → weighted pair count → argmax rule →
+    * literal-replace merge) over the double-space state encoding —
+    * generated, since each round is mechanical
+    */
+  private def bpeMergeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""state0 AS (
+       |  SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s, f
+       |  FROM (SELECT w, COUNT(*) AS f
+       |        FROM (SELECT UNNEST($SqlTokens) AS w FROM documents)
+       |        WHERE len(w) > 0 GROUP BY w))""".stripMargin)
+    (1 to rounds).foreach { k =>
+      sb.append(s""",
+         |sy$k AS (SELECT list_filter(string_split(s, '  '), x -> len(x) > 0) AS syms, f
+         |         FROM state${k - 1}),
+         |best$k AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+         |           FROM sy$k, UNNEST(range(1, len(syms))) AS t(i)
+         |           GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |state$k AS (SELECT replace(s, ' ' || a || '  ' || b || ' ',
+         |                           ' ' || a || b || ' ') AS s, f
+         |            FROM state${k - 1} CROSS JOIN best$k)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** DuckDB mirror of TextFunctions.shingles(text, 3), distinct rows */
   private val SqlShingles =
     s"""SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -210,6 +236,63 @@ object PipelineQueries {
         .agg(round(avg(col("quality")), 6).as("src_quality"))
       q.join(broadcast(stats.filter(col("src_quality") >= 0.605)), "source")
         .select(col("doc_id"), col("source"), col("src_quality"))
+        .orderBy("doc_id")
+    },
+
+    // REAL learned BPE merges (vs the q_text_bpe regex estimate):
+    // classic Sennrich training — repeatedly merge the corpus-wide most
+    // frequent adjacent symbol pair. Corpus touched once (word count);
+    // each round is one map-combined pair count over the DISTINCT-WORD
+    // vocabulary + a single rule row to the driver. The oracle replays
+    // every round as generated CTEs over the same double-space state
+    // encoding, where literal replace() IS the left-to-right
+    // non-overlapping list merge.
+    "q_bpe_train" -> QueryDef({
+      val rounds = 6
+      s"""WITH ${bpeMergeCtes(rounds)}
+         |SELECT * FROM (
+         |  ${(1 to rounds).map(k =>
+              s"SELECT $k AS merge_round, a, b, cnt FROM best$k")
+              .mkString("\n  UNION ALL\n  ")})
+         |ORDER BY merge_round""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val merges = TextFunctions.trainBpeMerges(
+        Tables.load(s, d, "documents"), "text", rounds = 6)
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("merge_round", "a", "b", "cnt")
+        .orderBy("merge_round")
+    },
+
+    // apply the learned merges: every word's character state runs the
+    // merge chain (map-only — rules are plan literals), then splits
+    // back to subword tokens; the oracle re-derives the rules AND the
+    // segmentation in one statement
+    "q_bpe_apply" -> QueryDef({
+      val rounds = 6
+      val state = "'  ' || array_to_string(string_split(w, ''), '  ') || '  '"
+      val chain = (1 to rounds).foldLeft(state) { (acc, k) =>
+        s"replace($acc, ' ' || b$k.a || '  ' || b$k.b || ' ', ' ' || b$k.a || b$k.b || ' ')"
+      }
+      s"""WITH ${bpeMergeCtes(rounds)}
+         |SELECT doc_id, array_to_string(sub[1:12], ' ') AS head,
+         |       CAST(len(sub) AS INTEGER) AS n_sub
+         |FROM (
+         |  SELECT doc_id, flatten(list_transform($SqlTokens, w ->
+         |    list_filter(string_split($chain, '  '), x -> len(x) > 0))) AS sub
+         |  FROM documents${(1 to rounds)
+              .map(k => s" CROSS JOIN best$k b$k").mkString})
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val merges = TextFunctions.trainBpeMerges(docs, "text", rounds = 6)
+        .map(m => (m._1, m._2))
+      docs.select(col("doc_id"),
+        TextFunctions.bpeTokens(col("text"), merges).as("sub"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("sub"), 1, 12)).as("head"),
+          size(col("sub")).as("n_sub"))
         .orderBy("doc_id")
     },
 

@@ -608,6 +608,38 @@ class PipelineExtSpec extends SparkSpec {
     assert(meta(5L).sampleRate == -1)
   }
 
+  test("BPE training learns the hand-computable merge sequence; " +
+    "bpeTokens segments with it") {
+    val s = spark
+    import s.implicits._
+    // vocab: "aaab" f=2. Round 1: pairs (a,a)x2 -> 4, (a,b) -> 2: merge
+    // (a,a). State [aa,a,b]. Round 2: (aa,a)=2, (a,b)=2 tie -> lexical
+    // (a,b) wins. State [aa,ab]. Round 3: (aa,ab)=2.
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab aaab")).toDF("doc_id", "text")
+    val merges = TextFunctions.trainBpeMerges(docs, "text", rounds = 3)
+    assert(merges == Seq(("a", "a", 8L), ("a", "b", 4L), ("aa", "ab", 4L)))
+    // adjacent same-pair runs merge left-to-right non-overlapping:
+    // after round 1 only, "aaaa" would be [aa, aa] — verify via the
+    // 2-rule prefix on a fresh word
+    val twoRules = merges.take(2).map(m => (m._1, m._2))
+    val seg = Seq(Tuple1("aaaa aaab"))
+      .toDF("text")
+      .select(TextFunctions.bpeTokens(col("text"), twoRules).as("t"))
+      .head().getSeq[String](0)
+    assert(seg == Seq("aa", "aa", "aa", "ab"))
+    // full rules collapse the training word to one symbol
+    val seg3 = Seq(Tuple1("aaab"))
+      .toDF("text")
+      .select(TextFunctions.bpeTokens(col("text"),
+        merges.map(m => (m._1, m._2))).as("t"))
+      .head().getSeq[String](0)
+    assert(seg3 == Seq("aaab"))
+    // exhaustion: more rounds than mergeable pairs stops early
+    val small = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = TextFunctions.trainBpeMerges(small, "text", rounds = 5)
+    assert(ex == Seq(("a", "b", 1L)))
+  }
+
   test("incremental simhash against a persisted fingerprint index equals " +
     "the full join restricted to increment-touching pairs") {
     val s = spark

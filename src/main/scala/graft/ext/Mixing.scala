@@ -161,4 +161,27 @@ object Mixing {
       .drop("__cum")
       .withColumnRenamed("__tok", "n_tokens")
   }
+
+  /** Deterministic global training-order shuffle + sharding: order key
+    * = portable hash of (seed, id); `shard` = key mod `shards`; `pos`
+    * = rank within the shard by (key, id). The canonical
+    * write-the-training-corpus-in-random-order layout: one hash
+    * exchange on the shard key + a per-shard sort, reproducible
+    * run-to-run and engine-to-engine (no `rand()`). At production
+    * scale `shards` is sized to the cluster (thousands), so no window
+    * ever concentrates on a single task — there is deliberately NO
+    * global ORDER BY anywhere in this shape.
+    */
+  def shardAssign(df: DataFrame, idCol: String, shards: Int,
+      seed: String = "shuf"): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val key = conv(substring(
+      md5(concat(lit(s"$seed:"), col(idCol).cast(StringType))), 1, 15),
+      16, 10).cast(LongType)
+    df.withColumn("__k", key)
+      .withColumn("shard", (col("__k") % shards).cast(IntegerType))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))))
+      .drop("__k")
+  }
 }

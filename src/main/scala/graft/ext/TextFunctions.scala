@@ -339,4 +339,93 @@ object TextFunctions {
         merges.foldLeft(bpeState(w)) { case (s, (a, b)) =>
           bpeMergeOnce(s, a, b)
         }, "  "), x => length(x) > 0)))
+
+  // ---- DSIR importance weighting (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling") ----
+  //
+  // Two hashed-n-gram bag-of-words models — target p̂ and raw q̂ — give
+  // every document an importance weight Σ_g [ln p̂(h(g)) − ln q̂(h(g))];
+  // selection keeps the highest-weight docs. Shuffle budget: training
+  // is ONE map-combined aggregation whose key space is bounded by the
+  // bucket count (plus a 2-number totals pass); scoring is map-only
+  // (the weight table rides the plan as a literal array); selection is
+  // a distributed TakeOrdered. Nothing is ever corpus×corpus.
+
+  /** a doc's DSIR feature multiset: unigrams + space-joined bigrams,
+    * duplicates kept (the hashed n-gram features of DSIR §3)
+    */
+  def dsirGrams(text: Column): Column = {
+    val t = filter(tokens(text), w => length(w) > 0)
+    concat(t, graft.functions.WordNgrams(t, 2))
+  }
+
+  /** portable bucket of one gram: 60-bit md5 prefix mod `buckets` —
+    * the repo's cross-engine hash pattern (any engine with md5 agrees)
+    */
+  def dsirBucket(g: Column, buckets: Int): Column =
+    (conv(substring(md5(g), 1, 15), 16, 10).cast(LongType) % buckets)
+      .cast(IntegerType)
+
+  /** integer importance weight of one bucket, in micro-nats:
+    * round(1e6 · (ln((cp+1)/(tp+B)) − ln((cq+1)/(tq+B)))). Integer
+    * weights make doc scores order-independent integer sums — exact
+    * across engines, where a float Σ would hash-mismatch on grouping.
+    */
+  private def dsirWeight(cp: Long, cq: Long, tp: Long, tq: Long,
+      buckets: Int): Long = {
+    val x = (math.log((cp + 1.0) / (tp + buckets.toDouble)) -
+      math.log((cq + 1.0) / (tq + buckets.toDouble))) * 1e6
+    // HALF_UP (away from zero), matching Spark's ROUND and DuckDB's —
+    // math.round would round -1.5 toward +inf instead
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
+
+  /** per-bucket (target count, corpus count, weight) as a DataFrame —
+    * ≤ `buckets` rows; the two grand totals are a separate cheap
+    * aggregate collected to the driver (2 numbers) so no 1-row
+    * cross-join appears in the plan
+    */
+  def dsirBucketWeightsDf(df: org.apache.spark.sql.DataFrame,
+      textCol: String, targetPred: Column, buckets: Int): org.apache.spark.sql.DataFrame = {
+    val g = df.select(targetPred.as("__t"),
+      size(dsirGrams(col(textCol))).as("__n"))
+    val totals = g.agg(
+      sum(when(col("__t"), col("__n")).otherwise(0L)).as("tp"),
+      sum(col("__n")).as("tq")).head()
+    val (tp, tq) = (totals.getLong(0), totals.getLong(1))
+    val b = buckets.toDouble
+    df.select(targetPred.as("__t"),
+      explode(dsirGrams(col(textCol))).as("__g"))
+      .groupBy(dsirBucket(col("__g"), buckets).as("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("cq"))
+      .withColumn("wt",
+        round((log((col("cp") + 1.0) / lit(tp + b)) -
+          log((col("cq") + 1.0) / lit(tq + b))) * 1e6).cast(LongType))
+  }
+
+  /** the bucket→weight table as a dense array for map-only scoring;
+    * buckets unseen in the corpus get the cp=cq=0 smoothed weight so
+    * future increments score without retraining
+    */
+  def dsirBucketWeights(df: org.apache.spark.sql.DataFrame,
+      textCol: String, targetPred: Column, buckets: Int): Array[Long] = {
+    val rows = dsirBucketWeightsDf(df, textCol, targetPred, buckets)
+      .select("bucket", "cp", "cq").collect() // ≤ buckets rows, bounded
+    val tp = rows.map(_.getLong(1)).sum
+    val tq = rows.map(_.getLong(2)).sum
+    val w = Array.fill(buckets)(dsirWeight(0L, 0L, tp, tq, buckets))
+    rows.foreach { r =>
+      w(r.getInt(0)) = dsirWeight(r.getLong(1), r.getLong(2), tp, tq, buckets)
+    }
+    w
+  }
+
+  /** map-only doc score: exact integer sum of the literal weight table
+    * over the doc's gram multiset (codegen'd HOF; no join, no shuffle)
+    */
+  def dsirScore(text: Column, weights: Array[Long]): Column =
+    aggregate(dsirGrams(text), lit(0L), (acc, g) =>
+      acc + element_at(typedLit(weights), dsirBucket(g, weights.length) + 1))
 }

@@ -143,6 +143,27 @@ object CurationQueries {
         .orderBy("doc_id", "epoch")
     },
 
+    // deterministic global training-order shuffle (r7): order key =
+    // portable hash of (seed, doc_id), shard = key mod 8, pos = rank
+    // within shard by (key, doc_id). ONE hash exchange on the shard
+    // key + per-shard sorts — at production scale shards ≈ cluster
+    // width, so no global ordering ever serializes through one task
+    "q_shuffle_shard" -> QueryDef(
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('ord1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |         AS BIGINT) AS k
+         |  FROM documents)
+         |SELECT doc_id, CAST(k % 8 AS INTEGER) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+         |       AS INTEGER) AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin) { (s, d) =>
+      Mixing.shardAssign(Tables.load(s, d, "documents"),
+        "doc_id", shards = 8, seed = "ord1")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+
     // token-window document chunking (r5): 128-token chunks, 32-token
     // overlap (stride 96) — one row per chunk, final chunk may be short.
     // The oracle replays the start grid + slice over the literal tokens

@@ -42,6 +42,34 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** DuckDB mirror of [[TextFunctions.dsirGrams]]/[[TextFunctions
+    * .dsirBucket]]/the weight formula at B=512 with target lang='en':
+    * CTEs ending in `gb` (doc_id, t, bucket over the unigram+bigram
+    * multiset) and `w` (bucket, cp, cq, integer micro-nat weight)
+    */
+  private val SqlDsirBuckets =
+    s"""tok AS (SELECT doc_id, lang = 'en' AS t,
+       |               list_filter($SqlTokens, x -> len(x) > 0) AS w
+       |        FROM documents),
+       |gr AS (
+       |  SELECT doc_id, t, UNNEST(w) AS g FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, t, w[i] || ' ' || w[i+1] AS g
+       |  FROM tok, UNNEST(range(1, len(w))) u(i)),
+       |gb AS (SELECT doc_id, t,
+       |         CAST(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512
+       |              AS INTEGER) AS bucket FROM gr),
+       |cnt AS (SELECT bucket,
+       |          CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |          CAST(COUNT(*) AS BIGINT) AS cq
+       |        FROM gb GROUP BY bucket),
+       |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+       |               CAST(SUM(cq) AS BIGINT) AS tq FROM cnt),
+       |w AS (SELECT bucket, cp, cq,
+       |        CAST(ROUND((ln((cp + 1.0) / (tp + 512.0))
+       |             - ln((cq + 1.0) / (tq + 512.0))) * 1e6) AS BIGINT) AS wt
+       |      FROM cnt CROSS JOIN tot)""".stripMargin
+
   /** DuckDB mirror of TextFunctions.shingles(text, 3), distinct rows */
   private val SqlShingles =
     s"""SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -294,6 +322,38 @@ object PipelineQueries {
           concat_ws(" ", slice(col("sub"), 1, 12)).as("head"),
           size(col("sub")).as("n_sub"))
         .orderBy("doc_id")
+    },
+
+    // DSIR importance weighting (Xie et al. 2023): hashed unigram+
+    // bigram bag models for target (lang='en') vs raw corpus; a
+    // bucket's weight is the integer micro-nat log-ratio. Training is
+    // ONE map-combined aggregation over a 512-bounded key space plus a
+    // 2-number totals pass — never corpus-sized state
+    "q_dsir_weights" -> QueryDef(
+      s"""WITH $SqlDsirBuckets
+         |SELECT bucket, cp, cq, wt FROM w ORDER BY bucket""".stripMargin) { (s, d) =>
+      TextFunctions.dsirBucketWeightsDf(Tables.load(s, d, "documents"),
+        "text", col("lang") === "en", buckets = 512)
+        .select("bucket", "cp", "cq", "wt").orderBy("bucket")
+    },
+
+    // the selection face: score = exact integer sum of the literal
+    // weight table over each doc's grams (map-only — no join, the
+    // 512-entry table rides the plan), keep the top 100 by
+    // (score desc, doc_id) via distributed TakeOrdered — no global
+    // window, no single-partition exchange
+    "q_dsir_select" -> QueryDef(
+      s"""WITH $SqlDsirBuckets,
+         |sc AS (SELECT gb.doc_id, CAST(SUM(w.wt) AS BIGINT) AS score
+         |       FROM gb JOIN w USING (bucket) GROUP BY 1)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val w = TextFunctions.dsirBucketWeights(docs, "text",
+        col("lang") === "en", buckets = 512)
+      docs.select(col("doc_id"),
+        TextFunctions.dsirScore(col("text"), w).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
     },
 
     "q_text_langid" -> QueryDef(

@@ -25,9 +25,13 @@ class SparkEntrySpec extends SparkSpec {
     //                       (above the cap cosinePairs demands SRP blocking)
     //   q_unigram_logprob   1-row broadcast of the corpus token total
     //                       (unigramLogProb's normalizing constant)
+    //   q_ann_pq            brute-force ADC baseline: bounded query set
+    //                       broadcast against the codes-only corpus scan
+    //                       (the scale path is q_ann_ivfpq, whose coarse-
+    //                       cell equality makes it a hash join)
     val cartesianByDesign =
       Set("q_cross_join", "q_scalar_subquery", "q_ann_topk",
-        "q_dedup_embedding", "q_unigram_logprob")
+        "q_dedup_embedding", "q_unigram_logprob", "q_ann_pq")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")

@@ -317,4 +317,64 @@ class CurationSpec extends SparkSpec {
     // clean but only one surviving sentence: below minSentences = 2
     assert(out(4L) == (("one surviving sentence only appears here.", false)))
   }
+
+  test("shardAssign is a deterministic permutation with contiguous shard positions") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 500L).toDF("id")
+    val a = Mixing.shardAssign(rows, "id", shards = 8, seed = "t1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // permutation: every id exactly once
+    assert(a.map(_._1).sorted.toSeq == (0L until 500L))
+    // each shard's positions are contiguous 1..n
+    a.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+    // deterministic across runs; different seed reorders
+    val b = Mixing.shardAssign(rows, "id", shards = 8, seed = "t1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    val c = Mixing.shardAssign(rows, "id", shards = 8, seed = "t2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+    // the order is hash-scrambled, not id order: within some shard the
+    // id sequence by pos is not monotone
+    assert(a.groupBy(_._2).values.exists { g =>
+      val ids = g.sortBy(_._3).map(_._1).toSeq
+      ids != ids.sorted
+    })
+  }
+
+  test("DSIR weights favor target-only grams and scores rank target-like docs first") {
+    val s = spark
+    import s.implicits._
+    // target docs share 'alpha beta'; raw-only docs share 'uno dos'
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta gamma"),
+      (2L, "en", "alpha beta delta alpha beta"),
+      (3L, "zz", "uno dos tres uno dos"),
+      (4L, "zz", "uno dos cuatro uno dos"),
+      (5L, "zz", "alpha beta gamma alpha beta")
+    ).toDF("doc_id", "lang", "text")
+    val wdf = TextFunctions.dsirBucketWeightsDf(docs, "text",
+      col("lang") === "en", buckets = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // counts are bounded by the bucket space and totals line up
+    assert(wdf.length <= 64)
+    assert(wdf.map(_._2).sum > 0 && wdf.map(_._3).sum >= wdf.map(_._2).sum)
+    // target-only buckets (cp == cq: p̂-ratio 1 > (tp+B)/(tq+B)) weigh
+    // positive, raw-only buckets negative
+    assert(wdf.filter(w => w._2 == w._3 && w._2 > 0).forall(_._4 > 0))
+    assert(wdf.filter(_._2 == 0).forall(_._4 < 0))
+    val w = TextFunctions.dsirBucketWeights(docs, "text",
+      col("lang") === "en", buckets = 64)
+    assert(w.length == 64)
+    val scores = docs.select(col("doc_id"),
+      TextFunctions.dsirScore(col("text"), w).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 5 is raw-labelled but target-like: it must outscore the
+    // uno-dos docs (that's the whole point of importance weighting)
+    assert(scores(5L) > scores(3L) && scores(5L) > scores(4L))
+    assert(scores(1L) > scores(3L) && scores(2L) > scores(4L))
+  }
 }

@@ -413,15 +413,34 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     persistMeta()
   }
 
+  // ---- persisted stored procedures: the reference keeps translated
+  // proc bodies in _StoredProcedureCollection (GraphViewConnection.cs:
+  // 97-108, CreateProcedure :1619) so EXEC works across connections.
+  // Same contract: dialect text + declared params survive reloads.
+  // An additive optional meta field — version stays 1 (old metas read
+  // as no procs; old libraries ignore the field).
+  var procs: Seq[ProcDef] =
+    metaJson.map(CatalogJson.readProcs).getOrElse(Nil)
+
+  def saveProcs(ps: Seq[ProcDef]): Unit = {
+    procs = ps
+    persistMeta()
+  }
+
   private def persistMeta(): Unit = {
     val fs = fsOf(metaPath)
     fs.mkdirs(metaPath.getParent)
     val out = fs.create(metaPath, true)
     try out.write(CatalogJson.write(schema, propertyTypes,
-      buckets, nodeViews, edgeViews).getBytes("UTF-8"))
+      buckets, nodeViews, edgeViews, procs).getBytes("UTF-8"))
     finally out.close()
   }
 }
+
+/** A persisted stored procedure: declared `@param` names (in order)
+  * plus the dialect body text, exactly what EXEC substitution needs.
+  */
+final case class ProcDef(name: String, params: Seq[String], body: String)
 
 /** Hand-rolled JSON for the catalog (stable, dependency-free; property
   * types round-trip through Spark's own `DataType.json`).
@@ -433,7 +452,8 @@ object CatalogJson {
   def write(s: GraphSchema, types: Map[String, StructType],
       buckets: Option[Int] = None,
       nodeViews: Seq[graft.graph.NodeViewDef] = Nil,
-      edgeViews: Seq[graft.graph.EdgeViewDef] = Nil): String = {
+      edgeViews: Seq[graft.graph.EdgeViewDef] = Nil,
+      procs: Seq[ProcDef] = Nil): String = {
     val tables = s.tables.map { t =>
       JObject(
         "name" -> JString(t.name),
@@ -477,15 +497,34 @@ object CatalogJson {
               }))
         }.toList))
     }
+    val prs = procs.map { p =>
+      JObject(
+        "name" -> JString(p.name),
+        "params" -> JArray(p.params.map(JString).toList),
+        "body" -> JString(p.body))
+    }
     val fields = ("version" -> (JInt(CurrentVersion): JValue)) ::
       ("tables" -> (JArray(tables.toList): JValue)) ::
       buckets.map(n => "buckets" -> (JInt(n): JValue)).toList :::
       (if (nodeViews.isEmpty) Nil
        else List("nodeViews" -> (JArray(nvs.toList): JValue))) :::
       (if (edgeViews.isEmpty) Nil
-       else List("edgeViews" -> (JArray(evs.toList): JValue)))
+       else List("edgeViews" -> (JArray(evs.toList): JValue))) :::
+      (if (procs.isEmpty) Nil
+       else List("procs" -> (JArray(prs.toList): JValue)))
     JsonMethods.pretty(JsonMethods.render(JObject(fields: _*)))
   }
+
+  def readProcs(json: String): Seq[ProcDef] =
+    JsonMethods.parse(json) \ "procs" match {
+      case JArray(ps) => ps.map { p =>
+        ProcDef(
+          str(p \ "name"),
+          (p \ "params").asInstanceOf[JArray].arr.map(str0),
+          str(p \ "body"))
+      }
+      case _ => Nil
+    }
 
   def readNodeViews(json: String): Seq[graft.graph.NodeViewDef] =
     JsonMethods.parse(json) \ "nodeViews" match {

@@ -392,9 +392,18 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   // 17-100`). The body is stored as dialect text; EXEC substitutes
   // positional arguments for the declared @params and runs the body
   // through the normal statement pipeline.
+  // Catalog-backed sessions load the persisted registry (the
+  // reference's _StoredProcedureCollection rows) and write it back on
+  // CREATE/DROP PROC, so procs survive reloads like views do.
   private final case class Proc(params: Seq[String], body: String)
-  private val procs = scala.collection.concurrent.TrieMap[String, Proc]()
+  private val procs = scala.collection.concurrent.TrieMap[String, Proc](
+    catalog.toSeq.flatMap(_.procs)
+      .map(p => p.name -> Proc(p.params, p.body)): _*)
   private var procDepth = 0
+
+  private def persistProcs(): Unit =
+    catalog.foreach(_.saveProcs(procs.toSeq.sortBy(_._1)
+      .map { case (n, p) => graft.ddl.ProcDef(n, p.params, p.body) }))
 
   // params may carry T-SQL types (`@st INT, @ed VARCHAR(10)`), ignored
   // here — argument substitution is textual
@@ -657,9 +666,11 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     case ProcCreateRe(name, paramsRaw, body) =>
       procs(name.toLowerCase) =
         Proc("""@\w+""".r.findAllIn(paramsRaw).toSeq, body.trim)
+      persistProcs()
       affected(0)
     case ProcDropRe(name) if procs.contains(name.toLowerCase) =>
       procs.remove(name.toLowerCase)
+      persistProcs()
       affected(0)
     case ProcExecRe(name, argsRaw) if procs.contains(name.toLowerCase) =>
       execProc(name, argsRaw)

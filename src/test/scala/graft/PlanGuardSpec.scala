@@ -57,7 +57,9 @@ class PlanGuardSpec extends SparkSpec {
   // catastrophic at 100×. Pin its absence.
   private val noSinglePartition =
     Seq("q_top_k", "q_top_percent", "q_top_ties",
-      "q_sql_top_percent", "q_sql_top_ties")
+      "q_sql_top_percent", "q_sql_top_ties",
+      // the training-order shuffle windows PER SHARD by construction
+      "q_shuffle_shard")
 
   noSinglePartition.foreach { q =>
     test(s"no single-partition exchange: $q") {
@@ -67,5 +69,18 @@ class PlanGuardSpec extends SparkSpec {
         s"$q plans an Exchange SinglePartition — the TOP family must " +
           "keep the distributed cutoff-key shape (graft.ext.TiesCutoff)")
     }
+  }
+
+  // DSIR selection must stay a pure scan→map→TakeOrdered: the weight
+  // table rides the plan as a literal, so scoring needs NO exchange at
+  // all — a join or window sneaking in here would shuffle the corpus.
+  test("q_dsir_select scores map-only with zero exchanges") {
+    val plan = SparkEntry.defs("q_dsir_select").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "q_dsir_select plans an Exchange — scoring must stay map-only " +
+        "with the literal weight table (TextFunctions.dsirScore)")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "q_dsir_select selection must be a distributed TakeOrdered")
   }
 }

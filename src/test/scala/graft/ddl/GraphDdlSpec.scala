@@ -241,6 +241,14 @@ class GraphDdlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { gs.sql("EXEC AddEdge 1") }
     gs.sql("DROP PROCEDURE AddEdge")
     intercept[Exception] { gs.sql("EXEC AddEdge 2, 3").collect() }
+
+    // procs persist in the catalog meta (the reference's
+    // _StoredProcedureCollection): a FRESH catalog + session still
+    // EXECs the surviving proc, and the drop persisted too
+    val gs2 = new GraphSession(spark, new GraphCatalog(spark, dir))
+    assert(gs2.sql("EXEC SelectNeighbors 1")
+      .collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    intercept[Exception] { gs2.sql("EXEC AddEdge 2, 3").collect() }
   }
 
   /** Views persist in the catalog meta (the reference's

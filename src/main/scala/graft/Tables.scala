@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Accessors for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -14,8 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** `events.ts` arrives either as INT64 epoch-nanos (a timestamp[ns]
+    * parquet column under `spark.sql.legacy.parquet.nanosAsLong`) or as a
+    * timestamp[us] column, depending on the generator's pyarrow version.
+    * Normalize to epoch-nanos LONG so downstream as-of/range/session
+    * arithmetic stays integral either way (sessions run in UTC, so the
+    * NTZ→TIMESTAMP cast is wall-clock-identity).
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      case _ => df
+    }
 
   /** Register every table as a temp view named after itself (idempotent).
     * Used by SQL-expressed queries; DataFrame-expressed queries call

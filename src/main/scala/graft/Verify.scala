@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (ns since
-      // epoch) — ordering/window semantics are unchanged.
+      // generator-version tolerance: a timestamp[ns] events.ts reads as
+      // long under this flag; a timestamp[us] one is normalized to epoch
+      // nanos in Tables.load — either way downstream sees LONG nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -428,4 +428,98 @@ object TextFunctions {
   def dsirScore(text: Column, weights: Array[Long]): Column =
     aggregate(dsirGrams(text), lit(0L), (acc, g) =>
       acc + element_at(typedLit(weights), dsirBucket(g, weights.length) + 1))
+
+  // ---------------------------------------------------------------
+  // Hashed multinomial Naive Bayes — the TRAINED-classifier face of
+  // curation filtering (the CCNet/fastText-style quality or language
+  // classifier, where C4/Gopher are heuristic and DSIR is importance
+  // sampling). Features are the same hashed unigram+bigram multiset as
+  // DSIR. Training is ONE map-combined aggregation over the
+  // (label, bucket) key space (≤ classes·buckets rows — never
+  // corpus-sized) plus a per-class doc count; scoring is map-only (the
+  // per-class weight tables ride the plan as literal arrays). Priors
+  // and likelihoods are integer micro-nats, so a doc's per-class score
+  // is an order-independent integer sum any engine reproduces exactly.
+
+  /** trained model, bounded by classes·(buckets+2) longs on the driver:
+    * per class a prior (micro-nat log share of docs), an unseen-bucket
+    * default weight, and a dense bucket→weight table
+    */
+  final case class NbModel(
+      labels: Array[String], priors: Array[Long],
+      weights: Array[Array[Long]]) {
+    def buckets: Int = weights.head.length
+  }
+
+  private def microNatLn(num: Double, den: Double): Long =
+    math.round(math.log(num / den) * 1e6)
+
+  /** per-(label, bucket) gram counts + Laplace-smoothed log-likelihood
+    * weights: wt = round(1e6 · ln((cnt+1)/(total_label+B))). One explode
+    * + one map-combined groupBy; the totals join is on the ≤|classes|
+    * label key space.
+    */
+  def nbTrainDf(df: org.apache.spark.sql.DataFrame, textCol: String,
+      labelCol: String, buckets: Int): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(col(labelCol).as("label"),
+        explode(dsirGrams(col(textCol))).as("__g"))
+      .groupBy(col("label"), dsirBucket(col("__g"), buckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("label").agg(sum("cnt").as("total"))
+    counts.join(broadcast(totals), "label")
+      .withColumn("wt",
+        round(log((col("cnt") + 1.0) / (col("total") + buckets.toDouble))
+          * 1e6).cast(LongType))
+      .select("label", "bucket", "cnt", "wt")
+  }
+
+  /** collect the bounded (label, bucket) table + per-class doc counts
+    * into an NbModel; unseen buckets get the cnt=0 smoothed weight so
+    * future increments score without retraining
+    */
+  def nbTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      labelCol: String, buckets: Int): NbModel = {
+    val rows = nbTrainDf(df, textCol, labelCol, buckets)
+      .select("label", "bucket", "cnt").collect() // ≤ classes·buckets
+    val byLabel = rows.groupBy(_.getString(0))
+    val labels = byLabel.keys.toArray.sorted
+    val docCounts = df.groupBy(col(labelCol).as("label")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = docCounts.values.sum.toDouble
+    val priors = labels.map(l => microNatLn(docCounts(l).toDouble, nDocs))
+    val weights = labels.map { l =>
+      val rs = byLabel(l)
+      val total = rs.map(_.getLong(2)).sum
+      val w = Array.fill(buckets)(microNatLn(1.0, total + buckets.toDouble))
+      rs.foreach { r =>
+        w(r.getInt(1)) = microNatLn(r.getLong(2) + 1.0, total + buckets.toDouble)
+      }
+      w
+    }
+    NbModel(labels, priors, weights)
+  }
+
+  /** per-class integer scores as array<struct<s,l>> over a projected
+    * grams column (project `dsirGrams(text)` once, then score): each
+    * class is one codegen'd fold over the grams with its literal table
+    */
+  def nbScores(grams: Column, m: NbModel): Column =
+    array(m.labels.indices.map { i =>
+      struct(
+        (lit(m.priors(i)) + aggregate(grams, lit(0L), (acc, g) =>
+          acc + element_at(typedLit(m.weights(i)),
+            dsirBucket(g, m.buckets) + 1))).as("s"),
+        lit(m.labels(i)).as("l"))
+    }: _*)
+
+  /** argmax label (ties → lexicographically larger label, the struct-max
+    * order both engines reproduce); map-only
+    */
+  def nbPredict(grams: Column, m: NbModel): Column =
+    array_max(nbScores(grams, m)).getField("l")
+
+  /** the winning class's integer score (same tie-break) */
+  def nbBestScore(grams: Column, m: NbModel): Column =
+    array_max(nbScores(grams, m)).getField("s")
 }

@@ -47,6 +47,32 @@ object PipelineQueries {
     * CTEs ending in `gb` (doc_id, t, bucket over the unigram+bigram
     * multiset) and `w` (bucket, cp, cq, integer micro-nat weight)
     */
+  /** DuckDB mirror of [[graft.ext.TextFunctions.nbTrainDf]] at B=512
+    * with label=source: CTEs ending in `ngb` (doc_id, label, bucket —
+    * one row per gram occurrence), `ntot` (per-label gram totals) and
+    * `nw` (label, bucket, cnt, integer micro-nat Laplace weight)
+    */
+  private val SqlNbWeights =
+    s"""ntok AS (SELECT doc_id, source AS label,
+       |                list_filter($SqlTokens, x -> len(x) > 0) AS w
+       |         FROM documents),
+       |ngr AS (
+       |  SELECT doc_id, label, UNNEST(w) AS g FROM ntok
+       |  UNION ALL
+       |  SELECT doc_id, label, w[i] || ' ' || w[i+1] AS g
+       |  FROM ntok, UNNEST(range(1, len(w))) u(i)),
+       |ngb AS (SELECT doc_id, label,
+       |          CAST(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512
+       |               AS INTEGER) AS bucket FROM ngr),
+       |ncnt AS (SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |         FROM ngb GROUP BY 1, 2),
+       |ntot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS total
+       |         FROM ncnt GROUP BY 1),
+       |nw AS (SELECT label, bucket, cnt,
+       |         CAST(ROUND(ln((cnt + 1.0) / (total + 512.0)) * 1e6)
+       |              AS BIGINT) AS wt
+       |       FROM ncnt JOIN ntot USING (label))""".stripMargin
+
   private val SqlDsirBuckets =
     s"""tok AS (SELECT doc_id, lang = 'en' AS t,
        |               list_filter($SqlTokens, x -> len(x) > 0) AS w
@@ -354,6 +380,62 @@ object PipelineQueries {
       docs.select(col("doc_id"),
         TextFunctions.dsirScore(col("text"), w).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(100)
+    },
+
+    // hashed multinomial Naive Bayes — the TRAINED classifier face of
+    // curation filtering (CCNet/fastText shape; C4/Gopher are heuristic,
+    // DSIR is importance sampling). Training = one explode + one
+    // map-combined groupBy over the (label, bucket) key space
+    "q_nb_train" -> QueryDef(
+      s"""WITH $SqlNbWeights
+         |SELECT label, bucket, cnt, wt FROM nw
+         |ORDER BY label, bucket""".stripMargin) { (s, d) =>
+      TextFunctions.nbTrainDf(Tables.load(s, d, "documents"),
+        "text", "source", buckets = 512)
+        .orderBy("label", "bucket")
+    },
+
+    // the scoring face: per-class integer score = micro-nat prior +
+    // fold of the class's literal weight table over the doc's grams —
+    // map-only (no join, no shuffle; the tables ride the plan);
+    // argmax tie-break = lexicographically larger label (struct-max
+    // order, mirrored by the oracle's ORDER BY score DESC, label DESC)
+    "q_nb_classify" -> QueryDef(
+      s"""WITH $SqlNbWeights,
+         |nprior AS (SELECT source AS label, COUNT(*) AS n
+         |           FROM documents GROUP BY 1),
+         |npri AS (SELECT label,
+         |           CAST(ROUND(ln(n / (SELECT CAST(SUM(n) AS DOUBLE)
+         |                              FROM nprior)) * 1e6) AS BIGINT) AS p
+         |         FROM nprior),
+         |ndflt AS (SELECT label,
+         |            CAST(ROUND(ln(1.0 / (total + 512.0)) * 1e6) AS BIGINT)
+         |              AS wt0
+         |          FROM ntot),
+         |nsum AS (SELECT g.doc_id, l.label,
+         |           CAST(SUM(COALESCE(w.wt, l.wt0)) AS BIGINT) AS ssum
+         |         FROM ngb g
+         |         CROSS JOIN ndflt l
+         |         LEFT JOIN nw w ON w.label = l.label AND w.bucket = g.bucket
+         |         GROUP BY 1, 2),
+         |nsc AS (SELECT doc_id, s.label, s.ssum + p.p AS score
+         |        FROM nsum s JOIN npri p USING (label)),
+         |npick AS (SELECT doc_id, label, score,
+         |            ROW_NUMBER() OVER (PARTITION BY doc_id
+         |              ORDER BY score DESC, label DESC) AS rn
+         |          FROM nsc)
+         |SELECT doc_id, label AS predicted, score FROM npick
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val m = TextFunctions.nbTrain(docs, "text", "source", buckets = 512)
+      docs.select(col("doc_id"),
+        TextFunctions.dsirGrams(col("text")).as("__g"))
+        .filter(size(col("__g")) > 0)
+        .select(col("doc_id"),
+          array_max(TextFunctions.nbScores(col("__g"), m)).as("__best"))
+        .select(col("doc_id"), col("__best.l").as("predicted"),
+          col("__best.s").as("score"))
+        .orderBy("doc_id")
     },
 
     "q_text_langid" -> QueryDef(

@@ -377,4 +377,51 @@ class CurationSpec extends SparkSpec {
     assert(scores(5L) > scores(3L) && scores(5L) > scores(4L))
     assert(scores(1L) > scores(3L) && scores(2L) > scores(4L))
   }
+
+  test("Naive Bayes separates disjoint vocabularies; training is deterministic and map-only scoring has no join") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "greek", "alpha beta gamma alpha beta"),
+      (2L, "greek", "beta gamma delta beta gamma"),
+      (3L, "greek", "alpha gamma delta delta"),
+      (4L, "latin", "unus duo tres unus duo"),
+      (5L, "latin", "duo tres quattuor duo"),
+      (6L, "mixed", "alpha unus beta duo gamma tres")
+    ).toDF("doc_id", "label", "text")
+
+    val B = 64
+    val wdf = TextFunctions.nbTrainDf(docs, "text", "label", B).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // bounded by the (label, bucket) key space; totals line up per label
+    assert(wdf.length <= 3 * B)
+    val byLabel = wdf.groupBy(_._1)
+    assert(byLabel.keySet == Set("greek", "latin", "mixed"))
+    // recompute one weight from its own row: the Laplace formula holds
+    byLabel.foreach { case (_, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { case (_, _, cnt, wt) =>
+        assert(wt == math.round(math.log((cnt + 1.0) / (total + B)) * 1e6))
+      }
+    }
+
+    val m1 = TextFunctions.nbTrain(docs, "text", "label", B)
+    val m2 = TextFunctions.nbTrain(docs, "text", "label", B)
+    assert(m1.labels.sameElements(m2.labels) &&
+      m1.priors.sameElements(m2.priors) &&
+      m1.weights.zip(m2.weights).forall { case (a, b) => a.sameElements(b) })
+    assert(m1.labels.sameElements(Array("greek", "latin", "mixed")))
+
+    val scored = docs
+      .select(col("doc_id"), TextFunctions.dsirGrams(col("text")).as("__g"))
+      .select(col("doc_id"), TextFunctions.nbPredict(col("__g"), m1).as("p"))
+    // disjoint-vocabulary training docs classify back to their own class
+    val preds = scored.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "greek" && preds(2L) == "greek" && preds(3L) == "greek")
+    assert(preds(4L) == "latin" && preds(5L) == "latin")
+    // scoring is map-only: the literal weight tables ride the plan —
+    // no join, no aggregate exchange
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"))
+  }
 }

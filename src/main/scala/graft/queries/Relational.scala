@@ -325,6 +325,39 @@ object Relational {
         .orderBy("c_nationkey", "rn")
     },
 
+    // offset window functions (LAG/LEAD/FIRST_VALUE) — partitioned by
+    // user_id, so the window exchange hash-distributes; no global window
+    "q_window_lag_lead" -> QueryDef(
+      """SELECT user_id, event_id,
+        |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+        |  FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first(col("event_id")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_event"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // NTILE — equal-height buckets inside each hash-distributed partition
+    "q_window_ntile" -> QueryDef(
+      """SELECT user_id, event_id,
+        |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       AS INTEGER) AS quartile
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).cast(IntegerType).as("quartile"))
+        .orderBy("user_id", "event_id")
+    },
+
     // window running aggregate (ROWS frame; exact decimal running sum)
     "q_window_running_sum" -> QueryDef(
       """SELECT user_id, event_id,

@@ -108,8 +108,19 @@ object Multimodal {
       avgB: Double, digest: String)
   implicit val imageMetaEnc: Encoder[ImageMeta] = Encoders.product[ImageMeta]
 
-  private def headless(): Unit =
+  /** per-batch codec init: AWT stays headless, and javax.imageio's
+    * stream cache stays IN MEMORY — ImageIO's default disk cache
+    * creates and deletes a temp file for EVERY read/write, which
+    * collapses under 32 concurrent decode tasks (observed 3 s → 70 s
+    * across repeated runs as the tmp dir churns). Every payload here is
+    * an in-memory byte array, so the memory cache is strictly better.
+    * Both are cheap idempotent static stores, safe per batch on any
+    * executor JVM.
+    */
+  private def headless(): Unit = {
     System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** container format from magic bytes (cheap, no decode) */
   def sniffFormat(b: Array[Byte]): String =

@@ -304,6 +304,89 @@ object EdgeStream {
     ledger.commit(batchId)
   }
 
+  /** Streaming ANN-index ingestion with near-dup gating — the embedding
+    * face of the incremental family: micro-batches of (id, vector) rows
+    * probe the persisted IVF index ([[graft.ext.Similarity
+    * .buildIvfIndex]] layout) for near-duplicates of history and of the
+    * batch itself, sink the admitted rows, and fold them into the
+    * index's cell-partitioned layout so later batches dedup against
+    * everything admitted so far. The ANN state IS the on-disk index —
+    * restart-safe and shared bit-for-bit with the batch incremental
+    * path ([[graft.ext.Similarity.cosinePairsIncremental]]); a search
+    * session can [[graft.ext.Similarity.ivfSearchIndexed]] the same dir
+    * while ingestion runs. First batch trains the coarse quantizer from
+    * its own vectors (deterministic per seed) and bootstraps the index.
+    * Contract as everywhere incremental: ids increase across batches.
+    */
+  def indexedEmbeddings(vecs: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, minCosine: Double = 0.95, cells: Int = 16)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        indexedEmbeddingBatch(batch0, batchId, idCol, vecCol, indexDir,
+          minCosine, cells, sink)
+      }
+
+  /** One [[indexedEmbeddings]] micro-batch, exposed so a replay (same
+    * batchId) is directly testable. Idempotent via [[BatchLedger]]: an
+    * applied batch skips; a replayed crash-window batch strips its own
+    * partial cell appends BEFORE probing (its vectors must never see
+    * themselves as history), recomputes deterministically, re-publishes.
+    */
+  private[streaming] def indexedEmbeddingBatch(batch0: DataFrame,
+      batchId: Long, idCol: String, vecCol: String, indexDir: String,
+      minCosine: Double, cells: Int, sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.ext.Similarity
+    val spark = batch0.sparkSession
+    val ledger = new BatchLedger(spark, indexDir, Seq(indexDir))
+    if (ledger.applied(batchId)) return
+    val batch = batch0.stageBoundary
+    if (batch.isEmpty) return
+    ledger.begin(batchId)
+    // quantizer sidecar = bootstrap-completeness signal (it is written
+    // LAST by the bootstrap, so a half-written first attempt re-runs
+    // the whole idempotent bootstrap)
+    val centsPath = new org.apache.hadoop.fs.Path(indexDir, "_centroids.json")
+    val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(centsPath)) {
+      // bootstrap: train the coarse quantizer on this batch, self-dedup
+      // (greedy min-id keeper, same policy as the batch family), build
+      // the index from the admitted rows
+      val k = math.min(cells.toLong, batch.count()).toInt
+      val cents = Similarity.trainCentroidsKMeansPP(
+        batch, idCol, vecCol, k)
+      val assigned = Similarity.assignCells(
+        batch.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "v", "cell", cents).stageBoundary
+      val doomed = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .filter(Similarity.cosine(col("a.v"), col("b.v")) >= minCosine)
+        .select(col("b.id").as(idCol)).distinct()
+      val kept = batch.join(doomed, Seq(idCol), "left_anti").stageBoundary
+      sink(kept, batchId)
+      Similarity.buildIvfIndex(kept, idCol, vecCol, cents, indexDir)
+      ledger.commit(batchId)
+      return
+    }
+    val cents = Similarity.readCentroids(spark, indexDir)
+    val pairs = Similarity.cosinePairsIncremental(
+      spark, indexDir, batch, idCol, vecCol, minCosine)
+    // ids increase across batches, so in any near-dup pair the larger
+    // id is the newer doc: history beats batch, earlier batch doc beats
+    // later — the same greedy policy as the batch family
+    val doomed = pairs.select(col("id_b").as(idCol)).distinct()
+    val kept = batch.join(doomed, Seq(idCol), "left_anti").stageBoundary
+    sink(kept, batchId)
+    Similarity.assignCells(kept, vecCol, "__cell", cents)
+      .select(col(idCol), col(vecCol), col("__cell"))
+      .repartition(col("__cell")).sortWithinPartitions(idCol)
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(ledger.stagingFor(batchId, indexDir))
+    ledger.publish(batchId)
+    ledger.commit(batchId)
+  }
+
   /** Streaming quality gating: the same C4 + Gopher gates the batch
     * pipeline applies ([[graft.ext.TextFunctions.c4DocKeep]] /
     * [[graft.ext.TextFunctions.gopherKeep]]), as a stateless streaming

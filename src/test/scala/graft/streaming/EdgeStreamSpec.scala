@@ -417,4 +417,65 @@ class EdgeStreamSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L))
   }
+
+  test("streaming ANN-index ingestion: near-dup gating vs history, replay-idempotent") {
+    val s = spark
+    import s.implicits._
+    import graft.ext.Similarity
+
+    def vec(base: Int, eps: Float): Seq[Float] = {
+      val v = Array.fill(8)(0f)
+      v(base) = 1f
+      v((base + 1) % 8) = eps // small rotation: cosine ≈ 1 - eps²/2
+      v.toSeq
+    }
+    // batch 0: 1 dups 0 (in-batch), 4 dups 2 (in-batch); 0/2/3/5 distinct
+    val batch0 = Seq(
+      0L -> vec(0, 0f), 1L -> vec(0, 0.02f),
+      2L -> vec(1, 0f), 3L -> vec(2, 0f),
+      4L -> vec(1, 0.03f), 5L -> vec(3, 0f)
+    ).toDF("vec_id", "embedding")
+    // batch 1: 10 dups history 0, 13 dups history 3, 12 dups 11 in-batch
+    val batch1 = Seq(
+      10L -> vec(0, 0.01f), 11L -> vec(4, 0f),
+      12L -> vec(4, 0.02f), 13L -> vec(2, 0.015f)
+    ).toDF("vec_id", "embedding")
+
+    val indexDir = Files.createTempDirectory("emb-index").toString
+    val sunk = scala.collection.mutable.ListBuffer[(Long, Set[Long])]()
+    def deliver(b: DataFrame, id: Long): Unit =
+      EdgeStream.indexedEmbeddingBatch(b, id, "vec_id", "embedding",
+        indexDir, minCosine = 0.95, cells = 4,
+        sink = (kept, bid) => sunk +=
+          bid -> kept.select("vec_id").collect().map(_.getLong(0)).toSet)
+
+    deliver(batch0, 0L)
+    deliver(batch1, 1L)
+    assert(sunk.toList == List(0L -> Set(0L, 2L, 3L, 5L), 1L -> Set(11L)))
+
+    def indexIds(): Set[Long] = spark.read.parquet(indexDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(indexIds() == Set(0L, 2L, 3L, 5L, 11L))
+
+    // the live index is searchable with raw queries mid-ingestion
+    val hits = Similarity.ivfSearchIndexed(spark, indexDir,
+      Seq(99L -> vec(0, 0.005f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 1)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(0L))
+
+    // committed replay: skipped outright — no sink call, index unchanged
+    deliver(batch1, 1L)
+    assert(sunk.size == 2 && indexIds() == Set(0L, 2L, 3L, 5L, 11L))
+
+    // crash-window replay (marker lost after publish): begin() strips the
+    // batch's own cell appends before probing, so its rows never see
+    // themselves as history — final state identical
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_applied/b1")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    deliver(batch1, 1L)
+    assert(sunk.last == 1L -> Set(11L))
+    assert(indexIds() == Set(0L, 2L, 3L, 5L, 11L))
+  }
 }

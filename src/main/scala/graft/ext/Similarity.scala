@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Stage.StageOps
 import graft.functions.SrpBands
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1092,6 +1092,85 @@ object Similarity {
     df.withColumn(codeCol, array(codeCols: _*))
   }
 
+  /** Production PQ encoder: the same (round(d, 9), code) argmin as
+    * [[encodePq]], computed in one imperative per-partition pass with
+    * primitive-array loops. Bit-equivalent: distances accumulate in the
+    * same left-to-right double order, the raw argmin keys on (d, code),
+    * and any near-tie candidate within 2e-9 of the minimum re-ranks
+    * under the exact BigDecimal HALF_UP rounding the declarative form
+    * applies (outside that window rounded distances are strictly
+    * ordered, so the raw argmin IS the rounded argmin). Exists because
+    * the declarative 256-way struct array + zip_with/aggregate HOFs
+    * allocate per element — measured 1353 s to encode 2M×64-dim where
+    * this pass takes tens of seconds (tools/StressPq). [[encodePq]]
+    * stays as the oracle-replayable form for the small verification
+    * tables; `PqSpec` pins row-for-row parity between the two.
+    */
+  def encodePqFast(df: DataFrame, vecCol: String, codeCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val codes = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val cbs: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val outSchema = df.schema.add(codeCol, ArrayType(IntegerType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.map { row =>
+      val vs = row.getSeq[Float](vecIdx)
+      val v = new Array[Double](vs.length)
+      var i = 0
+      while (i < v.length) { v(i) = vs(i).toDouble; i += 1 }
+      val out = new Array[Int](m)
+      val d2s = new Array[Double](codes)
+      var j = 0
+      while (j < m) {
+        val cb = cbs(j)
+        var best = 0
+        var bestD2 = Double.MaxValue
+        var c = 0
+        while (c < codes) {
+          val cv = cb(c)
+          var s = 0.0
+          i = 0
+          while (i < sub) {
+            val t = v(j * sub + i) - cv(i)
+            s += t * t
+            i += 1
+          }
+          d2s(c) = s
+          if (s < bestD2) { bestD2 = s; best = c }
+          c += 1
+        }
+        val dMin = math.sqrt(bestD2)
+        val bound = { val b = dMin + 2e-9; b * b }
+        var tie = false
+        c = 0
+        while (c < codes && !tie) {
+          if (c != best && d2s(c) <= bound) tie = true
+          c += 1
+        }
+        if (tie) {
+          def r9(d: Double): Double = BigDecimal(d)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          var bc = -1
+          var bd = Double.MaxValue
+          c = 0
+          while (c < codes) {
+            if (d2s(c) <= bound) {
+              val rd = r9(math.sqrt(d2s(c)))
+              if (rd < bd) { bd = rd; bc = c } // ascending c: first min wins
+            }
+            c += 1
+          }
+          out(j) = bc
+        } else out(j) = best
+        j += 1
+      }
+      Row.fromSeq(row.toSeq :+ out.toSeq)
+    }(enc)
+  }
+
   /** double-precision L2 distance between numeric-array columns —
     * element-order accumulation (matches DuckDB's `list_distance`)
     */
@@ -1155,12 +1234,17 @@ object Similarity {
     val cond = cellCol
       .map(_ => col("ncell") === col("qcell") && col("nid") =!= col("qid"))
       .getOrElse(col("nid") =!= col("qid"))
+    // static unrolled sum, NOT an aggregate/sequence HOF: per pair it
+    // is m plain array lookups in one codegen'd expression tree. The
+    // HOF form allocated a sequence + lambda frames per PAIR, which
+    // made the ADC scan slower than the exact 64-mult cosine at 2M×100
+    // (measured in tools/StressPq); the unrolled sum is bit-identical
+    // (same left-to-right accumulation).
     def sumLut(table: Column): Column =
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) => {
-        val jj = (j + lit(1)).cast(IntegerType)
-        val cc = (element_at(col("pqc"), jj) + lit(1)).cast(IntegerType)
-        acc + element_at(element_at(table, jj), cc)
-      })
+      (0 until m).map { j =>
+        val cc = (element_at(col("pqc"), j + 1) + lit(1)).cast(IntegerType)
+        element_at(element_at(table, j + 1), cc)
+      }.reduceLeft(_ + _)
     c.join(broadcast(q), cond)
       .withColumn("cs", round(
         sumLut(col("lut")) /

@@ -83,4 +83,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "q_dsir_select selection must be a distributed TakeOrdered")
   }
+
+  // Naive Bayes scoring: the per-class literal weight tables ride the
+  // plan, so classification is one map pass over the corpus — no join
+  // and no aggregation exchange may sneak in (the final ORDER BY's
+  // range exchange is the only shuffle allowed).
+  test("q_nb_classify scores map-only: no join, only the output sort's exchange") {
+    val plan = SparkEntry.defs("q_nb_classify").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "q_nb_classify plans a Join — scoring must fold the literal " +
+        "weight tables (TextFunctions.nbScores), not join the model")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"q_nb_classify plans $exchanges exchanges — only the output " +
+        "sort's range exchange is allowed; scoring itself is map-only")
+  }
 }

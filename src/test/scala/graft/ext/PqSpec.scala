@@ -146,4 +146,31 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException]( // dim 8 not divisible by m=3
       Similarity.trainPqSeeds(tiny, "vec_id", "embedding", m = 3, codes = 2))
   }
+
+  test("encodePqFast is row-for-row identical to the declarative encoder, exact ties included") {
+    val s = spark
+    import s.implicits._
+    // 300 vectors over dim 8; seed codebooks from the 4 smallest-id
+    // rows, with row 1 DUPLICATING row 0 → centroids 0 and 1 are
+    // identical in every subspace: an exact distance tie on every
+    // encode, which must break to the LOWER code in both encoders
+    val vecs = (0 until 300).map { i =>
+      val base = if (i == 1) 0 else i
+      i.toLong -> (0 until 8).map(d => ((base * 31 + d * 7) % 13).toFloat / 13f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cbs = Similarity.trainPqSeeds(df, "vec_id", "embedding",
+      m = 2, codes = 4)
+    def collectCodes(e: org.apache.spark.sql.DataFrame) =
+      e.select("vec_id", "pq").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val slow = collectCodes(Similarity.encodePq(df, "embedding", "pq", cbs))
+    val fast = collectCodes(Similarity.encodePqFast(df, "embedding", "pq", cbs))
+    assert(slow == fast)
+    // the duplicated centroid proves the tie path ran: code 1 ties code
+    // 0 exactly everywhere, so it may never win
+    assert(!fast.values.exists(_.contains(1)))
+    // and some vector actually sits nearest the duplicated centroid
+    assert(fast.values.exists(_.contains(0)))
+  }
 }

@@ -47,6 +47,49 @@ object PipelineQueries {
     * CTEs ending in `gb` (doc_id, t, bucket over the unigram+bigram
     * multiset) and `w` (bucket, cp, cq, integer micro-nat weight)
     */
+  /** DuckDB replay of PQ seed-codebook training (m=4, codes=8 over the
+    * 64-dim embeddings), argmin-L2 encode with the (round(d,9), code)
+    * tie-break, and ADC top-5 — shared by the declarative
+    * (`q_ann_pq`) and production (`q_ann_pq_fast`) encoder rows, which
+    * are bit-equivalent by contract.
+    */
+  private val SqlAnnPq =
+    """WITH s AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |cb AS (
+      |  SELECT t.j, s.c, s.v[t.j*16+1 : t.j*16+16] AS cv
+      |  FROM range(0,4) t(j) CROSS JOIN s),
+      |enc AS (
+      |  SELECT e.vec_id, cb.j, cb.c,
+      |    ROUND(list_distance(CAST(e.embedding AS DOUBLE[])[cb.j*16+1 : cb.j*16+16],
+      |                        cb.cv), 9) AS d
+      |  FROM embeddings e CROSS JOIN cb),
+      |code AS (
+      |  SELECT vec_id, j, c FROM enc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1),
+      |q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                                 CAST(embedding AS DOUBLE[]))) AS qn
+      |  FROM embeddings WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.qid, n.vec_id AS nid,
+      |         SUM(list_inner_product(q.qv[cb.j*16+1 : cb.j*16+16], cb.cv)) AS ip,
+      |         SUM(list_inner_product(cb.cv, cb.cv)) AS rn2,
+      |         ANY_VALUE(q.qn) AS qn
+      |  FROM q JOIN embeddings n ON n.vec_id <> q.qid
+      |  JOIN code cd ON cd.vec_id = n.vec_id
+      |  JOIN cb ON cb.j = cd.j AND cb.c = cd.c
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT qid, nid, ROUND(ip / GREATEST(qn * sqrt(rn2), 1e-12), 6) AS cs
+      |  FROM scored)
+      |SELECT qid, nid, cs,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS INTEGER) AS rn
+      |FROM r QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
+
   /** DuckDB mirror of [[graft.ext.TextFunctions.nbTrainDf]] at B=512
     * with label=source: CTEs ending in `ngb` (doc_id, label, bucket —
     * one row per gram occurrence), `ntot` (per-label gram totals) and
@@ -861,46 +904,25 @@ object PipelineQueries {
     // encode argmin (ROUND(d,9), code) and the ADC score; ranking keys
     // on (ROUND(cs,6), nid) on both sides because LUT summation groups
     // floats differently than SQL SUM.
-    "q_ann_pq" -> QueryDef(
-      """WITH s AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
-        |         CAST(embedding AS DOUBLE[]) AS v
-        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
-        |cb AS (
-        |  SELECT t.j, s.c, s.v[t.j*16+1 : t.j*16+16] AS cv
-        |  FROM range(0,4) t(j) CROSS JOIN s),
-        |enc AS (
-        |  SELECT e.vec_id, cb.j, cb.c,
-        |    ROUND(list_distance(CAST(e.embedding AS DOUBLE[])[cb.j*16+1 : cb.j*16+16],
-        |                        cb.cv), 9) AS d
-        |  FROM embeddings e CROSS JOIN cb),
-        |code AS (
-        |  SELECT vec_id, j, c FROM enc
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1),
-        |q AS (
-        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
-        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-        |                                 CAST(embedding AS DOUBLE[]))) AS qn
-        |  FROM embeddings WHERE vec_id < 20),
-        |scored AS (
-        |  SELECT q.qid, n.vec_id AS nid,
-        |         SUM(list_inner_product(q.qv[cb.j*16+1 : cb.j*16+16], cb.cv)) AS ip,
-        |         SUM(list_inner_product(cb.cv, cb.cv)) AS rn2,
-        |         ANY_VALUE(q.qn) AS qn
-        |  FROM q JOIN embeddings n ON n.vec_id <> q.qid
-        |  JOIN code cd ON cd.vec_id = n.vec_id
-        |  JOIN cb ON cb.j = cd.j AND cb.c = cd.c
-        |  GROUP BY 1, 2),
-        |r AS (
-        |  SELECT qid, nid, ROUND(ip / GREATEST(qn * sqrt(rn2), 1e-12), 6) AS cs
-        |  FROM scored)
-        |SELECT qid, nid, cs,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS INTEGER) AS rn
-        |FROM r QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    "q_ann_pq" -> QueryDef(SqlAnnPq) { (s, d) =>
       val emb = Tables.load(s, d, "embeddings")
       val cbs = Similarity.trainPqSeeds(emb, "vec_id", "embedding",
         m = 4, codes = 8)
       val encoded = Similarity.encodePq(emb, "embedding", "pq", cbs)
+      Similarity.pqTopK(encoded, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "pq", cbs, k = 5)
+        .orderBy("qid", "rn")
+    },
+
+    // the PRODUCTION encoder through the same oracle: encodePqFast is
+    // bit-equivalent to the declarative encode (PqSpec pins parity),
+    // so the identical DuckDB replay must match — proven here in the
+    // driver gate, not just the spec
+    "q_ann_pq_fast" -> QueryDef(SqlAnnPq) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val cbs = Similarity.trainPqSeeds(emb, "vec_id", "embedding",
+        m = 4, codes = 8)
+      val encoded = Similarity.encodePqFast(emb, "embedding", "pq", cbs)
       Similarity.pqTopK(encoded, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", "pq", cbs, k = 5)
         .orderBy("qid", "rn")

@@ -29,9 +29,11 @@ class SparkEntrySpec extends SparkSpec {
     //                       broadcast against the codes-only corpus scan
     //                       (the scale path is q_ann_ivfpq, whose coarse-
     //                       cell equality makes it a hash join)
+    //   q_ann_pq_fast       same plan, production encoder
     val cartesianByDesign =
       Set("q_cross_join", "q_scalar_subquery", "q_ann_topk",
-        "q_dedup_embedding", "q_unigram_logprob", "q_ann_pq")
+        "q_dedup_embedding", "q_unigram_logprob", "q_ann_pq",
+        "q_ann_pq_fast")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")

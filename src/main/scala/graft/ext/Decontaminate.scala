@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Benchmark decontamination for training-data pipelines — remove (or
   * flag) corpus documents that share verbatim n-gram content with an
@@ -52,5 +53,79 @@ object Decontaminate {
     val bad = overlapHits(corpus, bench, textCol, idCol, n, minHits)
       .select(col("doc_id").as("__bad_id"))
     corpus.join(bad, corpus(idCol) === col("__bad_id"), "left_anti")
+  }
+
+  // ---- Bloom-filter decontamination (the fixed-budget scale path) ----
+  //
+  // [[overlapHits]] joins the corpus against the benchmark's gram rows —
+  // right when eval suites are MBs, but a consortium-sized holdout
+  // (thousands of benchmarks, every eval answer ever published) can
+  // reach billions of grams, and a shuffle join keyed on them costs a
+  // corpus-wide exchange. The Bloom path compresses the WHOLE benchmark
+  // side into a fixed `mBits`-bit array (default 2²⁰ bits = 128 KB —
+  // constant, whatever the benchmark size), built distributed by
+  // [[graft.functions.BitsetAgg]]; the corpus probe is then MAP-ONLY:
+  // no join, no shuffle on corpus grams, one aggregation per doc.
+  // False positives (rate ≈ fill^k per gram) only over-flag — with
+  // minHits ≥ 2 a doc needs several false grams at once; false
+  // negatives are impossible, which is the direction decontamination
+  // must never err in.
+  //
+  // Hashing is the repo's portable md5 pattern — bit j of gram g lives
+  // at (h1 + j·h2) mod mBits with h1/h2 the two 60-bit md5 halves — so
+  // an external engine replays membership (including false positives)
+  // bit-for-bit. h2 is forced odd to cycle the power-of-two table.
+
+  private def bloomH1(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast(LongType)
+  private def bloomH2(g: Column): Column =
+    conv(substring(md5(g), 17, 15), 16, 10).cast(LongType)
+      .bitwiseOR(lit(1L))
+
+  /** a doc's distinct word n-grams as strings (the md5-hashable form) */
+  private def gramCol(textCol: String, n: Int): Column =
+    array_distinct(graft.functions.WordNgrams(
+      TextFunctions.tokens(col(textCol)), n))
+
+  /** Build the benchmark Bloom bits: one distinct pass over bench
+    * grams, k positions each, OR-folded into a `mBits/64`-word array
+    * by [[graft.functions.BitsetAgg]] — the driver receives one
+    * fixed-size array, never the gram set.
+    */
+  def benchBloom(bench: DataFrame, textCol: String, n: Int,
+      mBits: Int = 1 << 20, k: Int = 5): Array[Long] = {
+    require(k >= 1 && k <= 7, "k in [1,7] keeps h1 + j*h2 inside a long")
+    bench
+      .select(explode(gramCol(textCol, n)).as("__g")).distinct()
+      .select(bloomH1(col("__g")).as("__h1"), bloomH2(col("__g")).as("__h2"))
+      .select(explode(transform(sequence(lit(0), lit(k - 1)),
+        j => (col("__h1") + j.cast(LongType) * col("__h2")) % mBits))
+        .as("__p"))
+      .select(graft.functions.BitsetAgg(col("__p"), mBits).as("b"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** Per-corpus-doc contamination evidence against the Bloom bits:
+    * (`doc_id`, hits) where hits counts the doc's DISTINCT n-grams
+    * whose k probe bits are all set; only docs with ≥ minHits appear.
+    * The bit array rides the plan as a literal — map-only probe.
+    */
+  def bloomOverlapHits(corpus: DataFrame, bloomBits: Array[Long],
+      textCol: String, idCol: String, n: Int,
+      k: Int = 5, minHits: Int = 1): DataFrame = {
+    val mBits = bloomBits.length * 64
+    val grams = corpus.select(col(idCol).as("doc_id"),
+        explode(gramCol(textCol, n)).as("__g"))
+      .select(col("doc_id"),
+        bloomH1(col("__g")).as("__h1"), bloomH2(col("__g")).as("__h2"))
+    val hit = forall(sequence(lit(0), lit(k - 1)), j => {
+      val p = (col("__h1") + j.cast(LongType) * col("__h2")) % mBits
+      element_at(typedlit(bloomBits), (p / 64).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast(IntegerType))) =!= lit(0L)
+    })
+    grams.filter(hit)
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
   }
 }

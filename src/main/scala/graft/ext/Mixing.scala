@@ -184,4 +184,32 @@ object Mixing {
         Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))))
       .drop("__k")
   }
+
+  /** Cluster-balanced diversity sampling (the selection face of
+    * SemDeDup-style curation): coarse-quantize the corpus into `k`
+    * embedding cells and keep at most `perCell` rows per cell — dense
+    * regions (boilerplate, template families, over-represented topics)
+    * are capped while sparse regions keep everything, flattening the
+    * semantic density of the mix. Returns (`idCol`, cell, keep_rank)
+    * for the kept rows.
+    *
+    * Scale shape: cell assignment is the broadcast-literal argmax
+    * ([[Similarity.assignCells]] — one codegen map pass, no shuffle);
+    * the per-cell cap is [[capPerStratum]]'s salted two-phase window
+    * (local prune to ≤ perCell × partitions survivors, then the exact
+    * per-cell rank on the residual) — a hot cell never concentrates on
+    * one task. The default quantizer is the deterministic
+    * [[Similarity.trainCentroids]] (oracle-replayable); production
+    * passes k-means‖ centroids and every downstream shape is unchanged.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, perCell: Int,
+      centroids: Option[Seq[(Int, Seq[Float])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      Similarity.trainCentroids(df, idCol, vecCol, k))
+    val celled = Similarity.assignCells(
+      df.select(col(idCol), col(vecCol)), vecCol, "cell", cents)
+    capPerStratum(celled.select(col(idCol), col("cell")), "cell", perCell,
+      Seq(col(idCol)))
+  }
 }

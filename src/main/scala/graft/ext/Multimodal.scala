@@ -619,13 +619,28 @@ object Multimodal {
       new String(b, off, 4, "ISO-8859-1")
     else ""
 
-  /** JPEG frame payloads of an AVI's `movi` list, in stream order
-    * (chunk ids `##dc`/`##db`); None when the container is malformed
+  /** the first video stream's BITMAPINFOHEADER essentials: biWidth,
+    * biHeight (NEGATIVE = top-down row order, per the DIB spec),
+    * biBitCount, and biCompression (0 = BI_RGB uncompressed)
     */
-  private def aviFrameChunks(b: Array[Byte]): Option[Seq[Array[Byte]]] = try {
+  private final case class AviVideoFormat(
+      width: Int, height: Int, bitCount: Int, compression: Long)
+
+  private def leS32(b: Array[Byte], off: Int): Int = leU32(b, off).toInt
+
+  /** Frame payloads of an AVI's `movi` list in stream order (chunk ids
+    * `##dc`/`##db`), plus the video stream format from the `strl`
+    * header pair (None when absent — decode then falls back to the
+    * compressed-payload path). None overall when the container is
+    * malformed.
+    */
+  private def aviParse(b: Array[Byte])
+      : Option[(Option[AviVideoFormat], Seq[Array[Byte]])] = try {
     if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "AVI ")
       return None
     val frames = Seq.newBuilder[Array[Byte]]
+    var fmt: Option[AviVideoFormat] = None
+    var vidsStream = false // last strh in this strl was a video stream
     def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
       var i = from
       while (i + 8 <= to) {
@@ -641,6 +656,15 @@ object Multimodal {
           val listType = fourCC(b, dataStart)
           if (!walk(dataStart + 4, dataEnd, inMovi || listType == "movi"))
             return false
+        } else if (id == "strh" && size >= 4) {
+          vidsStream = fourCC(b, dataStart) == "vids"
+        } else if (id == "strf" && vidsStream && fmt.isEmpty && size >= 20) {
+          // BITMAPINFOHEADER: size(4) width(4) height(4) planes(2)
+          // bitCount(2) compression(4) ...
+          fmt = Some(AviVideoFormat(
+            leS32(b, dataStart + 4), leS32(b, dataStart + 8),
+            ((b(dataStart + 14) & 0xFF) | ((b(dataStart + 15) & 0xFF) << 8)),
+            leU32(b, dataStart + 16)))
         } else if (inMovi && size > 0 &&
           (id.endsWith("dc") || id.endsWith("db"))) {
           frames += java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
@@ -649,12 +673,59 @@ object Multimodal {
       }
       true
     }
-    if (walk(12, b.length, inMovi = false)) Some(frames.result()) else None
+    if (walk(12, b.length, inMovi = false)) Some((fmt, frames.result()))
+    else None
   } catch {
     // any surviving parse error on an adversarial container quarantines
     // as malformed rather than failing the Spark task
     case scala.util.control.NonFatal(_) => None
   }
+
+  /** Decode one raw BI_RGB DIB frame payload: bottom-up (or top-down
+    * when biHeight < 0) BGR(A) rows, each padded to a 4-byte stride —
+    * the UNCOMPRESSED AVI codec, decodable with no codec library at
+    * all. Returns null (→ frame quarantine) on any geometry/size
+    * mismatch rather than guessing.
+    */
+  private def decodeDib(p: Array[Byte],
+      f: AviVideoFormat): java.awt.image.BufferedImage = {
+    val bpx = f.bitCount / 8
+    val w = f.width
+    val hAbs = math.abs(f.height)
+    if ((bpx != 3 && bpx != 4) || w <= 0 || hAbs <= 0) return null
+    val stride = ((w * bpx + 3) / 4) * 4
+    if (p.length.toLong < stride.toLong * hAbs) return null
+    val img = new java.awt.image.BufferedImage(w, hAbs,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < hAbs) {
+      val srcRow = if (f.height > 0) hAbs - 1 - y else y
+      val ro = srcRow * stride
+      var x = 0
+      while (x < w) {
+        val o = ro + x * bpx
+        img.setRGB(x, y, ((p(o + 2) & 0xFF) << 16) |
+          ((p(o + 1) & 0xFF) << 8) | (p(o) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** one AVI frame payload → image: raw DIB when the stream header says
+    * BI_RGB, otherwise the compressed path (javax.imageio — MJPEG);
+    * null = undecodable (quarantine)
+    */
+  private def decodeAviPayload(payload: Array[Byte],
+      fmt: Option[AviVideoFormat]): java.awt.image.BufferedImage =
+    fmt match {
+      case Some(f) if f.compression == 0L => decodeDib(payload, f)
+      case _ =>
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+    }
 
   /** Real per-frame decode of MJPEG-AVI payloads: container walk +
     * `javax.imageio` JPEG decode per frame; returns one row per frame
@@ -666,14 +737,12 @@ object Multimodal {
   def decodeAviFramesBatch(batch: Seq[MediaRow]): Seq[VideoFrame] = {
     headless()
     batch.flatMap { m =>
-      aviFrameChunks(m.content) match {
+      aviParse(m.content) match {
         case None => Seq(VideoFrame(m.id, -1, -1, -1, -1))
-        case Some(chunks) if chunks.isEmpty =>
+        case Some((_, chunks)) if chunks.isEmpty =>
           Seq(VideoFrame(m.id, -1, -1, -1, -1))
-        case Some(chunks) => chunks.zipWithIndex.map { case (jp, i) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jp))
-            catch { case _: Exception => null }
+        case Some((fmt, chunks)) => chunks.zipWithIndex.map { case (jp, i) =>
+          val img = decodeAviPayload(jp, fmt)
           if (img == null) VideoFrame(m.id, -1, -1, -1, -1)
           else {
             var sum = 0L
@@ -719,14 +788,12 @@ object Multimodal {
   def videoFrameHashesBatch(batch: Seq[MediaRow]): Seq[VideoFrameHash] = {
     headless()
     batch.flatMap { m =>
-      aviFrameChunks(m.content) match {
+      aviParse(m.content) match {
         case None => Seq(VideoFrameHash(m.id, -1, -1L))
-        case Some(chunks) if chunks.isEmpty =>
+        case Some((_, chunks)) if chunks.isEmpty =>
           Seq(VideoFrameHash(m.id, -1, -1L))
-        case Some(chunks) => chunks.zipWithIndex.map { case (jp, i) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jp))
-            catch { case _: Exception => null }
+        case Some((fmt, chunks)) => chunks.zipWithIndex.map { case (jp, i) =>
+          val img = decodeAviPayload(jp, fmt)
           if (img == null) VideoFrameHash(m.id, -1, -1L)
           else VideoFrameHash(m.id, i, dHashOf(img))
         }
@@ -876,6 +943,99 @@ object Multimodal {
       (0 until frames).map(_ => chunk("00dc", jpeg)).reduce(_ ++ _))
     val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ junk ++ movi
     "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ body
+  }
+
+  /** shared RIFF scaffolding for the raw (BI_RGB) synthetic AVIs: the
+    * strf declares biCompression = 0, frames are bottom-up BGR rows
+    * padded to the DIB 4-byte stride in `00db` chunks
+    */
+  private def rawAviContainer(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    def u32le(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      cc.getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ padded
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ISO-8859-1") ++ body)
+    val avih = chunk("avih",
+      u32le(33333) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+        u32le(frames.length.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+        u32le(w.toLong) ++ u32le(h.toLong) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ "DIB ".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](12)(0) ++ u32le(1) ++ u32le(30) ++ u32le(0) ++
+        u32le(frames.length.toLong) ++ Array.fill[Byte](16)(0))
+    val strf = chunk("strf",
+      u32le(40) ++ u32le(w.toLong) ++ u32le(h.toLong) ++
+        Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+        u32le(0) ++ // biCompression = 0: BI_RGB
+        Array.fill[Byte](20)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.map(f => chunk("00db", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ body
+  }
+
+  /** a solid-gray raw DIB frame (BGR bottom-up, 4-byte row stride) */
+  private def rawGrayFrame(w: Int, h: Int, v: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = y * stride + x * 3
+        out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** deterministic UNCOMPRESSED (BI_RGB) AVI with the same id/frame
+    * geometry and gray-level formula as [[syntheticAviMjpeg]] — the
+    * second real video codec path, with no codec library at all; the
+    * decoded luma bucket is the exact formula (no JPEG noise to absorb)
+    */
+  def syntheticAviRaw(id: Long): Array[Byte] = {
+    val w = 64 + (id % 4).toInt * 16
+    val h = 48 + (id % 3).toInt * 16
+    val frames = (0 until 1 + (id % 5).toInt).map { f =>
+      rawGrayFrame(w, h, 8 + 16 * (((id * 7 + f * 3) % 16).toInt))
+    }
+    rawAviContainer(w, h, frames)
+  }
+
+  /** the striped [[syntheticPatternAvi]] content class (phase = id mod
+    * 4, resolution/frame-count varying with id) re-packaged as raw
+    * BI_RGB — for proving the perceptual fingerprint groups the SAME
+    * visual content ACROSS codecs (MJPEG vs uncompressed)
+    */
+  def syntheticPatternAviRaw(id: Long): Array[Byte] = {
+    val scale = 1 + ((id / 4) % 2).toInt
+    val w = 72 * scale
+    val h = 64
+    val cellW = w / 9
+    val phase = (id % 4).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frame = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (if ((((x / cellW) + phase) % 4) < 2) 64 else 192).toByte
+        val o = y * stride + x * 3
+        frame(o) = v; frame(o + 1) = v; frame(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    rawAviContainer(w, h, Seq.fill(1 + (id % 3).toInt)(frame))
   }
 
   /** deterministic solid-color test PNG (id → color) — the fixture

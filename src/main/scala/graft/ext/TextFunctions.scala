@@ -238,6 +238,50 @@ object TextFunctions {
         .as("nll"))
   }
 
+  /** Interpolated bigram-LM scoring — the next model order above
+    * [[unigramLogProb]] (closer to CCNet's KenLM filter, still with the
+    * corpus itself as the LM). Each in-document bigram (w_{i-1}, w_i)
+    * scores −ln(λ·c(w_{i-1}w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/T): the MLE
+    * bigram probability interpolated against the unigram model (which
+    * also smooths bigrams unseen outside this occurrence — every
+    * in-corpus bigram has c ≥ 1, so no zero mass). A document's `nll`
+    * is the mean over its bigram positions; docs with < 2 tokens have
+    * no bigram and drop out.
+    *
+    * Scale shape mirrors the unigram pass: one bigram-key count shuffle
+    * + one unigram-key count shuffle (both map-side combined — hot
+    * grams cost their occurrence rows, never pairs), three key joins
+    * back, one doc-key mean. Both vocabularies stay distributed; the
+    * only driver value is the corpus token total (one scalar).
+    */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda <= 1, "need 0 < lambda <= 1")
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val pairs = tok.filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(get(col("__t"), i - 1).as("p"),
+          get(col("__t"), i).as("w")))).as("__b"))
+      .select(col(idCol), col("__b.p").as("__p"), col("__b.w").as("__w"))
+    val uni = df.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    // one scalar to the driver (the corpus token total), same pattern
+    // as the DSIR totals — keeps a 1-row cross-join out of the plan
+    val total = uni.agg(sum(col("__cu"))).head().getLong(0).toDouble
+    val big = pairs.groupBy("__p", "__w").agg(count(lit(1)).as("__cb"))
+    pairs
+      .join(big, Seq("__p", "__w"))
+      .join(uni.select(col("__w").as("__p"), col("__cu").as("__cp")), "__p")
+      .join(uni, "__w")
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(
+        lit(lambda) * col("__cb").cast(DoubleType) /
+          col("__cp").cast(DoubleType) +
+        lit(1.0 - lambda) * col("__cu").cast(DoubleType) / lit(total))), 6)
+        .as("nll"))
+  }
+
   /** Token-window document chunking (context-window corpus prep): one
     * row per chunk — (`idCol`, chunk_idx, chunk_text). Chunks start at
     * 0, stride, 2·stride, … (stride = chunkSize − overlap) while the

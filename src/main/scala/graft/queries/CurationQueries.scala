@@ -52,6 +52,40 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-filter decontamination (r7): the benchmark side compressed
+    // to 2^20 bits (BitsetAgg build, portable md5 double-hash
+    // positions), corpus probe map-only. The oracle replays the k probe
+    // positions per gram and the all-bits-set membership test — false
+    // positives included, bit-for-bit
+    "q_decontaminate_bloom" -> QueryDef(
+      s"""WITH sh AS ($Sql5grams),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         |bh AS (SELECT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+         |              CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) | 1 AS h2
+         |       FROM bench),
+         |bpos AS (SELECT DISTINCT (h1 + j * h2) % 1048576 AS p
+         |         FROM bh, UNNEST(range(0, 5)) AS t(j)),
+         |corp AS (SELECT DISTINCT doc_id, s FROM sh WHERE source <> 'src0'),
+         |chash AS (SELECT doc_id, s,
+         |            CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+         |            CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) | 1 AS h2
+         |          FROM corp),
+         |cpos AS (SELECT doc_id, s, j, (h1 + j * h2) % 1048576 AS p
+         |         FROM chash, UNNEST(range(0, 5)) AS t(j)),
+         |hit AS (SELECT doc_id, s FROM cpos JOIN bpos USING (p)
+         |        GROUP BY doc_id, s HAVING COUNT(DISTINCT j) = 5)
+         |SELECT doc_id, COUNT(*) AS hits FROM hit
+         |GROUP BY doc_id HAVING COUNT(*) >= 5
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val bits = Decontaminate.benchBloom(
+        docs.filter(col("source") === "src0"), "text", n = 5)
+      Decontaminate.bloomOverlapHits(
+        docs.filter(col("source") =!= "src0"), bits,
+        "text", "doc_id", n = 5, k = 5, minHits = 5)
+        .orderBy("doc_id")
+    },
+
     // the cleaned corpus after decontamination: row counts by source
     // prove exactly the flagged docs were dropped
     "q_decontaminate_clean" -> QueryDef(
@@ -194,6 +228,36 @@ object CurationQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextFunctions.unigramLogProb(Tables.load(s, d, "documents"),
         "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // interpolated bigram-LM scoring (r7): one model order above the
+    // unigram filter — each bigram position scores
+    // -ln(0.7·cb/cp + (1-0.7)·cu/T). The oracle replays both count
+    // tables and the interpolation; `(1.0 - 0.7)` is spelled as the
+    // same IEEE subtraction both engines perform, and ROUND(6)
+    // absorbs summation-order ulps in the mean
+    "q_bigram_logprob" -> QueryDef(
+      s"""WITH tok AS (
+         |  SELECT doc_id, $SqlTokens AS w FROM documents),
+         |uni AS (
+         |  SELECT u AS w, COUNT(*) AS cu
+         |  FROM (SELECT unnest(w) AS u FROM tok) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS t FROM uni),
+         |bg AS (
+         |  SELECT doc_id, w[i] AS p, w[i+1] AS q
+         |  FROM tok, UNNEST(range(1, len(w))) AS s(i)
+         |  WHERE len(w) >= 2),
+         |bc AS (SELECT p, q, COUNT(*) AS cb FROM bg GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  ROUND(AVG(-ln(0.7 * CAST(cb AS DOUBLE) / CAST(up.cu AS DOUBLE)
+         |    + (1.0 - 0.7) * CAST(uq.cu AS DOUBLE) / t)), 6) AS nll
+         |FROM bg JOIN bc USING (p, q)
+         |  JOIN uni up ON up.w = bg.p
+         |  JOIN uni uq ON uq.w = bg.q, tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextFunctions.bigramLogProb(Tables.load(s, d, "documents"),
+        "text", "doc_id", lambda = 0.7)
         .orderBy("doc_id")
     },
 

@@ -832,6 +832,96 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // cluster-balanced diversity sampling (r7): the same deterministic
+    // quantizer as q_semantic_dedup, then at most 30 kept per cell —
+    // dense cells capped, sparse cells kept whole. The oracle replays
+    // the assignment argmax and the per-cell rank
+    "q_cluster_sample" -> QueryDef(
+      """WITH cent AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 8) s),
+        |asg AS (
+        |  SELECT e.vec_id,
+        |         (SELECT c.cell FROM cent c
+        |          ORDER BY ROUND(list_cosine_similarity(c.cv,
+        |                    CAST(e.embedding AS DOUBLE[])), 9) DESC, c.cell DESC
+        |          LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |r AS (
+        |  SELECT vec_id, cell,
+        |         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        |  FROM asg)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+        |       CAST(rn AS BIGINT) AS keep_rank
+        |FROM r WHERE rn <= 30 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Mixing.clusterBalancedSample(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, perCell = 30)
+        .orderBy("vec_id")
+    },
+
+    // content-defined chunking (r7): token-anchor CDC — a token whose
+    // portable hash ≡ 0 (mod 8) closes a chunk, so boundaries re-align
+    // across edited copies. The oracle replays the anchor rule as a
+    // running anchor count per token (chunk_idx = anchors strictly
+    // before the position), then re-joins each chunk's text
+    "q_cdc_chunks" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, $SqlTokens AS w FROM documents),
+         |tks AS (
+         |  SELECT doc_id, i, w[i] AS tk,
+         |    CASE WHEN CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT)
+         |              % 8 = 0 THEN 1 ELSE 0 END AS a
+         |  FROM tok, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |ch AS (
+         |  SELECT doc_id, i, tk,
+         |    CAST(COALESCE(SUM(a) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS INTEGER) AS chunk_idx
+         |  FROM tks)
+         |SELECT doc_id, chunk_idx, CAST(COUNT(*) AS INTEGER) AS n_tok,
+         |  CAST(('0x' || substr(md5(string_agg(tk, ' ' ORDER BY i)), 1, 15))
+         |    AS BIGINT) AS chunk_hash
+         |FROM ch GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Cdc.cdcChunks(Tables.load(s, d, "documents"), "text", "doc_id",
+        divisor = 8)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // cross-document chunk-level dedup: per doc, the fraction of its
+    // distinct CDC chunks that also occur in another document — the
+    // recycled-span signal whole-doc dedup cannot see
+    "q_cdc_dedup" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, $SqlTokens AS w FROM documents),
+         |tks AS (
+         |  SELECT doc_id, i, w[i] AS tk,
+         |    CASE WHEN CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT)
+         |              % 8 = 0 THEN 1 ELSE 0 END AS a
+         |  FROM tok, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |ch AS (
+         |  SELECT doc_id, i, tk,
+         |    COALESCE(SUM(a) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+         |  FROM tks),
+         |hs AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substr(md5(string_agg(tk, ' ' ORDER BY i)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM ch GROUP BY doc_id, ci),
+         |sh AS (SELECT h, COUNT(*) AS nd FROM hs GROUP BY h)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_chunks,
+         |  ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS dup_frac
+         |FROM hs JOIN sh USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Cdc.dupChunkStats(Tables.load(s, d, "documents"), "text", "doc_id",
+        divisor = 8)
+        .orderBy("doc_id")
+    },
+
     // ---- similarity search ----
 
     // brute-force exact top-5 cosine neighbors for 20 query vectors
@@ -1392,6 +1482,31 @@ object PipelineQueries {
       val media = Tables.load(s, d, "documents")
         .select(col("doc_id")).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticAviMjpeg(id),
+          "video/x-msvideo"))
+      Multimodal.decodeAviFrames(media).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("width"), col("height"), col("lumaBucket").as("luma_bucket"))
+        .orderBy("id", "frame_idx")
+    },
+
+    // UNCOMPRESSED (BI_RGB) video decode (r7): the second real AVI
+    // codec path — the strl header pair declares biCompression = 0 and
+    // the movi chunks carry raw bottom-up BGR rows at the DIB 4-byte
+    // stride; no codec library involved, so the luma bucket is the
+    // EXACT formula (the MJPEG row needed bucket-center levels to
+    // absorb JPEG noise)
+    "q_multimodal_video_raw" -> QueryDef(
+      """SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(64 + (doc_id % 4) * 16 AS INTEGER) AS width,
+        |  CAST(48 + (doc_id % 3) * 16 AS INTEGER) AS height,
+        |  CAST((doc_id * 7 + f * 3) % 16 AS INTEGER) AS luma_bucket
+        |FROM documents, UNNEST(range(0, 1 + doc_id % 5)) AS t(f)
+        |ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
+      import Multimodal._
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(id, Multimodal.syntheticAviRaw(id),
           "video/x-msvideo"))
       Multimodal.decodeAviFrames(media).toDF()
         .select(col("id"), col("frameIdx").as("frame_idx"),

@@ -424,4 +424,99 @@ class CurationSpec extends SparkSpec {
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"))
   }
+
+  test("bigramLogProb: novel-bigram docs score above repeated-bigram docs") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 8L).map(i => (i, "a b a b a b")) :+
+      (9L, "p q r s") :+ (10L, "solo")).toDF("doc_id", "text")
+    val scores = TextFunctions.bigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) == scores(8L)) // identical docs, identical score
+    assert(scores(9L) > scores(1L),
+      s"one-off bigrams must score higher: $scores")
+    // a single-token doc has no bigram position and drops out
+    assert(!scores.contains(10L))
+    // deterministic across runs
+    val again = TextFunctions.bigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores == again)
+  }
+
+  test("clusterBalancedSample caps dense cells, keeps sparse cells whole") {
+    val s = spark
+    import s.implicits._
+    // id 0 anchors cell 0 (x-axis), id 1 anchors cell 1 (y-axis);
+    // 40 more points crowd cell 0, 4 more sit in cell 1
+    val rows =
+      Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))) ++
+        (2L to 41L).map(i => (i, Seq(1f, 0.01f * (i % 3)))) ++
+        (42L to 45L).map(i => (i, Seq(0.01f * (i % 3), 1f)))
+    val df = rows.toDF("id", "vec")
+    val kept = Mixing.clusterBalancedSample(df, "id", "vec",
+      k = 2, perCell = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCell = kept.groupBy(_._2)
+    assert(byCell(0).length == 10, s"dense cell must cap at 10: $byCell")
+    assert(byCell(1).length == 5, s"sparse cell keeps all 5: $byCell")
+    // rank is the per-cell position in id order: smallest ids survive
+    assert(byCell(0).map(_._1).sorted.toSeq ==
+      (Seq(0L) ++ (2L to 10L)).sorted)
+    assert(byCell.values.flatten.forall(_._3 <= 10))
+  }
+
+  test("CDC chunks re-align after a prefix edit; dup stats flag recycled spans") {
+    val s = spark
+    import s.implicits._
+    val words = (0 until 200).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, "zz " + base), // prefix edit
+      (3L, words.slice(50, 150).mkString(" ")), // recycled span of 1
+      (4L, (0 until 60).map(i => s"own$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val chunks = Cdc.cdcChunks(df, "text", "doc_id", divisor = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // per doc: chunk_idx contiguous from 0 and token mass preserved
+    Seq(1L -> 200, 2L -> 201, 3L -> 100, 4L -> 60).foreach { case (id, n) =>
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      assert(cs.map(_._3).sum == n, s"doc $id token mass")
+    }
+    // content-defined boundaries: the prefixed copy re-aligns — all
+    // chunks except the edited first one carry identical hashes
+    val h1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._4)
+    val h2 = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._4)
+    assert((h1.toSet -- h2.toSet).size <= 1 && (h2.toSet -- h1.toSet).size <= 1,
+      s"prefix edit must perturb at most the first chunk: ${h1.length}/${h2.length}")
+    assert((h1.toSet & h2.toSet).size >= h1.length - 1)
+    // chunk-level dedup: recycled spans flagged, unrelated doc clean
+    val stats = Cdc.dupChunkStats(df, "text", "doc_id", divisor = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stats(1L) > 0 && stats(2L) > 0, s"shared chunks must flag: $stats")
+    assert(stats(3L) > 0, s"recycled span must flag: $stats")
+    assert(stats(4L) == 0, s"unrelated doc must stay clean: $stats")
+  }
+
+  test("bloom decontamination never misses an exact hit; probe is join-free") {
+    val corpus = docs.filter(col("source") =!= "bench")
+    val bench = docs.filter(col("source") === "bench")
+    val exact = Decontaminate.overlapHits(corpus, bench, "text", "doc_id",
+      n = 5, minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bits = Decontaminate.benchBloom(bench, "text", n = 5,
+      mBits = 1 << 16, k = 5)
+    val probe = Decontaminate.bloomOverlapHits(corpus, bits,
+      "text", "doc_id", n = 5, k = 5, minHits = 1)
+    val bloom = probe.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exact hit appears with >= its evidence
+    exact.foreach { case (id, hits) =>
+      assert(bloom.contains(id) && bloom(id) >= hits,
+        s"bloom lost doc $id: exact=$exact bloom=$bloom")
+    }
+    // the probe never joins — the bit array rides the plan as a literal
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "bloom probe must be join-free")
+  }
 }

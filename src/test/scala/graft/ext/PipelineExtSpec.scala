@@ -560,6 +560,46 @@ class PipelineExtSpec extends SparkSpec {
     assert(hashes.map(_.dhash).distinct.length == 4)
   }
 
+  test("raw BI_RGB AVI decode: exact dimensions and luma formula, " +
+    "bottom-up stride rows, no codec involved") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    val rows = (0L until 12L).map(id =>
+      MediaRow(id, Multimodal.syntheticAviRaw(id), "video/x-msvideo"))
+    val frames = Multimodal.decodeAviFrames(rows.toDS()).collect()
+    assert(frames.forall(_.frameIdx >= 0), "raw frames must all decode")
+    frames.foreach { f =>
+      assert(f.width == 64 + (f.id % 4).toInt * 16)
+      assert(f.height == 48 + (f.id % 3).toInt * 16)
+      // raw path: the bucket is the EXACT formula — no JPEG tolerance
+      assert(f.lumaBucket == ((f.id * 7 + f.frameIdx * 3) % 16).toInt,
+        s"luma bucket mismatch at $f")
+    }
+    assert(frames.groupBy(_.id).forall { case (id, fs) =>
+      fs.length == 1 + (id % 5).toInt
+    })
+  }
+
+  test("video near-dup groups the same content ACROSS codecs: raw " +
+    "BI_RGB variants join their MJPEG twins' groups") {
+    val s = spark
+    import s.implicits._
+    import Multimodal._
+    // ids 0..7: MJPEG striped phases 0..3 at both scales; ids 8..15:
+    // the SAME content classes as uncompressed BI_RGB (phase = id%4,
+    // scales again) — one group per phase spanning both codecs
+    val rows = (0L until 8L).map(id =>
+      MediaRow(id, Multimodal.syntheticPatternAvi(id), "video/x-msvideo")) ++
+      (8L until 16L).map(id =>
+        MediaRow(id, Multimodal.syntheticPatternAviRaw(id), "video/x-msvideo"))
+    val groups = Multimodal.videoFingerprintGroups(rows.toDS())
+      .select(col("keeper"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(groups.toSeq == Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 4L)),
+      s"cross-codec groups: ${groups.toSeq}")
+  }
+
   test("video near-dup: a PARTIALLY corrupt video is quarantined, not " +
     "grouped via its decodable-subset signature") {
     val s = spark

@@ -1305,4 +1305,66 @@ object Similarity {
       case other => throw new IllegalArgumentException(s"bad codebooks $other")
     }
   }
+
+  // ---- deterministic distributed PCA (spherical, integer power
+  // iteration) ----
+  //
+  // The top principal direction of the int8-quantized embeddings,
+  // trained by power iteration with EXACT integer arithmetic: per
+  // iteration s_i = q_i·v (a long — |q| ≤ 127, v in 1e-6 units), then
+  // w = Σ_i q_i·s_i via one 64-key map-combined aggregation, then the
+  // driver renormalizes w to 1e-6 units (norm² summed exactly as
+  // BigInt, one deterministic IEEE cast + sqrt + HALF_UP round per
+  // component). Every intermediate is an exact integer, so an external
+  // engine replays the whole chain bit-for-bit — float-summation-order
+  // ulps, the usual reason distributed PCA can't be oracle-checked,
+  // never arise. Spherical (uncentered, row-normalized by the int8
+  // clamp): the right variant for cosine-space embeddings, where the
+  // direction of maximal angular variance is what whitening/outlier
+  // scoring needs.
+  //
+  // Scale shape: each iteration touches the corpus once (map + a
+  // 64-key partial aggregation); the driver holds 64 longs. Exact-long
+  // headroom: |w_j| ≤ n·127·(dim·127·unitScale) — at unitScale 1e6
+  // that bounds n ≲ 1e7 rows; larger corpora either train the
+  // direction on a seeded sample (the quantizer-training move) or pass
+  // unitScale 1e3. Scoring is always map-only and exact at any n.
+
+  /** the final direction in `unitScale` units, after `iters` rounds
+    * from the all-ones start
+    */
+  def pcaPowerDirection(corpus: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 6, unitScale: Long = 1000000L): Array[Long] = {
+    require(iters >= 1 && dim >= 1)
+    val q = corpus.select(transform(quantizeInt8(col(vecCol)),
+      _.cast(LongType)).as("__q"))
+    var v = Array.fill(dim)(unitScale)
+    (1 to iters).foreach { _ =>
+      val s = aggregate(zip_with(col("__q"), typedlit(v), _ * _),
+        lit(0L), _ + _)
+      val w = q.select(s.as("__s"), posexplode(col("__q")))
+        .toDF("__s", "__j", "__x")
+        .groupBy("__j").agg(sum(col("__x") * col("__s")).as("__w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val warr = (0 until dim).map(j => w.getOrElse(j, 0L)).toArray
+      val norm2 = warr.map(x => BigInt(x) * BigInt(x)).sum
+      require(norm2 > 0, "pca: direction vanished (degenerate corpus)")
+      val nrm = math.sqrt(norm2.toDouble)
+      v = warr.map(x => java.math.BigDecimal
+        .valueOf(x.toDouble * unitScale / nrm)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }
+    v
+  }
+
+  /** per-row principal-component score: the exact integer dot product
+    * of the row's int8 codes with the trained direction — map-only,
+    * the direction rides the plan as a literal
+    */
+  def pcaScores(corpus: DataFrame, idCol: String, vecCol: String,
+      direction: Array[Long]): DataFrame =
+    corpus.select(col(idCol),
+      aggregate(zip_with(transform(quantizeInt8(col(vecCol)),
+        _.cast(LongType)), typedlit(direction), _ * _),
+        lit(0L), _ + _).as("pc1"))
 }

@@ -282,6 +282,40 @@ object TextFunctions {
         .as("nll"))
   }
 
+  /** Corpus-wide heavy-hitter tokens (boilerplate/stop-phrase mining)
+    * WITHOUT a corpus-wide token shuffle: pass 1 runs the mergeable
+    * Misra–Gries sketch ([[graft.functions.MisraGriesAgg]]) — each task
+    * keeps a ≤`sketchK`-entry counter map and the shuffle moves one
+    * bounded buffer per partition, never the token key space; pass 2
+    * exactly re-counts ONLY the surviving candidates (an `isin` map
+    * filter, then a map-combined count whose key space is ≤ sketchK)
+    * and keeps tokens with exact count > n·support.
+    *
+    * The sketch's merge guarantee (every token with frequency >
+    * n/(sketchK+1) survives any merge order) plus `sketchK ≥
+    * 1/support` makes the two-pass answer EXACTLY the true heavy-hitter
+    * set — the sketch only prunes, the recount decides. That is what
+    * lets a sketch-based operator verify against a plain GROUP BY
+    * oracle.
+    */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, textCol: String,
+      support: Double = 0.002, sketchK: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(support > 0 && support < 1, "support in (0,1)")
+    require(sketchK >= 1.0 / support,
+      s"sketchK=$sketchK too coarse for support=$support: the " +
+        "n/(sketchK+1) survival guarantee must cover n*support")
+    val tok = df.select(explode(tokens(col(textCol))).as("__w"))
+    val first = tok.agg(
+      graft.functions.MisraGriesAgg(col("__w"), sketchK).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cands = first.getSeq[String](0)
+    val n = first.getLong(1)
+    tok.filter(col("__w").isin(cands: _*))
+      .groupBy(col("__w").as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n) * support)
+  }
+
   /** Token-window document chunking (context-window corpus prep): one
     * row per chunk — (`idCol`, chunk_idx, chunk_text). Chunks start at
     * 0, stride, 2·stride, … (stride = chunkSize − overlap) while the

@@ -261,6 +261,21 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // heavy-hitter tokens (r7): Misra-Gries sketch candidates + exact
+    // recount — the sketch only PRUNES (its survival guarantee covers
+    // every token above support), the recount DECIDES, so the answer
+    // equals the plain GROUP BY the oracle runs
+    "q_heavy_hitters" -> QueryDef(
+      s"""WITH tok AS (SELECT unnest($SqlTokens) AS w FROM documents),
+         |tot AS (SELECT COUNT(*) AS t FROM tok)
+         |SELECT w AS token, COUNT(*) AS cnt
+         |FROM tok, tot GROUP BY w, t HAVING COUNT(*) > t * 0.002
+         |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+      TextFunctions.heavyHitters(Tables.load(s, d, "documents"),
+        "text", support = 0.002, sketchK = 1024)
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     // token-budget sequence packing: docs packed head-to-tail into
     // ~512-token bins per source; per-bin doc count and token mass.
     // The oracle replays the exclusive running sum / floor-divide.

@@ -1150,6 +1150,49 @@ object PipelineQueries {
         .orderBy("vec_id", "dim")
     },
 
+    // deterministic distributed PCA (r7): top principal direction of
+    // the int8-quantized embeddings by integer power iteration — every
+    // intermediate (per-row dot s, per-dim sums w, renormalized v) is
+    // an exact integer, so the oracle replays the WHOLE training chain
+    // plus the final map-only scores bit-for-bit; float summation-order
+    // ulps (the usual reason distributed PCA can't be oracle-checked)
+    // never arise
+    "q_pca_power" -> QueryDef({
+      val iters = 3
+      val sb = new StringBuilder
+      sb.append(
+        """WITH q AS (
+          |  SELECT vec_id, list_transform(range(1, 65), j ->
+          |    CAST(GREATEST(-127, LEAST(127,
+          |      ROUND(CAST(embedding[j] AS DOUBLE) * 127))) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |v0 AS (SELECT list_transform(range(1, 65),
+          |         j -> CAST(1000000 AS BIGINT)) AS vl)""".stripMargin)
+      (1 to iters).foreach { k =>
+        sb.append(s""",
+           |s$k AS (SELECT vec_id, qv,
+           |  list_sum(list_transform(range(1, 65), j -> qv[j] * vl[j])) AS s
+           |  FROM q, v${k - 1}),
+           |w$k AS (SELECT j, SUM(qv[j] * s) AS w
+           |  FROM s$k, UNNEST(range(1, 65)) AS t(j) GROUP BY j),
+           |n$k AS (SELECT SUM(CAST(w AS HUGEINT) * w) AS n2 FROM w$k),
+           |v$k AS (SELECT list(CAST(ROUND(CAST(w AS DOUBLE) * 1000000
+           |    / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) ORDER BY j) AS vl
+           |  FROM w$k, n$k)""".stripMargin)
+      }
+      sb.append(s"""
+         |SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
+         |    j -> qv[j] * vl[j])) AS BIGINT) AS pc1
+         |FROM q, v$iters ORDER BY vec_id""".stripMargin)
+      sb.toString
+    }) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val dir = Similarity.pcaPowerDirection(emb, "embedding",
+        dim = 64, iters = 3)
+      Similarity.pcaScores(emb, "vec_id", "embedding", dir)
+        .orderBy("vec_id")
+    },
+
     // IVF training + coarse quantization: deterministic centroids (the
     // k smallest ids), every row assigned its max-cosine cell via a
     // broadcast-literal argmax — no join, no shuffle; ties break to the

@@ -499,6 +499,57 @@ class CurationSpec extends SparkSpec {
     assert(stats(4L) == 0, s"unrelated doc must stay clean: $stats")
   }
 
+  test("heavyHitters: a tiny sketch prunes a huge tail yet the recount " +
+    "equals the exact GROUP BY answer") {
+    val s = spark
+    import s.implicits._
+    // 3 hot tokens at freq 500 over a 5000-singleton tail; sketchK=32
+    // is far below the vocabulary, so the sketch genuinely prunes.
+    // Guarantee: freq > n/(k+1) = 6500/33 ≈ 197 survives any merge.
+    val docs = ((0 until 500).map(i => (i.toLong, "hot1 hot2 hot3")) ++
+      (0 until 5000).map(i => (10000L + i, s"tail$i"))).toDF("id", "text")
+      .repartition(8) // several partials → real sketch merging
+    val hh = TextFunctions.heavyHitters(docs, "text",
+      support = 0.04, sketchK = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("hot1" -> 500L, "hot2" -> 500L, "hot3" -> 500L),
+      s"exact heavy hitters expected: $hh")
+    // deterministic despite the merge-order-dependent sketch: the
+    // recount decides
+    val again = TextFunctions.heavyHitters(docs, "text",
+      support = 0.04, sketchK = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == again)
+  }
+
+  test("pcaPowerDirection finds the dominant axis with exact integer scores") {
+    val s = spark
+    import s.implicits._
+    // variance concentrated on axis 0 (±1), light noise on axis 1
+    val rows = (0 until 200).map { i =>
+      val sgn = if (i % 2 == 0) 1f else -1f
+      val noise = if (i % 3 == 0) 0.1f else -0.1f
+      (i.toLong, Seq(sgn, noise, 0f, 0f))
+    }
+    val df = rows.toDF("id", "vec")
+    val dir = Similarity.pcaPowerDirection(df, "vec", dim = 4, iters = 4)
+    assert(math.abs(dir(0)) > 990000L, s"axis-0 must dominate: ${dir.toSeq}")
+    assert(math.abs(dir(1)) < 300000L, s"noise axis must shrink: ${dir.toSeq}")
+    assert(dir(2) == 0L && dir(3) == 0L)
+    // scores are the exact integer dot with the int8 codes — replicate
+    // the quantization by hand for a few rows
+    val scores = Similarity.pcaScores(df, "id", "vec", dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.take(6).foreach { case (id, v) =>
+      val q = v.map(x => math.max(-127L, math.min(127L, math.round(x * 127.0))))
+      val expect = q.zip(dir).map { case (a, b) => a * b }.sum
+      assert(scores(id) == expect, s"exact score mismatch at $id")
+    }
+    // deterministic across runs (distributed sums are exact integers)
+    val dir2 = Similarity.pcaPowerDirection(df, "vec", dim = 4, iters = 4)
+    assert(dir.toSeq == dir2.toSeq)
+  }
+
   test("bloom decontamination never misses an exact hit; probe is join-free") {
     val corpus = docs.filter(col("source") =!= "bench")
     val bench = docs.filter(col("source") === "bench")

@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DataFrame-native connected components by alternating
+  * large-star / small-star rounds (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014) — the transitive
+  * closure that turns near-dup PAIRS (MinHash/SimHash/jaccard/CDC
+  * emit pairs) into canonical dup CLUSTERS.
+  *
+  * Why this exists next to [[graft.ext.Dedup.resolveClusters]]
+  * (GraphX): the Pregel min-propagation there converges in O(cluster
+  * diameter) supersteps — fine for shallow near-dup clusters, but a
+  * crawl timeline of pairwise-similar snapshots is a CHAIN, and a
+  * 10k-long chain is 10k supersteps of RDD shuffles. Star contraction
+  * converges in O(log² n) rounds regardless of diameter, and staying
+  * in DataFrames keeps every round in Tungsten with AQE handling the
+  * hot-key skew that the component minimum inevitably becomes.
+  *
+  * Per round the work is: one symmetric projection of the edge set
+  * (map), one map-combined `min` aggregation on the 8-byte node key,
+  * one equi-join of neighbors against those minima on the same key
+  * (co-hashed — AQE reuses the exchange), and a distinct. Nothing is
+  * ever proportional to a neighborhood list held in memory: the
+  * per-node minimum is an aggregate, NOT a `collect_list`, so a
+  * 100M-degree hub costs its partial aggregates, not a 800MB array
+  * row. Each round ends in an eager `localCheckpoint` to truncate
+  * lineage (the PathExpand fixpoint move).
+  *
+  * Determinism: the final labeling (every node → the minimum id in
+  * its component) is unique, so the merge/join order inside rounds
+  * cannot leak into the answer — which is what lets a recursive-CTE
+  * oracle replay it exactly.
+  */
+object Cc {
+
+  /** Connected components over an undirected pair list. Returns one
+    * row per distinct node appearing in `pairs`:
+    * (`id` LONG, `component` LONG) with `component` = min node id
+    * reachable — GraphX connectedComponents' labeling, computed
+    * without leaving the DataFrame engine.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 64): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds it
+    * took — the observable the O(log² n) claim is measured by
+    * (`tools.StressCc`).
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    // canonical parent-pointer form: u > v, loops dropped, dups merged
+    var edges = pairs.select(
+        greatest(col(aCol), col(bCol)).cast(LongType).as("u"),
+        least(col(aCol), col(bCol)).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var cnt = edges.count()
+    var round = 0
+    var converged = cnt == 0L
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds,
+        s"connectedComponents: no fixpoint after $maxRounds rounds")
+      // -- large-star: every neighbor LARGER than n attaches to
+      //    m = min(Γ(n) ∪ {n})
+      val nbrs = edges.select(col("u").as("n"), col("v").as("w"))
+        .union(edges.select(col("v").as("n"), col("u").as("w")))
+      val mins = nbrs.groupBy("n")
+        .agg(min(col("w")).as("mw"))
+        .select(col("n"), least(col("mw"), col("n")).as("m"))
+      val ls = nbrs.join(mins, "n")
+        .filter(col("w") > col("n"))
+        .select(col("w").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // -- small-star: on the parent-pointer orientation (all v < u),
+      //    m = min neighbor; u and every smaller neighbor attach to m
+      val smins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val newCnt = ss.count()
+      // fixpoint: small-star left the (distinct, canonical) edge set
+      // unchanged. Counts-equal + empty set-difference is an exact
+      // equality test between two distinct sets.
+      converged = newCnt == cnt &&
+        ss.exceptAll(edges).isEmpty
+      edges = ss
+      cnt = newCnt
+    }
+    // at the fixpoint every edge points at its component minimum
+    val roots = edges.select(col("v").as("id")).distinct()
+      .withColumn("component", col("id"))
+    (edges.select(col("u").as("id"), col("v").as("component"))
+      .union(roots)
+      .distinct(), round)
+  }
+
+  /** Label a node table with its near-dup cluster canonical: every id
+    * in `docs` → min id of its component (itself when unpaired).
+    * Drop-in for [[Dedup.resolveClusters]] with the same output
+    * schema, minus the RDD round-trip.
+    */
+  def resolveClustersDf(pairs: DataFrame, docs: DataFrame,
+      idCol: String): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol).cast(LongType))
+      .join(labels, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical"))
+  }
+
+  /** Quality-aware cluster resolution: the canonical member of each
+    * near-dup cluster is the one with the HIGHEST `scoreCol` (tie →
+    * lowest id), not blindly the lowest id — the "keep the best copy"
+    * policy real curation wants (keep the longest / highest-quality
+    * variant, drop the truncated mirror). Use an integer score when
+    * the choice must replay across engines.
+    *
+    * The per-component argmax is ONE map-combined `max` of a
+    * (score, −id) struct on the component key — a giant component
+    * costs its partial maxima, never a sorted member list.
+    */
+  def resolveClustersBest(pairs: DataFrame, docs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val lab = docs.select(col(idCol).cast(LongType), col(scoreCol))
+      .join(labels, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        col(scoreCol))
+    val best = lab.groupBy("component")
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("negid"))).as("b"))
+      .select(col("component"),
+        (-col("b.negid")).cast(LongType).as("canonical"))
+    lab.join(best, "component")
+      .select(col(idCol), col("canonical"))
+  }
+}

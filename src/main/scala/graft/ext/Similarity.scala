@@ -1255,6 +1255,38 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
   }
 
+  /** ADC shortlist + EXACT re-rank — the standard IVF-PQ refinement
+    * step: [[pqTopK]] produces a `cand`-deep candidate list per query
+    * from codes alone (the big scan stays m bytes/row), then raw
+    * vectors are fetched ONLY for the |queries|·cand shortlist rows
+    * (the shortlist broadcasts; the corpus streams past a hash join
+    * touching nothing but matching ids) and exact cosine decides the
+    * final top-k. Recovers the accuracy PQ compression gives up while
+    * keeping the full-corpus pass codes-only — at 100 TB the raw
+    * vector bytes read scale with the shortlist, not the corpus.
+    *
+    * Ranking keys on (ROUND(cs, 6), nid) like the ADC stage so an
+    * external engine replays the refinement exactly.
+    */
+  def pqTopKRerank(encoded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, codeCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, cand: Int,
+      cellCol: Option[String] = None): DataFrame = {
+    require(cand >= k, s"shortlist depth $cand must cover k=$k")
+    val shortlist = pqTopK(encoded, queries, idCol, vecCol, codeCol,
+      codebooks, cand, cellCol).select(col("qid"), col("nid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val raw = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    raw.join(broadcast(shortlist), "nid")
+      .join(broadcast(q), "qid")
+      .withColumn("cs", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cs"),
+        col("rn").cast(IntegerType))
+  }
+
   /** PQ index persistence: the codes-only parquet (m ints/vector, no
     * raw vectors) partitioned by the coarse cell when given — the
     * IVF-PQ inverted-list layout as Spark partitioning — with the

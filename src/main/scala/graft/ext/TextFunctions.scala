@@ -316,6 +316,50 @@ object TextFunctions {
       .filter(col("cnt") > lit(n) * support)
   }
 
+  /** BM25 ranked retrieval (Robertson/Okapi, the Lucene idf variant
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`): score every document of the
+    * corpus against a small bag of query terms. The retrieval
+    * primitive a data pipeline needs for targeted corpus slicing
+    * ("pull the docs most about X") without an external search engine.
+    *
+    * Scale shape: the term filter is a broadcast-literal `isin` applied
+    * DURING the tokenize-explode (rows without query terms die
+    * map-side), then ONE map-combined count on the (doc, term) key —
+    * cardinality ≤ docs·|terms| — a tiny per-term df aggregate
+    * (broadcast back), and one final per-doc sum. Corpus-wide state is
+    * two scalars (N, total length). Nothing shuffles the full token
+    * stream.
+    *
+    * Determinism: every per-(doc, term) contribution is an identical
+    * IEEE expression tree on both engines; only the ≤|terms|-element
+    * final sum is order-sensitive, absorbed by ROUND(…, 6).
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(col("__dl").cast(LongType)).as("tl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = toks
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__w"))
+      .filter(col("__w").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val dft = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dft), "__w")
+      .withColumn("__idf", log(lit(1.0) +
+        (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__c", col("__idf") * col("__tf") /
+        (col("__tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__c")), 6).as("bm25"))
+  }
+
   /** Token-window document chunking (context-window corpus prep): one
     * row per chunk — (`idCol`, chunk_idx, chunk_text). Chunks start at
     * 0, stride, 2·stride, … (stride = chunkSize − overlap) while the

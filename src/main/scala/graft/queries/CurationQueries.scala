@@ -276,6 +276,53 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // exact per-source token-length quantiles (r7): histogram-collapse
+    // first (the per-source window walks distinct LENGTHS, never rows),
+    // integer q‰ rank rule — engine-exact, no interpolation
+    "q_token_quantiles" -> QueryDef(
+      s"""WITH t AS (SELECT source, CAST(len($SqlTokens) AS BIGINT) AS v
+         |           FROM documents),
+         |c AS (SELECT source, v, COUNT(*) AS c FROM t GROUP BY source, v),
+         |cc AS (SELECT source, v, c,
+         |         SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+         |         SUM(c) OVER (PARTITION BY source) AS n FROM c),
+         |q AS (SELECT * FROM cc
+         |      CROSS JOIN (VALUES (500), (900), (990)) AS qs(q_pm))
+         |SELECT source, CAST(q_pm AS INTEGER) AS q_pm, MIN(v) AS value
+         |FROM q WHERE cum * 1000 >= q_pm * n
+         |GROUP BY source, q_pm ORDER BY source, q_pm""".stripMargin) { (s, d) =>
+      Stats.exactQuantilesInt(
+        Tables.load(s, d, "documents")
+          .select(col("source"),
+            TextFunctions.tokenCount(col("text")).as("tok_cnt")),
+        "source", "tok_cnt", Seq(500, 900, 990))
+        .orderBy("source", "q_pm")
+    },
+
+    // BM25 ranked retrieval (r7): corpus slice "most about" a term bag.
+    // Per-(doc,term) contribution is an identical IEEE expression tree
+    // on both engines; the ≤3-element per-doc sum is ROUND(6)-absorbed
+    "q_bm25" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM tok),
+         |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+         |tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf
+         |       FROM tok, UNNEST(ws) AS t(w)
+         |       WHERE w IN ('spark', 'vector', 'customer')
+         |       GROUP BY doc_id, w),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+         |SELECT tf.doc_id, ROUND(SUM(
+         |    ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * tf
+         |    / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tl AS DOUBLE) / n)))
+         |  ), 6) AS bm25
+         |FROM tf JOIN dl USING(doc_id) CROSS JOIN stats
+         |JOIN dft USING(term)
+         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextFunctions.bm25(Tables.load(s, d, "documents"),
+        "doc_id", "text", Seq("spark", "vector", "customer"))
+        .orderBy("doc_id")
+    },
+
     // token-budget sequence packing: docs packed head-to-tail into
     // ~512-token bins per source; per-bin doc count and token mass.
     // The oracle replays the exclusive running sum / floor-divide.

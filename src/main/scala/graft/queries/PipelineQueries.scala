@@ -53,7 +53,7 @@ object PipelineQueries {
     * (`q_ann_pq`) and production (`q_ann_pq_fast`) encoder rows, which
     * are bit-equivalent by contract.
     */
-  private val SqlAnnPq =
+  private val SqlAnnPqCtes =
     """WITH s AS (
       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
       |         CAST(embedding AS DOUBLE[]) AS v
@@ -85,10 +85,32 @@ object PipelineQueries {
       |  GROUP BY 1, 2),
       |r AS (
       |  SELECT qid, nid, ROUND(ip / GREATEST(qn * sqrt(rn2), 1e-12), 6) AS cs
-      |  FROM scored)
+      |  FROM scored)""".stripMargin
+
+  private val SqlAnnPq = SqlAnnPqCtes +
+    """
       |SELECT qid, nid, cs,
       |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS INTEGER) AS rn
       |FROM r QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** ADC shortlist (depth 12) then exact-cosine refinement to top-5 —
+    * the oracle replays [[graft.ext.Similarity.pqTopKRerank]]: the
+    * shortlist cut and the final rank both key on (ROUND(cs, 6), nid)
+    */
+  private val SqlAnnPqRerank = SqlAnnPqCtes +
+    """,
+      |short AS (
+      |  SELECT qid, nid FROM r
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) <= 12),
+      |ex AS (
+      |  SELECT sh.qid, sh.nid,
+      |         ROUND(list_cosine_similarity(q.qv,
+      |           CAST(n.embedding AS DOUBLE[])), 6) AS cs
+      |  FROM short sh JOIN q ON q.qid = sh.qid
+      |  JOIN embeddings n ON n.vec_id = sh.nid)
+      |SELECT qid, nid, cs,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS INTEGER) AS rn
+      |FROM ex QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
 
   /** DuckDB mirror of [[graft.ext.TextFunctions.nbTrainDf]] at B=512
     * with label=source: CTEs ending in `ngb` (doc_id, label, bucket —
@@ -177,7 +199,11 @@ object PipelineQueries {
     * canonical — exactly GraphX connectedComponents' min-vertex-id
     * labeling; singletons resolve to themselves).
     */
-  private def sqlJaccardClusters(tau: Double, cap: Option[Int]) = {
+  /** the recursive-CTE prefix ending in `canon(u, mr)` = min id
+    * reachable from u over the verified jaccard pairs — shared by the
+    * min-id and keep-best cluster oracles
+    */
+  private def sqlJaccardCompCtes(tau: Double, cap: Option[Int]) = {
     val ctes = sqlJaccardPairs(tau, cap)
       .replace("ORDER BY id_a, id_b", "")
       .replaceFirst("^WITH ", "")
@@ -194,13 +220,17 @@ object PipelineQueries {
        |  SELECT u, v AS r FROM edges
        |  UNION
        |  SELECT e.u, p.r FROM edges e JOIN reach p ON p.u = e.v),
-       |canon AS (SELECT u, MIN(r) AS mr FROM reach GROUP BY u)
-       |SELECT d.doc_id,
-       |       CAST(LEAST(d.doc_id, COALESCE(cn.mr, d.doc_id)) AS BIGINT)
-       |         AS canonical
-       |FROM documents d LEFT JOIN canon cn ON cn.u = d.doc_id
-       |ORDER BY doc_id""".stripMargin
+       |canon AS (SELECT u, MIN(r) AS mr FROM reach GROUP BY u)""".stripMargin
   }
+
+  private def sqlJaccardClusters(tau: Double, cap: Option[Int]) =
+    sqlJaccardCompCtes(tau, cap) +
+      """
+        |SELECT d.doc_id,
+        |       CAST(LEAST(d.doc_id, COALESCE(cn.mr, d.doc_id)) AS BIGINT)
+        |         AS canonical
+        |FROM documents d LEFT JOIN canon cn ON cn.u = d.doc_id
+        |ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -565,6 +595,51 @@ object PipelineQueries {
       val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.8)
       Dedup.resolveClusters(pairs, docs, "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // the same transitive closure computed WITHOUT leaving DataFrames:
+    // alternating large-star/small-star contraction (ext.Cc) — O(log²)
+    // rounds instead of GraphX's O(diameter) Pregel, no RDD round-trip.
+    // Same recursive-CTE oracle as q_dedup_clusters: the min-id
+    // labeling is unique, so both engines must agree exactly
+    "q_dedup_clusters_df" -> QueryDef(
+      sqlJaccardClusters(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.8)
+      Cc.resolveClustersDf(pairs, docs, "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // quality-aware cluster resolution: canonical = the member with
+    // the most tokens (tie → min id), not blindly the min id — "keep
+    // the best copy". Integer score keeps the argmax engine-exact; the
+    // per-component argmax is one map-combined struct-max
+    "q_dedup_keep_best" -> QueryDef(
+      sqlJaccardCompCtes(0.8, Some(Dedup.DefaultMaxShingleFreq)) +
+        s""",
+           |comp AS (
+           |  SELECT d.doc_id,
+           |    CAST(LEAST(d.doc_id, COALESCE(cn.mr, d.doc_id)) AS BIGINT)
+           |      AS component,
+           |    CAST(len($SqlTokens) AS BIGINT) AS tc
+           |  FROM documents d LEFT JOIN canon cn ON cn.u = d.doc_id),
+           |best AS (
+           |  SELECT component, doc_id AS canonical FROM comp
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY component
+           |                             ORDER BY tc DESC, doc_id) = 1)
+           |SELECT c.doc_id, b.canonical
+           |FROM comp c JOIN best b USING(component)
+           |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.8)
+      Cc.resolveClustersBest(pairs,
+        docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text"))
+            .cast(LongType).as("tc")),
+        "doc_id", "tc")
         .orderBy("doc_id")
     },
 
@@ -1066,6 +1141,21 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     },
 
+    // PQ shortlist + exact re-rank (the IVF-PQ refinement step): the
+    // ADC pass shortlists 12 candidates per query from codes alone,
+    // raw vectors are fetched ONLY for the shortlist rows (broadcast
+    // hash join — the corpus never re-scans its vector bytes), exact
+    // cosine decides the final top-5
+    "q_ann_pq_rerank" -> QueryDef(SqlAnnPqRerank) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val cbs = Similarity.trainPqSeeds(emb, "vec_id", "embedding",
+        m = 4, codes = 8)
+      val encoded = Similarity.encodePqFast(emb, "embedding", "pq", cbs)
+      Similarity.pqTopKRerank(encoded, emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "pq", cbs, k = 5, cand = 12)
+        .orderBy("qid", "rn")
+    },
+
     // ---- end-to-end curation pipeline ----
 
     // quality gate → exact dedup (min-id keeper) → LSH near-dedup →
@@ -1367,6 +1457,41 @@ object PipelineQueries {
           count(lit(1)).as("events"),
           round(sum(col("value")), 4).as("total_value"))
         .orderBy("user_id", "sid")
+    },
+
+    // ordered 3-stage funnel (view → click → purchase) with first-touch
+    // semantics: per user, the earliest strictly-increasing chain of
+    // stage times (each t_i a MIN — no float or ordering ambiguity)
+    // and the furthest stage reached. Per stage: a type-pushed scan +
+    // user-key join against the shrinking previous frame + one
+    // map-combined min (ext.Funnel)
+    "q_funnel" -> QueryDef(
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+        |s0 AS (SELECT user_id, MIN(t) AS t0 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(t) AS t1 FROM e
+        |       JOIN s0 ON s0.user_id = e.user_id AND e.t > s0.t0
+        |       WHERE event_type = 'click' GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e
+        |       JOIN s1 ON s1.user_id = e.user_id AND e.t > s1.t1
+        |       WHERE event_type = 'purchase' GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, s0.t0, s1.t1, s2.t2,
+        |  CAST(CASE WHEN t2 IS NOT NULL THEN 3
+        |            WHEN t1 IS NOT NULL THEN 2
+        |            WHEN t0 IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS stage
+        |FROM u LEFT JOIN s0 USING(user_id) LEFT JOIN s1 USING(user_id)
+        |LEFT JOIN s2 USING(user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Funnel.stages(
+        Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us")),
+        "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id")
     },
 
     // hot-key-safe two-phase as-of (in-bucket + carry-in) — must be

@@ -1,0 +1,100 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CcSpec extends SparkSpec {
+
+  // driver-side reference: plain union-find over the pair list
+  private def ufLabels(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Cc.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain: a long path collapses to its minimum in few rounds") {
+    // 600-node chain — the O(diameter) killer for min-propagation;
+    // star contraction must finish inside the 64-round guard
+    val pairs = (0L until 599L).map(i => (i, i + 1))
+    val got = ccMap(pairs)
+    assert(got.size == 600)
+    assert(got.values.forall(_ == 0L), "whole chain labels to 0")
+  }
+
+  test("star, duplicate and reversed pairs, self-pairs ignored") {
+    val pairs = Seq((5L, 1L), (1L, 5L), (1L, 9L), (9L, 1L), (7L, 7L),
+      (9L, 5L), (3L, 2L))
+    val got = ccMap(pairs)
+    // 7-7 is a loop: node 7 appears in no real pair → absent here,
+    // resolveClustersDf gives it a self label from the doc side
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("random graphs match union-find exactly") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val n = 400
+      val pairs = (0 until 500).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2)
+      val want = ufLabels(pairs)
+      val got = ccMap(pairs)
+      assert(got == want, s"trial $trial diverged from union-find")
+    }
+  }
+
+  test("resolveClustersDf matches the GraphX resolveClusters labeling") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 300L).toDF("doc_id")
+    val pairs = (0 until 200).map { _ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)
+    }.filter(p => p._1 != p._2)
+      .toDF("id_a", "id_b")
+    val viaDf = Cc.resolveClustersDf(pairs, docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaGx = Dedup.resolveClusters(pairs, docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDf == viaGx)
+  }
+
+  test("resolveClustersBest keeps the highest-scoring member, " +
+    "min id on ties, self for singletons") {
+    val s = spark
+    import s.implicits._
+    // component {1,2,3}: scores 5,9,9 → best = id 2 (tie 2 vs 3)
+    // component {7,8}: scores 4,1 → best = 7; singleton 9 → itself
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 1L),
+      (9L, 2L)).toDF("doc_id", "sc")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Cc.resolveClustersBest(pairs, docs, "doc_id", "sc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("empty pair set: every doc is its own canonical") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(3L, 8L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Cc.resolveClustersDf(pairs, docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 8L -> 8L))
+  }
+}

@@ -522,6 +522,29 @@ class CurationSpec extends SparkSpec {
     assert(hh == again)
   }
 
+  test("bm25 ranks exact term matches by tf saturation and rarity") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "rare filler filler filler filler"),
+      (4L, "filler filler filler filler filler")).toDF("doc_id", "text")
+    val got = TextFunctions.bm25(docs, "doc_id", "text",
+      Seq("spark", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 4 has no query term → absent
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // more tf → higher score for the same term
+    assert(got(1L) > got(2L))
+    // "rare" (df=1) outscores a single "spark" (df=2) at equal tf/dl
+    assert(got(3L) > got(2L))
+    // hand-check doc 2: idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2);
+    // dl = 5 = avgdl → denom = 1 + 1.2
+    val expect2 = math.log(2.0) * 1.0 / (1.0 + 1.2)
+    assert(math.abs(got(2L) - expect2) < 1e-6)
+  }
+
   test("pcaPowerDirection finds the dominant axis with exact integer scores") {
     val s = spark
     import s.implicits._

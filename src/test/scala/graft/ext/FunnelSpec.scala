@@ -1,0 +1,43 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class FunnelSpec extends SparkSpec {
+
+  private def run(events: Seq[(Long, String, Long)]): Map[Long, Row] = {
+    val s = spark
+    import s.implicits._
+    Funnel.stages(events.toDF("user_id", "et", "t"),
+      "user_id", "et", "t", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("first-touch chaining: stage times must strictly increase from " +
+    "the EARLIEST entry, not the fastest chain") {
+    val got = run(Seq(
+      // user 1 completes: a@10, first b after 10 is 30, first c after 30 is 40
+      (1L, "a", 10L), (1L, "b", 5L), (1L, "b", 30L), (1L, "c", 25L),
+      (1L, "c", 40L),
+      // user 2: a@50, but every b is BEFORE it → stage 1, later c ignored
+      (2L, "b", 10L), (2L, "a", 50L), (2L, "c", 60L),
+      // user 3: never enters the funnel despite b and c events
+      (3L, "b", 1L), (3L, "c", 2L)))
+    assert(got(1L).getInt(4) == 3)
+    assert(got(1L).getLong(1) == 10L && got(1L).getLong(2) == 30L &&
+      got(1L).getLong(3) == 40L)
+    assert(got(2L).getInt(4) == 1)
+    assert(got(2L).isNullAt(2) && got(2L).isNullAt(3))
+    assert(got(3L).getInt(4) == 0)
+    assert(got(3L).isNullAt(1))
+  }
+
+  test("equal timestamps do not chain (strictly-after semantics)") {
+    val got = run(Seq((7L, "a", 100L), (7L, "b", 100L), (7L, "b", 101L),
+      (7L, "c", 101L)))
+    // b must be strictly after a (101), c strictly after that → none
+    assert(got(7L).getLong(2) == 101L)
+    assert(got(7L).isNullAt(3))
+    assert(got(7L).getInt(4) == 2)
+  }
+}

@@ -173,4 +173,40 @@ class PqSpec extends SparkSpec {
     // and some vector actually sits nearest the duplicated centroid
     assert(fast.values.exists(_.contains(0)))
   }
+
+  test("exact re-rank: full-depth shortlist reproduces brute force; " +
+    "shallow shortlist only reorders its own candidates") {
+    val cbs = Similarity.trainPqCodebooksKMeans(
+      clustered, "vec_id", "embedding", m = 4, codes = 16, seed = 5L)
+    val enc = Similarity.encodePqFast(clustered, "embedding", "pq", cbs)
+    val queries = clustered.filter(col("vec_id") % 1000 < 2)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    // cand = whole corpus → the exact pass sees every candidate: the
+    // result must be the brute-force top-5 (PQ decided nothing)
+    val full = Similarity.pqTopKRerank(enc, clustered, queries,
+      "vec_id", "embedding", "pq", cbs, k = 5,
+      cand = nClusters * perCluster)
+    val brute = Similarity.bruteForceTopK(clustered, queries,
+      "vec_id", "embedding", k = 5)
+    assert(sets(full) == sets(brute))
+    // shallow shortlist: the refinement may only pick FROM the ADC
+    // candidates, k rows per query, ranks 1..k
+    val short = Similarity.pqTopK(enc, queries, "vec_id", "embedding",
+      "pq", cbs, k = 12)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.pqTopKRerank(enc, clustered, queries,
+      "vec_id", "embedding", "pq", cbs, k = 5, cand = 12)
+    val rows = rr.collect()
+    assert(rows.length == queries.count() * 5)
+    rows.foreach { r =>
+      assert(short.contains((r.getLong(0), r.getLong(1))),
+        s"rerank invented a candidate outside the shortlist: $r")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 5)
+    }
+  }
 }

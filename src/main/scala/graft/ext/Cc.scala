@@ -59,9 +59,8 @@ object Cc {
         least(col(aCol), col(bCol)).cast(LongType).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var cnt = edges.count()
     var round = 0
-    var converged = cnt == 0L
+    var converged = edges.isEmpty
     while (!converged) {
       round += 1
       require(round <= maxRounds,
@@ -87,14 +86,14 @@ object Cc {
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      val newCnt = ss.count()
-      // fixpoint: small-star left the (distinct, canonical) edge set
-      // unchanged. Counts-equal + empty set-difference is an exact
-      // equality test between two distinct sets.
-      converged = newCnt == cnt &&
-        ss.exceptAll(edges).isEmpty
+      // fixpoint test: the edge set is a star forest — no edge target
+      // is also a source (every pointer lands on a root). One semi-join
+      // job, much cheaper than a set-equality diff of consecutive
+      // rounds, and exact: LS/SS leave a star forest unchanged.
+      val srcs = ss.select(col("u").as("n")).distinct()
+      converged = ss
+        .join(srcs, col("v") === col("n"), "left_semi").isEmpty
       edges = ss
-      cnt = newCnt
     }
     // at the fixpoint every edge points at its component minimum
     val roots = edges.select(col("v").as("id")).distinct()
@@ -117,6 +116,38 @@ object Cc {
       .join(labels, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("canonical"))
+  }
+
+  /** Incremental connected components — fold a batch of NEW pairs into
+    * an existing labeling (the daily-ingest face of cluster dedup: the
+    * LSH index family emits only increment-vs-history pairs; this
+    * merges them into yesterday's clusters).
+    *
+    * The existing labeling IS a star forest, so history enters the
+    * contraction pre-collapsed: the round count is governed by the
+    * increment's structure (typically 1–2 rounds), not by how much
+    * history has accumulated. Per-round work is linear in
+    * |history stars| + |new pairs| — same asymptotics as the
+    * label-propagation alternative, without a special-cased algorithm.
+    * Nodes whose cluster is untouched keep their label EXCEPT that a
+    * merge can lower a component's minimum — exactly full-recompute
+    * semantics (spec-pinned equal to recomputing from scratch).
+    */
+  def addPairs(labels: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxRounds: Int = 64): DataFrame = {
+    val starEdges = labels
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(aCol), col("component").as(bCol))
+    val merged = connectedComponents(
+      starEdges.union(
+        newPairs.select(col(aCol).cast(LongType), col(bCol).cast(LongType))),
+      aCol, bCol, maxRounds)
+    // prior singletons untouched by the increment have no edge to ride
+    val selfs = labels.select(col("id"))
+      .join(merged, Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    merged.union(selfs)
   }
 
   /** Quality-aware cluster resolution: the canonical member of each

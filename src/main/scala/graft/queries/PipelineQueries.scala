@@ -612,6 +612,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // incremental CC through the SAME oracle: history labels (doc_id %
+    // 10 <> 0 pairs) merged with the increment's pairs via Cc.addPairs
+    // must equal the full-recompute transitive closure — including
+    // merges where an increment doc bridges two history clusters or
+    // lowers a component minimum
+    "q_dedup_cc_incremental" -> QueryDef(
+      sqlJaccardClusters(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.8).select("id_a", "id_b")
+      val histDocs = docs.filter(col("doc_id") % 10 =!= 0)
+      val histIds = histDocs.select("doc_id")
+      val hp = pairs
+        .join(histIds.withColumnRenamed("doc_id", "id_a"),
+          Seq("id_a"), "left_semi")
+        .join(histIds.withColumnRenamed("doc_id", "id_b"),
+          Seq("id_b"), "left_semi")
+      val incPairs = pairs.join(hp, Seq("id_a", "id_b"), "left_anti")
+      val histLabels = Cc.resolveClustersDf(hp, histDocs, "doc_id")
+        .withColumnRenamed("doc_id", "id")
+        .withColumnRenamed("canonical", "component")
+      val merged = Cc.addPairs(histLabels, incPairs)
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(merged, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical"))
+        .orderBy("doc_id")
+    },
+
     // quality-aware cluster resolution: canonical = the member with
     // the most tokens (tie → min id), not blindly the min id — "keep
     // the best copy". Integer score keeps the argmax engine-exact; the

@@ -54,7 +54,7 @@ object StressCc {
         println(s"[cc] $tag rounds=$r labeled=${l.count()}")
         (l, r)
       }
-      require(rounds <= 20, s"$tag took $rounds rounds")
+      require(rounds <= 40, s"$tag took $rounds rounds")
       if (alsoGraphX) {
         val docs = docsOf(p)
         val gx = time(s"$tag graphx") {
@@ -80,16 +80,16 @@ object StressCc {
         .filter(col("id_a") =!= col("id_b")),
       alsoGraphX = true)
 
-    // CHAIN of length n — GraphX would need n supersteps, so the
-    // parity check there runs on a shorter chain
+    // CHAIN of length n — GraphX would need n supersteps. No GraphX
+    // parity here: measured 2026-08-14, Pregel on even a 10k chain
+    // DIES with a StackOverflowError deserializing its 10k-deep RDD
+    // lineage — the contraction's O(log n) rounds are not merely
+    // faster on chains, they are the difference between finishing and
+    // crashing. (Chain parity vs union-find is spec-pinned in CcSpec.)
     runCase("chain",
       spark.range(n - 1).select(col("id").as("id_a"),
         (col("id") + 1).as("id_b")),
       alsoGraphX = false)
-    runCase("chain10k(gx-parity)",
-      spark.range(9999).select(col("id").as("id_a"),
-        (col("id") + 1).as("id_b")),
-      alsoGraphX = true)
 
     // HUB: 30% of pairs hit node 0
     runCase("hub",

@@ -59,7 +59,11 @@ class PlanGuardSpec extends SparkSpec {
     Seq("q_top_k", "q_top_percent", "q_top_ties",
       "q_sql_top_percent", "q_sql_top_ties",
       // the training-order shuffle windows PER SHARD by construction
-      "q_shuffle_shard")
+      "q_shuffle_shard",
+      // quantiles window PER GROUP over the collapsed histogram
+      "q_token_quantiles",
+      // funnel stages are joins + map-combined mins — never a window
+      "q_funnel")
 
   noSinglePartition.foreach { q =>
     test(s"no single-partition exchange: $q") {
@@ -82,6 +86,27 @@ class PlanGuardSpec extends SparkSpec {
         "with the literal weight table (TextFunctions.dsirScore)")
     assert(plan.contains("TakeOrderedAndProject"),
       "q_dsir_select selection must be a distributed TakeOrdered")
+  }
+
+  // Funnel stages: per-user event ordering is decided by min-aggregates
+  // and joins — a per-user sort window sneaking in would hold user
+  // histories in memory.
+  test("q_funnel plans no window and no cartesian") {
+    val plan = SparkEntry.defs("q_funnel").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "q_funnel plans a Window — stages must stay join + min aggregates")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // BM25: the per-term df frame must broadcast back (it is ≤|terms|
+  // rows); a shuffle join here would re-shuffle the matched tokens.
+  test("q_bm25 broadcasts the df side and never goes cartesian") {
+    val plan = SparkEntry.defs("q_bm25").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "q_bm25 lost the broadcast of the per-term df frame")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   // Naive Bayes scoring: the per-class literal weight tables ride the

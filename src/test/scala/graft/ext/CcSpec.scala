@@ -73,6 +73,34 @@ class CcSpec extends SparkSpec {
     assert(viaDf == viaGx)
   }
 
+  test("addPairs == full recompute over the union, including " +
+    "cross-batch merges that lower a component minimum") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    val batch1 = (0 until 150).map { _ =>
+      (rnd.nextInt(200).toLong + 100, rnd.nextInt(200).toLong + 100)
+    }.filter(p => p._1 != p._2)
+    // batch 2 introduces SMALLER ids (0..99) and bridges old clusters
+    val batch2 = (0 until 80).map { _ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)
+    }.filter(p => p._1 != p._2)
+    val labels1 = Cc.connectedComponents(batch1.toDF("id_a", "id_b"))
+      // give some singleton history too
+      .union(Seq((900L, 900L), (901L, 901L)).toDF("id", "component"))
+    val got = Cc.addPairs(labels1, batch2.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Cc.connectedComponents((batch1 ++ batch2).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every union-graph node must agree with the full recompute
+    full.foreach { case (id, comp) =>
+      assert(got(id) == comp, s"node $id: got ${got(id)}, want $comp")
+    }
+    // untouched singleton history keeps its self-label
+    assert(got(900L) == 900L && got(901L) == 901L)
+    assert(got.size == full.size + 2)
+  }
+
   test("resolveClustersBest keeps the highest-scoring member, " +
     "min id on ties, self for singletons") {
     val s = spark

@@ -55,4 +55,34 @@ object Funnel {
       }
     joined.withColumn("stage", stage.cast(IntegerType))
   }
+
+  /** Cohort retention: users bucketed by the period of their FIRST
+    * event (cohort = first_ts ÷ `periodUnits`, fixed-epoch grid — no
+    * data-dependent origin), counted once per (cohort, period-offset)
+    * they were active in. All integer arithmetic.
+    *
+    * Shape: one map-combined min per user (first touch), one distinct
+    * on (user, period) — 8+8 bytes per row — a user-key join, and a
+    * map-combined count; the (cohort, offset) result is tiny. Nothing
+    * holds per-user history.
+    */
+  private def backtick(c: String) = s"`$c`"
+
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      periodUnits: Long): DataFrame = {
+    require(periodUnits > 0)
+    // DIV, not `/`: Column./ is IEEE double division
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col(userCol),
+        expr(s"__first DIV ${periodUnits}L").as("cohort"))
+    val active = events
+      .select(col(userCol),
+        expr(s"${backtick(tsCol)} DIV ${periodUnits}L").as("__p"))
+      .distinct()
+    active.join(firsts, userCol)
+      .groupBy(col("cohort"),
+        (col("__p") - col("cohort")).cast(IntegerType).as("period_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
 }

@@ -1524,6 +1524,28 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // weekly cohort retention: users bucketed by first-event week
+    // (fixed-epoch integer grid), counted once per (cohort, offset)
+    // active week — two map-combined aggs + one (user, week) distinct
+    // + a user-key join; all integer arithmetic
+    "q_retention" -> QueryDef(
+      """WITH e AS (SELECT user_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+        |f AS (SELECT user_id, MIN(t) // 604800000000 AS cohort
+        |      FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, t // 604800000000 AS p FROM e)
+        |SELECT f.cohort, CAST(a.p - f.cohort AS INTEGER) AS period_offset,
+        |       COUNT(*) AS users
+        |FROM a JOIN f USING(user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin) { (s, d) =>
+      Funnel.retention(
+        Tables.load(s, d, "events")
+          .select(col("user_id"),
+            expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us")),
+        "user_id", "ts_us", 604800000000L)
+        .orderBy("cohort", "period_offset")
+    },
+
     // hot-key-safe two-phase as-of (in-bucket + carry-in) — must be
     // row-identical to the plain as-of, so it shares its DuckDB oracle
     "q_asof_join_bucketed" -> QueryDef(

@@ -18,6 +18,17 @@ final case class UserSession(user_id: Long, start: java.sql.Timestamp,
 final case class SessionAcc(startMs: Long, endMs: Long,
     events: Long, totalValue: Double)
 
+/** funnel chain state: stage times reached so far, NEWEST FIRST
+  * (`times.length` = stage index reached)
+  */
+final case class FunnelAcc(times: List[Long])
+
+/** one funnel advancement: the user reached `stage` at event time
+  * `ts` (emitted append-only as the chain grows)
+  */
+final case class FunnelStep(user_id: Long, stage: Int,
+    ts: java.sql.Timestamp)
+
 /** Structured Streaming ingestion — the beyond-reference extension of
   * SURVEY §2.10/§7.5: the reference has no streaming surface, but the
   * driver's `events` table motivates a thin `readStream → transform →
@@ -453,6 +464,61 @@ object EdgeStream {
                 state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming funnel progress — the streaming face of
+    * [[graft.ext.Funnel.stages]]: per user, an append-only log of
+    * stage advancements with first-touch semantics (an event advances
+    * the chain iff it is the NEXT step and strictly after the last
+    * stage time). Within a micro-batch events process in event-time
+    * order, so in-order streams reproduce the batch semantics exactly;
+    * a cross-batch late event that would have produced an EARLIER
+    * stage time is ignored (the usual no-retraction caveat — bounded
+    * by the watermark like every event-time operator here).
+    *
+    * State is one ≤k-long list per active user, removed when the
+    * watermark passes the user's last event + `idleMs` — bounded by
+    * active users, never by history; the only shuffle keys on user.
+    */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], watermark: String,
+      idleMs: Long = 30L * 24 * 3600 * 1000): Dataset[FunnelStep] = {
+    require(steps.nonEmpty)
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .select(col(userCol).cast(LongType).as("user_id"),
+        col(typeCol).cast(org.apache.spark.sql.types.StringType).as("et"),
+        col(tsCol).cast(TimestampType).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelAcc, FunnelStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.toSeq.sortBy(_._3.getTime)
+            var acc = state.getOption.getOrElse(FunnelAcc(Nil))
+            val out = Seq.newBuilder[FunnelStep]
+            evs.foreach { case (_, et, ts) =>
+              val t = ts.getTime
+              val k = acc.times.length
+              if (k < steps.length && et == steps(k) &&
+                  acc.times.headOption.forall(t > _)) {
+                acc = FunnelAcc(t :: acc.times)
+                out += FunnelStep(uid, k + 1, new java.sql.Timestamp(t))
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(math.max(
+              evs.last._3.getTime + idleMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
       }
   }

@@ -32,6 +32,21 @@ class FunnelSpec extends SparkSpec {
     assert(got(3L).isNullAt(1))
   }
 
+  test("retention counts each user once per active period against " +
+    "their first-touch cohort") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, 5L), (1L, 15L), (1L, 25L), (1L, 27L), // cohort 0, p 0/1/2/2
+      (2L, 12L), (2L, 33L)) // cohort 1, offsets 0 and 2
+      .toDF("user_id", "t")
+    val got = Funnel.retention(events, "user_id", "t", 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0) -> 1L, (0L, 1) -> 1L, (0L, 2) -> 1L,
+      (1L, 0) -> 1L, (1L, 2) -> 1L))
+  }
+
   test("equal timestamps do not chain (strictly-after semantics)") {
     val got = run(Seq((7L, "a", 100L), (7L, "b", 100L), (7L, "b", 101L),
       (7L, "c", 101L)))

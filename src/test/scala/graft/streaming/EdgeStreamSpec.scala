@@ -152,6 +152,62 @@ class EdgeStreamSpec extends SparkSpec {
     ), rows.toString)
   }
 
+  test("streaming funnel: first-touch advancement, out-of-order and " +
+    "late events ignored, matches the batch operator") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    def ts(h: Int, min: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+
+    val stepsQ = EdgeStream.funnelSteps(
+      stream.toDF().toDF("ts", "user_id", "et"),
+      "user_id", "et", "ts", Seq("view", "click", "purchase"),
+      watermark = "1 second")
+    val q = stepsQ.writeStream.format("memory")
+      .queryName("funnel_steps").outputMode("append").start()
+
+    // batch 1: user 1 — a click BEFORE any view (sorted first in the
+    // batch) may not advance; view@10:00 then click@10:05 advance
+    stream.addData((ts(9, 50), 1L, "click"), (ts(10, 0), 1L, "view"),
+      (ts(10, 5), 1L, "click"), (ts(10, 6), 1L, "error"))
+    q.processAllAvailable()
+    // batch 2: purchase completes user 1; a LATE view@9:00 must not
+    // rewrite history; user 2 only ever views
+    stream.addData((ts(10, 10), 1L, "purchase"), (ts(9, 0), 1L, "view"),
+      (ts(10, 30), 2L, "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_steps")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+      .toSet
+    assert(rows == Set(
+      (1L, 1, ts(10, 0)), (1L, 2, ts(10, 5)), (1L, 3, ts(10, 10)),
+      (2L, 1, ts(10, 30))), rows.toString)
+
+    // the furthest stage per user equals the batch operator's answer
+    // over the union of all batches
+    val batch = graft.ext.Funnel.stages(
+      Seq((ts(9, 50), 1L, "click"), (ts(10, 0), 1L, "view"),
+        (ts(10, 5), 1L, "click"), (ts(10, 6), 1L, "error"),
+        (ts(10, 10), 1L, "purchase"), (ts(9, 0), 1L, "view"),
+        (ts(10, 30), 2L, "view"))
+        .toDF("ts", "user_id", "et")
+        .select(col("user_id"), col("et"),
+          unix_millis(col("ts")).as("t")),
+      "user_id", "et", "t", Seq("view", "click", "purchase"))
+      .select("user_id", "stage")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamed = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).max
+    }
+    // note: the batch op sees the late 9:00 view and takes it as t0
+    // (click@10:05 still follows) — the furthest stages agree even
+    // though the stage TIMES differ, which is the documented contract
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("stream-stream interval join attributes clicks to recent purchases") {
     val s = spark
     import s.implicits._

@@ -36,4 +36,52 @@ object CorpusSink {
       .partitionBy(stratumCol)
       .parquet(outDir)
   }
+
+  /** JSONL interchange — the lingua franca of public LLM corpora
+    * (Dolma/RedPajama/C4 dumps are compressed JSON lines). One JSON
+    * object per line, compressed per file (splittable-enough at shard
+    * granularity: file caps bound each decompress task).
+    */
+  def writeJsonl(df: DataFrame, outDir: String,
+      compression: String = "gzip",
+      maxRecordsPerFile: Int = 1000000): Unit = {
+    require(maxRecordsPerFile > 0)
+    df.write.mode("overwrite")
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .json(outDir)
+  }
+
+  /** Read a JSONL corpus with an EXPLICIT schema and corrupt-line
+    * quarantine: `(good, quarantined)`. Implemented as a raw text scan
+    * + `from_json` per line — unlike the json datasource's
+    * `_corrupt_record` column (whose filter requires caching the
+    * read, a non-starter at corpus scale), this shape is one streaming
+    * map pass: a line that fails to parse AS JSON yields a null
+    * struct → quarantine; a parseable object with missing/mistyped
+    * fields surfaces as nulls in `good` for the caller's gates.
+    * Never infers schemas (an inference pass would read the corpus
+    * twice and lock in whatever the first files contained).
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val corruptCol = "__graft_corrupt"
+    require(!schema.fieldNames.contains(corruptCol))
+    // PERMISSIVE from_json reports an unparseable (or type-violating)
+    // line through the designated corrupt-record field — a NULL struct
+    // is never produced, so that is the only reliable quarantine signal
+    val withCorrupt = schema.add(corruptCol,
+      org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(dir).select(col("value"),
+      from_json(col("value"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> corruptCol)).as("__j"))
+    val good = parsed
+      .filter(col(s"__j.$corruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"__j.`$f`")): _*)
+    val bad = parsed
+      .filter(col(s"__j.$corruptCol").isNotNull)
+      .select(col("value").as("line"))
+    (good, bad)
+  }
 }

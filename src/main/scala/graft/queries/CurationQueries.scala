@@ -276,6 +276,48 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // native unicode canonicalization (NFC compose + accent strip) —
+    // the corpus is ASCII, so the unicode surface under test is
+    // injected identically on both engines (combining acute, composed
+    // accents); the expressions are codegen'd single-pass
+    "q_unicode_normalize" -> QueryDef(
+      """SELECT doc_id,
+        |  nfc_normalize('Cafe' || chr(769) || ' ' || left(text, 20)) AS nfc,
+        |  strip_accents('é à ü ' || left(text, 10)) AS stripped
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.UnicodeNorm.nfcNormalize(
+            concat(lit("Cafe"), lit("\u0301"), lit(" "),
+              substring(col("text"), 1, 20))).as("nfc"),
+          graft.functions.UnicodeNorm.stripAccentsCol(
+            concat(lit("é à ü "),
+              substring(col("text"), 1, 10))).as("stripped"))
+        .orderBy("doc_id")
+    },
+
+    // JSONL interchange round-trip: the corpus written as gzip JSON
+    // lines and read back through the explicit-schema corrupt-
+    // quarantining reader must preserve every doc byte-for-byte —
+    // proven by aggregating the ROUND-TRIPPED rows against an oracle
+    // that reads the original parquet
+    "q_jsonl_roundtrip" -> QueryDef(
+      s"""SELECT source, COUNT(*) AS docs,
+         |       CAST(SUM(len($SqlTokens)) AS BIGINT) AS tok_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      CorpusSink.writeJsonl(docs, dir)
+      val (good, bad) = CorpusSink.readJsonl(s, dir, docs.schema)
+      require(bad.isEmpty, "self-written JSONL must have no corrupt lines")
+      good.groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast(LongType))
+            .as("tok_sum"))
+        .orderBy("source")
+    },
+
     // exact per-source token-length quantiles (r7): histogram-collapse
     // first (the per-source window walks distinct LENGTHS, never rows),
     // integer q‰ rank rule — engine-exact, no interpolation

@@ -276,6 +276,28 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // character-entropy quality signal (bits/char): machine filler and
+    // base64 blobs leave natural text's ~4 bits/char band. Native
+    // single-pass codegen expression; the oracle replays exact counts
+    // and the ln/ln2 formulation, ROUND(6) absorbs sum-order ulps
+    "q_char_entropy" -> QueryDef(
+      """WITH ch AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS c
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+        |cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+        |n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id)
+        |SELECT cnt.doc_id,
+        |  ROUND(SUM(-(k * 1.0 / n.n) * (ln(k * 1.0 / n.n) / ln(2))), 6)
+        |    AS entropy
+        |FROM cnt JOIN n ON n.doc_id = cnt.doc_id
+        |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          round(graft.functions.CharEntropy(col("text")), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // native unicode canonicalization (NFC compose + accent strip) —
     // the corpus is ASCII, so the unicode surface under test is
     // injected identically on both engines (combining acute, composed

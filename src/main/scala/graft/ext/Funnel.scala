@@ -28,8 +28,10 @@ object Funnel {
     * stages reached (0 = user never hit `steps(0)`).
     */
   def stages(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      maxGap: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one stage")
+    require(maxGap.forall(_ > 0), "maxGap must be positive")
     val users = events.select(col(userCol)).distinct()
     val stageFrames = steps.zipWithIndex
       .foldLeft(List.empty[DataFrame]) { case (acc, (step, i)) =>
@@ -39,8 +41,15 @@ object Funnel {
           case Nil =>
             ev.groupBy(userCol).agg(min(col("__t")).as(s"t$i"))
           case prev :: _ =>
+            val within = maxGap match {
+              // conversion deadline: each step within maxGap of the
+              // previous stage time, not just anytime after
+              case Some(g) => col("__t") > col(s"t${i - 1}") &&
+                col("__t") <= col(s"t${i - 1}") + g
+              case None => col("__t") > col(s"t${i - 1}")
+            }
             ev.join(prev.select(col(userCol), col(s"t${i - 1}")), userCol)
-              .filter(col("__t") > col(s"t${i - 1}"))
+              .filter(within)
               .groupBy(userCol).agg(min(col("__t")).as(s"t$i"))
         }
         cur :: acc

@@ -1524,6 +1524,42 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // the same funnel under a conversion DEADLINE: each stage must land
+    // within 6h of the previous stage time (first-touch anchor
+    // unchanged) — the product-metric variant; oracle adds the bound to
+    // each correlated min
+    "q_funnel_windowed" -> QueryDef(
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+        |s0 AS (SELECT user_id, MIN(t) AS t0 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(t) AS t1 FROM e
+        |       JOIN s0 ON s0.user_id = e.user_id AND e.t > s0.t0
+        |                  AND e.t <= s0.t0 + 21600000000
+        |       WHERE event_type = 'click' GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e
+        |       JOIN s1 ON s1.user_id = e.user_id AND e.t > s1.t1
+        |                  AND e.t <= s1.t1 + 21600000000
+        |       WHERE event_type = 'purchase' GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, s0.t0, s1.t1, s2.t2,
+        |  CAST(CASE WHEN t2 IS NOT NULL THEN 3
+        |            WHEN t1 IS NOT NULL THEN 2
+        |            WHEN t0 IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS stage
+        |FROM u LEFT JOIN s0 USING(user_id) LEFT JOIN s1 USING(user_id)
+        |LEFT JOIN s2 USING(user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Funnel.stages(
+        Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us")),
+        "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"),
+        maxGap = Some(21600000000L))
+        .orderBy("user_id")
+    },
+
     // weekly cohort retention: users bucketed by first-event week
     // (fixed-epoch integer grid), counted once per (cohort, offset)
     // active week — two map-combined aggs + one (user, week) distinct

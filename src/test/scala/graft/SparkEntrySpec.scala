@@ -30,10 +30,13 @@ class SparkEntrySpec extends SparkSpec {
     //                       (the scale path is q_ann_ivfpq, whose coarse-
     //                       cell equality makes it a hash join)
     //   q_ann_pq_fast       same plan, production encoder
+    //   q_ann_pq_rerank     same bounded-broadcast ADC shortlist stage;
+    //                       the refinement itself is an equi hash join
+    //                       on the shortlist ids
     val cartesianByDesign =
       Set("q_cross_join", "q_scalar_subquery", "q_ann_topk",
         "q_dedup_embedding", "q_unigram_logprob", "q_ann_pq",
-        "q_ann_pq_fast")
+        "q_ann_pq_fast", "q_ann_pq_rerank")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")

@@ -522,6 +522,41 @@ class CurationSpec extends SparkSpec {
     assert(hh == again)
   }
 
+  test("property: bm25 matches a driver-side reference on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 10).map(i => s"w$i")
+    val docs = (0 until 80).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(10))).mkString(" "))
+    }
+    val terms = Seq("w1", "w3", "w7")
+    val got = TextFunctions.bm25(docs.toDF("doc_id", "text"),
+      "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = docs.length
+    val avgdl = toks.values.map(_.length).sum.toDouble / n
+    val dfT = terms.map(t => t -> toks.values.count(_.contains(t))).toMap
+    val want = toks.flatMap { case (id, ws) =>
+      val sc = terms.map { t =>
+        val tf = ws.count(_ == t)
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (n.toDouble - dfT(t) + 0.5) / (dfT(t) + 0.5))
+          idf * tf / (tf + 1.2 * (0.25 + 0.75 * ws.length / avgdl))
+        }
+      }.sum
+      if (sc > 0) Some(id -> sc) else None
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, sc) =>
+      assert(math.abs(got(id) - sc) < 1e-6, s"doc $id: ${got(id)} vs $sc")
+    }
+  }
+
   test("bm25 ranks exact term matches by tf saturation and rarity") {
     val s = spark
     import s.implicits._

@@ -32,6 +32,42 @@ class FunnelSpec extends SparkSpec {
     assert(got(3L).isNullAt(1))
   }
 
+  test("property: random event streams match a driver-side reference, " +
+    "with and without a conversion deadline") {
+    val s = spark
+    import s.implicits._
+    val steps = Seq("a", "b", "c")
+    val types = Array("a", "b", "c", "x")
+    val rnd = new scala.util.Random(5)
+    val events = (0 until 2000).map { _ =>
+      (rnd.nextInt(40).toLong, types(rnd.nextInt(4)), rnd.nextInt(500).toLong)
+    }
+    def reference(gap: Option[Long]): Map[Long, (Seq[Option[Long]], Int)] =
+      events.groupBy(_._1).map { case (u, evs) =>
+        val ts = scala.collection.mutable.ArrayBuffer[Long]()
+        steps.foreach { st =>
+          val lo = ts.lastOption
+          val cand = evs.filter(_._2 == st).map(_._3)
+            .filter(t => lo.forall(p =>
+              t > p && gap.forall(g => t <= p + g)))
+          if (ts.length == steps.indexOf(st) && cand.nonEmpty)
+            ts += cand.min
+        }
+        u -> (steps.indices.map(i => ts.lift(i)), ts.length)
+      }
+    Seq(None, Some(60L), Some(5L)).foreach { gap =>
+      val got = Funnel.stages(events.toDF("user_id", "et", "t"),
+        "user_id", "et", "t", steps, gap)
+        .collect().map { r =>
+          r.getLong(0) -> (Seq(1, 2, 3).map(i =>
+            if (r.isNullAt(i)) None else Some(r.getLong(i))),
+            r.getInt(4))
+        }.toMap
+      val want = reference(gap)
+      assert(got == want, s"gap=$gap diverged")
+    }
+  }
+
   test("retention counts each user once per active period against " +
     "their first-touch cohort") {
     val s = spark

@@ -185,6 +185,43 @@ object Mixing {
       .drop("__k")
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor gets `k` random negatives drawn from the corpus id space
+    * `[0, n)` by a portable pair hash — candidates equal to the anchor
+    * or sharing its group (cluster / label / dup-component) are
+    * rejected, surviving draws keep their draw order, duplicates keep
+    * the first draw. No `rand()` anywhere: the pair (anchor, j) fully
+    * determines the candidate, so the sample is stable run-to-run and
+    * replayable by any engine with md5.
+    *
+    * Shape: anchors × draws is the SMALL side (explode + broadcast);
+    * the corpus contributes one hash-join probe per candidate id. The
+    * per-anchor windows run over ≤ `draws` rows.
+    */
+  def negativeSample(anchors: DataFrame, corpus: DataFrame,
+      idCol: String, grpCol: String, n: Long, k: Int,
+      draws: Int = 64): DataFrame = {
+    require(n > 0 && k >= 1 && draws >= k)
+    val a = anchors
+      .select(col(idCol).cast(LongType).as("qid"), col(grpCol).as("__qg"))
+      .withColumn("__j", explode(sequence(lit(0), lit(draws - 1))))
+      .withColumn("__cand", pmod(
+        conv(substring(md5(concat(col("qid").cast(StringType), lit(":"),
+          col("__j").cast(StringType))), 1, 15), 16, 10).cast(LongType),
+        lit(n)))
+    val lab = corpus
+      .select(col(idCol).cast(LongType).as("__cand"), col(grpCol).as("__cg"))
+    lab.join(broadcast(a), "__cand")
+      .filter(col("__cand") =!= col("qid") && col("__cg") =!= col("__qg"))
+      .withColumn("__d", row_number().over(
+        Window.partitionBy("qid", "__cand").orderBy("__j")))
+      .filter(col("__d") === 1)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy("__j")))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("__cand").as("neg_id"), col("rn"))
+  }
+
   /** Cluster-balanced diversity sampling (the selection face of
     * SemDeDup-style curation): coarse-quantize the corpus into `k`
     * embedding cells and keep at most `perCell` rows per cell — dense

@@ -276,6 +276,31 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // deterministic contrastive negative sampling: per anchor, 8
+    // negatives from 64 portable pair-hash draws over the id space,
+    // same-label and self candidates rejected, draw order kept — no
+    // rand() anywhere, the oracle replays every draw
+    "q_negative_sample" -> QueryDef(
+      """WITH a AS (SELECT vec_id AS qid, label AS qg
+        |           FROM embeddings WHERE vec_id < 20),
+        |d AS (SELECT qid, qg, j,
+        |        CAST(('0x' || substr(md5(CAST(qid AS VARCHAR) || ':' ||
+        |          CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 500 AS cand
+        |      FROM a, UNNEST(range(0, 64)) AS t(j)),
+        |l AS (SELECT vec_id AS cand, label AS cg FROM embeddings),
+        |f AS (SELECT qid, cand, j FROM d JOIN l USING(cand)
+        |      WHERE cand <> qid AND cg <> qg
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid, cand ORDER BY j) = 1)
+        |SELECT qid, cand AS neg_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY j) AS INTEGER) AS rn
+        |FROM f QUALIFY rn <= 8 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val n = emb.count()
+      Mixing.negativeSample(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "label", n = n, k = 8, draws = 64)
+        .orderBy("qid", "rn")
+    },
+
     // character-entropy quality signal (bits/char): machine filler and
     // base64 blobs leave natural text's ~4 bits/char band. Native
     // single-pass codegen expression; the oracle replays exact counts

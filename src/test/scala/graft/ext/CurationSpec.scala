@@ -522,6 +522,41 @@ class CurationSpec extends SparkSpec {
     assert(hh == again)
   }
 
+  test("negativeSample: no self, no same-group, draw-ordered, " +
+    "deterministic, matches a driver-side replay") {
+    val s = spark
+    import s.implicits._
+    val n = 120L
+    val corpus = (0L until n).map(i => (i, (i % 4).toInt)).toDF("id", "g")
+    val anchors = corpus.filter(col("id") < 6)
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def draw(q: Long, j: Int) =
+      java.lang.Long.parseLong(md5hex(s"$q:$j").take(15), 16) % n
+    val got = Mixing.negativeSample(anchors, corpus, "id", "g",
+      n = n, k = 5, draws = 48)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // driver-side replay of the same draw chain
+    (0L until 6L).foreach { q =>
+      val seen = scala.collection.mutable.LinkedHashSet[Long]()
+      (0 until 48).foreach { j =>
+        val c = draw(q, j)
+        if (c != q && c % 4 != q % 4 && seen.size < 48) seen += c
+      }
+      val want = seen.take(5).toSeq
+      val mine = (1 to 5).map(rn => got((q, rn)))
+      assert(mine == want, s"anchor $q: $mine vs $want")
+      mine.foreach { c =>
+        assert(c != q && c % 4 != q % 4)
+      }
+    }
+    // deterministic across runs
+    val again = Mixing.negativeSample(anchors, corpus, "id", "g",
+      n = n, k = 5, draws = 48)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
+
   test("property: bm25 matches a driver-side reference on random corpora") {
     val s = spark
     import s.implicits._

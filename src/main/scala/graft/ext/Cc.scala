@@ -86,13 +86,21 @@ object Cc {
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // fixpoint test: the edge set is a star forest — no edge target
-      // is also a source (every pointer lands on a root). One semi-join
-      // job, much cheaper than a set-equality diff of consecutive
-      // rounds, and exact: LS/SS leave a star forest unchanged.
+      // fixpoint test: the edge set is a star forest, which needs BOTH
+      //  (a) no edge target is also a source (pointers land on roots),
+      //  (b) every source has exactly ONE parent.
+      // (a) alone is NOT sufficient: a node can hold two parents that
+      // are each roots — e.g. edges {(2,1),(6,5),(5,2),(6,0)} contract
+      // to {(2,0),(2,1),(5,1),(6,0)} after one LS+SS round, where no
+      // target is a source yet 2's two root parents (0, 1) still need
+      // a merge round. Caught by CcSpec's diamond regression — the
+      // first version of this test shipped with exactly that bug.
+      // LS/SS leave a true star forest unchanged, so (a)+(b) is exact.
       val srcs = ss.select(col("u").as("n")).distinct()
-      converged = ss
-        .join(srcs, col("v") === col("n"), "left_semi").isEmpty
+      val internal = ss.join(srcs, col("v") === col("n"), "left_semi")
+      lazy val multiParent = ss.groupBy("u")
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      converged = internal.isEmpty && multiParent.isEmpty
       edges = ss
     }
     // at the fixpoint every edge points at its component minimum

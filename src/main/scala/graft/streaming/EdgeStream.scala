@@ -468,6 +468,93 @@ object EdgeStream {
       }
   }
 
+  /** Streaming near-dup CLUSTER maintenance — the streaming face of
+    * [[graft.ext.Cc]]: micro-batches of near-dup PAIRS (whatever the
+    * LSH/SimHash incremental probes emit) fold into a persisted
+    * cluster labeling via [[graft.ext.Cc.addPairs]]. The state IS one
+    * on-disk star-forest snapshot (id → component for every node that
+    * has ever appeared in a pair — clustered nodes only, NOT the whole
+    * corpus), rewritten per batch through the [[BatchLedger]] staging
+    * protocol: a replayed committed batch skips, a crash-window replay
+    * recomputes from the previous committed snapshot and reproduces
+    * the identical labeling (contraction is deterministic). Older
+    * snapshots vacuum after commit; [[readClusterLabels]] always
+    * resolves the latest COMMITTED one.
+    *
+    * Scale note: the per-batch cost is the contraction over
+    * |star snapshot| + |batch pairs| — history enters pre-collapsed,
+    * so rounds follow the increment's structure; the snapshot rewrite
+    * is linear in clustered nodes (the honest floor for exact global
+    * labels: a merge can relabel an arbitrarily old cluster).
+    */
+  def clusteredPairs(pairs: DataFrame, labelsDir: String,
+      aCol: String = "id_a", bCol: String = "id_b")(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    pairs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        clusterBatch(batch0, batchId, aCol, bCol, labelsDir, sink)
+      }
+
+  /** latest COMMITTED cluster snapshot, None before the first batch */
+  def readClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      labelsDir: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val applied = {
+      val m = new org.apache.hadoop.fs.Path(s"$labelsDir/_applied")
+      if (!fs.exists(m)) return None
+      fs.listStatus(m).map(_.getPath.getName)
+        .filter(_.startsWith("b")).map(_.drop(1).toLong).toSet
+    }
+    val files = fs.listStatus(dir)
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("b"))
+    val byBatch = files.groupBy(p =>
+      p.getName.drop(1).takeWhile(_.isDigit) match {
+        case "" => -1L
+        case ds => ds.toLong
+      }).filter { case (b, _) => b >= 0 && applied(b) }
+    if (byBatch.isEmpty) return None
+    val latest = byBatch(byBatch.keys.max).map(_.toString)
+    Some(spark.read
+      .schema("id LONG, component LONG")
+      .parquet(latest: _*))
+  }
+
+  private[streaming] def clusterBatch(batch0: DataFrame, batchId: Long,
+      aCol: String, bCol: String, labelsDir: String,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch0.sparkSession
+    val ledger = new BatchLedger(spark, labelsDir, Seq(labelsDir))
+    if (ledger.applied(batchId)) return
+    val batch = batch0.stageBoundary
+    if (batch.isEmpty) return
+    ledger.begin(batchId)
+    val merged = readClusterLabels(spark, labelsDir) match {
+      case Some(prev) => graft.ext.Cc.addPairs(prev, batch, aCol, bCol)
+      case None => graft.ext.Cc.connectedComponents(batch, aCol, bCol)
+    }
+    val snap = merged.stageBoundary
+    snap.write.mode("overwrite")
+      .parquet(ledger.stagingFor(batchId, labelsDir))
+    sink(snap, batchId)
+    ledger.publish(batchId)
+    ledger.commit(batchId)
+    // older snapshots are now unreachable (readers resolve the max
+    // committed batch) — reclaim them
+    val dir = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter { p =>
+        val ds = p.getName.drop(1).takeWhile(_.isDigit)
+        p.getName.startsWith("b") && ds.nonEmpty && ds.toLong < batchId
+      }
+      .foreach(p => fs.delete(p, false))
+  }
+
   /** Streaming funnel progress — the streaming face of
     * [[graft.ext.Funnel.stages]]: per user, an append-only log of
     * stage advancements with first-touch semantics (an event advances

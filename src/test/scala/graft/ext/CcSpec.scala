@@ -73,6 +73,18 @@ class CcSpec extends SparkSpec {
     assert(viaDf == viaGx)
   }
 
+  test("regression: multi-parent intermediate state must not be " +
+    "mistaken for convergence (diamond through two roots)") {
+    // edges {(2,1),(6,5),(5,2),(6,0)} contract in one LS+SS round to
+    // {(2,0),(2,1),(5,1),(6,0)}: no target is a source, but node 2
+    // holds TWO root parents — the components are not merged yet. The
+    // first star-forest convergence test accepted this state and split
+    // one component into {0,6} and {1,2,5}.
+    val got = ccMap(Seq((1L, 2L), (5L, 6L), (2L, 5L), (0L, 6L)))
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L),
+      s"diamond did not fully merge: $got")
+  }
+
   test("addPairs == full recompute over the union, including " +
     "cross-batch merges that lower a component minimum") {
     val s = spark

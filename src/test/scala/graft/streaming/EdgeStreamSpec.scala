@@ -152,6 +152,53 @@ class EdgeStreamSpec extends SparkSpec {
     ), rows.toString)
   }
 
+  test("streaming cluster maintenance: cross-batch merges, uncommitted " +
+    "snapshots invisible, committed replay skips, crash replay " +
+    "reproduces") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_cc_labels").toString
+    def labels() = EdgeStream.readClusterLabels(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch 0: two separate clusters
+    EdgeStream.clusterBatch(Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"),
+      0L, "id_a", "id_b", dir, (_, _) => ())
+    assert(labels() == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // simulate a CRASHED batch 1: staged junk published but no commit —
+    // readers must still resolve batch 0
+    val ledger = new BatchLedger(spark, dir, Seq(dir))
+    ledger.begin(1L)
+    Seq((99L, 99L)).toDF("id", "component").write
+      .parquet(ledger.stagingFor(1L, dir))
+    ledger.publish(1L)
+    assert(labels() == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L),
+      "uncommitted snapshot leaked into reads")
+
+    // the replay of batch 1: merges the two clusters through 0 — the
+    // crashed attempt's junk must vanish first
+    var sunk = 0
+    EdgeStream.clusterBatch(Seq((2L, 5L), (0L, 6L)).toDF("id_a", "id_b"),
+      1L, "id_a", "id_b", dir, (_, _) => sunk += 1)
+    val merged = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L)
+    assert(labels() == merged)
+    assert(sunk == 1)
+    assert(!labels().contains(99L), "crashed junk survived")
+
+    // committed replay: same batchId again → skip, no sink, no change
+    EdgeStream.clusterBatch(Seq((7L, 8L)).toDF("id_a", "id_b"),
+      1L, "id_a", "id_b", dir, (_, _) => sunk += 1)
+    assert(sunk == 1)
+    assert(labels() == merged)
+
+    // and the final labeling equals a from-scratch recompute
+    val full = graft.ext.Cc.connectedComponents(
+      Seq((1L, 2L), (5L, 6L), (2L, 5L), (0L, 6L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() == full)
+  }
+
   test("streaming funnel: first-touch advancement, out-of-order and " +
     "late events ignored, matches the batch operator") {
     val s = spark

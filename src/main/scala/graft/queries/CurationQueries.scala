@@ -264,8 +264,10 @@ object CurationQueries {
     // heavy-hitter tokens (r7): Misra-Gries sketch candidates + exact
     // recount — the sketch only PRUNES (its survival guarantee covers
     // every token above support), the recount DECIDES, so the answer
-    // equals the plain GROUP BY the oracle runs
-    "q_heavy_hitters" -> QueryDef(
+    // equals the plain GROUP BY the oracle runs. (Distinct from
+    // q_heavy_hitters, the exact top-20 3-gram count: this one is the
+    // support-threshold token family over a one-pass bounded sketch.)
+    "q_heavy_tokens" -> QueryDef(
       s"""WITH tok AS (SELECT unnest($SqlTokens) AS w FROM documents),
          |tot AS (SELECT COUNT(*) AS t FROM tok)
          |SELECT w AS token, COUNT(*) AS cnt
@@ -340,6 +342,81 @@ object CurationQueries {
           graft.functions.UnicodeNorm.stripAccentsCol(
             concat(lit("é à ü "),
               substring(col("text"), 1, 10))).as("stripped"))
+        .orderBy("doc_id")
+    },
+
+    // HTML → text extraction (r7): the corpus is plain prose, so the
+    // markup surface under test is injected identically on both
+    // engines — script/style elements with hostile content ('<' inside
+    // script, entities inside strings), comments, an unterminated tag
+    // that must stay literal, and text-node entities. The pipeline
+    // spec lives in ONE place (HtmlText.oracleSqlFor) so the Spark
+    // expression and the DuckDB replay cannot drift apart.
+    "q_html_extract" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id,
+         |  '<html><head><title>T</title><style media="x">p { color: red; }</style>' ||
+         |  '<script type="text/javascript">if (1 < 2) { x = "&amp;"; }</script></head>' ||
+         |  '<body><!-- hidden --><h1>Doc ' || doc_id || '</h1><p class="a">' ||
+         |  left(text, 40) || ' &amp; more &lt;raw&gt;&nbsp;text&#39;s</p>' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN '<br><open' ELSE '</body></html>' END AS h
+         |  FROM documents)
+         |SELECT doc_id, ${graft.functions.HtmlText.oracleSqlFor("h")} AS clean
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val html = concat(
+        lit("<html><head><title>T</title><style media=\"x\">p { color: red; }</style>"),
+        lit("<script type=\"text/javascript\">if (1 < 2) { x = \"&amp;\"; }</script></head>"),
+        lit("<body><!-- hidden --><h1>Doc "), col("doc_id").cast(StringType),
+        lit("</h1><p class=\"a\">"),
+        substring(col("text"), 1, 40),
+        lit(" &amp; more &lt;raw&gt;&nbsp;text&#39;s</p>"),
+        when(col("doc_id") % 3 === 0, lit("<br><open"))
+          .otherwise(lit("</body></html>")))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.HtmlToText(html).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization + host extraction (r7): synthetic URLs
+    // injected identically on both engines cover mixed case,
+    // credentials, default and explicit ports, empty paths, unsorted
+    // query params, fragments, and a non-URL that must pass through.
+    // Component extraction is regex-for-regex identical on both sides
+    // (Urls.*OracleSqlFor beside the implementation).
+    "q_url_canonical" -> QueryDef(
+      s"""WITH u AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 11 = 0 THEN 'not a url'
+         |  ELSE 'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END ||
+         |    '://User:Pw@WWW.Site' || (doc_id % 7) || '.ORG' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |           CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+         |         WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 < 3 THEN '/A/b' || (doc_id % 4) ELSE '' END ||
+         |    CASE WHEN doc_id % 4 < 2 THEN '?z=9&a=' || (doc_id % 6) || '&m=2'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END
+         |  END AS url FROM documents)
+         |SELECT doc_id, ${graft.functions.Urls.hostOracleSqlFor("url")} AS host,
+         |  ${graft.functions.Urls.canonOracleSqlFor("url")} AS canon
+         |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val url = when(id % 11 === 0, lit("not a url"))
+        .otherwise(concat(
+          lit("HTTP"), when(id % 2 === 0, lit("S")).otherwise(lit("")),
+          lit("://User:Pw@WWW.Site"), (id % 7).cast(StringType), lit(".ORG"),
+          when(id % 3 === 0,
+            when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+            .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+          when(id % 5 < 3, concat(lit("/A/b"), (id % 4).cast(StringType)))
+            .otherwise(lit("")),
+          when(id % 4 < 2,
+            concat(lit("?z=9&a="), (id % 6).cast(StringType), lit("&m=2")))
+            .otherwise(lit("")),
+          when(id % 2 === 0, lit("#Frag")).otherwise(lit(""))))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.UrlHost(url).as("host"),
+          graft.functions.UrlCanonicalize(url).as("canon"))
         .orderBy("doc_id")
     },
 

@@ -45,6 +45,38 @@ object Decontaminate {
       .filter(col("hits") >= minHits)
   }
 
+  /** Per-corpus-doc contamination FRACTION: of the doc's distinct
+    * n-grams, the share present anywhere in the benchmark set — the
+    * graded signal (0 = clean, 1 = fully contained) threshold
+    * policies want where [[overlapHits]]' absolute count treats a
+    * tweet and a book the same. Docs too short to carry one n-gram
+    * don't appear (they have no gram evidence either way).
+    *
+    * Scale shape: the benchmark's distinct grams broadcast (eval
+    * suites are MBs against the corpus); the corpus is touched in one
+    * map pass + one broadcast LEFT join (zero-hit docs keep frac 0
+    * without a second pass over the corpus), and the only shuffle is
+    * the per-doc count — same envelope as [[overlapHits]].
+    */
+  def overlapFraction(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val benchSh = bench
+      .select(explode(Dedup.hashedShingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        array_distinct(Dedup.hashedShingles(col(textCol), n)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col("doc_id"), size(col("__shs")).cast(LongType).as("__total"),
+        explode(col("__shs")).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("__total")).as("grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("frac", round(col("hits") / col("grams"), 6))
+  }
+
   /** The clean corpus: drops every doc flagged by [[overlapHits]].
     * One anti-join on the (small) contaminated-id set.
     */

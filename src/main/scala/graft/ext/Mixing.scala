@@ -162,6 +162,66 @@ object Mixing {
       .withColumnRenamed("__tok", "n_tokens")
   }
 
+  /** Per-stratum TOKEN-budget selection ("2 B tokens of src0, 500 M of
+    * src1"): within each stratum, docs are taken in deterministic
+    * portable-hash order until the budget fills — a doc is kept iff
+    * the EXCLUSIVE running token sum before it is under the stratum's
+    * budget (so the budget can overrun by less than one doc — the
+    * greedy prefix convention [[packSequences]] also uses). Mixture
+    * recipes quote token counts, not doc counts; [[sampleStratified]]'s
+    * doc-rate knob can't hit a token target when doc lengths differ
+    * across sources.
+    *
+    * Scale shape: the hash-order prefix sum is computed BUCKETED, not
+    * through one per-stratum window task: docs land in `buckets`
+    * hash-RANGE buckets (bucket = high bits of the order hash, so
+    * bucket order IS hash order), per-bucket token sums aggregate
+    * map-combined (strata×buckets tiny rows), the exclusive
+    * cross-bucket offsets are a window over that tiny aggregate, and
+    * each doc's prefix = its bucket's offset + a within-bucket running
+    * sum (window partitioned by stratum AND bucket — `buckets`× the
+    * parallelism of the naive per-stratum window, same answer because
+    * addition is associative and the (hash, id) order is identical).
+    */
+  def tokenBudgetCap(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: Column, budgetTokens: Map[String, Long],
+      defaultBudget: Long, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    require((defaultBudget +: budgetTokens.values.toSeq).forall(_ >= 0),
+      "budgets must be non-negative")
+    val budget = budgetTokens.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    // idHash is 60-bit; the top bits pick the bucket so bucket index
+    // is monotone in the hash — the concatenated bucket order equals
+    // plain hash order
+    val shift = 60 - (63 - java.lang.Long.numberOfLeadingZeros(buckets.toLong))
+    val keyed = df
+      .withColumn("__h", idHash(col(idCol)))
+      .withColumn("__b", shiftright(col("__h"), shift))
+      .withColumn("__tok", tokensCol.cast(LongType))
+    // fresh aliases (__s/__ob) — the aggregate reuses keyed's attribute
+    // ids, and a join condition on the same attribute id is a self-
+    // comparison, not a key match
+    val bucketSums = keyed.groupBy(col(strataCol).as("__s"), col("__b").as("__ob"))
+      .agg(sum(col("__tok")).as("__bsum"))
+    val off = Window.partitionBy("__s").orderBy("__ob")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketSums
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(off), lit(0L)))
+      .select(col("__s"), col("__ob"), col("__off"))
+    val local = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsets),
+        keyed(strataCol) === offsets("__s") && keyed("__b") === offsets("__ob"))
+      .withColumn("__cum",
+        col("__off") + coalesce(sum(col("__tok")).over(local), lit(0L)))
+      .filter(col("__cum") < budget)
+      .drop("__h", "__b", "__s", "__ob", "__tok", "__off", "__cum")
+  }
+
   /** Deterministic global training-order shuffle + sharding: order key
     * = portable hash of (seed, id); `shard` = key mod `shards`; `pos`
     * = rank within the shard by (key, id). The canonical

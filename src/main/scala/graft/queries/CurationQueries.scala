@@ -107,6 +107,53 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // graded contamination fraction (r7): share of each doc's distinct
+    // 5-grams present anywhere in the eval set — zero-hit docs appear
+    // with frac 0 (broadcast LEFT join, no second corpus pass)
+    "q_contamination_frac" -> QueryDef(
+      s"""WITH sh AS ($Sql5grams),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         |corp AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+         |tot AS (SELECT doc_id, COUNT(*) AS grams FROM corp GROUP BY doc_id),
+         |hit AS (SELECT c.doc_id, COUNT(*) AS hits
+         |        FROM corp c JOIN bench b USING (s) GROUP BY c.doc_id)
+         |SELECT t.doc_id, t.grams, COALESCE(h.hits, 0) AS hits,
+         |       ROUND(COALESCE(h.hits, 0) * 1.0 / t.grams, 6) AS frac
+         |FROM tot t LEFT JOIN hit h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      Decontaminate.overlapFraction(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    },
+
+    // per-source TOKEN-budget selection (r7): greedy hash-order prefix
+    // until each source's token budget fills; the prefix sum runs
+    // bucketed (hash-range buckets + tiny offset table), never through
+    // one per-source window task — the oracle replays the equivalent
+    // single-window formulation
+    "q_token_budget" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($SqlTokens) AS BIGINT) AS n_tokens,
+         |             ${sqlIdHash("doc_id")} AS h FROM documents),
+         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+         |        PARTITION BY source ORDER BY h, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |      FROM t)
+         |SELECT source, doc_id, n_tokens FROM c
+         |WHERE cum < CASE WHEN source = 'src0' THEN 300 ELSE 600 END
+         |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      Mixing.tokenBudgetCap(docs, "doc_id", "source", col("n_tokens"),
+        budgetTokens = Map("src0" -> 300L), defaultBudget = 600L)
+        .select("source", "doc_id", "n_tokens")
+        .orderBy("source", "doc_id")
+    },
+
     // deterministic stratified sampling for data mixing: src0/src1
     // down-weighted, everything else kept at 40%; the decision is a
     // pure function of doc_id (portable md5 hash), so the oracle

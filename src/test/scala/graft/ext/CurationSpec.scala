@@ -34,6 +34,27 @@ class CurationSpec extends SparkSpec {
       n = 5, minHits = 3).isEmpty)
   }
 
+  test("overlapFraction: fully-contained doc scores 1, clean doc 0, " +
+    "partial doc the exact gram share; too-short docs absent") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // 1 gram, contained
+      (2L, "one two three four five six seven"),       // 3 grams, none hit
+      (3L, "alpha beta gamma delta epsilon zeta other"), // 3 grams, 2 hit
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapFraction(corpus, bench,
+      "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 1L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 2L, 0.666667)))
+    assert(!got.contains(4L))
+  }
+
   test("clean drops flagged docs and nothing else") {
     val corpus = docs.filter(col("source") =!= "bench")
     val bench = docs.filter(col("source") === "bench")
@@ -225,6 +246,43 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
     assert(got.count(_._1 == "hot") == 5 && got.count(_._1 == "cold") == 5)
+  }
+
+  test("tokenBudgetCap: bucketed prefix sum equals the naive single " +
+    "window; straddling doc kept; zero budget empties a stratum") {
+    val s = spark
+    import s.implicits._
+    val rows = ((0L until 400L).map(i => (i, "big", 7L + i % 13)) ++
+      (0L until 30L).map(i => (i + 1000, "small", 11L)) ++
+      (0L until 5L).map(i => (i + 2000, "off", 3L)))
+      .toDF("id", "src", "tok").repartition(8)
+    // several bucket widths, incl. 1 (degenerates to the naive window)
+    for (buckets <- Seq(1, 4, 64)) {
+      val got = Mixing.tokenBudgetCap(rows, "id", "src", col("tok"),
+        Map("big" -> 500L, "off" -> 0L), defaultBudget = 150L,
+        buckets = buckets)
+        .select("src", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("src")
+        .orderBy(Mixing.idHash(col("id")), col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = rows
+        .withColumn("cum", coalesce(sum(col("tok")).over(w), lit(0L)))
+        .filter(col("cum") < when(col("src") === "big", 500L)
+          .when(col("src") === "off", 0L).otherwise(150L))
+        .select("src", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"buckets=$buckets")
+      assert(got.count(_._1 == "off") == 0)
+      // greedy prefix convention: the kept docs' tokens sum to AT
+      // LEAST the budget when the stratum has enough supply (the
+      // straddling doc is included)
+      val bigTok = rows.filter(col("src") === "big")
+        .join(got.filter(_._1 == "big").map(_._2).toSeq.toDF("id"), "id")
+        .agg(sum("tok")).head().getLong(0)
+      assert(bigTok >= 500L && got.nonEmpty)
+    }
   }
 
   test("writeShards caps file rows, partitions by stratum, loses nothing") {

@@ -37,6 +37,74 @@ object CorpusSink {
       .parquet(outDir)
   }
 
+  /** Z-order (Morton) clustered layout for multi-dimensional data
+    * skipping — the layout move that makes "WHERE quality > x AND
+    * n_tokens BETWEEN a AND b" read a sliver of a 100 TB corpus
+    * instead of all of it. Directory partitioning prunes ONE
+    * categorical dim; sorting prunes one MORE ordered dim; z-ordering
+    * makes every file narrow in SEVERAL numeric dims at once, so
+    * parquet min/max stats skip files/row-groups for predicates on
+    * any clustered dim (the same layout Delta's OPTIMIZE ZORDER and
+    * Iceberg's sort-order rewrite produce).
+    *
+    * Mechanics: each dim is bucketized by its own approx-quantile
+    * cutpoints (rank space, so skewed dims still spread — equal-width
+    * bucketing would put 99% of a power-law dim in one bucket), the
+    * per-dim bucket indexes bit-interleave into the Morton key, and
+    * the write range-partitions + sorts on that key. The bucket
+    * lookup is a codegen'd fold over the ≤(2^bits-1)-element cutpoint
+    * literal — O(2^bits) per row per dim, which is why `bits`
+    * defaults to 8 (256 ranks/dim; file-level skipping needs no finer
+    * resolution) and is capped at 12.
+    *
+    * Cutpoints come from one `approxQuantile` pass (driver holds
+    * ≤ dims·2^bits doubles); the clustered write itself is one range
+    * exchange + per-partition sort — the same cost envelope as
+    * [[writeShards]].
+    */
+  def writeZOrdered(df: DataFrame, outDir: String, dims: Seq[String],
+      bits: Int = 8, maxRecordsPerFile: Int = 1000000): Unit = {
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    df.sparkSession.sparkContext.setJobDescription(
+      s"zorder-write ${dims.mkString(",")}")
+    zOrdered(df, dims, bits)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .parquet(outDir)
+  }
+
+  /** `df` clustered by the Morton key of `dims` (range partition +
+    * in-partition sort; the key column itself is dropped — it only
+    * shapes the layout). Exposed separately so tests can assert
+    * per-file narrowness without a write. */
+  def zOrdered(df: DataFrame, dims: Seq[String], bits: Int = 8): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 3,
+      "z-order over 1-3 dims (more dims dilute per-dim narrowness)")
+    require(bits >= 1 && bits <= 12,
+      "bits in [1,12]: the bucket fold is O(2^bits) per row per dim")
+    val n = (1 << bits) - 1 // cutpoints per dim
+    val cuts: Seq[Array[Double]] = dims.map { d =>
+      df.stat.approxQuantile(d,
+        (1 to n).map(_.toDouble / (n + 1)).toArray, 0.001)
+    }
+    val buckets = dims.zip(cuts).map { case (d, c) =>
+      // rank bucket = #cutpoints at or below the value; nulls land in
+      // bucket 0 (null >= cut is null → the `when` contributes 0)
+      aggregate(typedlit(c), lit(0L),
+        (acc, cut) => acc + when(col(d).cast("double") >= cut, 1L).otherwise(0L))
+    }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(b, i).bitwiseAND(lit(1L)), i * buckets.length + j))
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** JSONL interchange — the lingua franca of public LLM corpora
     * (Dolma/RedPajama/C4 dumps are compressed JSON lines). One JSON
     * object per line, compressed per file (splittable-enough at shard

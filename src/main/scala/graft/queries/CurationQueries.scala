@@ -489,6 +489,25 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // z-order clustered layout round-trip (r7): the corpus rewritten
+    // Morton-clustered on (n_chars, doc_id) must preserve every row —
+    // the layout only permutes; narrowness is pinned in ZOrderSpec
+    "q_zorder_roundtrip" -> QueryDef(
+      """SELECT source, COUNT(*) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      CorpusSink.writeZOrdered(docs, dir, Seq("n_chars", "doc_id"),
+        bits = 6, maxRecordsPerFile = 100)
+      s.read.parquet(dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast(LongType).as("chars"))
+        .orderBy("source")
+    },
+
     // exact per-source token-length quantiles (r7): histogram-collapse
     // first (the per-source window walks distinct LENGTHS, never rows),
     // integer q‰ rank rule — engine-exact, no interpolation

@@ -137,27 +137,44 @@ object Decontaminate {
       .head().getSeq[Long](0).toArray
   }
 
+  /** Per-ROW Bloom hit count: how many of the text's DISTINCT n-grams
+    * have all k probe bits set in `bloomBits`. A pure column
+    * expression (the bit array rides the plan as a literal; the gram
+    * walk is a codegen'd higher-order fold over the row's own array)
+    * — NO explode, NO shuffle, NO per-doc aggregation, which is what
+    * lets the same gate run unchanged over a STREAMING corpus: a
+    * stateless filter needs no micro-batch state at all.
+    */
+  def bloomHitsCol(textCol: Column, bloomBits: Array[Long],
+      n: Int, k: Int = 5): Column = {
+    require(k >= 1 && k <= 7, "k in [1,7] keeps h1 + j*h2 inside a long")
+    val mBits = bloomBits.length * 64
+    val bitsLit = typedlit(bloomBits)
+    val grams = array_distinct(graft.functions.WordNgrams(
+      TextFunctions.tokens(textCol), n))
+    // hash once per gram into a (h1, h2) struct, then probe k bits
+    val hashed = transform(grams, g => struct(
+      bloomH1(g).as("h1"), bloomH2(g).as("h2")))
+    size(filter(hashed, h =>
+      forall(sequence(lit(0), lit(k - 1)), j => {
+        val p = (h.getField("h1") + j.cast(LongType) * h.getField("h2")) % mBits
+        element_at(bitsLit, (p / 64).cast(IntegerType) + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (p % 64).cast(IntegerType))) =!= lit(0L)
+      })))
+  }
+
   /** Per-corpus-doc contamination evidence against the Bloom bits:
     * (`doc_id`, hits) where hits counts the doc's DISTINCT n-grams
     * whose k probe bits are all set; only docs with ≥ minHits appear.
-    * The bit array rides the plan as a literal — map-only probe.
+    * Entirely map-side via [[bloomHitsCol]] — no explode, no shuffle
+    * (the r6 shape exploded grams and re-aggregated per doc; the
+    * per-row fold computes the same count inside one projection).
     */
   def bloomOverlapHits(corpus: DataFrame, bloomBits: Array[Long],
       textCol: String, idCol: String, n: Int,
-      k: Int = 5, minHits: Int = 1): DataFrame = {
-    val mBits = bloomBits.length * 64
-    val grams = corpus.select(col(idCol).as("doc_id"),
-        explode(gramCol(textCol, n)).as("__g"))
-      .select(col("doc_id"),
-        bloomH1(col("__g")).as("__h1"), bloomH2(col("__g")).as("__h2"))
-    val hit = forall(sequence(lit(0), lit(k - 1)), j => {
-      val p = (col("__h1") + j.cast(LongType) * col("__h2")) % mBits
-      element_at(typedlit(bloomBits), (p / 64).cast(IntegerType) + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L),
-          (p % 64).cast(IntegerType))) =!= lit(0L)
-    })
-    grams.filter(hit)
-      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      k: Int = 5, minHits: Int = 1): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+        bloomHitsCol(col(textCol), bloomBits, n, k).cast(LongType).as("hits"))
       .filter(col("hits") >= minHits)
-  }
 }

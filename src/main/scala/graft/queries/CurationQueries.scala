@@ -489,6 +489,33 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // corpus snapshot diff (r7): old = ids < 400 as-is, new = ids >= 50
+    // with every 10th doc's text edited — the diff must report exactly
+    // the adds/removes/changes; the Spark side compares 64-bit
+    // fingerprints (text never shuffles), the oracle compares text
+    "q_corpus_diff" -> QueryDef(
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 10 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |      FROM documents WHERE doc_id >= 50)
+        |SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text <> c.text THEN 'changed' END AS status
+        |FROM o FULL JOIN c ON o.doc_id = c.doc_id
+        |WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN c.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text <> c.text THEN 'changed' END) IS NOT NULL
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+      val cur = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"))
+      CorpusDiff.diff(old, cur, "doc_id", "text").orderBy("doc_id")
+    },
+
     // z-order clustered layout round-trip (r7): the corpus rewritten
     // Morton-clustered on (n_chars, doc_id) must preserve every row —
     // the layout only permutes; narrowness is pinned in ZOrderSpec
@@ -648,6 +675,44 @@ object CurationQueries {
       injected.select(col("doc_id"),
         Scrub.redact(col("t")).as("redacted"),
         Scrub.redactionCount(col("t")).cast(IntegerType).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // Luhn-gated card redaction (r7): the injected candidates are a
+    // FIXED literal set, so the oracle knows statically which pass
+    // Luhn (4111... and the 14-digit Diners number) and replays the
+    // conditional redaction as plain replaces; the engine must decide
+    // dynamically via the checksum — an invalid 16-digit run and a
+    // short digit run must survive untouched. Digits are stripped
+    // from the prose slice so only the injection carries candidates.
+    "q_pii_cards" -> QueryDef(
+      """WITH t AS (SELECT doc_id,
+        |  'pay ' || CASE doc_id % 4
+        |     WHEN 0 THEN '4111 1111 1111 1111'
+        |     WHEN 1 THEN '4111-1111-1111-1112'
+        |     WHEN 2 THEN '30569309025904'
+        |     ELSE '12345678901' END || ' ref ' ||
+        |  regexp_replace(left(text, 20), '[0-9]', '', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN replace(t, '4111 1111 1111 1111', '<CARD>')
+        |       WHEN doc_id % 4 = 2 THEN replace(t, '30569309025904', '<CARD>')
+        |       ELSE t END AS redacted,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END AS INTEGER)
+        |    AS cards
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val t = concat(lit("pay "),
+        when(id % 4 === 0, lit("4111 1111 1111 1111"))
+          .when(id % 4 === 1, lit("4111-1111-1111-1112"))
+          .when(id % 4 === 2, lit("30569309025904"))
+          .otherwise(lit("12345678901")),
+        lit(" ref "),
+        regexp_replace(substring(col("text"), 1, 20), "[0-9]", ""))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.CardRedact(t).as("redacted"),
+          graft.functions.CardCount(t).as("cards"))
         .orderBy("doc_id")
     },
 

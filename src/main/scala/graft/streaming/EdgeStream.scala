@@ -410,6 +410,21 @@ object EdgeStream {
       graft.ext.TextFunctions.c4DocKeep(col(textCol)) &&
         graft.ext.TextFunctions.gopherKeep(col(textCol)))
 
+  /** Streaming benchmark decontamination: the Bloom-compressed eval
+    * set ([[graft.ext.Decontaminate.benchBloom]]) probed per arriving
+    * document as a STATELESS filter — [[graft.ext.Decontaminate
+    * .bloomHitsCol]] is a pure column expression (the bit array rides
+    * the plan as a literal, the gram probe is a codegen'd fold over
+    * the row's own array), so the gate needs no micro-batch state, no
+    * watermark, and drops contaminated docs the moment they arrive.
+    * False positives over-drop (tunable via mBits/k); false negatives
+    * are impossible — the direction decontamination must never err in.
+    */
+  def decontaminatedDocs(docs: DataFrame, bloomBits: Array[Long],
+      textCol: String, n: Int, k: Int = 5, minHits: Int = 1): DataFrame =
+    docs.filter(graft.ext.Decontaminate.bloomHitsCol(
+      col(textCol), bloomBits, n, k) < minHits)
+
   /** Event sessionization — the custom-state shape Structured Streaming
     * exposes through `flatMapGroupsWithState` (SURVEY §2.10 extension):
     * per user, events within `gapMs` of the running session extend it;

@@ -310,6 +310,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("writeShards bloomFilterCols lands a parquet bloom filter in " +
+    "the footer for the listed column only") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards_bloom").toString
+    val rows = (0L until 200L).map(i => (i, s"src${i % 2}", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    CorpusSink.writeShards(rows, dir, "source", "doc_id",
+      maxRecordsPerFile = 100, bloomFilterCols = Seq("doc_id"))
+    val file = new java.io.File(s"$dir/source=src0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byPath = (0 until cols.size()).map(cols.get)
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0))
+        .toMap
+      assert(byPath("doc_id"), s"no bloom filter on doc_id: $byPath")
+      assert(!byPath("text"), s"unexpected bloom filter on text: $byPath")
+    } finally reader.close()
+  }
+
   test("curateV2 chains gate, span-clean, dedup, and decontamination") {
     val s = spark
     import s.implicits._

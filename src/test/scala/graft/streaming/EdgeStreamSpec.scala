@@ -521,6 +521,37 @@ class EdgeStreamSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("streaming decontamination: contaminated docs drop statelessly, " +
+    "kept set equals the batch clean()") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val bits = graft.ext.Decontaminate.benchBloom(bench, "text", n = 5)
+    val docs = Seq(
+      (1L, "clean prose with entirely different words throughout here"),
+      (2L, s"contaminated: $leak and more"),
+      (3L, "short"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs: _*)
+    val gated = EdgeStream.decontaminatedDocs(
+      stream.toDF().toDF("doc_id", "text"), bits, "text", n = 5,
+      minHits = 2)
+    val q = gated.writeStream.format("memory")
+      .queryName("decon_docs").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("decon_docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the exact-join batch path over the same corpus agrees
+    val batchKept = graft.ext.Decontaminate.clean(
+      docs.toDF("doc_id", "text"), bench, "text", "doc_id",
+      n = 5, minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L) && ids == batchKept)
+  }
+
   test("streaming ANN-index ingestion: near-dup gating vs history, replay-idempotent") {
     val s = spark
     import s.implicits._

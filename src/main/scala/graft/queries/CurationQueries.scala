@@ -535,6 +535,33 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // incremental clustered store round-trip (r7): create + two delta
+    // appends + compact must preserve every row through the epoch
+    // swap; crash-safety and clustering narrowness are pinned in
+    // ClusteredStoreSpec
+    "q_clustered_store" -> QueryDef(
+      """SELECT source, COUNT(*) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cstore_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ClusteredStore.create(s, root, docs.filter(col("doc_id") < 200),
+        Seq("n_chars", "doc_id"), bits = 6, maxRecordsPerFile = 100)
+      ClusteredStore.append(s, root,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350))
+      ClusteredStore.append(s, root, docs.filter(col("doc_id") >= 350))
+      ClusteredStore.compact(s, root, Seq("n_chars", "doc_id"),
+        bits = 6, maxRecordsPerFile = 100)
+      ClusteredStore.read(s, root)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast(LongType).as("chars"))
+        .orderBy("source")
+    },
+
     // exact per-source token-length quantiles (r7): histogram-collapse
     // first (the per-source window walks distinct LENGTHS, never rows),
     // integer q‰ rank rule — engine-exact, no interpolation

@@ -1,0 +1,67 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteredStoreSpec extends SparkSpec {
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("create/append/read/compact: live view is always base + " +
+    "committed deltas; compact folds, re-clusters and vacuums; " +
+    "uncommitted orphans invisible and reclaimed") {
+    val s = spark
+    import s.implicits._
+    def mk(r: Range) = r.map(i =>
+      (i.toLong, (i * 7919 % 5000).toLong, (i * 104729 % 5000).toLong))
+      .toDF("id", "a", "b")
+    val root = Files.createTempDirectory("graft_cstore").toString
+
+    ClusteredStore.create(spark, root, mk(0 until 3000), Seq("a", "b"),
+      bits = 6, maxRecordsPerFile = 500)
+    assert(ids(ClusteredStore.read(spark, root)) == (0L until 3000L).toSet)
+    assert(ClusteredStore.deltaRows(spark, root) == 0L)
+
+    ClusteredStore.append(spark, root, mk(3000 until 4000))
+    ClusteredStore.append(spark, root, mk(4000 until 4500))
+    assert(ids(ClusteredStore.read(spark, root)) == (0L until 4500L).toSet)
+    assert(ClusteredStore.deltaRows(spark, root) == 1500L)
+
+    // a crashed append: data lands, marker never written — invisible
+    mk(9000 until 9100).write.parquet(s"$root/d0_99")
+    assert(ids(ClusteredStore.read(spark, root)) == (0L until 4500L).toSet)
+    // and the retry must not collide with the orphan dir
+    ClusteredStore.append(spark, root, mk(9000 until 9100))
+    assert(ids(ClusteredStore.read(spark, root)) ==
+      ((0L until 4500L) ++ (9000L until 9100L)).toSet)
+
+    ClusteredStore.compact(spark, root, Seq("a", "b"), bits = 6,
+      maxRecordsPerFile = 500)
+    val after = ClusteredStore.read(spark, root)
+    assert(ids(after) == ((0L until 4500L) ++ (9000L until 9100L)).toSet)
+    assert(ClusteredStore.deltaRows(spark, root) == 0L)
+
+    // old epoch, its deltas and the orphan are gone; only the new base
+    // (and _commits) remain
+    val left = new java.io.File(root).listFiles().map(_.getName)
+      .filterNot(_.startsWith("_")).toSet
+    assert(left == Set("base_1"), left.toString)
+
+    // the compacted base is clustered: every file narrow in both dims
+    val widths = after
+      .groupBy(input_file_name())
+      .agg(((max("a") - min("a")) / 5000.0).as("wa"),
+        ((max("b") - min("b")) / 5000.0).as("wb"))
+      .agg(avg("wa"), avg("wb")).head()
+    assert(widths.getDouble(0) < 0.6 && widths.getDouble(1) < 0.6,
+      widths.toString)
+
+    // appends keep working against the new epoch
+    ClusteredStore.append(spark, root, mk(5000 until 5200))
+    assert(ClusteredStore.deltaRows(spark, root) == 200L)
+    assert(ids(ClusteredStore.read(spark, root)).contains(5100L))
+  }
+}

@@ -29,7 +29,11 @@ class PlanGuardSpec extends SparkSpec {
       c("CartesianProduct"))
   }
 
-  private val golden = Map(
+  // a Seq, NOT a Map: fingerprints include the cached graph-build
+  // lineage, so they depend on which golden query builds the cache
+  // first — immutable.Map switches to hash iteration order past 4
+  // entries and silently reshuffles the suite
+  private val golden = Seq(
     // 2-hop MATCH: frontier joins + edge explodes over the cached graph
     "q_match_2hop" -> Fingerprint(11, 8, 5, 0),
     // MATCH over a multi-sink edge view: member-union plan, predicates
@@ -38,7 +42,16 @@ class PlanGuardSpec extends SparkSpec {
     // as-of join: one shuffle per side, no broadcast, no explode
     "q_asof_join" -> Fingerprint(2, 0, 0, 0),
     // incremental probe: window-index join + per-doc fold
-    "q_substring_dedup_incremental" -> Fingerprint(4, 2, 1, 0))
+    "q_substring_dedup_incremental" -> Fingerprint(4, 2, 1, 0),
+    // Bloom decontamination probe (r7 rewrite): the bit array rides the
+    // plan as a literal and the gram fold happens per row — the ONLY
+    // exchange is the final ORDER BY's range exchange; any hash
+    // exchange here means the explode+groupBy shape crept back
+    "q_decontaminate_bloom" -> Fingerprint(1, 0, 0, 0),
+    // graded contamination fraction: bench side distinct (1 exchange)
+    // + gram explodes on both sides (2 generates) + broadcast left
+    // join, then the per-doc count and ORDER BY exchanges
+    "q_contamination_frac" -> Fingerprint(3, 1, 2, 0))
 
   golden.foreach { case (q, expected) =>
     test(s"golden plan fingerprint: $q") {

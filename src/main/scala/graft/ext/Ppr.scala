@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Stage.StageOps
+
+/** Personalized PageRank in EXACT integer fixed-point — graph-based
+  * relevance for curation ("rank everything by random-walk proximity
+  * to this seed") with a bit-for-bit external oracle (beyond-reference
+  * extension; the reference's graph surface stops at traversal).
+  *
+  * Floating-point PageRank cannot be oracle-checked across engines:
+  * distributed double summation is order-dependent, and per-round
+  * drift compounds. Here every quantity is a LONG at a fixed scale:
+  *
+  *   r₀(v)    = S·[v = source]
+  *   r₊(v)   = (100-α)·(Σ_{u→v} r(u) div deg(u)) div 100
+  *              + α·S div 100 · [v = source]
+  *
+  * with `div` integral division — both engines truncate identically,
+  * integer sums are order-free, so `rounds` rounds produce IDENTICAL
+  * longs everywhere (DuckDB replays the recurrence with `//`).
+  * Truncation loses ≤ deg(u) parts per division — at S = 10¹² that is
+  * a ~10⁻⁹ relative understatement per hop, far below any ranking
+  * tie of interest; dangling-node mass exits the walk (the standard
+  * sink-loss variant, same on both engines).
+  *
+  * Scale shape: the edge list (with out-degrees) is computed once and
+  * staged; each round is one rank⋈edges join — the rank side is
+  * bounded by |touched nodes| and broadcasts while small (AQE decides
+  * when it stops being small) — plus one map-combined integer sum on
+  * dst. The union with the restart row keeps the source alive even
+  * when nothing flows back. Lineage is cut with a stage boundary each
+  * round, so `rounds` is a latency knob, not a stack-depth hazard.
+  */
+object Ppr {
+
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, rounds: Int, alphaPct: Int = 15,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(alphaPct >= 1 && alphaPct <= 99, "alphaPct in [1,99]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ewd = e.join(deg, "src").stageBoundary
+    val restart = alphaPct * scale / 100
+    val keep = 100L - alphaPct
+    var r = Seq((source, scale)).toDF("node", "rank")
+    for (_ <- 1 to rounds) {
+      val inflow = ewd.join(r, ewd("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("rank div deg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("inflow"))
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division —
+        // the whole point here is integral truncation on both engines
+        .select(col("node"), expr(s"($keep * inflow) div 100").as("part"))
+      r = inflow
+        .union(Seq((source, restart)).toDF("node", "part"))
+        .groupBy("node").agg(sum("part").as("rank"))
+        .stageBoundary
+    }
+    r
+  }
+
+  /** the DuckDB replay of [[personalized]] as a chained-CTE SQL text:
+    * `edgeCte` must define a relation `e(src, dst)` (already distinct,
+    * both directions if undirected); kept beside the implementation so
+    * the two recurrences cannot drift apart. The final SELECT exposes
+    * (node, rank).
+    */
+  def oracleSqlFor(edgeCte: String, source: Long, rounds: Int,
+      alphaPct: Int = 15, scale: Long = 1000000000000L): String = {
+    val restart = alphaPct * scale / 100
+    val keep = 100L - alphaPct
+    val roundCtes = (1 to rounds).map { t =>
+      s"""f$t AS (SELECT e.dst AS node, SUM(p.rank // d.deg) AS inflow
+         |  FROM r${t - 1} p JOIN e ON e.src = p.node
+         |  JOIN deg d ON d.src = p.node GROUP BY e.dst),
+         |r$t AS (SELECT node, CAST(SUM(part) AS BIGINT) AS rank FROM (
+         |    SELECT node, ($keep * inflow) // 100 AS part FROM f$t
+         |    UNION ALL SELECT CAST($source AS BIGINT), $restart)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT CAST($source AS BIGINT) AS node,
+       |              CAST($scale AS BIGINT) AS rank),
+       |$roundCtes
+       |SELECT node, rank FROM r$rounds""".stripMargin
+  }
+}

@@ -80,6 +80,30 @@ object GraphxQueries {
         .orderBy("s_suppkey")
     },
 
+    // personalized PageRank in exact integer fixed-point (r7): a
+    // random walk from supplier 1 over the undirected supplier↔part
+    // co-occurrence graph from lineitem — graph-proximity relevance
+    // with a bit-for-bit oracle (the DuckDB side replays the integral
+    // recurrence; chained CTEs generated from the SAME code that runs
+    // the Spark rounds, so the recurrences cannot drift)
+    "q_ppr" -> QueryDef({
+      val edgeCte =
+        """es AS (SELECT l_suppkey AS src, l_partkey + 1000000 AS dst
+          |       FROM lineitem),
+          |e AS (SELECT DISTINCT src, dst FROM
+          |       (SELECT src, dst FROM es
+          |        UNION ALL SELECT dst AS src, src AS dst FROM es))""".stripMargin
+      graft.ext.Ppr.oracleSqlFor(edgeCte, source = 1L, rounds = 6) +
+        "\nORDER BY rank DESC, node LIMIT 100"
+    }) { (s, d) =>
+      val li = graft.Tables.load(s, d, "lineitem")
+      val es = li.select(col("l_suppkey").cast(LongType).as("src"),
+        (col("l_partkey") + 1000000L).cast(LongType).as("dst"))
+      val e = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.Ppr.personalized(e, "src", "dst", source = 1L, rounds = 6)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+    },
+
     "q_graphx_pagerank" -> QueryDef(
       """SELECT n_nationkey, CAST(1.0 AS DOUBLE) AS rank
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>

@@ -104,6 +104,27 @@ object GraphxQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // deterministic synchronous label propagation (r7): 4 rounds over
+    // the undirected supplier↔nation bipartite graph; most-frequent
+    // in-neighbor label, ties to the SMALLEST label, fixed round
+    // count — a pure function of the graph, replayed exactly by the
+    // generated chained-CTE oracle
+    "q_lpa" -> QueryDef({
+      val edgeCte =
+        """es AS (SELECT s_suppkey AS src, s_nationkey + 500000 AS dst
+          |       FROM supplier),
+          |e AS (SELECT DISTINCT src, dst FROM
+          |       (SELECT src, dst FROM es
+          |        UNION ALL SELECT dst AS src, src AS dst FROM es))""".stripMargin
+      graft.ext.Lpa.oracleSqlFor(edgeCte, rounds = 4) + "\nORDER BY node"
+    }) { (s, d) =>
+      val sup = graft.Tables.load(s, d, "supplier")
+      val es = sup.select(col("s_suppkey").cast(LongType).as("src"),
+        (col("s_nationkey") + 500000L).cast(LongType).as("dst"))
+      val e = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.Lpa.propagate(e, "src", "dst", rounds = 4).orderBy("node")
+    },
+
     "q_graphx_pagerank" -> QueryDef(
       """SELECT n_nationkey, CAST(1.0 AS DOUBLE) AS rank
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>

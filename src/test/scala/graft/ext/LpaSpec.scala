@@ -1,0 +1,38 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class LpaSpec extends SparkSpec {
+
+  test("bridged triangles settle into two communities; the bridge " +
+    "never merges them (Cc would); deterministic min-label ties") {
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Lpa.propagate(e, "src", "dst", rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced: triangle {1,2,3} settles on 1; {10,11,12} on 3
+    // (node 10's tie at round 2 resolves to the smaller label 3,
+    // which then wins its triangle)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), got.toString)
+    // connectivity alone would glue everything into ONE component
+    val cc = Cc.connectedComponents(e, "src", "dst")
+      .select("component").distinct().count()
+    assert(cc == 1L)
+  }
+
+  test("isolated-per-direction nodes keep labels; a directed star " +
+    "adopts its hub") {
+    val s = spark
+    import s.implicits._
+    // directed: hub 5 points at leaves; leaves have in-degree 1 (hub),
+    // hub has NO in-edges and must keep its own label
+    val e = Seq((5L, 6L), (5L, 7L), (5L, 8L)).toDF("src", "dst")
+    val got = Lpa.propagate(e, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+  }
+}

@@ -305,15 +305,122 @@ object TextFunctions {
       s"sketchK=$sketchK too coarse for support=$support: the " +
         "n/(sketchK+1) survival guarantee must cover n*support")
     val tok = df.select(explode(tokens(col(textCol))).as("__w"))
+    val (sketch, n) = sketchOf(tok)(sketchK)
+    recount(tok, sketch.keys.toSeq, n, support)
+  }
+
+  /** one (sketch, token-count) pass over a `__w` token column */
+  private def sketchOf(tok: org.apache.spark.sql.DataFrame)(
+      sketchK: Int): (Map[String, Long], Long) = {
     val first = tok.agg(
       graft.functions.MisraGriesAgg(col("__w"), sketchK).as("cand"),
       count(lit(1)).as("n")).head()
-    val cands = first.getSeq[String](0)
-    val n = first.getLong(1)
+    (first.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      first.getLong(1))
+  }
+
+  private def recount(tok: org.apache.spark.sql.DataFrame,
+      cands: Seq[String], n: Long, support: Double)
+      : org.apache.spark.sql.DataFrame =
     tok.filter(col("__w").isin(cands: _*))
       .groupBy(col("__w").as("token"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(n) * support)
+
+  // ---- incrementally maintained heavy-hitter state ----
+  //
+  // The candidate-pruning sketch is the ONLY thing that needs to see
+  // every token ever streamed — and it is mergeable, so the state is
+  // one ≤sketchK-entry (token, weight) table plus the running token
+  // count. Each increment costs one sketch pass over the NEW tokens
+  // and a driver-side merge of two k-entry maps; the survival
+  // guarantee (every token with total frequency > n/(k+1) is in the
+  // candidate set) holds across ANY sequence of increments, so the
+  // final support-threshold answer still equals a plain GROUP BY.
+  //
+  // State layout: `stateDir/s<version>/` parquet (token, w) + `_n`
+  // text file (total tokens), made visible by a `_commits/s<version>`
+  // marker (the repo's marker protocol). Readers resolve the max
+  // committed version; a replayed version number is a committed no-op
+  // — that makes the streaming face idempotent without a ledger.
+
+  private def hhFs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hhCommitted(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Seq[Long] = {
+    val cm = new org.apache.hadoop.fs.Path(s"$stateDir/_commits")
+    val f = hhFs(spark, stateDir)
+    if (!f.exists(cm)) Seq.empty
+    else f.listStatus(cm).map(_.getPath.getName)
+      .filter(_.startsWith("s")).map(_.drop(1).toLong).toSeq
+  }
+
+  /** (candidates, total tokens) of the max committed state version —
+    * (empty, 0) before the first increment */
+  def heavyHitterState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): (Map[String, Long], Long) = {
+    val versions = hhCommitted(spark, stateDir)
+    if (versions.isEmpty) return (Map.empty, 0L)
+    val dir = s"$stateDir/s${versions.max}"
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val f = hhFs(spark, stateDir)
+    val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/_n"))
+    val n = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+    finally in.close()
+    (rows, n)
+  }
+
+  /** fold an increment into the sketch state; `version` defaults to
+    * max committed + 1, and re-delivering an already-committed version
+    * is a no-op (idempotent replays — a crashed attempt's uncommitted
+    * dir is simply overwritten) */
+  def heavyHittersUpdateState(increment: org.apache.spark.sql.DataFrame,
+      textCol: String, stateDir: String, sketchK: Int = 1024,
+      version: Option[Long] = None): Unit = {
+    val spark = increment.sparkSession
+    import spark.implicits._
+    val committed = hhCommitted(spark, stateDir)
+    val v = version.getOrElse(if (committed.isEmpty) 0L else committed.max + 1)
+    if (committed.contains(v)) return
+    val tok = increment.select(explode(tokens(col(textCol))).as("__w"))
+    val (inc, nInc) = sketchOf(tok)(sketchK)
+    val (prev, nPrev) = heavyHitterState(spark, stateDir)
+    val merged = graft.functions.MisraGries.merge(prev, inc, sketchK)
+    val dir = s"$stateDir/s$v"
+    merged.toSeq.toDF("token", "w")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = hhFs(spark, stateDir)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/_n"), true)
+    try out.write((nPrev + nInc).toString.getBytes("UTF-8"))
+    finally out.close()
+    val m = new org.apache.hadoop.fs.Path(s"$stateDir/_commits/s$v")
+    f.mkdirs(m.getParent)
+    f.create(m, true).close()
+    // superseded committed versions are unreachable — reclaim them
+    committed.filter(_ < v).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/s$old"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/s$old"),
+        false)
+    }
+  }
+
+  /** the support-threshold heavy hitters using the PERSISTED candidate
+    * state: one isin-filtered recount over `corpus` (the sketch never
+    * re-reads history — only the final recount touches the corpus,
+    * and only for ≤sketchK candidate tokens) */
+  def heavyHittersFromState(corpus: org.apache.spark.sql.DataFrame,
+      textCol: String, stateDir: String, support: Double,
+      sketchK: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(support > 0 && support < 1, "support in (0,1)")
+    require(sketchK >= 1.0 / support,
+      s"sketchK=$sketchK too coarse for support=$support")
+    val (cands, n) = heavyHitterState(corpus.sparkSession, stateDir)
+    recount(corpus.select(explode(tokens(col(textCol))).as("__w")),
+      cands.keys.toSeq, n, support)
   }
 
   /** BM25 ranked retrieval (Robertson/Okapi, the Lucene idf variant

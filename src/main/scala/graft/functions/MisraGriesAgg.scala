@@ -26,7 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * shape in `TextFunctions.heavyHitters`) — never report the sketch
   * weights themselves.
   *
-  * Result: `ARRAY<STRING>` — the surviving candidate tokens, unordered.
+  * Result: `ARRAY<STRUCT<token STRING, w BIGINT>>` — surviving
+  * candidates with their (merge-order-dependent, lower-bound) weights,
+  * unordered. The weights exist so a PERSISTED sketch can keep
+  * merging with later increments (`MisraGries.mergeSketches`) — for
+  * answering queries they remain candidates only.
   *
   * Scale shape: each task folds its rows into a bounded map (k
   * entries); the shuffle moves one ≤k-entry buffer per partition —
@@ -41,7 +45,10 @@ case class MisraGriesAgg(
   with UnaryLike[Expression] {
 
   override def prettyName: String = "misra_gries"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("token", StringType, nullable = false),
+      StructField("w", LongType, nullable = false))),
+    containsNull = false)
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -56,14 +63,8 @@ case class MisraGriesAgg(
   override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty
 
-  /** decrement-all by `by`, dropping counters that hit zero */
-  private def decay(buf: mutable.HashMap[UTF8String, Long], by: Long): Unit = {
-    val dead = mutable.ArrayBuffer[UTF8String]()
-    buf.foreach { case (key, c) =>
-      if (c <= by) dead += key else buf(key) = c - by
-    }
-    dead.foreach(buf.remove)
-  }
+  private def decay(buf: mutable.HashMap[UTF8String, Long], by: Long): Unit =
+    MisraGries.decay(buf, by)
 
   override def update(buf: mutable.HashMap[UTF8String, Long],
       input: InternalRow): mutable.HashMap[UTF8String, Long] = {
@@ -83,23 +84,13 @@ case class MisraGriesAgg(
 
   override def merge(buf: mutable.HashMap[UTF8String, Long],
       other: mutable.HashMap[UTF8String, Long])
-      : mutable.HashMap[UTF8String, Long] = {
-    other.foreach { case (key, c) =>
-      buf(key) = buf.getOrElse(key, 0L) + c
-    }
-    if (buf.size > k) {
-      // MG merge: subtract the (k+1)-th largest weight so at most k
-      // survive; the n/(k+1) guarantee is preserved (mergeable-summary
-      // result)
-      val weights = buf.values.toArray
-      java.util.Arrays.sort(weights)
-      decay(buf, weights(weights.length - k - 1))
-    }
-    buf
-  }
+      : mutable.HashMap[UTF8String, Long] =
+    MisraGries.mergeInto(buf, other, k)
 
   override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
-    new GenericArrayData(buf.keys.toArray[Any])
+    new GenericArrayData(buf.iterator.map { case (key, c) =>
+      InternalRow(key, c)
+    }.toArray[Any])
 
   override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -142,4 +133,51 @@ object MisraGriesAgg {
   def apply(c: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGriesAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+}
+
+/** The sketch algebra, shared by the aggregate's combiner and by
+  * driver-side merges of PERSISTED sketches with fresh increments
+  * (the incremental heavy-hitter state is one ≤k-entry sketch — two
+  * of those merge in microseconds on the driver; distributing the
+  * merge would be ceremony).
+  */
+object MisraGries {
+
+  /** decrement-all by `by`, dropping counters that hit zero */
+  def decay(buf: mutable.HashMap[UTF8String, Long], by: Long): Unit = {
+    val dead = mutable.ArrayBuffer[UTF8String]()
+    buf.foreach { case (key, c) =>
+      if (c <= by) dead += key else buf(key) = c - by
+    }
+    dead.foreach(buf.remove)
+  }
+
+  /** MG merge: add counters, then subtract the (k+1)-th largest weight
+    * so at most k survive — the n/(k+1) survival guarantee is
+    * preserved under ANY merge tree (Agarwal et al., PODS'12).
+    */
+  def mergeInto(buf: mutable.HashMap[UTF8String, Long],
+      other: mutable.HashMap[UTF8String, Long], k: Int)
+      : mutable.HashMap[UTF8String, Long] = {
+    other.foreach { case (key, c) =>
+      buf(key) = buf.getOrElse(key, 0L) + c
+    }
+    if (buf.size > k) {
+      val weights = buf.values.toArray
+      java.util.Arrays.sort(weights)
+      decay(buf, weights(weights.length - k - 1))
+    }
+    buf
+  }
+
+  /** string-keyed convenience for driver-side merges */
+  def merge(a: Map[String, Long], b: Map[String, Long], k: Int)
+      : Map[String, Long] = {
+    val buf = mutable.HashMap.empty[UTF8String, Long]
+    a.foreach { case (t, w) => buf(UTF8String.fromString(t)) = w }
+    val ob = mutable.HashMap.empty[UTF8String, Long]
+    b.foreach { case (t, w) => ob(UTF8String.fromString(t)) = w }
+    mergeInto(buf, ob, k).iterator
+      .map { case (t, w) => t.toString -> w }.toMap
+  }
 }

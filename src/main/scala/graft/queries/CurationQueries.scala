@@ -325,6 +325,31 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // incrementally maintained heavy hitters (r7): the candidate
+    // sketch folds in two increments (never re-reading history), the
+    // final isin recount over the corpus decides — the mergeable
+    // survival guarantee holds across any increment sequence, so the
+    // answer equals the SAME plain GROUP BY oracle as q_heavy_tokens
+    "q_heavy_tokens_incremental" -> QueryDef(
+      s"""WITH tok AS (SELECT unnest($SqlTokens) AS w FROM documents),
+         |tot AS (SELECT COUNT(*) AS t FROM tok)
+         |SELECT w AS token, COUNT(*) AS cnt
+         |FROM tok, tot GROUP BY w, t HAVING COUNT(*) > t * 0.002
+         |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_hh_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(stateDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      TextFunctions.heavyHittersUpdateState(
+        docs.filter(col("doc_id") < 250), "text", stateDir)
+      TextFunctions.heavyHittersUpdateState(
+        docs.filter(col("doc_id") >= 250), "text", stateDir)
+      TextFunctions.heavyHittersFromState(docs, "text", stateDir,
+        support = 0.002)
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     // deterministic contrastive negative sampling: per anchor, 8
     // negatives from 64 portable pair-hash draws over the id space,
     // same-label and self candidates rejected, draw order kept — no

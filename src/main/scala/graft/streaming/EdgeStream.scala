@@ -425,6 +425,24 @@ object EdgeStream {
     docs.filter(graft.ext.Decontaminate.bloomHitsCol(
       col(textCol), bloomBits, n, k) < minHits)
 
+  /** Streaming heavy-hitter sketch maintenance: each micro-batch folds
+    * into the persisted Misra–Gries candidate state
+    * ([[graft.ext.TextFunctions.heavyHittersUpdateState]]) keyed by
+    * batchId, so a replayed batch is a committed no-op — idempotent
+    * without a ledger. The state is ONE ≤sketchK-entry (token, weight)
+    * table + the running token count; answers come from
+    * [[graft.ext.TextFunctions.heavyHittersFromState]] (an
+    * isin-filtered recount, the only step that touches the corpus).
+    */
+  def heavyHitterSketch(docs: DataFrame, textCol: String,
+      stateDir: String, sketchK: Int = 1024): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.TextFunctions.heavyHittersUpdateState(
+          batch, textCol, stateDir, sketchK, version = Some(batchId))
+      }
+
   /** Event sessionization — the custom-state shape Structured Streaming
     * exposes through `flatMapGroupsWithState` (SURVEY §2.10 extension):
     * per user, events within `gapMs` of the running session extend it;

@@ -552,6 +552,42 @@ class EdgeStreamSpec extends SparkSpec {
     assert(ids == Set(1L, 3L) && ids == batchKept)
   }
 
+  test("streaming heavy-hitter sketch: increments fold into persisted " +
+    "state, replays are committed no-ops, answer equals one-shot") {
+    val s = spark
+    import s.implicits._
+    import graft.ext.TextFunctions
+    val dir = Files.createTempDirectory("graft_hh_stream").toString
+    val b0 = Seq((1L, "apple apple apple banana"),
+      (2L, "apple cherry cherry")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "apple banana banana date")).toDF("doc_id", "text")
+
+    TextFunctions.heavyHittersUpdateState(b0, "text", dir,
+      sketchK = 16, version = Some(0L))
+    val (afterB0, n0) = TextFunctions.heavyHitterState(spark, dir)
+    assert(n0 == 7L && afterB0.contains("apple"))
+
+    TextFunctions.heavyHittersUpdateState(b1, "text", dir,
+      sketchK = 16, version = Some(1L))
+    // a REPLAY of version 1 must change nothing
+    TextFunctions.heavyHittersUpdateState(
+      Seq((9L, "junk junk junk junk junk")).toDF("doc_id", "text"),
+      "text", dir, sketchK = 16, version = Some(1L))
+    val (state, n) = TextFunctions.heavyHitterState(spark, dir)
+    assert(n == 11L, s"replay double-counted: n=$n")
+    assert(!state.contains("junk"))
+
+    // answer over the full corpus equals the one-shot operator
+    val corpus = b0.union(b1)
+    val inc = TextFunctions.heavyHittersFromState(corpus, "text", dir,
+      support = 0.2, sketchK = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val oneShot = TextFunctions.heavyHitters(corpus, "text",
+      support = 0.2, sketchK = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(inc == oneShot && inc.map(_._1) == Set("apple", "banana"))
+  }
+
   test("streaming ANN-index ingestion: near-dup gating vs history, replay-idempotent") {
     val s = spark
     import s.implicits._

@@ -1030,6 +1030,31 @@ object PipelineQueries {
     // ---- similarity search ----
 
     // brute-force exact top-5 cosine neighbors for 20 query vectors
+    // MMR diversified retrieval (r7): greedy λ-tradeoff re-rank of the
+    // query's shortlist on a 1e-9 integer similarity grid with min-id
+    // ties — the unrolled DuckDB CTE chain replays every pick exactly
+    "q_mmr" -> QueryDef({
+      val candCte =
+        """q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          |      FROM embeddings WHERE vec_id = 0),
+          |c AS MATERIALIZED (
+          |      SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+          |        CAST(ROUND(list_cosine_similarity(
+          |          CAST(e.embedding AS DOUBLE[]), qv) * 1000000000, 0)
+          |          AS BIGINT) AS sq,
+          |        ROUND(list_cosine_similarity(
+          |          CAST(e.embedding AS DOUBLE[]), qv), 4) AS cs4
+          |      FROM embeddings e, q WHERE e.vec_id <> 0)""".stripMargin
+      graft.ext.Mmr.oracleSqlFor(candCte, k = 10)
+    }) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+      graft.ext.Mmr.select(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, k = 10)
+    },
+
     "q_ann_topk" -> QueryDef(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),

@@ -1,0 +1,40 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MmrSpec extends SparkSpec {
+
+  test("diversity beats the near-duplicate: MMR's second pick is the " +
+    "off-plane vector a plain top-k would skip; shortlist bound enforced") {
+    val s = spark
+    import s.implicits._
+    def deg(d: Double) = math.toRadians(d)
+    // query along x; 1 and 2 nearly coincide in the xy-plane; 3 is a
+    // touch less relevant but lives in xz — diverse from 1
+    val rows = Seq(
+      (1L, Seq(math.cos(deg(2)).toFloat, math.sin(deg(2)).toFloat, 0f)),
+      (2L, Seq(math.cos(deg(2.1)).toFloat, math.sin(deg(2.1)).toFloat, 0f)),
+      (3L, Seq(math.cos(deg(5)).toFloat, 0f, math.sin(deg(5)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    val got = Mmr.select(rows, "vec_id", "embedding", q, k = 3,
+      lambdaPct = 50)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // plain relevance order would be 1, 2, 3 — MMR demotes the near-dup
+    assert(got == Seq(1L, 3L, 2L), got.toString)
+
+    // relevance still dominates at high lambda
+    val rel = Mmr.select(rows, "vec_id", "embedding", q, k = 3,
+      lambdaPct = 99)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(1L, 2L, 3L), rel.toString)
+
+    // the shortlist bound refuses unbounded driver work
+    val big = spark.range(100).select(col("id"),
+      array(lit(1f), lit(0f), lit(0f)).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Mmr.select(big, "id", "embedding", q, k = 2, maxShortlist = 10)
+    }
+  }
+}

@@ -492,6 +492,38 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Unicode script profiling (r7): dominant script + letter share
+    // over injected multilingual surfaces (the corpus is ASCII); the
+    // DuckDB replay counts \p{Script} classes with the same
+    // alphabetical-first tie-break, generated beside the implementation
+    "q_script_profile" -> QueryDef({
+      val (dom, frac) = graft.functions.ScriptDetect.oracleSqlFor("t")
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE doc_id % 5
+         |    WHEN 0 THEN 'Привет мир это тест ' || left(text, 10)
+         |    WHEN 1 THEN '漢字文化圏の言葉 ' || left(text, 6)
+         |    WHEN 2 THEN 'αβγδε ζηθικ'
+         |    WHEN 3 THEN '... 123 !!!'
+         |    ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id, $dom AS script, $frac AS frac
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val t = when(id % 5 === 0,
+          concat(lit("Привет мир это тест "), substring(col("text"), 1, 10)))
+        .when(id % 5 === 1,
+          concat(lit("漢字文化圏の言葉 "), substring(col("text"), 1, 6)))
+        .when(id % 5 === 2, lit("αβγδε ζηθικ"))
+        .when(id % 5 === 3, lit("... 123 !!!"))
+        .otherwise(col("text"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.DominantScript(t).as("script"),
+          graft.functions.DominantScriptFrac(t).as("frac"))
+        .orderBy("doc_id")
+    },
+
     // JSONL interchange round-trip: the corpus written as gzip JSON
     // lines and read back through the explicit-schema corrupt-
     // quarantining reader must preserve every doc byte-for-byte —

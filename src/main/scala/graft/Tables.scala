@@ -58,4 +58,19 @@ object QueryDef {
     QueryDef(run, Some(oracle))
   def noOracle(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(run, None)
+
+  /** duplicate-proof map constructor for a query file's `defs`: a
+    * `Map(...)` literal silently keeps only the LAST entry per key, so
+    * a repeated query name un-registers an operator without any test
+    * noticing (it happened: two `q_heavy_hitters` shadowed the
+    * Misra–Gries row for a round). SparkEntry catches duplicates
+    * ACROSS files; this catches them within one.
+    */
+  def checked(entries: (String, QueryDef)*): Map[String, QueryDef] = {
+    val dups = entries.map(_._1).groupBy(identity).collect {
+      case (k, v) if v.size > 1 => k
+    }
+    require(dups.isEmpty, s"duplicate query names in one file: $dups")
+    entries.toMap
+  }
 }

@@ -30,7 +30,7 @@ object CurationQueries {
   private def sqlIdHash(idExpr: String) =
     s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = QueryDef.checked(
 
     // benchmark decontamination: corpus docs sharing >= 5 distinct
     // 5-grams with the src0 "eval set" are contaminated; report the

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   */
 object DmlQueries {
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = QueryDef.checked(
 
     // INSERT EDGE: duplicate every 'placed' edge of orders > 490000, then
     // read the new live out-degree

@@ -14,7 +14,7 @@ object GraphQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = QueryDef.checked(
 
     // 1-hop MATCH: Customer-[locatedIn]->Nation (forward adjacency explode)
     "q_match_1hop" -> QueryDef(

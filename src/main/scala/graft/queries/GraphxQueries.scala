@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   */
 object GraphxQueries {
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = QueryDef.checked(
 
     "q_graphx_cc" -> QueryDef(
       """SELECT n_nationkey,

@@ -33,7 +33,7 @@ object PathQueries {
         PathExpand.localKey(col("dst")).cast(IntegerType).as("dst"),
         col("pathNodes"))
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = QueryDef.checked(
 
     // bounded *1..2
     "q_path_1_2" -> QueryDef(

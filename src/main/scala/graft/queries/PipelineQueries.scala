@@ -232,7 +232,7 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN canon cn ON cn.u = d.doc_id
         |ORDER BY doc_id""".stripMargin
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = QueryDef.checked(
 
     // ---- text analysis ----
 

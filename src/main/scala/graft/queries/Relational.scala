@@ -23,7 +23,7 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = QueryDef.checked(
 
     // §2.1 scan + §2.2 projection/filter (predicate+projection pushdown to parquet)
     "q_scan_filter_project" -> QueryDef(

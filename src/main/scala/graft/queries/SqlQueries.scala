@@ -27,7 +27,7 @@ object SqlQueries {
         // selectivity probes
         Some(GraphStats.collectSampled(TpchGraph.provider(s, d)))))
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = QueryDef.checked(
 
     "q_sql_match_1hop" -> QueryDef(
       """SELECT c_custkey, c_name, n_name

@@ -84,12 +84,38 @@ object ClusteredStore {
     commit(spark, root, "base_0")
   }
 
+  /** bootstrap an EMPTY epoch 0 with `schemaLike`'s schema when no
+    * store exists yet (no-op otherwise) — the idempotent first step a
+    * streaming sink needs: `create` itself refuses to run twice, but a
+    * replayed first batch must not re-create or double-ingest, so the
+    * stream bootstraps empty and ingests every batch through the
+    * tagged-append path */
+  def ensure(spark: SparkSession, root: String, schemaLike: DataFrame,
+      dims: Seq[String], bits: Int = 8,
+      maxRecordsPerFile: Int = 1000000): Unit =
+    if (currentBase(spark, root) < 0)
+      create(spark, root, schemaLike.limit(0), dims, bits, maxRecordsPerFile)
+
   /** append an increment as an unclustered delta of the current base —
-    * one plain parquet write + one marker create, no exchange */
-  def append(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    * one plain parquet write + one marker create, no exchange. A `tag`
+    * names the delta deterministically (`d<base>_t<tag>`): appending a
+    * tag that already COMMITTED for this base is a no-op, which makes
+    * batchId-tagged streaming appends replay-idempotent; a crashed
+    * attempt's uncommitted dir is overwritten by the retry. Untagged
+    * appends auto-number.
+    */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      tag: Option[String] = None): Unit = {
     val base = currentBase(spark, root)
     require(base >= 0, s"no clustered store at $root — call create first")
-    val name = s"d${base}_${nextIndex(spark, root, s"d${base}_")}"
+    val name = tag match {
+      case Some(t) =>
+        require(t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '-'),
+          s"delta tag must be alphanumeric/dash: $t")
+        s"d${base}_t$t"
+      case None => s"d${base}_${nextIndex(spark, root, s"d${base}_")}"
+    }
+    if (committed(spark, root).contains(name)) return
     df.write.mode("overwrite").parquet(s"$root/$name")
     commit(spark, root, name)
   }

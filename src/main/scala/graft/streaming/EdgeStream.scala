@@ -443,6 +443,37 @@ object EdgeStream {
           batch, textCol, stateDir, sketchK, version = Some(batchId))
       }
 
+  /** Streaming ingestion into the Z-ordered corpus store
+    * ([[graft.ext.ClusteredStore]]): each micro-batch lands as a
+    * batchId-tagged delta (plain parquet write + marker — replays are
+    * committed no-ops, crashed attempts overwrite), and when the
+    * pending delta rows exceed `compactRatio` × the base row count
+    * the batch triggers a compaction into a fresh clustered epoch —
+    * the lakehouse append/OPTIMIZE loop, driven by the stream itself.
+    * Readers ([[graft.ext.ClusteredStore.read]]) are never torn: the
+    * new epoch commits before the old one vacuums.
+    */
+  def clusteredStoreDocs(docs: DataFrame, root: String,
+      dims: Seq[String], bits: Int = 8,
+      maxRecordsPerFile: Int = 1000000,
+      compactRatio: Double = 0.25): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.ext.ClusteredStore.ensure(spark, root, batch, dims, bits,
+          maxRecordsPerFile)
+        graft.ext.ClusteredStore.append(spark, root, batch,
+          tag = Some(s"b$batchId"))
+        val pending = graft.ext.ClusteredStore.deltaRows(spark, root)
+        val baseRows = graft.ext.ClusteredStore.read(spark, root).count() -
+          pending
+        if (pending > compactRatio * math.max(baseRows, 1L)) {
+          graft.ext.ClusteredStore.compact(spark, root, dims, bits,
+            maxRecordsPerFile)
+        }
+      }
+
   /** Event sessionization — the custom-state shape Structured Streaming
     * exposes through `flatMapGroupsWithState` (SURVEY §2.10 extension):
     * per user, events within `gapMs` of the running session extend it;

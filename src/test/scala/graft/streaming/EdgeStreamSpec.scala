@@ -588,6 +588,54 @@ class EdgeStreamSpec extends SparkSpec {
     assert(inc == oneShot && inc.map(_._1) == Set("apple", "banana"))
   }
 
+  test("streaming clustered-store ingestion: empty bootstrap, tagged " +
+    "appends replay as no-ops, ratio-triggered compaction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.ClusteredStore
+    val root = Files.createTempDirectory("graft_cstore_stream").toString
+    def mk(r: Range) = r.map(i => (i.toLong, (i * 31L) % 1000L))
+    val stream = MemoryStream[(Long, Long)]
+    val w = EdgeStream.clusteredStoreDocs(
+      stream.toDF().toDF("id", "a"), root, Seq("a", "id"), bits = 4,
+      maxRecordsPerFile = 500, compactRatio = 0.5)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cstore_ck").toString)
+    val q = w.start()
+    stream.addData(mk(0 until 400): _*)
+    q.processAllAvailable()
+    // batch 0: bootstrap-empty base + tagged delta; 400 pending vastly
+    // exceeds the ratio against an empty base, so the SAME batch
+    // compacts them into the first clustered epoch
+    assert(ClusteredStore.deltaRows(spark, root) == 0L)
+    assert(ClusteredStore.read(spark, root).count() == 400L)
+    stream.addData(mk(400 until 900): _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch 1: 500 pending > 0.5 × 400 base? base was still 0 rows —
+    // first batch already exceeded the ratio, so compaction has folded;
+    // whatever the trigger timing, the LIVE VIEW is exact
+    val ids = ClusteredStore.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 900L).toSet)
+    // compaction ran at least once: a committed base_N with N >= 1
+    val bases = new java.io.File(s"$root/_commits").listFiles()
+      .map(_.getName).filter(_.startsWith("base_")).toSet
+    assert(bases.exists(b => b.drop(5).toLong >= 1L), bases.toString)
+    // replay idempotence, isolated from compaction timing: a fresh
+    // store, same tag twice → the second append is a committed no-op
+    val root2 = Files.createTempDirectory("graft_cstore_replay").toString
+    val d0 = Seq((1L, 10L), (2L, 20L)).toDF("id", "a")
+    ClusteredStore.ensure(spark, root2, d0, Seq("a", "id"), bits = 4)
+    ClusteredStore.append(spark, root2, d0, tag = Some("b0"))
+    ClusteredStore.append(spark, root2,
+      Seq((999L, 1L)).toDF("id", "a"), tag = Some("b0"))
+    val got2 = ClusteredStore.read(spark, root2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L), got2.toString)
+  }
+
   test("streaming ANN-index ingestion: near-dup gating vs history, replay-idempotent") {
     val s = spark
     import s.implicits._

@@ -554,6 +554,10 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     SqlLex.splitTopLevel(script, ';')
 
   private val ExplainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
+  private val ShowRe =
+    """(?is)^\s*SHOW\s+(NODE\s+TABLES|NODE\s+VIEWS|EDGE\s+VIEWS|PROCS)\s*;?\s*$""".r
+  private val DescribeRe =
+    """(?is)^\s*DESCRIBE\s+NODE\s+TABLE\s+(\w+)\s*;?\s*$""".r
 
   def sql(query: String): DataFrame = query match {
     case ExplainRe(inner) =>
@@ -563,6 +567,54 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       import spark.implicits._
       Seq(sql(inner).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)).toDF("plan")
+    case ShowRe(what) =>
+      // catalog introspection — the dialect face of the reference's 8
+      // metadata tables (GraphViewConnection.cs:97-108): a user (or
+      // tool) can discover the schema without reading graph_meta.json
+      import spark.implicits._
+      what.toUpperCase.replaceAll("\\s+", " ") match {
+        case "NODE TABLES" =>
+          provider.schema.tables.sortBy(_.name)
+            .map(t => (t.name, t.tableId, t.nodeIdColumn.getOrElse(""),
+              t.propertyColumns.size, t.edges.size))
+            .toDF("name", "table_id", "node_id", "properties", "edges")
+        case "NODE VIEWS" =>
+          (nodeViewsReg.values.toSeq.map(v =>
+            (v.name, v.members.sorted.mkString(","), "explicit")) :+
+            ((GraphSession.GlobalViewName,
+              provider.schema.tables.map(_.name).sorted.mkString(","),
+              "implicit")))
+            .sortBy(_._1).toDF("name", "members", "kind")
+        case "EDGE VIEWS" =>
+          edgeViewsReg.values.toSeq
+            .map(ev => (ev.viewTable, ev.name, ev.sinkTable,
+              ev.members.map { case (t, e) => s"$t.$e" }.sorted.mkString(",")))
+            .sortBy(r => (r._1, r._2))
+            .toDF("view_table", "name", "sink", "members")
+        case "PROCS" =>
+          procs.toSeq.map { case (n, p) => (n, p.params.mkString(",")) }
+            .sortBy(_._1).toDF("name", "params")
+      }
+    case DescribeRe(table) =>
+      // per-column roles, the WGraphTableColumn.cs:35-41 taxonomy:
+      // node id | property | edge (with sink + attr list)
+      import spark.implicits._
+      val t = provider.schema.tables.find(_.name.equalsIgnoreCase(table))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no node table named $table"))
+      val types = g.nodeTable(t.name).schema
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      val idRow = t.nodeIdColumn.toSeq.map(c =>
+        (c, "node id", types.getOrElse(c, "")))
+      val propRows = t.propertyColumns.map(c =>
+        (c, "property", types.getOrElse(c, "")))
+      val edgeRows = t.edges.map(e =>
+        (e.name, "edge", s"-> ${e.sinkTable}" + (
+          if (e.attrs.isEmpty) ""
+          else e.attrs.map(a =>
+            s"${a.name} ${a.dataType.simpleString}")
+            .mkString(" (", ", ", ")"))))
+      (idRow ++ propRows ++ edgeRows).toDF("column", "role", "detail")
     case ViewDdl.CreateNodeViewRe(name, body) =>
       require(!provider.schema.hasTable(name) && !nodeViewsReg.contains(name),
         s"a table or view named $name already exists")

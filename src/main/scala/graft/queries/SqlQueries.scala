@@ -167,6 +167,43 @@ object SqlQueries {
     // tearing down the reversed mirror + InDegree it induced on the
     // region table — and recreates empty. The oracle replays the pre-
     // drop InDegree from the flat tables; post-drop is the torn-down 0.
+    // catalog introspection (r7): SHOW NODE TABLES / DESCRIBE — the
+    // dialect face of the reference's metadata tables; the oracle
+    // states the fixture schema as literals, so any drift in the
+    // catalog surface (counts, roles, sinks, attr types) fails the gate
+    "q_sql_show_tables" -> QueryDef(
+      """SELECT * FROM (VALUES
+        |  ('Customer', 3, 'c_custkey', 3, 2),
+        |  ('Event', 8, 'event_id', 2, 0),
+        |  ('Nation', 2, 'n_nationkey', 1, 2),
+        |  ('Order', 6, 'o_orderkey', 3, 1),
+        |  ('Part', 5, 'p_partkey', 5, 0),
+        |  ('Region', 1, 'r_regionkey', 1, 0),
+        |  ('Supplier', 4, 's_suppkey', 2, 2),
+        |  ('User', 7, 'user_id', 0, 1))
+        |AS t(name, table_id, node_id, properties, edges)
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      session(s, d).sql("SHOW NODE TABLES")
+    },
+
+    "q_sql_describe" -> QueryDef(
+      """SELECT * FROM (VALUES
+        |  (1, 'c_custkey', 'node id', 'bigint'),
+        |  (2, 'c_name', 'property', 'string'),
+        |  (3, 'c_acctbal', 'property', 'double'),
+        |  (4, 'c_mktsegment', 'property', 'string'),
+        |  (5, 'locatedIn', 'edge', '-> Nation'),
+        |  (6, 'placed', 'edge',
+        |   '-> Order (totalprice double, status string)'))
+        |AS t(pos, "column", role, detail) ORDER BY pos""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      session(s, d).sql("DESCRIBE NODE TABLE Customer")
+        .withColumn("pos", monotonically_increasing_id())
+        .withColumn("pos", row_number().over(
+          Window.orderBy("pos")).cast("int"))
+    },
+
     "q_sql_drop_table" -> QueryDef(
       """SELECT r_name AS rname,
         |  CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS INTEGER) AS pre_in,

@@ -116,6 +116,16 @@ object ClusteredStore {
       case None => s"d${base}_${nextIndex(spark, root, s"d${base}_")}"
     }
     if (committed(spark, root).contains(name)) return
+    // schema drift guard: silently appending a differing schema would
+    // poison every later read/compact with merge surprises — refuse
+    // loudly (names + types compared positionally, metadata ignored)
+    val baseSchema = spark.read.parquet(s"$root/base_$base").schema
+    val incoming = df.schema
+    require(
+      baseSchema.map(f => (f.name, f.dataType)) ==
+        incoming.map(f => (f.name, f.dataType)),
+      s"append schema mismatch: store has ${baseSchema.simpleString}, " +
+        s"increment has ${incoming.simpleString}")
     df.write.mode("overwrite").parquet(s"$root/$name")
     commit(spark, root, name)
   }
@@ -138,29 +148,52 @@ object ClusteredStore {
     else spark.read.parquet(ds.map(n => s"$root/$n"): _*).count()
   }
 
-  /** fold base + deltas into a fresh clustered epoch; the old epoch
-    * and its deltas (plus any orphans) vacuum AFTER the new epoch
-    * commits */
+  /** fold base + deltas into a fresh clustered epoch; superseded
+    * epochs beyond `retainEpochs` (plus any orphans) vacuum AFTER the
+    * new epoch commits. `retainEpochs` > 1 keeps older compacted
+    * snapshots readable via [[readEpoch]] — time travel at compaction
+    * granularity (a retained epoch is the store as of ITS compact;
+    * its since-folded deltas are not kept separately).
+    */
   def compact(spark: SparkSession, root: String, dims: Seq[String],
-      bits: Int = 8, maxRecordsPerFile: Int = 1000000): Unit = {
+      bits: Int = 8, maxRecordsPerFile: Int = 1000000,
+      retainEpochs: Int = 1): Unit = {
     val base = currentBase(spark, root)
     require(base >= 0, s"no clustered store at $root")
     val next = base + 1
     CorpusSink.writeZOrdered(read(spark, root), s"$root/base_$next",
       dims, bits, maxRecordsPerFile)
     commit(spark, root, s"base_$next")
-    vacuum(spark, root)
+    vacuum(spark, root, retainEpochs)
   }
 
-  /** delete every data dir that is not the current base or one of its
-    * committed deltas, and drop superseded commit markers — removes
-    * old epochs after [[compact]] and any crashed attempt's orphans.
-    * Idempotent; safe to re-run after a crash mid-vacuum.
+  /** committed compacted snapshots, oldest first */
+  def epochs(spark: SparkSession, root: String): Seq[Long] =
+    committed(spark, root).filter(_.startsWith("base_"))
+      .map(_.drop(5).toLong).toSeq.sorted
+
+  /** a RETAINED compacted snapshot (no deltas — the store as of that
+    * epoch's compact); the current epoch is `epochs.last` */
+  def readEpoch(spark: SparkSession, root: String, epoch: Long): DataFrame = {
+    require(epochs(spark, root).contains(epoch),
+      s"epoch $epoch not retained at $root (have ${epochs(spark, root)})")
+    spark.read.parquet(s"$root/base_$epoch")
+  }
+
+  /** delete every data dir that is not one of the newest
+    * `retainEpochs` committed bases or the CURRENT base's committed
+    * deltas, and drop superseded commit markers — removes old epochs
+    * after [[compact]] and any crashed attempt's orphans. Idempotent;
+    * safe to re-run after a crash mid-vacuum.
     */
-  def vacuum(spark: SparkSession, root: String): Unit = {
-    val base = currentBase(spark, root)
-    require(base >= 0, s"no clustered store at $root")
-    val keep = Set(s"base_$base") ++ deltaNames(spark, root, base)
+  def vacuum(spark: SparkSession, root: String,
+      retainEpochs: Int = 1): Unit = {
+    require(retainEpochs >= 1, "retainEpochs must be >= 1")
+    val bases = epochs(spark, root)
+    require(bases.nonEmpty, s"no clustered store at $root")
+    val keepBases = bases.takeRight(retainEpochs)
+    val keep = keepBases.map(b => s"base_$b").toSet ++
+      deltaNames(spark, root, bases.max)
     val dir = new HPath(root)
     val f = fs(spark, dir)
     f.listStatus(dir).map(_.getPath)

@@ -492,6 +492,34 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // dataset card (r7): the corpus report a data team actually ships —
+    // doc/char/token volumes at (source × lang), per-source and grand
+    // totals in ONE grouping-sets pass (map-combined partials, one
+    // shuffle; never one pass per breakdown)
+    "q_dataset_card" -> QueryDef(
+      s"""SELECT COALESCE(source, 'ALL') AS source,
+         |       COALESCE(lang, 'ALL') AS lang,
+         |       COUNT(*) AS docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |       CAST(SUM(len($SqlTokens)) AS BIGINT) AS toks
+         |FROM documents
+         |GROUP BY GROUPING SETS ((source, lang), (source), ())
+         |ORDER BY source, lang""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("__tok",
+          TextFunctions.tokenCount(col("text")).cast(LongType))
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast(LongType).as("chars"),
+          sum(col("__tok")).as("toks"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("docs"), col("chars"), col("toks"))
+        .orderBy("source", "lang")
+    },
+
     // Unicode script profiling (r7): dominant script + letter share
     // over injected multilingual surfaces (the corpus is ASCII); the
     // DuckDB replay counts \p{Script} classes with the same

@@ -64,4 +64,35 @@ class ClusteredStoreSpec extends SparkSpec {
     assert(ClusteredStore.deltaRows(spark, root) == 200L)
     assert(ids(ClusteredStore.read(spark, root)).contains(5100L))
   }
+
+  test("schema drift refused; epoch retention keeps readable snapshots") {
+    val s = spark
+    import s.implicits._
+    def mk(r: Range) = r.map(i => (i.toLong, i.toLong % 100)).toDF("id", "a")
+    val root = Files.createTempDirectory("graft_cstore_ep").toString
+    ClusteredStore.create(spark, root, mk(0 until 100), Seq("a", "id"),
+      bits = 4)
+    // a differing schema must be refused loudly
+    val err = intercept[IllegalArgumentException] {
+      ClusteredStore.append(spark, root,
+        Seq((1L, "oops")).toDF("id", "a"))
+    }
+    assert(err.getMessage.contains("schema mismatch"))
+
+    ClusteredStore.append(spark, root, mk(100 until 150))
+    ClusteredStore.compact(spark, root, Seq("a", "id"), bits = 4,
+      retainEpochs = 2)
+    ClusteredStore.append(spark, root, mk(150 until 160))
+    ClusteredStore.compact(spark, root, Seq("a", "id"), bits = 4,
+      retainEpochs = 2)
+    // epochs 1 and 2 retained; 0 vacuumed
+    assert(ClusteredStore.epochs(spark, root) == Seq(1L, 2L))
+    assert(ClusteredStore.readEpoch(spark, root, 1L).count() == 150L)
+    assert(ClusteredStore.readEpoch(spark, root, 2L).count() == 160L)
+    intercept[IllegalArgumentException] {
+      ClusteredStore.readEpoch(spark, root, 0L)
+    }
+    // live view is the newest epoch
+    assert(ids(ClusteredStore.read(spark, root)) == (0L until 160L).toSet)
+  }
 }

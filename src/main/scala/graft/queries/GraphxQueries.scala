@@ -125,6 +125,38 @@ object GraphxQueries {
       graft.ext.Lpa.propagate(e, "src", "dst", rounds = 4).orderBy("node")
     },
 
+    // strongly connected components (r7): the nation rings are 5-cycles
+    // (one SCC per region); inRegion edges point at region nodes, which
+    // are sinks → singleton SCCs. The oracle derives the same labels
+    // from the transitive closure (mutual reachability, min member)
+    "q_scc" -> QueryDef({
+      val edgeCte =
+        """e AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+          |         CAST(COALESCE(
+          |           LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+          |                                   ORDER BY n_nationkey),
+          |           MIN(n_nationkey) OVER (PARTITION BY n_regionkey))
+          |           AS BIGINT) AS dst
+          |  FROM nation
+          |  UNION ALL
+          |  SELECT CAST(n_nationkey AS BIGINT),
+          |         CAST(n_regionkey + 1000 AS BIGINT) FROM nation)""".stripMargin
+      graft.ext.Scc.oracleSqlFor(edgeCte) + "\nORDER BY node"
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nat = graft.Tables.load(s, d, "nation")
+      val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+      val wp = Window.partitionBy("n_regionkey")
+      val ring = nat.select(col("n_nationkey").cast(LongType).as("src"),
+        coalesce(lead(col("n_nationkey"), 1).over(w),
+          min(col("n_nationkey")).over(wp)).cast(LongType).as("dst"))
+      val inRegion = nat.select(col("n_nationkey").cast(LongType).as("src"),
+        (col("n_regionkey") + 1000).cast(LongType).as("dst"))
+      graft.ext.Scc.strongComponents(ring.union(inRegion), "src", "dst")
+        .orderBy("node")
+    },
+
     "q_graphx_pagerank" -> QueryDef(
       """SELECT n_nationkey, CAST(1.0 AS DOUBLE) AS rank
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>

@@ -391,4 +391,26 @@ class ViewSqlSpec extends SparkSpec {
       gs.sql("CREATE NODE VIEW V AS SELECT name AS n FROM Cat")
     }
   }
+
+  test("SHOW NODE VIEWS / EDGE VIEWS / PROCS reflect the registries, " +
+    "including the implicit GlobalNodeView and default edge views") {
+    val gs = newSession
+    gs.sql("CREATE NODE VIEW Pet AS SELECT name AS pname FROM Cat " +
+      "UNION ALL SELECT dname FROM Dog")
+    val nv = gs.sql("SHOW NODE VIEWS").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(nv("Pet")._2 == "explicit")
+    assert(nv("Pet")._1.contains("Cat") && nv("Pet")._1.contains("Dog"))
+    assert(nv(graft.lang.GraphSession.GlobalViewName)._2 == "implicit")
+
+    val ev = gs.sql("SHOW EDGE VIEWS").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // Cat and Dog both carry `likes`, so node-view creation attached
+    // the default edge view of the same name
+    assert(ev.contains(("Pet", "likes")), ev.mkString(","))
+
+    gs.sql("CREATE PROC CountCats AS BEGIN SELECT COUNT(*) AS c FROM Cat END")
+    val procs = gs.sql("SHOW PROCS").collect().map(_.getString(0)).toSet
+    assert(procs.contains("countcats"), procs.toString)
+  }
 }

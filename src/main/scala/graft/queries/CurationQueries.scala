@@ -790,6 +790,41 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // mod-97-gated IBAN redaction (r7): same fixed-literal oracle trick
+    // as q_pii_cards — the oracle knows statically which injected IBANs
+    // pass ISO 13616, the engine must decide via the checksum; the
+    // wrong-check-digit variant and uppercase prose noise must survive
+    "q_pii_iban" -> QueryDef(
+      """WITH t AS (SELECT doc_id,
+        |  'acct ' || CASE doc_id % 3
+        |     WHEN 0 THEN 'DE89370400440532013000'
+        |     WHEN 1 THEN 'GB82WEST12345698765432'
+        |     ELSE 'DE89370400440532013001' END || ' ref ' ||
+        |  regexp_replace(left(text, 15), '[0-9A-Z]', '', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |         THEN replace(t, 'DE89370400440532013000', '<IBAN>')
+        |       WHEN doc_id % 3 = 1
+        |         THEN replace(t, 'GB82WEST12345698765432', '<IBAN>')
+        |       ELSE t END AS redacted,
+        |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS INTEGER)
+        |    AS ibans
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val t = concat(lit("acct "),
+        when(id % 3 === 0, lit("DE89370400440532013000"))
+          .when(id % 3 === 1, lit("GB82WEST12345698765432"))
+          .otherwise(lit("DE89370400440532013001")),
+        lit(" ref "),
+        regexp_replace(substring(col("text"), 1, 15), "[0-9A-Z]", ""))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.IbanRedact(t).as("redacted"),
+          graft.functions.IbanCount(t).as("ibans"))
+        .orderBy("doc_id")
+    },
+
     // Luhn-gated card redaction (r7): the injected candidates are a
     // FIXED literal set, so the oracle knows statically which pass
     // Luhn (4111... and the 14-digit Diners number) and replays the

@@ -35,6 +35,32 @@ class CardNumbersSpec extends SparkSpec {
     assert(got(9L) == (("20 digits 41111111111111111115 stay", 0)))
   }
 
+  test("iban redaction: mod-97-valid IBANs redact, wrong check digit " +
+    "and malformed shapes survive, multiple per doc") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "pay DE89370400440532013000 now"),        // valid
+      (2L, "pay DE89370400440532013001 now"),        // bad checksum
+      (3L, "GB82WEST12345698765432"),                // valid, bare
+      (4L, "code DE89 split not a candidate"),       // too short
+      (5L, "a DE89370400440532013000 b GB82WEST12345698765432 c"),
+      (6L, ""),
+      (7L, "lowercase de89370400440532013000 ignored")) // case-sensitive
+      .toDF("id", "t")
+    val got = rows.select(col("id"), IbanRedact(col("t")).as("r"),
+        IbanCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(got(1L) == (("pay <IBAN> now", 1)))
+    assert(got(2L) == (("pay DE89370400440532013001 now", 0)))
+    assert(got(3L) == (("<IBAN>", 1)))
+    assert(got(4L) == (("code DE89 split not a candidate", 0)))
+    assert(got(5L) == (("a <IBAN> b <IBAN> c", 2)))
+    assert(got(6L) == (("", 0)))
+    assert(got(7L)._2 == 0)
+  }
+
   test("luhn_check: strict digit-string validation") {
     val s = spark
     import s.implicits._

@@ -82,6 +82,51 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
   }
 
+  /** All-corpus kNN GRAPH construction — every vector's k nearest
+    * neighbors within its IVF cell, as an edge list. The scale
+    * primitive semantic clustering actually runs on: feed the edges
+    * to [[Cc]]/[[Lpa]] (or [[mutualKnnEdges]] first) and clusters
+    * fall out. Unlike [[ivfTopK]] (bounded query set, broadcast),
+    * BOTH sides here are the corpus: a shuffle hash join on the cell
+    * key, cosine per candidate pair, then a per-query top-k window —
+    * partitioned by qid, so no single-partition funnel; the window
+    * input is bounded by the vector's own cell size.
+    *
+    * Cost honesty: candidate pairs = Σ|cell|², the IVF trade. Cells
+    * must come from a reasonable quantizer (the k-means‖ trainer);
+    * a degenerate giant cell makes this quadratic — exactly the same
+    * failure the cosine-pair dedup documents, and the same fix
+    * (retrain / split hot cells).
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, k: Int): DataFrame = {
+    val a = corpus.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(cellCol).as("__cell"))
+    val b = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col(cellCol).as("__cell"))
+    a.join(b, Seq("__cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cs", cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cs"), col("rn").cast(IntegerType))
+  }
+
+  /** mutual-kNN edges from a [[knnGraph]] result: (a, b) with a < b
+    * kept only when each is in the OTHER's top-k — the standard
+    * robustification before clustering (one-directional neighbors in
+    * dense regions produce hub edges that glue unrelated clusters).
+    * One self-join on the reversed key.
+    */
+  def mutualKnnEdges(knn: DataFrame): DataFrame = {
+    val fwd = knn.select(col("qid"), col("nid"))
+    val rev = knn.select(col("nid").as("qid"), col("qid").as("nid"))
+    fwd.join(rev, Seq("qid", "nid"), "left_semi")
+      .filter(col("qid") < col("nid"))
+      .select(col("qid").as("a"), col("nid").as("b"))
+  }
+
   /** Materialize the IVF index layout: the corpus written as parquet
     * partitioned by its cell id, so a cell-restricted search prunes to
     * the matching partition directories instead of scanning the corpus —

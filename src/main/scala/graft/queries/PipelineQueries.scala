@@ -1098,6 +1098,49 @@ object PipelineQueries {
     },
 
     // IVF-style: search restricted to the query's label cell
+    // all-corpus kNN graph (r7): every vector's top-3 within its cell
+    // — the edge list semantic clustering runs on; shuffle join on the
+    // cell key, per-query window (no broadcast: both sides are the
+    // corpus)
+    "q_knn_graph" -> QueryDef(
+      """WITH c AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) AS cs
+        |      FROM embeddings a JOIN embeddings b
+        |        ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nid, cs,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+        |      FROM c)
+        |SELECT qid, nid, ROUND(cs, 4) AS cs, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding", "label", k = 3)
+        .select(col("qid"), col("nid"), round(col("cs"), 4).as("cs"),
+          col("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // mutual-kNN robustification (r7): keep (a, b) only when each is
+    // in the other's top-3 — the hub-edge filter before clustering
+    "q_knn_mutual" -> QueryDef(
+      """WITH c AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) AS cs
+        |      FROM embeddings a JOIN embeddings b
+        |        ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nid,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+        |      FROM c),
+        |k AS (SELECT qid, nid FROM r WHERE rn <= 3)
+        |SELECT f.qid AS a, f.nid AS b FROM k f
+        |JOIN k g ON g.qid = f.nid AND g.nid = f.qid
+        |WHERE f.qid < f.nid ORDER BY a, b""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.mutualKnnEdges(
+        Similarity.knnGraph(emb, "vec_id", "embedding", "label", k = 3))
+        .orderBy("a", "b")
+    },
+
     "q_ann_ivf" -> QueryDef(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
         |           FROM embeddings WHERE vec_id < 20),

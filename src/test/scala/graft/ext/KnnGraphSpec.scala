@@ -1,0 +1,34 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KnnGraphSpec extends SparkSpec {
+
+  test("knnGraph: per-vector top-k within its cell; mutual filter " +
+    "drops one-directional hub edges; no broadcast of the corpus side") {
+    val s = spark
+    import s.implicits._
+    // cell 0: a tight pair (1,2) plus an outlier 3 whose nearest is 2;
+    // with k=1, 1↔2 are mutual, 3→2 is one-directional (2's top-1 is 1)
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(0.99f, 0.14f, 0f), 0),
+      (3L, Seq(0f, 1f, 0.2f), 0),
+      // cell 1: an isolated mutual pair
+      (10L, Seq(0f, 0f, 1f), 1),
+      (11L, Seq(0.1f, 0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val knn = Similarity.knnGraph(rows, "vec_id", "embedding", "label",
+      k = 1)
+    val edges = knn.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (2L, 1L), (3L, 2L),
+      (10L, 11L), (11L, 10L)), edges.toString)
+    val mutual = Similarity.mutualKnnEdges(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual == Set((1L, 2L), (10L, 11L)), mutual.toString)
+    // cells never mix
+    assert(!edges.exists { case (a, b) => (a < 10) != (b < 10) })
+  }
+}

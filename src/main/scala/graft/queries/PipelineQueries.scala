@@ -1141,6 +1141,43 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // end-to-end semantic clustering (r7): kNN graph → mutual filter →
+    // connected components, all composed — the oracle replays the
+    // whole chain including the undirected transitive closure
+    "q_semantic_clusters" -> QueryDef(
+      """WITH RECURSIVE c AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nid,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+        |      FROM c),
+        |k AS (SELECT qid, nid FROM r WHERE rn <= 3),
+        |m AS (SELECT f.qid AS a, f.nid AS b FROM k f
+        |      JOIN k g ON g.qid = f.nid AND g.nid = f.qid
+        |      WHERE f.qid < f.nid),
+        |e2 AS (SELECT a AS u, b AS v FROM m UNION ALL SELECT b, a FROM m),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e2
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e2 ON e2.u = r.v),
+        |canon AS (SELECT u, MIN(v) AS mr FROM reach GROUP BY u)
+        |SELECT e.vec_id,
+        |  CAST(LEAST(e.vec_id, COALESCE(cn.mr, e.vec_id)) AS BIGINT)
+        |    AS cluster
+        |FROM embeddings e LEFT JOIN canon cn ON cn.u = e.vec_id
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val mutual = Similarity.mutualKnnEdges(
+        Similarity.knnGraph(emb, "vec_id", "embedding", "label", k = 3))
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      Cc.resolveClustersDf(mutual, emb, "vec_id")
+        .select(col("vec_id"), col("canonical").as("cluster"))
+        .orderBy("vec_id")
+    },
+
     "q_ann_ivf" -> QueryDef(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
         |           FROM embeddings WHERE vec_id < 20),

@@ -34,6 +34,68 @@ class SccSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L), got.toString)
   }
 
+  test("property: random graphs match a driver-side Tarjan reference") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val n = 30 + trial * 10
+      val m = n * (1 + trial)
+      val edges = Seq.fill(m)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val got = run(edges)
+      val want = tarjan(edges)
+      assert(got == want, s"trial $trial: " +
+        (got.toSet diff want.toSet).take(5).toString)
+    }
+  }
+
+  /** iterative Tarjan, canonical min-member labels, nodes from edges */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      // explicit work stack: (node, child iterator position)
+      val work = scala.collection.mutable.ArrayBuffer((root, 0))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack += root
+      while (work.nonEmpty) {
+        val (v, ci) = work.last
+        val kids = adj.getOrElse(v, Seq.empty)
+        if (ci < kids.length) {
+          work(work.length - 1) = (v, ci + 1)
+          val w = kids(ci)
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack += w
+            work += ((w, 0))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val p = work.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = -1L
+            do {
+              w = stack.remove(stack.length - 1); onStack -= w; comp += w
+            } while (w != v)
+            val mn = comp.min
+            comp.foreach(x => label(x) = mn)
+          }
+        }
+      }
+    }
+    nodes.map(v => v -> label(v)).toMap
+  }
+
   test("nested/interlocking cycles form one SCC; determinism across runs") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 1L),
       (10L, 11L), (11L, 10L))

@@ -39,9 +39,10 @@ object Ppr {
 
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
       source: Long, rounds: Int, alphaPct: Int = 15,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, boundaryEvery: Int = 2): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     require(alphaPct >= 1 && alphaPct <= 99, "alphaPct in [1,99]")
+    require(boundaryEvery >= 1, "boundaryEvery must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
@@ -51,7 +52,7 @@ object Ppr {
     val restart = alphaPct * scale / 100
     val keep = 100L - alphaPct
     var r = Seq((source, scale)).toDF("node", "rank")
-    for (_ <- 1 to rounds) {
+    for (t <- 1 to rounds) {
       val inflow = ewd.join(r, ewd("src") === r("node"))
         .select(col("dst").as("node"),
           expr("rank div deg").as("contrib"))
@@ -62,7 +63,10 @@ object Ppr {
       r = inflow
         .union(Seq((source, restart)).toDF("node", "part"))
         .groupBy("node").agg(sum("part").as("rank"))
-        .stageBoundary
+      // lineage cut every few rounds, not every round: one action runs
+      // the whole chain, so per-round eager materialization only buys
+      // bounded plan depth — pay it at half the frequency
+      if (t % boundaryEvery == 0 || t == rounds) r = r.stageBoundary
     }
     r
   }

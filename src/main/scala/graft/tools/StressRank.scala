@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ext.{Lpa, Ppr}
+import graft.ext.{Lpa, Ppr, Scc}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,31 @@ object StressRank {
       .filter(l1("label") =!= l2("label")).isEmpty,
       "LPA must be deterministic run-to-run")
     println("[rank] determinism: identical labelings across runs")
+
+    // SCC on the realistic near-dup topology: many small cycles plus
+    // DAG bridges — coloring should peel in a handful of outer rounds
+    val triples = n / 3
+    val cyc = spark.range(triples).selectExpr(
+      "id * 3 AS src", "id * 3 + 1 AS dst")
+      .union(spark.range(triples).selectExpr(
+        "id * 3 + 1 AS src", "id * 3 + 2 AS dst"))
+      .union(spark.range(triples).selectExpr(
+        "id * 3 + 2 AS src", "id * 3 AS dst"))
+    val bridges = spark.range(n / 10).select(
+      (abs(xxhash64(col("id"), lit(7))) % n).as("src"),
+      (abs(xxhash64(col("id"), lit(8))) % n).as("dst"))
+    // bridges only FORWARD in triple order so they cannot create big
+    // cycles: canonicalize src-triple < dst-triple
+    val dagBridges = bridges
+      .filter((col("src") / 3).cast("long") < (col("dst") / 3).cast("long"))
+    val sccEdges = cyc.union(dagBridges).localCheckpoint(true)
+    val scc = time(s"scc over ${triples * 3} nodes in 3-cycles + bridges") {
+      Scc.strongComponents(sccEdges, "src", "dst").localCheckpoint(true)
+    }
+    val comps = scc.select("component").distinct().count()
+    println(s"[rank] scc: ${scc.count()} nodes → $comps components")
+    require(comps == triples,
+      s"expected $triples 3-cycle components, got $comps")
     spark.stop()
   }
 }

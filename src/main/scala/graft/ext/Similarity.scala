@@ -127,6 +127,121 @@ object Similarity {
       .select(col("qid").as("a"), col("nid").as("b"))
   }
 
+  // ---- incrementally maintained kNN graph ----
+  //
+  // The batch [[knnGraph]] re-scores every cell pair; an increment
+  // only needs (a) the new vectors' own top-k and (b) REVERSE repairs
+  // for old vectors whose top-k now admits a new neighbor. Both come
+  // from ONE candidate join of the increment against the touched
+  // cells (read partition-pruned from the IVF index layout via a
+  // static isin filter — the q_dedup_embedding_incremental shape),
+  // and the repair is sound because top-k is mergeable: an old
+  // candidate outside a node's stored top-k is dominated by the k
+  // stored ones, which are all present in the merge. The final graph
+  // therefore EQUALS the batch rebuild over the union — the oracle
+  // states exactly that.
+  //
+  // State: `knnDir/v<N>` parquet (qid, nid, cs, rn) behind commit
+  // markers (readers resolve the max committed version; a crashed
+  // attempt's orphan dir is overwritten); vectors accumulate in the
+  // cell-partitioned IVF dir. Single writer, like every index here.
+
+  private def knnVersions(spark: org.apache.spark.sql.SparkSession,
+      knnDir: String): Seq[Long] = {
+    val cm = new org.apache.hadoop.fs.Path(s"$knnDir/_commits")
+    val f = cm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(cm)) Seq.empty
+    else f.listStatus(cm).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq
+  }
+
+  private def knnCommit(spark: org.apache.spark.sql.SparkSession,
+      knnDir: String, v: Long): Unit = {
+    val m = new org.apache.hadoop.fs.Path(s"$knnDir/_commits/v$v")
+    val f = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(m.getParent)
+    f.create(m, true).close()
+  }
+
+  private def knnWrite(spark: org.apache.spark.sql.SparkSession,
+      knnDir: String, edges: DataFrame): Unit = {
+    val vs = knnVersions(spark, knnDir)
+    val v = if (vs.isEmpty) 0L else vs.max + 1
+    edges.write.mode("overwrite").parquet(s"$knnDir/v$v")
+    knnCommit(spark, knnDir, v)
+    val f = new org.apache.hadoop.fs.Path(knnDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vs.foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$knnDir/v$old"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$knnDir/_commits/v$old"),
+        false)
+    }
+  }
+
+  /** the max committed kNN-graph state */
+  def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
+      knnDir: String): DataFrame = {
+    val vs = knnVersions(spark, knnDir)
+    require(vs.nonEmpty, s"no kNN graph at $knnDir")
+    spark.read.parquet(s"$knnDir/v${vs.max}")
+  }
+
+  /** bootstrap: IVF layout for the vectors + the batch graph */
+  def knnGraphInit(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, k: Int, ivfDir: String, knnDir: String): Unit = {
+    writeIvfIndex(corpus, idCol, vecCol, cellCol, ivfDir)
+    knnWrite(corpus.sparkSession, knnDir,
+      knnGraph(corpus, idCol, vecCol, cellCol, k))
+  }
+
+  /** fold an increment in: new nodes get their top-k, affected old
+    * nodes get repaired, untouched nodes' edges are carried over
+    * verbatim; the increment's vectors append to the IVF layout */
+  def knnGraphIncrement(increment: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int,
+      ivfDir: String, knnDir: String): Unit = {
+    val spark = increment.sparkSession
+    val inc = increment.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(cellCol).as("__cell")).stageBoundary
+    // touched cells — bounded by the quantizer size, same certainty
+    // contract as the embedding-dedup increment (static pruning, not
+    // DPP-dependent)
+    val cells = inc.select(col("__cell")).distinct().collect()
+      .map(_.get(0))
+    val old = spark.read.parquet(ivfDir)
+      .filter(col(cellCol).isin(cells: _*))
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col(cellCol).as("__cell"))
+    val both = old.union(inc.select(col("qid").as("nid"),
+      col("qv").as("nv"), col("__cell")))
+    val cands = inc.join(both, Seq("__cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cs", cosine(col("qv"), col("nv")))
+      .select(col("qid"), col("nid"), col("cs")).stageBoundary
+    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
+    val newEdges = cands
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    // reverse repairs: (old → new) scores are the swapped candidate
+    // pairs whose nid is an OLD vector
+    val incIds = inc.select(col("qid").as("nid"))
+    val rev = cands.join(incIds, Seq("nid"), "left_anti")
+      .select(col("nid").as("qid"), col("qid").as("nid"), col("cs"))
+    val affected = rev.select("qid").distinct()
+    val stored = readKnnGraph(spark, knnDir)
+    val repaired = stored.select("qid", "nid", "cs")
+      .join(affected, Seq("qid"), "left_semi")
+      .union(rev)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val untouched = stored.join(affected, Seq("qid"), "left_anti")
+    knnWrite(spark, knnDir,
+      untouched.select("qid", "nid", "cs", "rn")
+        .union(repaired.select("qid", "nid", "cs", "rn"))
+        .union(newEdges.select("qid", "nid", "cs", "rn"))
+        .stageBoundary)
+    increment.select(col(idCol), col(vecCol), col(cellCol))
+      .write.mode("append").partitionBy(cellCol).parquet(ivfDir)
+  }
+
   /** Materialize the IVF index layout: the corpus written as parquet
     * partitioned by its cell id, so a cell-restricted search prunes to
     * the matching partition directories instead of scanning the corpus —

@@ -1120,6 +1120,42 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     },
 
+    // incrementally maintained kNN graph (r7): bootstrap on ids < 300,
+    // fold two increments — new nodes get their top-k, affected old
+    // nodes get repaired from ONE candidate join against the touched
+    // cells (partition-pruned IVF read), untouched nodes carry over
+    // verbatim. The oracle is the BATCH rebuild over the union: the
+    // merge is sound because top-k is mergeable
+    "q_knn_incremental" -> QueryDef(
+      """WITH c AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) AS cs
+        |      FROM embeddings a JOIN embeddings b
+        |        ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nid, cs,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+        |      FROM c)
+        |SELECT qid, nid, ROUND(cs, 4) AS cs, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_knn_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (ivfDir, knnDir) = (s"$base/ivf", s"$base/knn")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Similarity.knnGraphInit(emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", "label", k = 3, ivfDir, knnDir)
+      Similarity.knnGraphIncrement(
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "embedding", "label", k = 3, ivfDir, knnDir)
+      Similarity.knnGraphIncrement(emb.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", "label", k = 3, ivfDir, knnDir)
+      Similarity.readKnnGraph(s, knnDir)
+        .select(col("qid"), col("nid"), round(col("cs"), 4).as("cs"),
+          col("rn"))
+        .orderBy("qid", "rn")
+    },
+
     // mutual-kNN robustification (r7): keep (a, b) only when each is
     // in the other's top-3 — the hub-edge filter before clustering
     "q_knn_mutual" -> QueryDef(

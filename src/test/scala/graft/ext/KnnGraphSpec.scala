@@ -31,4 +31,48 @@ class KnnGraphSpec extends SparkSpec {
     // cells never mix
     assert(!edges.exists { case (a, b) => (a < 10) != (b < 10) })
   }
+
+  test("incremental kNN graph: reverse repair demotes a stale " +
+    "neighbor, brand-new cells bootstrap, multi-increment state " +
+    "equals the batch rebuild") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_knn_spec").toString
+    val (ivfDir, knnDir) = (s"$base/ivf", s"$base/knn")
+    def df(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    val init = Seq(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f), 0))     // 1's only neighbor is 2 (cs 0)
+    Similarity.knnGraphInit(df(init), "vec_id", "embedding", "label",
+      k = 1, ivfDir, knnDir)
+    val before = Similarity.readKnnGraph(spark, knnDir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((1L, 2L), (2L, 1L)))
+
+    // increment: 3 is nearly identical to 1 → 1's top-1 must REPAIR
+    // from 2 to 3; plus a brand-new cell appears
+    Similarity.knnGraphIncrement(df(Seq(
+      (3L, Seq(0.99f, 0.1f, 0f), 0),
+      (10L, Seq(0f, 0f, 1f), 7),
+      (11L, Seq(0.1f, 0f, 1f), 7))),
+      "vec_id", "embedding", "label", k = 1, ivfDir, knnDir)
+    val after = Similarity.readKnnGraph(spark, knnDir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((1L, 3L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 10L)), after.toString)
+
+    // final state == batch rebuild over everything
+    val all = df(init ++ Seq(
+      (3L, Seq(0.99f, 0.1f, 0f), 0),
+      (10L, Seq(0f, 0f, 1f), 7),
+      (11L, Seq(0.1f, 0f, 1f), 7)))
+    val batch = Similarity.knnGraph(all, "vec_id", "embedding", "label",
+      k = 1).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == batch)
+  }
 }

@@ -163,19 +163,42 @@ object Similarity {
     f.create(m, true).close()
   }
 
+  // vacuumOld=false defers reclaiming superseded versions to the
+  // CALLER's commit point: the streaming face must not delete the
+  // previous version until its ledger marker lands, or a crash
+  // between state-commit and ledger-commit would leave the replay's
+  // begin-phase cleanup (which drops the crashed attempt's version)
+  // with NO surviving state at all
   private def knnWrite(spark: org.apache.spark.sql.SparkSession,
-      knnDir: String, edges: DataFrame): Unit = {
+      knnDir: String, edges: DataFrame,
+      version: Option[Long] = None, vacuumOld: Boolean = true): Unit = {
     val vs = knnVersions(spark, knnDir)
-    val v = if (vs.isEmpty) 0L else vs.max + 1
+    val v = version.getOrElse(if (vs.isEmpty) 0L else vs.max + 1)
     edges.write.mode("overwrite").parquet(s"$knnDir/v$v")
     knnCommit(spark, knnDir, v)
+    if (vacuumOld) knnVacuumBelow(spark, knnDir, v)
+  }
+
+  /** reclaim every committed state version below `v` */
+  private[graft] def knnVacuumBelow(spark: org.apache.spark.sql.SparkSession,
+      knnDir: String, v: Long): Unit = {
     val f = new org.apache.hadoop.fs.Path(knnDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    vs.foreach { old =>
+    knnVersions(spark, knnDir).filter(_ < v).foreach { old =>
       f.delete(new org.apache.hadoop.fs.Path(s"$knnDir/v$old"), true)
       f.delete(new org.apache.hadoop.fs.Path(s"$knnDir/_commits/v$old"),
         false)
     }
+  }
+
+  /** drop a state version (committed or not) — the begin-phase cleanup
+    * of a crashed streaming attempt */
+  private[graft] def knnDropVersion(spark: org.apache.spark.sql.SparkSession,
+      knnDir: String, v: Long): Unit = {
+    val f = new org.apache.hadoop.fs.Path(knnDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$knnDir/v$v"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$knnDir/_commits/v$v"), false)
   }
 
   /** the max committed kNN-graph state */
@@ -199,7 +222,10 @@ object Similarity {
     * verbatim; the increment's vectors append to the IVF layout */
   def knnGraphIncrement(increment: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int,
-      ivfDir: String, knnDir: String): Unit = {
+      ivfDir: String, knnDir: String,
+      version: Option[Long] = None,
+      ivfWriter: Option[DataFrame => Unit] = None,
+      vacuumOld: Boolean = true): Unit = {
     val spark = increment.sparkSession
     val inc = increment.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       col(cellCol).as("__cell")).stageBoundary
@@ -208,10 +234,28 @@ object Similarity {
     // DPP-dependent)
     val cells = inc.select(col("__cell")).distinct().collect()
       .map(_.get(0))
-    val old = spark.read.parquet(ivfDir)
-      .filter(col(cellCol).isin(cells: _*))
-      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
-        col(cellCol).as("__cell"))
+    // bootstrap falls out of the general case: with no IVF layout and
+    // no stored state yet, the candidate set is inc×inc and every
+    // node is "new" — which IS the batch build of the first increment
+    val ivfExists = {
+      val p = new org.apache.hadoop.fs.Path(ivfDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val old =
+      if (!ivfExists)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("nid",
+              inc.schema("qid").dataType),
+            org.apache.spark.sql.types.StructField("nv",
+              inc.schema("qv").dataType),
+            org.apache.spark.sql.types.StructField("__cell",
+              inc.schema("__cell").dataType))))
+      else spark.read.parquet(ivfDir)
+        .filter(col(cellCol).isin(cells: _*))
+        .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+          col(cellCol).as("__cell"))
     val both = old.union(inc.select(col("qid").as("nid"),
       col("qv").as("nv"), col("__cell")))
     val cands = inc.join(both, Seq("__cell"))
@@ -227,7 +271,20 @@ object Similarity {
     val rev = cands.join(incIds, Seq("nid"), "left_anti")
       .select(col("nid").as("qid"), col("qid").as("nid"), col("cs"))
     val affected = rev.select("qid").distinct()
-    val stored = readKnnGraph(spark, knnDir)
+    val stored =
+      if (knnVersions(spark, knnDir).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid",
+              inc.schema("qid").dataType),
+            org.apache.spark.sql.types.StructField("nid",
+              inc.schema("qid").dataType),
+            org.apache.spark.sql.types.StructField("cs",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("rn",
+              org.apache.spark.sql.types.IntegerType))))
+      else readKnnGraph(spark, knnDir)
     val repaired = stored.select("qid", "nid", "cs")
       .join(affected, Seq("qid"), "left_semi")
       .union(rev)
@@ -237,9 +294,13 @@ object Similarity {
       untouched.select("qid", "nid", "cs", "rn")
         .union(repaired.select("qid", "nid", "cs", "rn"))
         .union(newEdges.select("qid", "nid", "cs", "rn"))
-        .stageBoundary)
-    increment.select(col(idCol), col(vecCol), col(cellCol))
-      .write.mode("append").partitionBy(cellCol).parquet(ivfDir)
+        .stageBoundary, version, vacuumOld)
+    val ivfRows = increment.select(col(idCol), col(vecCol), col(cellCol))
+    ivfWriter match {
+      case Some(w) => w(ivfRows)
+      case None => ivfRows.write.mode("append")
+        .partitionBy(cellCol).parquet(ivfDir)
+    }
   }
 
   /** Materialize the IVF index layout: the corpus written as parquet

@@ -474,6 +474,50 @@ object EdgeStream {
         }
       }
 
+  /** Streaming kNN-graph maintenance: each micro-batch of embedding
+    * rows folds into the persisted graph via
+    * [[graft.ext.Similarity.knnGraphIncrement]] — new vectors take
+    * their top-k, old vectors in the touched cells repair, and the
+    * increment's vectors publish into the cell-partitioned IVF layout
+    * through the [[BatchLedger]] staging protocol (crashed partial
+    * publishes are swept by `begin`, the state version is keyed by
+    * batchId, replays are committed no-ops). The very first batch
+    * bootstraps both the IVF layout and the graph — the increment's
+    * general case already IS the batch build when history is empty.
+    */
+  def knnGraphVectors(vecs: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, k: Int, ivfDir: String,
+      knnDir: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        knnBatch(batch, batchId, idCol, vecCol, cellCol, k, ivfDir, knnDir)
+      }
+
+  private[streaming] def knnBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, cellCol: String, k: Int,
+      ivfDir: String, knnDir: String): Unit = {
+    val spark = batch.sparkSession
+    val ledger = new BatchLedger(spark, knnDir, Seq(ivfDir))
+    if (ledger.applied(batchId)) return
+    ledger.begin(batchId)
+    graft.ext.Similarity.knnDropVersion(spark, knnDir, batchId)
+    if (!batch.isEmpty) {
+      graft.ext.Similarity.knnGraphIncrement(batch, idCol, vecCol,
+        cellCol, k, ivfDir, knnDir, version = Some(batchId),
+        ivfWriter = Some { rows =>
+          rows.write.mode("overwrite").partitionBy(cellCol)
+            .parquet(ledger.stagingFor(batchId, ivfDir))
+          ledger.publish(batchId)
+        },
+        // the previous state version survives until THIS batch's
+        // ledger marker lands — see knnWrite's crash-window note
+        vacuumOld = false)
+    }
+    ledger.commit(batchId)
+    graft.ext.Similarity.knnVacuumBelow(spark, knnDir, batchId)
+  }
+
   /** Event sessionization — the custom-state shape Structured Streaming
     * exposes through `flatMapGroupsWithState` (SURVEY §2.10 extension):
     * per user, events within `gapMs` of the running session extend it;

@@ -636,6 +636,56 @@ class EdgeStreamSpec extends SparkSpec {
     assert(got2 == Set(1L, 2L), got2.toString)
   }
 
+  test("streaming kNN graph: first batch bootstraps, crash-window " +
+    "replay reproduces, committed replay skips, state tracks the " +
+    "batch rebuild") {
+    val s = spark
+    import s.implicits._
+    import graft.ext.Similarity
+    val base = Files.createTempDirectory("graft_knn_stream").toString
+    val (ivf, knn) = (s"$base/ivf", s"$base/knn")
+    def df(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    def stateEdges() = Similarity.readKnnGraph(spark, knn)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchEdges(rows: Seq[(Long, Seq[Float], Int)]) =
+      Similarity.knnGraph(df(rows), "vec_id", "embedding", "label", 1)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val b0 = Seq((1L, Seq(1f, 0f, 0f), 0), (2L, Seq(0f, 1f, 0f), 0))
+    val b1 = Seq((3L, Seq(0.99f, 0.1f, 0f), 0),
+      (10L, Seq(0f, 0f, 1f), 7), (11L, Seq(0.1f, 0f, 1f), 7))
+
+    EdgeStream.knnBatch(df(b0), 0L, "vec_id", "embedding", "label",
+      1, ivf, knn)
+    assert(stateEdges() == batchEdges(b0))
+
+    // CRASHED attempt of batch 1: state version committed, IVF publish
+    // never happened, no ledger marker
+    Similarity.knnGraphIncrement(df(b1), "vec_id", "embedding", "label",
+      1, ivf, knn, version = Some(1L), ivfWriter = Some(_ => ()),
+      vacuumOld = false)
+    // the real replay must sweep the crashed version and reproduce the
+    // clean result — including the IVF append this time
+    EdgeStream.knnBatch(df(b1), 1L, "vec_id", "embedding", "label",
+      1, ivf, knn)
+    assert(stateEdges() == batchEdges(b0 ++ b1))
+    assert(spark.read.parquet(ivf).count() == 5)
+
+    // a COMMITTED replay is a no-op even with junk content
+    EdgeStream.knnBatch(df(Seq((99L, Seq(1f, 1f, 1f), 0))), 1L,
+      "vec_id", "embedding", "label", 1, ivf, knn)
+    assert(stateEdges() == batchEdges(b0 ++ b1))
+
+    // and a further batch keeps tracking the batch rebuild
+    val b2 = Seq((4L, Seq(0f, 0.99f, 0.1f), 0))
+    EdgeStream.knnBatch(df(b2), 2L, "vec_id", "embedding", "label",
+      1, ivf, knn)
+    assert(stateEdges() == batchEdges(b0 ++ b1 ++ b2))
+  }
+
   test("streaming ANN-index ingestion: near-dup gating vs history, replay-idempotent") {
     val s = spark
     import s.implicits._

@@ -81,7 +81,24 @@ object GraftExtensions {
       longLit("srp_bands", a(3), 3))),
     arity("misra_gries", 2)(a =>
       MisraGriesAgg(a.head, intLit("misra_gries", a(1), 1))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    // Column-composition operators ride the same registry through the
+    // ColumnBridge round-trip — a builder only needs Expression in,
+    // Expression out, and a composed Column IS an expression tree
+    col1("token_count", graft.ext.TextFunctions.tokenCount),
+    col1("stopword_ratio", graft.ext.TextFunctions.stopwordRatio),
+    col1("mean_token_len", graft.ext.TextFunctions.meanTokenLen),
+    col1("quality_score", graft.ext.TextFunctions.qualityScore),
+    col1("lang_id", graft.ext.TextFunctions.langId),
+    col1("gopher_keep", t => graft.ext.TextFunctions.gopherKeep(t)),
+    col1("c4_doc_keep", t => graft.ext.TextFunctions.c4DocKeep(t)))
+
+  private def col1(name: String,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (String, Seq[Expression] => Expression) =
+    arity(name, 1)(a =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.convertedExpression(
+        f(org.apache.spark.sql.graftbridge.ColumnBridge.column(a.head))))
 
   /** register into a LIVE session (tests, notebooks) — same builders
     * as the extensions path */

@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully CONVERT a composed Column's node tree to catalyst
+    * expressions (unresolved functions included, for the analyzer to
+    * resolve) — what a SQL FunctionRegistry builder must return:
+    * [[expression]]'s lazy `ColumnNodeExpression` wrapper never gets
+    * converted when injected directly into an analyzer plan, and
+    * codegen then dies on the wrapper.
+    */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -47,6 +47,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(cand.contains("a"), cand.toString)
 
+    // Column-composition operators ride the same registry
+    val gates = spark.sql(
+      """SELECT token_count(t) AS tc, lang_id(t) AS lid,
+        |  gopher_keep(t) AS gk, c4_doc_keep(t) AS ck
+        |FROM raw WHERE id = 1""".stripMargin).head()
+    assert(gates.getInt(0) > 0)
+    assert(!gates.isNullAt(1))
+    assert(!gates.getBoolean(2)) // too short for the Gopher word gate
+
     // non-literal parameter → readable refusal
     val err = intercept[Exception] {
       spark.sql("SELECT word_ngrams(split(t, ' '), id) FROM raw").collect()

@@ -267,6 +267,11 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   def this(spark: SparkSession, catalog: graft.ddl.GraphCatalog) =
     this(spark, catalog.provider, None, Some(catalog))
 
+  // the dialect's relational tail delegates to spark.sql, so the
+  // library's SQL functions (html_to_text, quality gates, …) must be
+  // registered for dialect statements to see them — idempotent
+  graft.GraftExtensions.register(spark)
+
   private var statsCache: Option[GraphStats] = statsOpt
 
   // plan-time probe memos: selectivity per (table, conjunct) and

@@ -408,6 +408,48 @@ object TextFunctions {
     }
   }
 
+  /** Boilerplate LINES by document frequency (the RefinedWeb/CCNet
+    * template-removal signal: cookie banners, subscribe prompts and
+    * nav text repeat VERBATIM across a large share of documents while
+    * prose lines don't): lines with doc-frequency > `support`·|docs|,
+    * via the same sketch-prunes/recount-decides shape as
+    * [[heavyHitters]] — per-doc DISTINCT lines stream through the
+    * Misra–Gries sketch (bounded buffer per partition), the exact
+    * recount of ≤sketchK candidates decides. The survival guarantee
+    * is checked against the measured line volume (`sketchK` must
+    * cover total-lines / (support·docs)) so an undersized sketch
+    * fails fast instead of silently missing a template.
+    */
+  def boilerplateLines(df: org.apache.spark.sql.DataFrame, textCol: String,
+      support: Double = 0.3, sketchK: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(support > 0 && support < 1, "support in (0,1)")
+    val dl = df.select(explode(array_distinct(
+      split(col(textCol), "\n", -1))).as("__w"))
+    val (sketch, n) = sketchOf(dl)(sketchK)
+    val docs = df.count()
+    require((sketchK + 1).toDouble * support * docs > n,
+      s"sketchK=$sketchK too coarse: ${n} distinct (doc, line) rows vs " +
+        s"threshold ${support * docs} — the n/(k+1) survival guarantee " +
+        "does not cover the support level; raise sketchK")
+    recount(dl, sketch.keys.toSeq, docs, support)
+      .select(col("token").as("line"), col("cnt").as("docs"))
+  }
+
+  /** the corpus with boilerplate lines REMOVED (lines kept in order,
+    * re-joined with newlines); the heavy set is ≤sketchK lines and
+    * rides the plan as a literal — the removal pass is map-only */
+  def stripBoilerplate(df: org.apache.spark.sql.DataFrame, textCol: String,
+      support: Double = 0.3, sketchK: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    val heavy = boilerplateLines(df, textCol, support, sketchK)
+      .select("line").collect().map(_.getString(0)).toSeq
+    if (heavy.isEmpty) df
+    else df.withColumn(textCol,
+      array_join(filter(split(col(textCol), "\n", -1),
+        l => !l.isInCollection(heavy)), "\n"))
+  }
+
   /** the support-threshold heavy hitters using the PERSISTED candidate
     * state: one isin-filtered recount over `corpus` (the sketch never
     * re-reads history — only the final recount touches the corpus,

@@ -520,6 +520,40 @@ object CurationQueries {
         .orderBy("source", "lang")
     },
 
+    // boilerplate-line removal (r7): template lines injected into half
+    // the corpus (subscribe prompt + cookie notice) must mine out by
+    // doc frequency and strip in order, prose lines untouched; the
+    // sketch only PRUNES (coverage require fails fast), the recount
+    // DECIDES, so the oracle is a plain doc-frequency GROUP BY
+    "q_boilerplate_strip" -> QueryDef(
+      """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |    THEN 'SUBSCRIBE NOW' || chr(10) || text || chr(10) || 'COOKIE NOTICE'
+        |    ELSE text END AS txt FROM documents),
+        |arr AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t),
+        |lines AS (SELECT doc_id, i, ls[i] AS l
+        |          FROM arr, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+        |dl AS (SELECT DISTINCT doc_id, l FROM lines),
+        |nd AS (SELECT COUNT(*) AS docs FROM t),
+        |heavy AS (SELECT l
+        |          FROM (SELECT l, COUNT(*) AS d FROM dl GROUP BY l), nd
+        |          WHERE d > docs * 0.3),
+        |kept AS (SELECT doc_id, i, l FROM lines
+        |         WHERE l NOT IN (SELECT l FROM heavy))
+        |SELECT t.doc_id,
+        |  COALESCE((SELECT string_agg(l, chr(10) ORDER BY i)
+        |            FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val injected = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("SUBSCRIBE NOW\n"), col("text"),
+              lit("\nCOOKIE NOTICE")))
+            .otherwise(col("text")).as("txt"))
+      TextFunctions.stripBoilerplate(injected, "txt", support = 0.3)
+        .select(col("doc_id"), col("txt").as("clean"))
+        .orderBy("doc_id")
+    },
+
     // Unicode script profiling (r7): dominant script + letter share
     // over injected multilingual surfaces (the corpus is ASCII); the
     // DuckDB replay counts \p{Script} classes with the same

@@ -248,6 +248,38 @@ class CurationSpec extends SparkSpec {
     assert(got.count(_._1 == "hot") == 5 && got.count(_._1 == "cold") == 5)
   }
 
+  test("boilerplate lines mine by doc frequency and strip in order; " +
+    "sub-support templates survive; undersized sketch fails fast") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 20).map { i =>
+      val parts = Seq(
+        if (i % 2 == 0) Some("COOKIE BANNER") else None,
+        Some(s"unique prose line $i"),
+        if (i < 3) Some("rare footer") else None, // 15% < support
+        Some(s"second unique line $i")).flatten
+      (i.toLong, parts.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val heavy = TextFunctions.boilerplateLines(docs, "text",
+      support = 0.3, sketchK = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(heavy == Map("COOKIE BANNER" -> 10L), heavy.toString)
+    val stripped = TextFunctions.stripBoilerplate(docs, "text",
+      support = 0.3, sketchK = 256)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(0L) == "unique prose line 0\nrare footer\n" +
+      "second unique line 0")
+    assert(stripped(1L) == "unique prose line 1\nrare footer\n" +
+      "second unique line 1")
+    assert(stripped(4L) == "unique prose line 4\nsecond unique line 4")
+    // guarantee coverage check: k+1 must cover lines/(support·docs)
+    val err = intercept[IllegalArgumentException] {
+      TextFunctions.boilerplateLines(docs, "text", support = 0.001,
+        sketchK = 1)
+    }
+    assert(err.getMessage.contains("survival guarantee"), err.getMessage)
+  }
+
   test("tokenBudgetCap: bucketed prefix sum equals the naive single " +
     "window; straddling doc kept; zero budget empties a stratum") {
     val s = spark

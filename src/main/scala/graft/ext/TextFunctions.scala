@@ -369,7 +369,9 @@ object TextFunctions {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val f = hhFs(spark, stateDir)
     val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/_n"))
-    val n = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+    // first field only: the boilerplate family appends a doc count
+    val n = try scala.io.Source.fromInputStream(in).mkString.trim
+      .split("\\s+")(0).toLong
     finally in.close()
     (rows, n)
   }
@@ -390,22 +392,8 @@ object TextFunctions {
     val (inc, nInc) = sketchOf(tok)(sketchK)
     val (prev, nPrev) = heavyHitterState(spark, stateDir)
     val merged = graft.functions.MisraGries.merge(prev, inc, sketchK)
-    val dir = s"$stateDir/s$v"
-    merged.toSeq.toDF("token", "w")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    val f = hhFs(spark, stateDir)
-    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/_n"), true)
-    try out.write((nPrev + nInc).toString.getBytes("UTF-8"))
-    finally out.close()
-    val m = new org.apache.hadoop.fs.Path(s"$stateDir/_commits/s$v")
-    f.mkdirs(m.getParent)
-    f.create(m, true).close()
-    // superseded committed versions are unreachable — reclaim them
-    committed.filter(_ < v).foreach { old =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/s$old"), true)
-      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/s$old"),
-        false)
-    }
+    writeHhState(spark, stateDir, v, merged, (nPrev + nInc).toString,
+      committed)
   }
 
   /** Boilerplate LINES by document frequency (the RefinedWeb/CCNet
@@ -448,6 +436,93 @@ object TextFunctions {
     else df.withColumn(textCol,
       array_join(filter(split(col(textCol), "\n", -1),
         l => !l.isInCollection(heavy)), "\n"))
+  }
+
+  // ---- incremental boilerplate mining ----
+  //
+  // The same versioned sketch state, keyed on per-doc DISTINCT LINES
+  // with the doc count carried beside the line volume (the threshold
+  // is doc-frequency, the guarantee check needs the line volume).
+  // `_n` holds "<lines> <docs>"; the tokens family stores just a
+  // number and parses compatibly.
+
+  /** fold an increment's distinct lines into the sketch state (same
+    * idempotent version protocol as [[heavyHittersUpdateState]]) */
+  def boilerplateUpdateState(increment: org.apache.spark.sql.DataFrame,
+      textCol: String, stateDir: String, sketchK: Int = 1024,
+      version: Option[Long] = None): Unit = {
+    val spark = increment.sparkSession
+    import spark.implicits._
+    val committed = hhCommitted(spark, stateDir)
+    val v = version.getOrElse(if (committed.isEmpty) 0L else committed.max + 1)
+    if (committed.contains(v)) return
+    val dl = increment.select(explode(array_distinct(
+      split(col(textCol), "\n", -1))).as("__w"))
+    val (inc, nInc) = sketchOf(dl)(sketchK)
+    val docsInc = increment.count()
+    val (prev, nPrev, docsPrev) = {
+      val (p, meta) = (heavyHitterState(spark, stateDir),
+        readHhMeta(spark, stateDir))
+      (p._1, meta._1, meta._2)
+    }
+    val merged = graft.functions.MisraGries.merge(prev, inc, sketchK)
+    writeHhState(spark, stateDir, v, merged,
+      s"${nPrev + nInc} ${docsPrev + docsInc}", committed)
+  }
+
+  /** heavy boilerplate lines from the PERSISTED state: isin recount of
+    * per-doc distinct lines over `corpus`, threshold = support × the
+    * state's accumulated doc count, guarantee checked against the
+    * accumulated line volume */
+  def boilerplateFromState(corpus: org.apache.spark.sql.DataFrame,
+      textCol: String, stateDir: String, support: Double,
+      sketchK: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(support > 0 && support < 1, "support in (0,1)")
+    val spark = corpus.sparkSession
+    val (cands, _) = heavyHitterState(spark, stateDir)
+    val (n, docs) = readHhMeta(spark, stateDir)
+    require((sketchK + 1).toDouble * support * docs > n,
+      s"sketchK=$sketchK too coarse for support=$support over $docs docs " +
+        s"/ $n lines — the survival guarantee does not cover the threshold")
+    val dl = corpus.select(explode(array_distinct(
+      split(col(textCol), "\n", -1))).as("__w"))
+    recount(dl, cands.keys.toSeq, docs, support)
+      .select(col("token").as("line"), col("cnt").as("docs"))
+  }
+
+  /** (items, docs) from the `_n` sidecar — a bare number (the tokens
+    * family) reads as docs = 0 */
+  private def readHhMeta(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): (Long, Long) = {
+    val versions = hhCommitted(spark, stateDir)
+    if (versions.isEmpty) return (0L, 0L)
+    val f = hhFs(spark, stateDir)
+    val in = f.open(new org.apache.hadoop.fs.Path(
+      s"$stateDir/s${versions.max}/_n"))
+    val parts = try scala.io.Source.fromInputStream(in).mkString.trim
+      .split("\\s+") finally in.close()
+    (parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L)
+  }
+
+  private def writeHhState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, v: Long, merged: Map[String, Long],
+      meta: String, committed: Seq[Long]): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/s$v"
+    merged.toSeq.toDF("token", "w")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = hhFs(spark, stateDir)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/_n"), true)
+    try out.write(meta.getBytes("UTF-8"))
+    finally out.close()
+    val m = new org.apache.hadoop.fs.Path(s"$stateDir/_commits/s$v")
+    f.mkdirs(m.getParent)
+    f.create(m, true).close()
+    committed.filter(_ < v).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/s$old"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_commits/s$old"),
+        false)
+    }
   }
 
   /** the support-threshold heavy hitters using the PERSISTED candidate

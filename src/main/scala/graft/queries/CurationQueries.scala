@@ -554,6 +554,55 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // incremental boilerplate mining (r7): the line sketch folds in
+    // two increments (doc count carried beside the line volume), the
+    // strip uses the state's heavy set — same oracle as the one-shot
+    // q_boilerplate_strip because the mergeable guarantee spans the
+    // whole increment sequence
+    "q_boilerplate_incremental" -> QueryDef(
+      """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |    THEN 'SUBSCRIBE NOW' || chr(10) || text || chr(10) || 'COOKIE NOTICE'
+        |    ELSE text END AS txt FROM documents),
+        |arr AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t),
+        |lines AS (SELECT doc_id, i, ls[i] AS l
+        |          FROM arr, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+        |dl AS (SELECT DISTINCT doc_id, l FROM lines),
+        |nd AS (SELECT COUNT(*) AS docs FROM t),
+        |heavy AS (SELECT l
+        |          FROM (SELECT l, COUNT(*) AS d FROM dl GROUP BY l), nd
+        |          WHERE d > docs * 0.3),
+        |kept AS (SELECT doc_id, i, l FROM lines
+        |         WHERE l NOT IN (SELECT l FROM heavy))
+        |SELECT t.doc_id,
+        |  COALESCE((SELECT string_agg(l, chr(10) ORDER BY i)
+        |            FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val injected = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("SUBSCRIBE NOW\n"), col("text"),
+              lit("\nCOOKIE NOTICE")))
+            .otherwise(col("text")).as("txt"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bp_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      TextFunctions.boilerplateUpdateState(
+        injected.filter(col("doc_id") < 250), "txt", dir)
+      TextFunctions.boilerplateUpdateState(
+        injected.filter(col("doc_id") >= 250), "txt", dir)
+      val heavy = TextFunctions.boilerplateFromState(
+        injected, "txt", dir, support = 0.3)
+        .select("line").collect().map(_.getString(0)).toSeq
+      val stripped =
+        if (heavy.isEmpty) injected
+        else injected.withColumn("txt",
+          array_join(filter(split(col("txt"), "\n", -1),
+            l => !l.isInCollection(heavy)), "\n"))
+      stripped.select(col("doc_id"), col("txt").as("clean"))
+        .orderBy("doc_id")
+    },
+
     // Unicode script profiling (r7): dominant script + letter share
     // over injected multilingual surfaces (the corpus is ASCII); the
     // DuckDB replay counts \p{Script} classes with the same

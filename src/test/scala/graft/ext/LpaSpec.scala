@@ -24,6 +24,37 @@ class LpaSpec extends SparkSpec {
     assert(cc == 1L)
   }
 
+  test("property: random graphs match a driver-side synchronous replay") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val n = 20 + trial * 12
+      val edges = Seq.fill(n * 2)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).distinct
+      val rounds = 3 + trial
+      val got = Lpa.propagate(edges.toDF("src", "dst"), "src", "dst",
+        rounds).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val inAdj = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+      var lab = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lab = nodes.map { v =>
+          inAdj.get(v) match {
+            case None => v -> lab(v)
+            case Some(ins) =>
+              val counts = ins.map(lab).groupBy(identity)
+                .map { case (l, xs) => l -> xs.size }
+              val mc = counts.values.max
+              v -> counts.filter(_._2 == mc).keys.min
+          }
+        }.toMap
+      }
+      assert(got == lab, s"trial $trial: " +
+        (got.toSet diff lab.toSet).take(5).toString)
+    }
+  }
+
   test("isolated-per-direction nodes keep labels; a directed star " +
     "adopts its hub") {
     val s = spark

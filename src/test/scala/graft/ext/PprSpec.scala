@@ -24,6 +24,36 @@ class PprSpec extends SparkSpec {
       scale = 100L)) == Map(1L -> 25L, 2L -> 73L))
   }
 
+  test("property: random graphs match a driver-side integer replay") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 25 + trial * 15
+      val edges = Seq.fill(n * 3)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val rounds = 4 + trial
+      val got = ranks(Ppr.personalized(edges.toDF("src", "dst"),
+        "src", "dst", source = 0L, rounds = rounds))
+      // driver replay of the exact integer recurrence
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val scale = 1000000000000L
+      var r = Map(0L -> scale)
+      for (_ <- 1 to rounds) {
+        val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        for ((u, v) <- edges; ru <- r.get(u))
+          inflow(v) = inflow.getOrElse(v, 0L) + ru / deg(u)
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        inflow.foreach { case (v, f) => next(v) = 85L * f / 100L }
+        next(0L) = next.getOrElse(0L, 0L) + 15L * scale / 100L
+        r = next.toMap
+      }
+      assert(got == r, s"trial $trial: " +
+        (got.toSet diff r.toSet).take(5).toString)
+    }
+  }
+
   test("mass conservation (minus truncation + dangling loss), source " +
     "dominates its own neighborhood, unreachable nodes absent") {
     val s = spark

@@ -76,7 +76,12 @@ class PlanGuardSpec extends SparkSpec {
       // quantiles window PER GROUP over the collapsed histogram
       "q_token_quantiles",
       // funnel stages are joins + map-combined mins — never a window
-      "q_funnel")
+      "q_funnel",
+      // token budgets run the BUCKETED prefix sum: per-(stratum,
+      // bucket) windows + a tiny broadcast offset table
+      "q_token_budget",
+      // the kNN graph windows PER QUERY VECTOR over its own cell
+      "q_knn_graph")
 
   noSinglePartition.foreach { q =>
     test(s"no single-partition exchange: $q") {

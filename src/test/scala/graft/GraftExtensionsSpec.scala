@@ -56,6 +56,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!gates.isNullAt(1))
     assert(!gates.getBoolean(2)) // too short for the Gopher word gate
 
+    // the spark.sql.extensions injection path: every injected entry
+    // must register cleanly through the extension hook's own
+    // registerFunctions (what session construction calls) — a fresh
+    // in-JVM session can't re-read static confs, so the hook is
+    // exercised directly against the live registry
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+    val v = spark.sql(
+      "SELECT url_host('https://A.B.c/x'), token_count('a b c')").head()
+    assert(v.getString(0) == "a.b.c" && v.getInt(1) == 3)
+
     // non-literal parameter → readable refusal
     val err = intercept[Exception] {
       spark.sql("SELECT word_ngrams(split(t, ' '), id) FROM raw").collect()

@@ -21,4 +21,12 @@ object ColumnBridge {
     */
   def convertedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** drive a configured `SparkSessionExtensions`' function injections
+    * into a registry — the `private[sql]` step session construction
+    * performs, exposed so tests can exercise the extensions hook */
+  def registerInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
 }

@@ -63,7 +63,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // exercised directly against the live registry
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)
-    ext.registerFunctions(spark.sessionState.functionRegistry)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerInjectedFunctions(
+      ext, spark.sessionState.functionRegistry)
     val v = spark.sql(
       "SELECT url_host('https://A.B.c/x'), token_count('a b c')").head()
     assert(v.getString(0) == "a.b.c" && v.getInt(1) == 3)

@@ -686,6 +686,56 @@ class EdgeStreamSpec extends SparkSpec {
     assert(stateEdges() == batchEdges(b0 ++ b1 ++ b2))
   }
 
+  test("streaming semantic clustering end-to-end: kNN state → mutual " +
+    "edges → cluster maintenance equals the batch chain after every " +
+    "batch") {
+    val s = spark
+    import s.implicits._
+    import graft.ext.{Cc, Similarity}
+    val base = Files.createTempDirectory("graft_semcluster").toString
+    val (ivf, knn, labels) =
+      (s"$base/ivf", s"$base/knn", s"$base/labels")
+    def df(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    // three batches: a pair, then a vector bridging nothing, then a
+    // bridge that merges two mutual pairs through a new tight triple
+    val batches = Seq(
+      Seq((1L, Seq(1f, 0f, 0f), 0), (2L, Seq(0.98f, 0.2f, 0f), 0)),
+      Seq((10L, Seq(0f, 0f, 1f), 7), (11L, Seq(0f, 0.1f, 1f), 7)),
+      Seq((3L, Seq(0.99f, 0.1f, 0f), 0)))
+    // cluster state is APPEND-ONLY (the documented no-retraction
+    // contract), while a mutual edge can retract when a closer
+    // neighbor arrives — so the invariant is CC over the UNION of the
+    // mutual sets observed after each batch, not over the final set
+    var accPairs = Set.empty[(Long, Long)]
+    for ((b, i) <- batches.zipWithIndex) {
+      EdgeStream.knnBatch(df(b), i.toLong, "vec_id", "embedding",
+        "label", 1, ivf, knn)
+      val mutual = Similarity.mutualKnnEdges(
+        Similarity.readKnnGraph(spark, knn))
+      accPairs = accPairs ++ mutual.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      EdgeStream.clusterBatch(
+        mutual.select(col("a").as("id_a"), col("b").as("id_b")),
+        i.toLong, "id_a", "id_b", labels, (_, _) => ())
+      val got = EdgeStream.readClusterLabels(spark, labels).get
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Cc.connectedComponents(
+        accPairs.toSeq.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"batch $i: got $got want $want")
+    }
+    // the retraction actually happened: the final mutual set no longer
+    // carries (1, 2), yet 1 stays in the merged cluster's history
+    val finalMutual = Similarity.mutualKnnEdges(
+      Similarity.readKnnGraph(spark, knn)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!finalMutual.contains((1L, 2L)), finalMutual.toString)
+    val lastLabels = EdgeStream.readClusterLabels(spark, labels).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lastLabels(1L) == lastLabels(2L))
+  }
+
   test("streaming ANN-index ingestion: near-dup gating vs history, replay-idempotent") {
     val s = spark
     import s.implicits._

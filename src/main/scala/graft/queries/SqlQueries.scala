@@ -167,6 +167,30 @@ object SqlQueries {
     // tearing down the reversed mirror + InDegree it induced on the
     // region table — and recreates empty. The oracle replays the pre-
     // drop InDegree from the flat tables; post-drop is the torn-down 0.
+    // library SQL functions through the DIALECT path (r7): every
+    // GraphSession auto-registers the native expressions, so a plain
+    // relational statement can clean and profile text inline — the
+    // oracle replays html_to_text from the same generated spec plus
+    // the script/count surfaces
+    "q_sql_functions" -> QueryDef({
+      val clean = graft.functions.HtmlText.oracleSqlFor(
+        "'<p>Doc ' || o_orderkey || '</p><script>x<1</script>'")
+      s"""SELECT DISTINCT o_orderkey, $clean AS cleaned,
+         |  CAST(len(regexp_split_to_array(trim('order ' || o_orderkey),
+         |    '\\s+')) AS INTEGER) AS toks
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderkey < 100
+         |ORDER BY o_orderkey""".stripMargin
+    }) { (s, d) =>
+      session(s, d).sql(
+        """SELECT DISTINCT o.o_orderkey AS o_orderkey,
+          |  html_to_text('<p>Doc ' || o.o_orderkey || '</p><script>x<1</script>') AS cleaned,
+          |  token_count('order ' || o.o_orderkey) AS toks
+          |FROM Order o, Part p MATCH o-[contains]->p
+          |WHERE o.o_orderkey < 100
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // catalog introspection (r7): SHOW NODE TABLES / DESCRIBE — the
     // dialect face of the reference's metadata tables; the oracle
     // states the fixture schema as literals, so any drift in the

@@ -518,6 +518,22 @@ object EdgeStream {
     graft.ext.Similarity.knnVacuumBelow(spark, knnDir, batchId)
   }
 
+  /** Streaming boilerplate-line mining: the line-sketch face of
+    * [[heavyHitterSketch]] — each micro-batch folds its per-doc
+    * distinct lines into the persisted template state
+    * ([[graft.ext.TextFunctions.boilerplateUpdateState]]), batchId-
+    * keyed so replays are committed no-ops; answers come from
+    * [[graft.ext.TextFunctions.boilerplateFromState]].
+    */
+  def boilerplateSketch(docs: DataFrame, textCol: String,
+      stateDir: String, sketchK: Int = 1024): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.TextFunctions.boilerplateUpdateState(
+          batch, textCol, stateDir, sketchK, version = Some(batchId))
+      }
+
   /** Event sessionization — the custom-state shape Structured Streaming
     * exposes through `flatMapGroupsWithState` (SURVEY §2.10 extension):
     * per user, events within `gapMs` of the running session extend it;

@@ -91,6 +91,48 @@ object Dedup {
     * intersection and sizes see the same capped universe, keeping the
     * jaccard internally consistent).
     */
+  /** Edit-distance near-dup pairs with LENGTH BLOCKING — the exact
+    * complement to the shingle family: Levenshtein ≤ d certifies
+    * "differs by at most d character edits" (typo-level variants,
+    * template fills), which low-Jaccard pairs can satisfy and
+    * high-Jaccard pairs can violate. Since |len(a) − len(b)| ≤
+    * distance is a hard lower bound on edit distance, candidates are
+    * confined to same-or-adjacent length buckets of width d+1: two
+    * bucket-equi joins (b = b and b = b+1) replace the cartesian, and
+    * the per-pair verification is the codegen'd integer `levenshtein`
+    * with its early-exit threshold — both engines run the same
+    * classic DP, so the result is EXACTLY all pairs at ≤ d, not a
+    * candidate superset. Cost honesty: pairs within a length bucket
+    * are quadratic in the bucket's population; prose lengths spread
+    * widely, but near-constant-length corpora (tweets, titles) should
+    * pre-shard by another key first.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val w = maxDist + 1
+    def side(alias: String) = df.select(
+      col(idCol).cast(LongType).as(s"id_$alias"),
+      col(textCol).as(s"t_$alias"),
+      (length(col(textCol)) / w).cast(LongType).as(s"b_$alias"))
+    val a = side("a")
+    val b = side("b")
+    val same = a.join(b, col("b_a") === col("b_b") &&
+      col("id_a") < col("id_b"))
+    // adjacent buckets need no id ordering: the bucket inequality
+    // already breaks symmetry (every cross-bucket pair appears once)
+    val adj = a.join(b, col("b_a") + 1 === col("b_b"))
+    same.unionByName(adj)
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDist)
+      // adjacent-bucket pairs carry bucket order, not id order —
+      // canonicalize to id_a < id_b
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("dist").cast(IntegerType))
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minJaccard: Double,
       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {

@@ -603,6 +603,30 @@ object PipelineQueries {
     // rounds instead of GraphX's O(diameter) Pregel, no RDD round-trip.
     // Same recursive-CTE oracle as q_dedup_clusters: the min-id
     // labeling is unique, so both engines must agree exactly
+    // exact edit-distance pairs via length blocking (r7): injected
+    // 2-edit variants plus whatever exact/near duplicates the corpus
+    // carries naturally — both engines run the same integer DP, so
+    // the result is exactly all pairs at <= 3 edits, no candidates
+    "q_dedup_edit_distance" -> QueryDef(
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000, text || ' x'
+        |           FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        |FROM u a JOIN u b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 3
+        |WHERE levenshtein(a.text, b.text) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val u = docs.union(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text")))
+      Dedup.editDistancePairs(u, "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     "q_dedup_clusters_df" -> QueryDef(
       sqlJaccardClusters(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
       val docs = Tables.load(s, d, "documents")

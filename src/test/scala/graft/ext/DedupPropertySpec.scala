@@ -13,6 +13,38 @@ import org.scalacheck.rng.Seed
   */
 class DedupPropertySpec extends SparkSpec {
 
+  test("editDistancePairs: length blocking equals driver brute force " +
+    "(no candidate misses across bucket boundaries)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    val alphabet = "abc"
+    def word(n: Int) = Seq.fill(n)(alphabet(rng.nextInt(3))).mkString
+    // lengths straddle bucket boundaries for d=2 (width-3 buckets)
+    val rows = (0 until 60).map(i => (i.toLong, word(4 + rng.nextInt(6))))
+    val got = Dedup.editDistancePairs(rows.toDF("id", "t"), "t", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == want,
+      s"diff: ${(got diff want) ++ (want diff got)}")
+  }
+
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(7L + i)))
 

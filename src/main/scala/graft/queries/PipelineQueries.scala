@@ -606,12 +606,17 @@ object PipelineQueries {
     // exact edit-distance pairs via length blocking (r7): injected
     // 2-edit variants plus whatever exact/near duplicates the corpus
     // carries naturally — both engines run the same integer DP, so
-    // the result is exactly all pairs at <= 3 edits, no candidates
+    // the result is exactly all pairs at <= 3 edits, no candidates.
+    // The universe is id-capped: pairwise-within-bucket work grows
+    // quadratically with SF and this row verifies SEMANTICS — the
+    // scale posture (blocking beats cartesian) is the operator's,
+    // not the fixture's
     "q_dedup_edit_distance" -> QueryDef(
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |           UNION ALL
-        |           SELECT doc_id + 10000, text || ' x'
-        |           FROM documents WHERE doc_id % 5 = 0)
+      """WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
+        |u AS (SELECT doc_id, text FROM s
+        |      UNION ALL
+        |      SELECT doc_id + 10000, text || ' x'
+        |      FROM s WHERE doc_id % 5 = 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
         |FROM u a JOIN u b
@@ -619,7 +624,8 @@ object PipelineQueries {
         | AND abs(length(a.text) - length(b.text)) <= 3
         |WHERE levenshtein(a.text, b.text) <= 3
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val docs = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 600).select("doc_id", "text")
       val u = docs.union(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(col("text"), lit(" x")).as("text")))

@@ -98,11 +98,15 @@ object ClusteredStore {
 
   /** append an increment as an unclustered delta of the current base —
     * one plain parquet write + one marker create, no exchange. A `tag`
-    * names the delta deterministically (`d<base>_t<tag>`): appending a
-    * tag that already COMMITTED for this base is a no-op, which makes
-    * batchId-tagged streaming appends replay-idempotent; a crashed
-    * attempt's uncommitted dir is overwritten by the retry. Untagged
-    * appends auto-number.
+    * names the delta deterministically (`d<base>_t<tag>`) AND records
+    * an epoch-independent `applied_t<tag>` marker: appending a tag
+    * that was ever applied is a no-op EVEN ACROSS A COMPACTION (the
+    * delta's own marker is namespaced per base and vacuums with it,
+    * so without the applied ledger a crash between compact and the
+    * stream checkpoint would double-ingest the replayed batch). A
+    * crashed attempt's uncommitted dir is overwritten by the retry.
+    * Untagged appends auto-number. Applied markers are one empty file
+    * per tag and are retained by [[vacuum]] for the store's lifetime.
     */
   def append(spark: SparkSession, root: String, df: DataFrame,
       tag: Option[String] = None): Unit = {
@@ -115,7 +119,15 @@ object ClusteredStore {
         s"d${base}_t$t"
       case None => s"d${base}_${nextIndex(spark, root, s"d${base}_")}"
     }
-    if (committed(spark, root).contains(name)) return
+    val already = committed(spark, root)
+    val applied = tag.map(t => s"applied_t$t")
+    if (applied.exists(already.contains)) return
+    if (already.contains(name)) {
+      // delta committed but the applied marker missed (crash between
+      // the two creates) — heal the ledger, rows are already in
+      applied.foreach(commit(spark, root, _))
+      return
+    }
     // schema drift guard: silently appending a differing schema would
     // poison every later read/compact with merge surprises — refuse
     // loudly (names + types compared positionally, metadata ignored)
@@ -128,6 +140,7 @@ object ClusteredStore {
         s"increment has ${incoming.simpleString}")
     df.write.mode("overwrite").parquet(s"$root/$name")
     commit(spark, root, name)
+    applied.foreach(commit(spark, root, _))
   }
 
   /** the live view: current base ∪ its committed deltas */
@@ -205,7 +218,9 @@ object ClusteredStore {
     val cm = new HPath(s"$root/_commits")
     if (f.exists(cm)) {
       f.listStatus(cm).map(_.getPath)
-        .filter(p => !keep(p.getName))
+        // applied_t* is the epoch-independent replay ledger — it must
+        // outlive the base whose delta it tagged (see [[append]])
+        .filter(p => !keep(p.getName) && !p.getName.startsWith("applied_"))
         .foreach(p => f.delete(p, false))
     }
   }

@@ -37,7 +37,15 @@ object Mmr {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private def scaled(x: Double): Long = Math.round(x * Scale)
+  // HALF_UP = half AWAY FROM ZERO — the same tie rule DuckDB's
+  // ROUND(x*1e9, 0) applies. Math.round would differ on NEGATIVE
+  // cosines landing exactly on a .5 grid point (it rounds toward +inf:
+  // Math.round(-2.5) = -2, DuckDB ROUND → -3), which could flip a
+  // greedy pick in precisely the integer-exact replay this module
+  // advertises.
+  private[ext] def scaled(x: Double): Long =
+    new java.math.BigDecimal(x * Scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
   /** (rank, id, rel) — `rel` is ROUND(cos(query, c), 4), display only;
     * selection uses the 1e-9 integer grid. `candidates` must already

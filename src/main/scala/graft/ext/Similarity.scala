@@ -191,6 +191,18 @@ object Similarity {
     }
   }
 
+  /** Vacuum every committed version except the newest one. Unlike
+    * `knnVacuumBelow(dir, batchId)` this is safe to call after an
+    * EMPTY micro-batch (routine in Structured Streaming): no version
+    * `batchId` exists then, and vacuuming below it would delete the
+    * entire committed state. Keying on the max committed version keeps
+    * exactly the state a replay or reader needs. */
+  private[graft] def knnVacuumStale(spark: org.apache.spark.sql.SparkSession,
+      knnDir: String): Unit = {
+    val vs = knnVersions(spark, knnDir)
+    if (vs.nonEmpty) knnVacuumBelow(spark, knnDir, vs.max)
+  }
+
   /** drop a state version (committed or not) — the begin-phase cleanup
     * of a crashed streaming attempt */
   private[graft] def knnDropVersion(spark: org.apache.spark.sql.SparkSession,
@@ -236,10 +248,25 @@ object Similarity {
       .map(_.get(0))
     // bootstrap falls out of the general case: with no IVF layout and
     // no stored state yet, the candidate set is inc×inc and every
-    // node is "new" — which IS the batch build of the first increment
+    // node is "new" — which IS the batch build of the first increment.
+    // "Exists" means HAS DATA FILES, not bare directory existence: a
+    // crashed mid-publish of the FIRST batch can leave empty cell=
+    // partition dirs (the ledger's begin sweep removes data files but
+    // keeps dirs), and reading those fails parquet schema inference,
+    // permanently wedging every replay.
     val ivfExists = {
       val p = new org.apache.hadoop.fs.Path(ivfDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.exists(p) && {
+        val it = f.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          found = st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        found
+      }
     }
     val old =
       if (!ivfExists)

@@ -515,7 +515,10 @@ object EdgeStream {
         vacuumOld = false)
     }
     ledger.commit(batchId)
-    graft.ext.Similarity.knnVacuumBelow(spark, knnDir, batchId)
+    // Vacuum keys on the max COMMITTED version, not batchId: an empty
+    // micro-batch writes no version batchId, and vacuuming below the
+    // batchId would then delete every surviving state version.
+    graft.ext.Similarity.knnVacuumStale(spark, knnDir)
   }
 
   /** Streaming boilerplate-line mining: the line-sketch face of

@@ -95,4 +95,29 @@ class ClusteredStoreSpec extends SparkSpec {
     // live view is the newest epoch
     assert(ids(ClusteredStore.read(spark, root)) == (0L until 160L).toSet)
   }
+
+  test("tagged replay is a no-op ACROSS a compaction: the applied " +
+    "ledger outlives the base epoch whose delta it tagged") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_cstore_xcompact").toString
+    val d0 = (0L until 10L).map(i => (i, i % 3)).toDF("id", "a")
+    ClusteredStore.create(spark, root, d0, Seq("a", "id"), bits = 4)
+    val b7 = (100L until 110L).map(i => (i, i % 3)).toDF("id", "a")
+    // the crash scenario from r7 ADVICE: ingest batch 7 AND compact in
+    // one foreachBatch call, crash before the stream checkpoint
+    // commits, then the stream replays batch 7 against the NEW base —
+    // the old base's delta marker is vacuumed, so without the applied
+    // ledger the rows would land twice
+    ClusteredStore.append(spark, root, b7, tag = Some("b7"))
+    ClusteredStore.compact(spark, root, Seq("a", "id"), bits = 4)
+    ClusteredStore.append(spark, root, b7, tag = Some("b7")) // replay
+    val got = ClusteredStore.read(spark, root)
+    assert(got.count() == 20L, s"double-ingest: ${got.count()} rows")
+    assert(got.groupBy("id").count().filter(col("count") > 1).count() == 0L)
+    // a genuinely new tag still ingests normally afterwards
+    ClusteredStore.append(spark, root,
+      Seq((999L, 0L)).toDF("id", "a"), tag = Some("b8"))
+    assert(ClusteredStore.read(spark, root).count() == 21L)
+  }
 }

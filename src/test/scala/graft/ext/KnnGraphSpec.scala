@@ -75,4 +75,28 @@ class KnnGraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == batch)
   }
+
+  test("increment bootstraps through an ivfDir holding only empty " +
+    "cell dirs (crashed first-batch publish leaves dirs, no data)") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_knn_wedge").toString
+    val (ivfDir, knnDir) = (s"$base/ivf", s"$base/knn")
+    // the crash residue: begin-phase sweep removed the part files but
+    // left the partition directory skeleton behind
+    new java.io.File(s"$ivfDir/label=0").mkdirs()
+    new java.io.File(s"$ivfDir/label=7").mkdirs()
+    val inc = Seq(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.4f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    // before the fix this threw "Unable to infer schema for Parquet"
+    // on every retry; now the empty skeleton reads as no-history
+    Similarity.knnGraphIncrement(inc, "vec_id", "embedding", "label",
+      k = 1, ivfDir, knnDir)
+    val got = Similarity.readKnnGraph(spark, knnDir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L)), got.toString)
+  }
 }

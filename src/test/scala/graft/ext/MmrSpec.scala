@@ -37,4 +37,15 @@ class MmrSpec extends SparkSpec {
       Mmr.select(big, "id", "embedding", q, k = 2, maxShortlist = 10)
     }
   }
+
+  test("integer scaling matches DuckDB's ROUND tie rule: half away " +
+    "from zero on BOTH signs of the .5 grid") {
+    // Math.round would give -2 for -2.5e-9 * 1e9 (toward +inf) —
+    // DuckDB ROUND gives -3; the replay contract needs the latter
+    assert(Mmr.scaled(2.5e-9) == 3L)
+    assert(Mmr.scaled(-2.5e-9) == -3L)
+    assert(Mmr.scaled(1.0) == 1000000000L)
+    assert(Mmr.scaled(-1.0) == -1000000000L)
+    assert(Mmr.scaled(0.0) == 0L)
+  }
 }

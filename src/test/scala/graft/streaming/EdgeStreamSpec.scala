@@ -684,6 +684,19 @@ class EdgeStreamSpec extends SparkSpec {
     EdgeStream.knnBatch(df(b2), 2L, "vec_id", "embedding", "label",
       1, ivf, knn)
     assert(stateEdges() == batchEdges(b0 ++ b1 ++ b2))
+
+    // an EMPTY micro-batch (routine: no new offsets, upstream filter
+    // drops everything) must not destroy committed state — the r7
+    // regression vacuumed below batchId with no version batchId written,
+    // deleting every surviving version
+    EdgeStream.knnBatch(df(Seq.empty), 3L, "vec_id", "embedding",
+      "label", 1, ivf, knn)
+    assert(stateEdges() == batchEdges(b0 ++ b1 ++ b2))
+    // and the stream keeps going normally afterwards
+    val b4 = Seq((5L, Seq(0.5f, 0.5f, 0f), 0))
+    EdgeStream.knnBatch(df(b4), 4L, "vec_id", "embedding", "label",
+      1, ivf, knn)
+    assert(stateEdges() == batchEdges(b0 ++ b1 ++ b2 ++ b4))
   }
 
   test("streaming semantic clustering end-to-end: kNN state → mutual " +

@@ -101,10 +101,17 @@ object GraftExtensions {
         f(org.apache.spark.sql.graftbridge.ColumnBridge.column(a.head))))
 
   /** register into a LIVE session (tests, notebooks) — same builders
-    * as the extensions path */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * as the extensions path. Idempotent: a name already present (via
+    * `spark.sql.extensions` injection or an earlier call — every
+    * GraphSession construction lands here) is left alone, so repeated
+    * registration neither replaces functions nor spams the
+    * SimpleFunctionRegistry "function replaced" WARN into stderr.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 }

@@ -91,46 +91,79 @@ object Dedup {
     * intersection and sizes see the same capped universe, keeping the
     * jaccard internally consistent).
     */
-  /** Edit-distance near-dup pairs with LENGTH BLOCKING — the exact
-    * complement to the shingle family: Levenshtein ≤ d certifies
-    * "differs by at most d character edits" (typo-level variants,
-    * template fills), which low-Jaccard pairs can satisfy and
-    * high-Jaccard pairs can violate. Since |len(a) − len(b)| ≤
-    * distance is a hard lower bound on edit distance, candidates are
-    * confined to same-or-adjacent length buckets of width d+1: two
-    * bucket-equi joins (b = b and b = b+1) replace the cartesian, and
-    * the per-pair verification is the codegen'd integer `levenshtein`
-    * with its early-exit threshold — both engines run the same
-    * classic DP, so the result is EXACTLY all pairs at ≤ d, not a
-    * candidate superset. Cost honesty: pairs within a length bucket
-    * are quadratic in the bucket's population; prose lengths spread
-    * widely, but near-constant-length corpora (tweets, titles) should
-    * pre-shard by another key first.
+  /** Edit-distance near-dup pairs — the exact complement to the
+    * shingle family: Levenshtein ≤ d certifies "differs by at most d
+    * character edits" (typo-level variants, template fills), which
+    * low-Jaccard pairs can satisfy and high-Jaccard pairs can violate.
+    *
+    * Blocking is Ed-Join-style PREFIX FILTERING over character
+    * q-grams, composed with the length window (|len(a) − len(b)| ≤ d
+    * is a hard Levenshtein lower bound): one edit destroys at most q
+    * of a string's q-grams, so if ed(a,b) ≤ d then at most q·d
+    * distinct q-grams of `a` can be absent from `b` — ordering the
+    * gram universe globally (ascending document frequency, rarest
+    * first, ties by value) and keeping each doc's first q·d+1 grams as
+    * its PREFIX, two within-distance docs must share a prefix gram
+    * (were the prefixes disjoint, the side whose prefix ends earlier
+    * in the order would have q·d+1 distinct grams missing from the
+    * other — see Xiao et al., Ed-Join, VLDB'08). Candidates are one
+    * equi-join on the prefix-gram key — never a length-bucket
+    * cartesian, so near-constant-length corpora (tweets, code lines)
+    * no longer degenerate: same-length docs only pair when they share
+    * a RARE gram. The df-ascending order makes hot grams (stop-phrase
+    * bigrams) last to enter any prefix, bounding fan-out the same way
+    * the shingle family's hot-shingle cap does, but losslessly.
+    *
+    * Completeness needs a doc to HAVE q·d+1 grams: docs shorter than
+    * q·(d+1) chars fall back to an all-pairs bucket over the
+    * ≤ q·(d+1)−1+d -char population (their only possible partners) —
+    * quadratic only over near-empty strings, a bounded universe at
+    * any corpus size. Verification is the codegen'd banded
+    * `levenshtein(a, b, threshold)` (O(d·len), early exit) — both
+    * engines run the same classic DP, so the result is EXACTLY all
+    * pairs at ≤ d, not a candidate superset.
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val w = maxDist + 1
-    def side(alias: String) = df.select(
-      col(idCol).cast(LongType).as(s"id_$alias"),
-      col(textCol).as(s"t_$alias"),
-      (length(col(textCol)) / w).cast(LongType).as(s"b_$alias"))
-    val a = side("a")
-    val b = side("b")
-    val same = a.join(b, col("b_a") === col("b_b") &&
-      col("id_a") < col("id_b"))
-    // adjacent buckets need no id ordering: the bucket inequality
-    // already breaks symmetry (every cross-bucket pair appears once)
-    val adj = a.join(b, col("b_a") + 1 === col("b_b"))
-    same.unionByName(adj)
-      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
-      .filter(col("dist") <= maxDist)
-      // adjacent-bucket pairs carry bucket order, not id order —
-      // canonicalize to id_a < id_b
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("dist").cast(IntegerType))
+    require(q >= 2, "q must be >= 2")
+    val prefLen = q * maxDist + 1
+    val shortMax = q * (maxDist + 1) - 1 // fewer than prefLen q-grams
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+    // long docs: distinct char q-grams, global df, per-doc rarest-first
+    // prefix of q·d+1 grams
+    val grams = docs.filter(col("len") > shortMax)
+      .select(col("id"), col("len"), explode(array_distinct(expr(
+        s"transform(sequence(1, len - ${q - 1}), i -> substring(t, i, $q))")))
+        .as("g"))
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("gdf"), col("g"))
+    val prefix = grams.join(gdf, "g")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= prefLen)
+      .select("id", "g", "len")
+    val candLong = prefix.as("a").join(prefix.as("b"),
+      col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // short docs can't fill a prefix — their partners are capped at
+    // shortMax + d chars, so the fallback all-pairs universe is tiny
+    val short = docs.filter(col("len") <= shortMax)
+    val partners = docs.filter(col("len") <= shortMax + maxDist)
+    val candShort = short.as("a").join(partners.as("b"),
+      col("a.id") =!= col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val texts = docs.select(col("id"), col("t"))
+    candLong.unionByName(candShort).distinct()
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,

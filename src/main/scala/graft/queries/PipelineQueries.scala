@@ -603,20 +603,19 @@ object PipelineQueries {
     // rounds instead of GraphX's O(diameter) Pregel, no RDD round-trip.
     // Same recursive-CTE oracle as q_dedup_clusters: the min-id
     // labeling is unique, so both engines must agree exactly
-    // exact edit-distance pairs via length blocking (r7): injected
-    // 2-edit variants plus whatever exact/near duplicates the corpus
-    // carries naturally — both engines run the same integer DP, so
-    // the result is exactly all pairs at <= 3 edits, no candidates.
-    // The universe is id-capped: pairwise-within-bucket work grows
-    // quadratically with SF and this row verifies SEMANTICS — the
-    // scale posture (blocking beats cartesian) is the operator's,
-    // not the fixture's
+    // exact edit-distance pairs (r8: Ed-Join prefix-q-gram blocking
+    // composed with the length window — the r7 length-bucket join was
+    // quadratic within a bucket, so this row had to cap its universe;
+    // prefix filtering is lossless AND rare-gram-bounded, so the full
+    // corpus runs): injected 2-edit variants plus whatever exact/near
+    // duplicates the corpus carries naturally — both engines run the
+    // same integer DP, so the result is exactly all pairs at <= 3
+    // edits, no candidates
     "q_dedup_edit_distance" -> QueryDef(
-      """WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
-        |u AS (SELECT doc_id, text FROM s
+      """WITH u AS (SELECT doc_id, text FROM documents
         |      UNION ALL
         |      SELECT doc_id + 10000, text || ' x'
-        |      FROM s WHERE doc_id % 5 = 0)
+        |      FROM documents WHERE doc_id % 5 = 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
         |FROM u a JOIN u b
@@ -625,7 +624,7 @@ object PipelineQueries {
         |WHERE levenshtein(a.text, b.text) <= 3
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-        .filter(col("doc_id") < 600).select("doc_id", "text")
+        .select("doc_id", "text")
       val u = docs.union(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(col("text"), lit(" x")).as("text")))

@@ -45,6 +45,57 @@ class DedupPropertySpec extends SparkSpec {
       s"diff: ${(got diff want) ++ (want diff got)}")
   }
 
+  test("editDistancePairs: adversarial SAME-LENGTH corpus — prefix " +
+    "q-gram blocking misses no pair <= d (the topology where pure " +
+    "length blocking degenerates)") {
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    for ((seed, d) <- Seq((17, 2), (18, 3), (19, 1))) {
+      val rng = new scala.util.Random(seed)
+      // EVERY doc the same length over a 3-char alphabet: the old
+      // length buckets would put all of them in ONE bucket; prefix
+      // filtering must still find exactly the <= d pairs. Mix in
+      // planted near-dups (substitutions only, length-preserving) so
+      // positives actually occur, plus a handful of SHORT strings to
+      // exercise the fallback bucket and its boundary with the long
+      // side (shortMax = q*(d+1)-1 chars for q=2)
+      val L = 12
+      def word(n: Int) = Seq.fill(n)("abc"(rng.nextInt(3))).mkString
+      val base = (0 until 40).map(i => (i.toLong, word(L)))
+      val planted = (0 until 20).map { i =>
+        val (_, t) = base(rng.nextInt(base.length))
+        val arr = t.toCharArray
+        for (_ <- 0 until (1 + rng.nextInt(d)))
+          arr(rng.nextInt(L)) = "abc"(rng.nextInt(3))
+        (100L + i, new String(arr))
+      }
+      val shorts = (0 until 10).map(i =>
+        (200L + i, word(rng.nextInt(2 * (d + 1) + 2))))
+      val rows = base ++ planted ++ shorts
+      val got = Dedup.editDistancePairs(rows.toDF("id", "t"), "t", "id", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        dd = lev(ta, tb) if dd <= d
+      } yield (ia, ib, dd)).toSet
+      assert(got == want,
+        s"d=$d seed=$seed diff: ${(got diff want) ++ (want diff got)}")
+    }
+  }
+
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(7L + i)))
 

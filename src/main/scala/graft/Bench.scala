@@ -24,6 +24,27 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Generic JVM pre-warm, NOT timed and NOT touching the benchmark
+    // data: the first Spark actions in a fresh JVM pay JIT compilation
+    // of the whole scheduler/codegen/shuffle stack plus parquet
+    // reader/writer init — first-run costs of the RUNTIME, not of the
+    // graph build being measured. Exercise each subsystem once on
+    // synthetic rows (shuffle agg, window, collect_list+sort_array —
+    // the build's own operator mix — and a parquet round-trip).
+    {
+      val tmp = java.nio.file.Files.createTempDirectory("bench_warm")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("id")
+      import org.apache.spark.sql.functions._
+      spark.range(1 << 18)
+        .select(col("id"), pmod(col("id"), lit(64)).as("k"))
+        .withColumn("r", row_number().over(w))
+        .groupBy("k")
+        .agg(sum("id"), sort_array(collect_list(struct(col("r"), col("id")))))
+        .write.mode("overwrite").parquet(tmp.toString)
+      spark.read.parquet(tmp.toString).count()
+    }
+
     // warm the graph + stats caches (bulk-load phase), timed once; the 8
     // node-table builds are independent jobs — materialize them
     // concurrently (a real bulk load would submit them the same way)
@@ -86,15 +107,59 @@ object Bench {
     def family(n: String): String =
       famNames.find(f => n.startsWith(f + "_"))
         .map(_.stripPrefix("q_")).getOrElse("other")
-    val famSums = measured
-      .groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
+    val famMap: Map[String, Double] = measured
+      .groupBy { case (n, _) => family(n) }
       .map { case (f, qq) =>
-        "\"" + f + "\":" + r3(qq.map { case (_, ts) => ts(ts.size / 2) }.sum)
-      }.mkString("{", ",", "}")
+        f -> qq.map { case (_, ts) => ts(ts.size / 2) }.sum
+      }
+    val famSums = famMap.toSeq.sortBy(_._1)
+      .map { case (f, v) => "\"" + f + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     def line(fams: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"runs_per_query":$runsPer,"sf":"$sfDir","full":"$fullPath"}"""
     val out = if (line(famSums).length <= 1500) line(famSums) else line("{}")
     println(out)
+
+    // Per-family budget gate, OFF unless SPARK_GRAFT_BENCH_BUDGETS is
+    // set ("default" = the recorded DefaultBudgets; or an explicit
+    // "dedup=30,ann=10" list). A single query can triple its family
+    // (the r7 edit-distance incident) and the regression then only
+    // surfaces in the driver's tail — with the gate on, the in-round
+    // bench fails loudly instead. Violations print AFTER the summary
+    // line so the run's data stays usable, then exit 3.
+    sys.env.get("SPARK_GRAFT_BENCH_BUDGETS").foreach { specRaw =>
+      val budgets =
+        if (specRaw.trim == "default") DefaultBudgets
+        else specRaw.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k.trim -> v.trim.toDouble
+        }.toMap
+      val violations = budgetViolations(famMap, budgets)
+      if (violations.nonEmpty) {
+        violations.foreach(v => System.err.println(s"[bench-budget] $v"))
+        spark.stop()
+        sys.exit(3)
+      }
+    }
     spark.stop()
   }
+
+  /** Recorded per-family wall-clock budgets (seconds, family = sum of
+    * per-query medians at sf0.1 / local[32]) — the r8 cold-cache run
+    * with ~1.5x headroom for machine noise. Re-record when a family
+    * legitimately grows (new queries) — the point is that growth is a
+    * DECISION, not a surprise.
+    */
+  val DefaultBudgets: Map[String, Double] = Map(
+    "ann" -> 10.0, "dedup" -> 45.0, "dml" -> 4.0, "graphx" -> 3.0,
+    "match" -> 4.0, "multimodal" -> 17.0, "other" -> 85.0,
+    "path" -> 3.5, "pipeline" -> 16.0, "sql" -> 15.0, "text" -> 2.0)
+
+  /** pure check, unit-testable: families over budget, rendered */
+  private[graft] def budgetViolations(famSums: Map[String, Double],
+      budgets: Map[String, Double]): Seq[String] =
+    budgets.toSeq.sortBy(_._1).flatMap { case (f, b) =>
+      famSums.get(f).filter(_ > b).map(v =>
+        f"family '$f' at $v%.2f s exceeds its $b%.2f s budget")
+    }
 }

@@ -280,6 +280,36 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     cache.remove(name)
   }
 
+  /** CLEAR DATA — the reference's `ClearData`
+    * (`GraphViewConnection.cs:419`): truncate every node table to zero
+    * rows; the schema, views, procs and bucketed layout all stay. Each
+    * truncation is the crash-safe [[rewrite]] swap, so a crash
+    * mid-clear leaves each table either full or empty, never torn.
+    */
+  def clearData(): Unit =
+    schema.tables.foreach(td =>
+      rewrite(td.name, provider.nodeTable(td.name).limit(0)))
+
+  /** DROP GRAPH — the reference's `ClearGraphDatabase`
+    * (`GraphViewConnection.cs:542`): drop the entire graph — node
+    * tables, persisted views, procs and the schema meta — returning
+    * the catalog dir to its freshly-created state. The instance stays
+    * usable: the next CREATE NODE TABLE starts a fresh graph (table
+    * ids restart at 1).
+    */
+  def dropGraph(): Unit = {
+    buckets.foreach(_ => schema.tables.foreach(td =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(td.name)}")))
+    schema = GraphSchema(Nil)
+    propertyTypes = Map.empty
+    nodeViews = Nil
+    edgeViews = Nil
+    procs = Nil
+    cache.clear()
+    val root = new HPath(dir)
+    fsOf(root).delete(root, true)
+  }
+
   private def emptyPairs(e: EdgeDef): DataFrame = {
     val fields = StructField("src", LongType) +: StructField("sink", LongType) +:
       e.attrs.map(a => StructField(a.name, a.dataType))

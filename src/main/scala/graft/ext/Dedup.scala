@@ -100,19 +100,29 @@ object Dedup {
     * q-grams, composed with the length window (|len(a) − len(b)| ≤ d
     * is a hard Levenshtein lower bound): one edit destroys at most q
     * of a string's q-grams, so if ed(a,b) ≤ d then at most q·d
-    * distinct q-grams of `a` can be absent from `b` — ordering the
-    * gram universe globally (ascending document frequency, rarest
-    * first, ties by value) and keeping each doc's first q·d+1 grams as
-    * its PREFIX, two within-distance docs must share a prefix gram
-    * (were the prefixes disjoint, the side whose prefix ends earlier
-    * in the order would have q·d+1 distinct grams missing from the
-    * other — see Xiao et al., Ed-Join, VLDB'08). Candidates are one
-    * equi-join on the prefix-gram key — never a length-bucket
-    * cartesian, so near-constant-length corpora (tweets, code lines)
-    * no longer degenerate: same-length docs only pair when they share
-    * a RARE gram. The df-ascending order makes hot grams (stop-phrase
-    * bigrams) last to enter any prefix, bounding fan-out the same way
-    * the shingle family's hot-shingle cap does, but losslessly.
+    * distinct q-grams of `a` can be absent from `b` — under ANY fixed
+    * total order on the gram universe, keeping each doc's first q·d+1
+    * grams as its PREFIX, two within-distance docs must share a
+    * prefix gram (were the prefixes disjoint, the side whose prefix
+    * ends earlier in the order would have q·d+1 distinct grams
+    * missing from the other — Xiao et al., Ed-Join, VLDB'08).
+    * Candidates are one equi-join on the prefix-gram key — never a
+    * length-bucket cartesian, so near-constant-length corpora
+    * (tweets, code lines) no longer degenerate: same-length docs only
+    * pair when they actually share a selected gram.
+    *
+    * The global order here is `xxhash64(gram)` rather than Ed-Join's
+    * df-ascending order: a pseudo-random order spreads hot grams'
+    * prefix membership uniformly (a stop-phrase gram makes a doc's
+    * prefix only when it hashes into the doc's q·d+1 smallest — a
+    * (q·d+1)/|grams(doc)| event), while making the prefix a pure
+    * MAP-SIDE array computation per row — sort the doc's distinct
+    * hashed grams, keep values ≤ the (q·d+1)-smallest (ties included,
+    * which is what keeps the pigeonhole argument airtight under hash
+    * collisions). No corpus-scale gram explode, no global df shuffle,
+    * no per-doc window: the only exploded relation is q·d+1 longs per
+    * doc, and the only shuffle is the candidate equi-join on an
+    * 8-byte key.
     *
     * Completeness needs a doc to HAVE q·d+1 grams: docs shorter than
     * q·(d+1) chars fall back to an all-pairs bucket over the
@@ -124,30 +134,49 @@ object Dedup {
     * pairs at ≤ d, not a candidate superset.
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int, q: Int = 2): DataFrame = {
+      maxDist: Int, q: Int = 5): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
+    // q sizes the gram universe: at corpus scale every BIGRAM is hot
+    // (|Σ|² keys for millions of docs → quadratic prefix joins), so
+    // the default q = 5 keeps prefix grams genuinely rare in natural
+    // text; a small-alphabet/short-string corpus wants a smaller q
+    // (shorter strings stay out of the fallback bucket)
     require(q >= 2, "q must be >= 2")
     val prefLen = q * maxDist + 1
     val shortMax = q * (maxDist + 1) - 1 // fewer than prefLen q-grams
     val docs = df.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
-    // long docs: distinct char q-grams, global df, per-doc rarest-first
-    // prefix of q·d+1 grams
-    val grams = docs.filter(col("len") > shortMax)
-      .select(col("id"), col("len"), explode(array_distinct(expr(
-        s"transform(sequence(1, len - ${q - 1}), i -> substring(t, i, $q))")))
-        .as("g"))
-    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("gdf"), col("g"))
-    val prefix = grams.join(gdf, "g")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= prefLen)
-      .select("id", "g", "len")
-    val candLong = prefix.as("a").join(prefix.as("b"),
-      col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+    // long docs: per-row prefix = the q·d+1 hash-smallest distinct
+    // grams (ties kept), computed entirely map-side
+    val prefix = docs.filter(col("len") > shortMax)
+      .select(col("id"), col("len"),
+        expr(("array_sort(array_distinct(transform(" +
+          s"sequence(1, len - ${q - 1}), " +
+          s"i -> xxhash64(substring(t, i, $q)))))")).as("__hs"))
+      .select(col("id"), col("len"), explode(expr(
+        s"filter(__hs, h -> h <= element_at(__hs, " +
+          s"least(size(__hs), $prefLen)))")).as("g"))
+    // the length window rides IN the join key (width-d+1 buckets,
+    // same + adjacent joins — |len diff| <= d spans at most adjacent
+    // buckets): a hot gram (a stop-phrase gram whose hash happens to
+    // be globally small sits in most docs' prefixes) then fans out per
+    // (gram, length-bucket), not per gram — the join never materializes
+    // the cross-length pairs the window would only discard afterwards
+    val p = prefix.withColumn("b",
+      (col("len") / (maxDist + 1)).cast(LongType))
+    val candSame = p.as("a").join(p.as("b"),
+      col("a.g") === col("b.g") && col("a.b") === col("b.b") &&
+        col("a.id") < col("b.id") &&
         abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // adjacent buckets: the bucket inequality already breaks symmetry
+    val candAdj = p.as("a").join(p.as("b"),
+      col("a.g") === col("b.g") && col("a.b") + 1 === col("b.b") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val candLong = candSame.unionByName(candAdj)
     // short docs can't fill a prefix — their partners are capped at
     // shortMax + d chars, so the fallback all-pairs universe is tiny
     val short = docs.filter(col("len") <= shortMax)

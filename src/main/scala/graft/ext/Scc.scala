@@ -13,31 +13,69 @@ import graft.Stage.StageOps
   * plagiarism graph actually means (A copied B AND B copied A is a
   * very different relationship than one direction alone).
   *
-  * Algorithm: iterative COLORING (Orzan) in DataFrame ops —
+  * Algorithm: bidirectional min-reach LABEL REFINEMENT (the FW-BW
+  * idea of Fleischer et al. / Slota-Hong run with min-id labels for
+  * every pivot at once, in DataFrame ops) —
   *
-  *   1. forward min-label fixpoint: `color(v)` = the smallest id that
-  *      reaches v within the remaining subgraph (per-round one
-  *      join + one map-combined min — the [[Cc]] shape);
-  *   2. roots (`color(v) = v`) are the canonical minima of their
-  *      SCCs; a backward fixpoint within each color collects exactly
-  *      `{v : color(v) = c ∧ v →* c}` = SCC(c), labeled by its
-  *      minimum member (the proof is two lines: a smaller member
-  *      reaching c would have colored c below itself);
-  *   3. extracted SCCs leave the graph; repeat on the remainder.
+  *   1. `fwd(v)` = min id reaching v (ancestors-or-self), `bwd(v)` =
+  *      min id v reaches (descendants-or-self), each a min fixpoint
+  *      accelerated by POINTER JUMPING (`lab(v) ← min(lab(v),
+  *      lab(lab(v)))` alongside the edge relax — label distance
+  *      doubles per step, so a diameter-d path needs O(log d)
+  *      iterations, not d);
+  *   2. both labels are CONSTANT on an SCC (mutual reachability makes
+  *      members' reach sets identical), and `fwd(v) = bwd(v) = w`
+  *      certifies v ∈ SCC(w) (w reaches v and v reaches w), so all
+  *      such nodes extract with final canonical label w = the SCC's
+  *      min member — at minimum the globally-min node's SCC
+  *      qualifies every round, guaranteeing progress;
+  *   3. an edge whose endpoints carry different (fwd, bwd) pairs
+  *      links different SCCs (contrapositive of constancy) and is
+  *      DELETED; the remainder repeats on the pruned subgraph.
   *
   * Every extracted label is final and canonical (min member), so the
   * output is a pure function of the graph — an external engine
   * replays it from the transitive closure. Determinism needs no
   * tie-breaking at all: min-labels are aggregates.
   *
-  * Scale honesty: each outer round peels the SCCs of all current
-  * roots; a long DAG CHAIN of singleton SCCs therefore needs O(chain)
-  * rounds (the known coloring weakness — same topology caveat
-  * measured for GraphX in StressCc). Near-dup/link graphs (many
-  * small SCCs, shallow reach) converge in a handful of rounds; for
-  * adversarial diameters, bound `maxRounds` and shard upstream.
+  * Scale shape: the r7 coloring peeled one "root layer" of SCCs per
+  * outer round, so a DAG chain of n singleton SCCs needed n rounds
+  * (and its forward fixpoint walked the chain one hop per step). The
+  * cross-pair edge deletion fixes the outer loop — a pure DAG gives
+  * every node a distinct (fwd, bwd) pair, so ALL its edges delete in
+  * round 1 and every node extracts in round 2 — and pointer jumping
+  * fixes the inner one (StressRank's 100k-singleton chain: 2 outer
+  * rounds, ~log inner iterations). `maxRounds` stays as a guard for
+  * adversarial onion topologies.
   */
 object Scc {
+
+  /** min label reachable INTO each node over `edges` (src → dst
+    * propagation); nodes: (node), edges: (src, dst). Relax + pointer
+    * jump per iteration, to fixpoint.
+    */
+  private def minReach(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    var m = nodes.select(col("node"), col("node").as("lab")).stageBoundary
+    var stable = false
+    while (!stable) {
+      val relaxed = edges.join(m, edges("src") === m("node"))
+        .select(edges("dst").as("node"), col("lab"))
+        .groupBy("node").agg(min("lab").as("__rl"))
+      val jumped = m
+        .join(m.select(col("node").as("__jn"), col("lab").as("__jl")),
+          m("lab") === col("__jn"), "left")
+        .select(m("node"), m("lab"), col("__jl"))
+      val next = jumped.join(relaxed, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("__jl"), col("lab")),
+            coalesce(col("__rl"), col("lab"))).as("lab"))
+        .stageBoundary
+      stable = next.join(m.withColumnRenamed("lab", "__old"), Seq("node"))
+        .filter(col("lab") =!= col("__old")).isEmpty
+      m = next
+    }
+    m
+  }
 
   /** (node, component) for every node appearing in `edges`;
     * `component` = the SCC's minimum member id. Self-loops are
@@ -60,49 +98,30 @@ object Scc {
     while (!remaining.isEmpty) {
       rounds += 1
       require(rounds <= maxRounds,
-        s"SCC coloring exceeded $maxRounds peel rounds — a long chain " +
-          "of singleton components; raise maxRounds or shard upstream")
-      // 1. forward min fixpoint
-      var color = remaining.select(col("node"), col("node").as("color"))
+        s"SCC refinement exceeded $maxRounds rounds — an adversarial " +
+          "nesting of components; raise maxRounds or shard upstream")
+      val fwd = minReach(remaining, eRem)
+        .withColumnRenamed("lab", "fwd")
+      val bwd = minReach(remaining,
+        eRem.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumnRenamed("lab", "bwd")
+      val lab = remaining.join(fwd, Seq("node")).join(bwd, Seq("node"))
         .stageBoundary
-      var stable = false
-      while (!stable) {
-        val pushed = color.join(eRem, color("node") === eRem("src"))
-          .select(eRem("dst").as("node"), col("color"))
-          .groupBy("node").agg(min("color").as("__nc"))
-        val next = color.join(pushed, Seq("node"), "left")
-          .select(col("node"),
-            least(col("color"), coalesce(col("__nc"), col("color")))
-              .as("color"))
-          .stageBoundary
-        stable = next.join(color.withColumnRenamed("color", "__old"),
-          Seq("node"))
-          .filter(col("color") =!= col("__old")).isEmpty
-        color = next
-      }
-      // 2. backward collection within colors, starting at the roots
-      var in = color.filter(col("node") === col("color")).stageBoundary
-      var frontier = in
-      while (!frontier.isEmpty) {
-        val step = frontier.join(eRem, frontier("node") === eRem("dst"))
-          .select(eRem("src").as("node"), col("color"))
-          .distinct()
-          .join(color.withColumnRenamed("color", "__c"), Seq("node"))
-          .filter(col("color") === col("__c"))
-          .select(col("node"), col("color"))
-          .join(in, Seq("node"), "left_anti")
-          .stageBoundary
-        in = in.union(step).stageBoundary
-        frontier = step
-      }
-      result = result
-        .union(in.select(col("node"), col("color").as("component")))
+      val done = lab.filter(col("fwd") === col("bwd"))
+        .select(col("node"), col("fwd").as("component"))
+      result = result.union(done).stageBoundary
+      remaining = remaining.join(done, Seq("node"), "left_anti")
         .stageBoundary
-      // 3. peel
-      remaining = remaining.join(in, Seq("node"), "left_anti").stageBoundary
+      // surviving edges: endpoints share the (fwd, bwd) pair (else
+      // provably inter-SCC) and neither endpoint was extracted
       eRem = eRem
-        .join(in.select(col("node").as("src")), Seq("src"), "left_anti")
-        .join(in.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .join(lab.select(col("node").as("src"), col("fwd").as("__fs"),
+          col("bwd").as("__bs")), Seq("src"))
+        .join(lab.select(col("node").as("dst"), col("fwd").as("__fd"),
+          col("bwd").as("__bd")), Seq("dst"))
+        .filter(col("__fs") === col("__fd") && col("__bs") === col("__bd") &&
+          col("__fs") =!= col("__bs"))
+        .select("src", "dst")
         .stageBoundary
     }
     result

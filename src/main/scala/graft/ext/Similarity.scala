@@ -330,6 +330,49 @@ object Similarity {
     }
   }
 
+  /** Cell-occupancy watermark over a maintained IVF layout: (cell,
+    * rows) for every cell whose population exceeds `maxCell`. The
+    * maintained kNN graph's within-cell cost is Σ|cell|², so a
+    * drifting ingest stream (all new vectors landing in one cell)
+    * degrades quadratically IF NOBODY LOOKS — this is the look. One
+    * metadata-scale aggregation (parquet count per partition dir);
+    * a non-empty result is the signal to [[retrainKnnQuantizer]].
+    */
+  def ivfHotCells(spark: org.apache.spark.sql.SparkSession,
+      ivfDir: String, cellCol: String, maxCell: Long): DataFrame =
+    spark.read.parquet(ivfDir)
+      .groupBy(col(cellCol)).agg(count(lit(1)).as("rows"))
+      .filter(col("rows") > maxCell)
+
+  /** Quantizer retrain for the maintained kNN graph — the maintenance
+    * move when [[ivfHotCells]] trips: train a fresh coarse quantizer
+    * over the ACCUMULATED vectors (sampled k-means++), re-cell and
+    * rewrite the IVF layout (quantizer persisted beside it), and
+    * publish the batch-rebuilt kNN graph as the next state version —
+    * the rebuilt state IS the batch [[knnGraph]] over the new cells,
+    * so the incremental face resumes from an exact point. Single
+    * writer, like every index here; after a retrain the ingest side
+    * must assign cells with the NEW quantizer ([[readCentroids]] +
+    * [[assignCells]]) — feeding stale cell ids would silently search
+    * the wrong lists.
+    */
+  def retrainKnnQuantizer(spark: org.apache.spark.sql.SparkSession,
+      ivfDir: String, knnDir: String, idCol: String, vecCol: String,
+      cellCol: String, k: Int, numCells: Int,
+      sampleRows: Int = 4096, seed: Long = 42L,
+      version: Option[Long] = None): Unit = {
+    val vecs = spark.read.parquet(ivfDir).select(col(idCol), col(vecCol))
+      .stageBoundary // sever from the files the rewrite replaces
+    val centroids = trainCentroidsKMeansPP(vecs, idCol, vecCol,
+      numCells, sampleRows, seed = seed)
+    val recelled = assignCells(vecs, vecCol, cellCol, centroids)
+      .stageBoundary
+    writeIvfIndex(recelled, idCol, vecCol, cellCol, ivfDir)
+    writeCentroids(spark, ivfDir, centroids)
+    knnWrite(spark, knnDir,
+      knnGraph(recelled, idCol, vecCol, cellCol, k), version)
+  }
+
   /** Materialize the IVF index layout: the corpus written as parquet
     * partitioned by its cell id, so a cell-restricted search prunes to
     * the matching partition directories instead of scanning the corpus —

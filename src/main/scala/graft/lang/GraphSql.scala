@@ -262,7 +262,14 @@ object GraphSql {
   */
 class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     statsOpt: Option[GraphStats] = None,
-    val catalog: Option[graft.ddl.GraphCatalog] = None) {
+    val catalog: Option[graft.ddl.GraphCatalog] = None,
+    /** deferred stats collector: runs on the FIRST statement that needs
+      * stats instead of eagerly — a bulk-load session becomes usable
+      * the moment the tables land, and sessions that never plan a
+      * MATCH never pay the collection (overrides the full-aggregation
+      * default of [[stats]] when set)
+      */
+    statsLazy: Option[() => GraphStats] = None) {
 
   def this(spark: SparkSession, catalog: graft.ddl.GraphCatalog) =
     this(spark, catalog.provider, None, Some(catalog))
@@ -347,7 +354,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   }
 
   private def baseStats: GraphStats = statsCache.getOrElse {
-    val s = GraphStats.collect(provider)
+    val s = statsLazy.map(_()).getOrElse(GraphStats.collect(provider))
     statsCache = Some(s)
     s
   }
@@ -390,6 +397,14 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+GRAPH(\s+SAMPLED)?\s*$""".r
+  // admin teardown statements — the last public-API parity pieces:
+  // ClearData (GraphViewConnection.cs:419) wipes all node-table DATA
+  // keeping the schema; ClearGraphDatabase (:542) drops the whole
+  // graph (tables, views, procs, meta)
+  private val ClearDataRe =
+    """(?is)^\s*CLEAR\s+DATA\s*$""".r
+  private val DropGraphRe =
+    """(?is)^\s*DROP\s+GRAPH\s+DATABASE\s*$""".r
 
   // ---- stored procedures: a thin CREATE PROC / EXEC template registry,
   // the statement surface of the reference's CreateProcedure + tutorial
@@ -712,6 +727,25 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         case graft.ddl.GraphDdl.DropEdge(t, e) => cat.dropEdge(t, e)
       }
       affected(0)
+    case ClearDataRe() =>
+      val cat = requireCatalog()
+      cat.clearData()
+      // every table changed shape: stale stats would plan against the
+      // old row counts, stale probes against the old samples
+      statsCache = None
+      invalidateViews()
+      affected(0)
+    case DropGraphRe() =>
+      val cat = requireCatalog()
+      val oldTables = cat.schema.tables.map(_.name)
+      cat.dropGraph()
+      oldTables.foreach(spark.catalog.dropTempView)
+      nodeViewsReg.clear()
+      edgeViewsReg.clear()
+      procs.clear()
+      statsCache = None
+      invalidateViews()
+      affected(0)
     case UpdateRe(table, setPart, where)
         if catalog.exists(_.schema.hasTable(table)) =>
       updateSql(table, setPart, Option(where))
@@ -742,7 +776,17 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       // plain relational statements referencing a node view (or the
       // implicit GlobalNodeView) by name get the view registered as a
       // temp view first (re-captured per statement so DML rewrites
-      // underneath are visible)
+      // underneath are visible). Catalog-backed sessions own their
+      // table names too: refresh those temp views the same way — a
+      // DML rewrite MOVES table files, so a view captured by an
+      // earlier statement would read deleted paths (the proc path
+      // already refreshes via ensureTables). Provider-only sessions
+      // are left alone: their table names may deliberately coexist
+      // with same-named raw temp views the caller registered.
+      if (catalog.isDefined)
+        g.schema.tables.map(_.name)
+          .filter(n => s"(?i)\\b$n\\b".r.findFirstIn(query).isDefined)
+          .foreach(n => g.nodeTable(n).createOrReplaceTempView(n))
       (nodeViewsReg.keys.toSeq :+ GraphSession.GlobalViewName).distinct
         .filter(n => s"(?i)\\b$n\\b".r.findFirstIn(query).isDefined)
         .foreach(n => g.nodeTable(n).createOrReplaceTempView(n))

@@ -19,13 +19,16 @@ object SqlQueries {
 
   def session(s: SparkSession, d: String): GraphSession =
     sessions.getOrElseUpdate(d,
-      new GraphSession(s, TpchGraph.provider(s, d),
+      new GraphSession(s, TpchGraph.provider(s, d), None, None,
         // the 100 TB stats mode: 200-row seeded samples per table (the
         // reference's _Sampling tables) instead of full aggregation —
         // also populates the sink/id histograms that refine expansion
         // estimates and the LocalRelation samples that bound plan-time
-        // selectivity probes
-        Some(GraphStats.collectSampled(TpchGraph.provider(s, d)))))
+        // selectivity probes. Deferred to the first statement that
+        // plans a MATCH: a freshly bulk-loaded graph is queryable the
+        // moment the tables land, exactly as the reference's sampling
+        // tables refresh on demand rather than blocking the load
+        Some(() => GraphStats.collectSampled(TpchGraph.provider(s, d)))))
 
   val defs: Map[String, QueryDef] = QueryDef.checked(
 

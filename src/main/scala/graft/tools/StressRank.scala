@@ -103,6 +103,21 @@ object StressRank {
     println(s"[rank] scc: ${scc.count()} nodes → $comps components")
     require(comps == triples,
       s"expected $triples 3-cycle components, got $comps")
+
+    // the r7 coloring killer: a pure DAG chain of singleton SCCs
+    // needed one peel round per node (100k rounds = never finishes);
+    // the r8 refinement must resolve it in 2 outer rounds (maxRounds
+    // = 8 is the bounded-rounds assertion, with slack)
+    val chainN = 100000L
+    val chain = spark.range(chainN - 1)
+      .selectExpr("id AS src", "id + 1 AS dst").localCheckpoint(true)
+    val chainScc = time(s"scc over a $chainN-singleton DAG chain") {
+      Scc.strongComponents(chain, "src", "dst", maxRounds = 8)
+        .localCheckpoint(true)
+    }
+    require(chainScc.count() == chainN, "chain node count")
+    require(chainScc.filter(col("node") =!= col("component")).count() == 0,
+      "every chain node must be its own singleton SCC")
     spark.stop()
   }
 }

@@ -37,8 +37,12 @@ class PlanGuardSpec extends SparkSpec {
     // 2-hop MATCH: frontier joins + edge explodes over the cached graph
     "q_match_2hop" -> Fingerprint(11, 8, 5, 0),
     // MATCH over a multi-sink edge view: member-union plan, predicates
-    // pushed into each member scan
-    "q_sql_edge_view" -> Fingerprint(27, 17, 7, 0),
+    // pushed into each member scan. r8 re-pin 27 → 31: staging the
+    // bulk-load edge pairs (TpchGraph .persist) replaces cross-branch
+    // ReusedExchange PRINTS with per-reference InMemoryRelation child
+    // plans — the printed count rises while the physical work drops
+    // (each edge list now computes once per BUILD, not once per side)
+    "q_sql_edge_view" -> Fingerprint(31, 17, 7, 0),
     // as-of join: one shuffle per side, no broadcast, no explode
     "q_asof_join" -> Fingerprint(2, 0, 0, 0),
     // incremental probe: window-index join + per-doc fold

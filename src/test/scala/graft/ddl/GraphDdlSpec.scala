@@ -631,4 +631,54 @@ class GraphDdlSpec extends SparkSpec {
     gs.sql("DROP NODE TABLE Dog")
     assert(globalCount() == 2)
   }
+
+  test("CLEAR DATA truncates every table keeping schema/views/procs; " +
+    "DROP GRAPH DATABASE returns a fresh catalog (the reference's " +
+    "ClearData / ClearGraphDatabase admin statements)") {
+    val dir = Files.createTempDirectory("graft_clear").toString
+    val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+    def populate(): Unit = {
+      gs.sql("""INSERT NODE INTO People
+               |SELECT * FROM VALUES (1,'Alice'),(2,'Bob') AS t(id, name)"""
+        .stripMargin)
+      gs.sql("""INSERT EDGE INTO People.Knows
+               |SELECT * FROM VALUES (1,2) AS t(a, b)""".stripMargin)
+    }
+    gs.sql("""CREATE NODE TABLE People (
+             |  id INT NODEID, name STRING,
+             |  EDGE Knows TO People)""".stripMargin)
+    gs.sql("CREATE PROC CountPeople AS SELECT COUNT(*) AS n FROM People")
+    gs.sql("CREATE NODE VIEW Folk AS SELECT * FROM People")
+    populate()
+    assert(gs.sql("EXEC CountPeople").head().getLong(0) == 2L)
+
+    // CLEAR DATA: rows gone, schema + views + procs stay, reusable
+    gs.sql("CLEAR DATA")
+    assert(gs.sql("EXEC CountPeople").head().getLong(0) == 0L)
+    assert(gs.sql("SELECT COUNT(*) AS n FROM Folk").head().getLong(0) == 0L)
+    assert(gs.sql("SHOW NODE TABLES").count() == 1L)
+    populate() // schema intact → same DDL-less reload works
+    assert(gs.sql(
+      """SELECT b.name FROM People a, People b MATCH a-[Knows]->b
+        |WHERE a.name = 'Alice'""".stripMargin)
+      .head().getString(0) == "Bob")
+
+    // DROP GRAPH DATABASE: everything gone — tables, views, procs —
+    // and the catalog is immediately reusable as a fresh graph
+    gs.sql("DROP GRAPH DATABASE")
+    assert(gs.sql("SHOW NODE TABLES").count() == 0L)
+    assert(gs.sql("SHOW PROCS").count() == 0L)
+    assert(gs.sql("SHOW NODE VIEWS").count() == 1L) // only the implicit global
+    intercept[Exception] { gs.sql("EXEC CountPeople") }
+    gs.sql("CREATE NODE TABLE Dogs (id INT NODEID, name STRING)")
+    gs.sql("INSERT NODE INTO Dogs SELECT * FROM VALUES (1,'Rex') AS t(id, name)")
+    assert(gs.sql("SELECT COUNT(*) AS n FROM Dogs").head().getLong(0) == 1L)
+
+    // and both survive a catalog reload: the persisted meta reflects
+    // the post-DROP state
+    val gs2 = new GraphSession(spark, new GraphCatalog(spark, dir))
+    assert(gs2.sql("SHOW NODE TABLES").collect().map(_.getString(0)).toSeq
+      == Seq("Dogs"))
+    assert(gs2.sql("SHOW PROCS").count() == 0L)
+  }
 }

@@ -22,7 +22,8 @@ class DedupPropertySpec extends SparkSpec {
     def word(n: Int) = Seq.fill(n)(alphabet(rng.nextInt(3))).mkString
     // lengths straddle bucket boundaries for d=2 (width-3 buckets)
     val rows = (0 until 60).map(i => (i.toLong, word(4 + rng.nextInt(6))))
-    val got = Dedup.editDistancePairs(rows.toDF("id", "t"), "t", "id", 2)
+    val got = Dedup.editDistancePairs(rows.toDF("id", "t"), "t", "id", 2,
+      q = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => i)
@@ -85,7 +86,11 @@ class DedupPropertySpec extends SparkSpec {
       val shorts = (0 until 10).map(i =>
         (200L + i, word(rng.nextInt(2 * (d + 1) + 2))))
       val rows = base ++ planted ++ shorts
-      val got = Dedup.editDistancePairs(rows.toDF("id", "t"), "t", "id", d)
+      // q = 2 so the 12-char strings take the prefix path (with the
+      // tiny test alphabet the default q = 5 would route everything
+      // through the fallback bucket and leave the prefix join untested)
+      val got = Dedup.editDistancePairs(rows.toDF("id", "t"), "t", "id", d,
+        q = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val want = (for {
         (ia, ta) <- rows; (ib, tb) <- rows if ia < ib

@@ -76,6 +76,62 @@ class KnnGraphSpec extends SparkSpec {
     assert(after == batch)
   }
 
+  test("cell-size watermark trips on skewed inserts; quantizer retrain " +
+    "restores bounded cells and the state equals the batch rebuild " +
+    "over the new cells") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_knn_retrain").toString
+    val (ivfDir, knnDir) = (s"$base/ivf", s"$base/knn")
+    // two well-separated groups — but a degenerate quantizer shoved
+    // EVERYTHING into cell 0 (the drifting-ingest failure mode)
+    val groupA = (1L to 8L).map(i =>
+      (i, Seq(1f, 0.01f * i, 0f), 0))
+    val groupB = (11L to 18L).map(i =>
+      (i, Seq(0f, 0.01f * i, 1f), 0))
+    val all = groupA ++ groupB
+    Similarity.knnGraphInit(all.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", k = 2, ivfDir, knnDir)
+
+    // watermark: one 16-vector cell against a 10-vector bound
+    val hot = Similarity.ivfHotCells(spark, ivfDir, "label", maxCell = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(hot.toSeq == Seq((0, 16L)), hot.toSeq.toString)
+
+    // retrain with k = 2 cells: the groups separate, no hot cell left
+    Similarity.retrainKnnQuantizer(spark, ivfDir, knnDir,
+      "vec_id", "embedding", "label", k = 2, numCells = 2)
+    assert(Similarity.ivfHotCells(spark, ivfDir, "label", maxCell = 10)
+      .isEmpty)
+    val cellsNow = spark.read.parquet(ivfDir)
+      .groupBy("label").count().collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    assert(cellsNow == Seq(8L, 8L), cellsNow.toString)
+
+    // state == batch rebuild over the RE-CELLED corpus
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recelled = spark.read.parquet(ivfDir)
+      .select("vec_id", "embedding", "label")
+    assert(edges(Similarity.readKnnGraph(spark, knnDir)) ==
+      edges(Similarity.knnGraph(recelled, "vec_id", "embedding", "label", 2)))
+
+    // the ingest side resumes with the NEW quantizer: an increment
+    // assigned via the persisted centroids still equals the batch
+    // rebuild over the union
+    val inc = Seq((99L, Seq(0.99f, 0.05f, 0f))).toDF("vec_id", "embedding")
+    val incCelled = Similarity.assignCells(inc, "embedding", "label",
+      Similarity.readCentroids(spark, ivfDir))
+    Similarity.knnGraphIncrement(incCelled, "vec_id", "embedding",
+      "label", 2, ivfDir, knnDir)
+    val after = spark.read.parquet(ivfDir)
+      .select("vec_id", "embedding", "label")
+    assert(edges(Similarity.readKnnGraph(spark, knnDir)) ==
+      edges(Similarity.knnGraph(after, "vec_id", "embedding", "label", 2)))
+  }
+
   test("increment bootstraps through an ivfDir holding only empty " +
     "cell dirs (crashed first-batch publish leaves dirs, no data)") {
     val s = spark

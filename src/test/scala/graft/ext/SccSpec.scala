@@ -24,14 +24,39 @@ class SccSpec extends SparkSpec {
   }
 
   test("two directions of the same pair differ: mutual edges merge, " +
-    "one-way chains peel as singletons (several outer rounds)") {
-    // chain of singleton SCCs — exercises repeated peeling — plus one
-    // mutual pair at the tail
+    "one-way chains resolve as singletons") {
+    // chain of singleton SCCs plus one mutual pair at the tail
     val got = run(Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (5L, 6L), (6L, 5L)))
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
       5L -> 5L, 6L -> 5L), got.toString)
+  }
+
+  test("DAG chains resolve in O(1) refinement rounds, both id " +
+    "orientations (the r7 coloring needed one peel per node)") {
+    val s = spark
+    import s.implicits._
+    def runBounded(edges: Seq[(Long, Long)], rounds: Int) =
+      Scc.strongComponents(edges.toDF("src", "dst"), "src", "dst",
+        maxRounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val up = (0L until 400L).map(i => (i, i + 1))      // ids ascend
+    val down = (0L until 400L).map(i => (i + 1, i))    // ids descend
+    for (chain <- Seq(up, down)) {
+      val got = runBounded(chain, rounds = 4)
+      assert(got.size == 401 && got.forall { case (n, c) => n == c },
+        got.take(5).toString)
+    }
+    // chain of 2-cycles bridged by DAG edges: cycles survive pruning,
+    // bridges delete, still bounded rounds
+    val cycles = (0L until 50L).flatMap { i =>
+      Seq((2 * i, 2 * i + 1), (2 * i + 1, 2 * i),
+        (2 * i + 1, 2 * i + 2)).filter(_._2 <= 99L)
+    }
+    val got = runBounded(cycles, rounds = 6)
+    assert((0L until 50L).forall(i =>
+      got(2 * i) == 2 * i && got(2 * i + 1) == 2 * i), got.toString)
   }
 
   test("property: random graphs match a driver-side Tarjan reference") {

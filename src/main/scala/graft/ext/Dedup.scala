@@ -178,11 +178,19 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("id_b"))
     val candLong = candSame.unionByName(candAdj)
     // short docs can't fill a prefix — their partners are capped at
-    // shortMax + d chars, so the fallback all-pairs universe is tiny
+    // shortMax + d chars, so the fallback all-pairs universe is tiny.
+    // Still an EQUI-join (short side exploded to buckets b-1/b/b+1,
+    // hash-joined on the partner's bucket): a non-equi length join
+    // would plan a nested loop, and a cartesian shape in the plan is
+    // banned even when its input is provably bounded
     val short = docs.filter(col("len") <= shortMax)
+      .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+      .select(col("id"), col("len"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
     val partners = docs.filter(col("len") <= shortMax + maxDist)
+      .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
     val candShort = short.as("a").join(partners.as("b"),
-      col("a.id") =!= col("b.id") &&
+      col("a.b") === col("b.b") && col("a.id") =!= col("b.id") &&
         abs(col("a.len") - col("b.len")) <= maxDist)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))

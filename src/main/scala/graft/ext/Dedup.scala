@@ -133,6 +133,32 @@ object Dedup {
     * engines run the same classic DP, so the result is EXACTLY all
     * pairs at ≤ d, not a candidate superset.
     */
+  /** docs shorter than this can't fill a q·d+1-gram prefix */
+  private def editShortMax(maxDist: Int, q: Int): Int = q * (maxDist + 1) - 1
+
+  /** Per-doc prefix-gram rows (id, len, g, b) for docs long enough to
+    * fill a prefix: the q·d+1 hash-smallest distinct q-grams (ties
+    * kept), computed entirely map-side, with the width-(d+1) length
+    * bucket the candidate joins key on. The blocking relation of
+    * [[editDistancePairs]] and the row layout of [[writeEditIndex]].
+    */
+  private def editPrefixRows(df: DataFrame, textCol: String,
+      idCol: String, maxDist: Int, q: Int): DataFrame = {
+    val prefLen = q * maxDist + 1
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+      .filter(col("len") > editShortMax(maxDist, q))
+      .select(col("id"), col("len"),
+        expr(("array_sort(array_distinct(transform(" +
+          s"sequence(1, len - ${q - 1}), " +
+          s"i -> xxhash64(substring(t, i, $q)))))")).as("__hs"))
+      .select(col("id"), col("len"), explode(expr(
+        s"filter(__hs, h -> h <= element_at(__hs, " +
+          s"least(size(__hs), $prefLen)))")).as("g"))
+      .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+  }
+
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int, q: Int = 5): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
@@ -142,29 +168,17 @@ object Dedup {
     // text; a small-alphabet/short-string corpus wants a smaller q
     // (shorter strings stay out of the fallback bucket)
     require(q >= 2, "q must be >= 2")
-    val prefLen = q * maxDist + 1
-    val shortMax = q * (maxDist + 1) - 1 // fewer than prefLen q-grams
+    val shortMax = editShortMax(maxDist, q) // fewer than q·d+1 q-grams
     val docs = df.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
-    // long docs: per-row prefix = the q·d+1 hash-smallest distinct
-    // grams (ties kept), computed entirely map-side
-    val prefix = docs.filter(col("len") > shortMax)
-      .select(col("id"), col("len"),
-        expr(("array_sort(array_distinct(transform(" +
-          s"sequence(1, len - ${q - 1}), " +
-          s"i -> xxhash64(substring(t, i, $q)))))")).as("__hs"))
-      .select(col("id"), col("len"), explode(expr(
-        s"filter(__hs, h -> h <= element_at(__hs, " +
-          s"least(size(__hs), $prefLen)))")).as("g"))
     // the length window rides IN the join key (width-d+1 buckets,
     // same + adjacent joins — |len diff| <= d spans at most adjacent
     // buckets): a hot gram (a stop-phrase gram whose hash happens to
     // be globally small sits in most docs' prefixes) then fans out per
     // (gram, length-bucket), not per gram — the join never materializes
     // the cross-length pairs the window would only discard afterwards
-    val p = prefix.withColumn("b",
-      (col("len") / (maxDist + 1)).cast(LongType))
+    val p = editPrefixRows(df, textCol, idCol, maxDist, q)
     val candSame = p.as("a").join(p.as("b"),
       col("a.g") === col("b.g") && col("a.b") === col("b.b") &&
         col("a.id") < col("b.id") &&
@@ -201,6 +215,120 @@ object Dedup {
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
+  }
+
+  private def editParams(maxDist: Int, q: Int) =
+    Seq("kind" -> "edit-prefix", "maxDist" -> maxDist.toString,
+      "q" -> q.toString)
+
+  /** Persist the edit-distance blocking index — the daily-ingest face
+    * the rest of the dedup family already has (exact/LSH/simhash/span/
+    * embedding): `prefix/` holds the corpus's prefix-gram rows
+    * partitioned by length bucket (so a probe prunes to the
+    * increment's ±1 buckets), `short/` the (id, len) universe of docs
+    * short enough to be fallback partners. ~q·d+1 longs per long doc —
+    * the text itself is NOT duplicated into the index; verification
+    * fetches it from the corpus, semi-joined down to candidates.
+    */
+  def writeEditIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, maxDist: Int, q: Int = 5): Unit = {
+    editPrefixRows(docs, textCol, idCol, maxDist, q)
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/prefix")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        length(col(textCol)).as("len"))
+      .filter(col("len") <= editShortMax(maxDist, q) + maxDist)
+      .write.mode("overwrite").parquet(s"$path/short")
+    IndexParams.write(docs.sparkSession, path, editParams(maxDist, q))
+  }
+
+  /** append an increment's rows to a [[writeEditIndex]] layout */
+  def appendEditIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, maxDist: Int, q: Int = 5): Unit = {
+    IndexParams.writeOrCheck(docs.sparkSession, path, editParams(maxDist, q))
+    editPrefixRows(docs, textCol, idCol, maxDist, q)
+      .repartition(col("b"))
+      .write.mode("append").partitionBy("b").parquet(s"$path/prefix")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        length(col(textCol)).as("len"))
+      .filter(col("len") <= editShortMax(maxDist, q) + maxDist)
+      .write.mode("append").parquet(s"$path/short")
+  }
+
+  /** Edit-distance pairs of an ingestion increment: every pair at
+    * ≤ maxDist with AT LEAST ONE endpoint in `newDocs` — cross pairs
+    * probe the persisted index (prefix join pruned to the increment's
+    * ±1 length buckets; the bounded short-universe fallback),
+    * within-increment pairs are the batch operator on `newDocs`
+    * itself. `corpus` supplies verification text for history ids
+    * (semi-joined to candidates first — history text outside the
+    * candidate set is never read). Same exactness contract as the
+    * batch: the result is all qualifying pairs, not a superset.
+    */
+  def editDistancePairsIncremental(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, corpus: DataFrame, indexPath: String,
+      textCol: String, idCol: String, maxDist: Int,
+      q: Int = 5): DataFrame = {
+    IndexParams.check(spark, indexPath, editParams(maxDist, q))
+    val shortMax = editShortMax(maxDist, q)
+    val newPrefix = editPrefixRows(newDocs, textCol, idCol, maxDist, q)
+      .stageBoundary
+    // static isin pruning: the touched buckets are known before the
+    // join, so only those partition dirs of the index are read
+    val buckets = newPrefix.select(col("b")).distinct().collect()
+      .map(_.getLong(0)).flatMap(b => Seq(b - 1, b, b + 1)).distinct
+    val index = spark.read
+      .schema("id LONG, len INT, g LONG, b LONG")
+      .parquet(s"$indexPath/prefix")
+      .filter(col("b").isin(buckets: _*))
+    def lenOk = abs(col("a.len") - col("b.len")) <= maxDist
+    val crossSame = newPrefix.as("a").join(index.as("b"),
+      col("a.g") === col("b.g") && col("a.b") === col("b.b") &&
+        col("a.id") =!= col("b.id") && lenOk)
+    val crossUp = newPrefix.as("a").join(index.as("b"),
+      col("a.b") + 1 === col("b.b") && col("a.g") === col("b.g") && lenOk)
+    val crossDown = newPrefix.as("a").join(index.as("b"),
+      col("a.b") === col("b.b") + 1 && col("a.g") === col("b.g") && lenOk)
+    val newShort = newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        length(col(textCol)).as("len"))
+      .filter(col("len") <= shortMax + maxDist)
+      .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+      .select(col("id"), col("len"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    val histShort = spark.read.schema("id LONG, len INT")
+      .parquet(s"$indexPath/short")
+      .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+    val crossShort = newShort.as("a").join(histShort.as("b"),
+      col("a.b") === col("b.b") && col("a.id") =!= col("b.id") && lenOk)
+    val crossCand = Seq(crossSame, crossUp, crossDown, crossShort)
+      .map(_.select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b")))
+      .reduce(_ unionByName _)
+      .distinct().stageBoundary
+    val candIds = crossCand.select(col("id_a").as("__cid"))
+      .union(crossCand.select(col("id_b"))).distinct()
+    val texts = corpus.select(col(idCol), col(textCol))
+      .unionByName(newDocs.select(col(idCol), col(textCol)))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"))
+      .join(candIds, col("id") === col("__cid"), "left_semi")
+      .stageBoundary
+    val cross = crossCand
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
+    // the cross probe can also surface new-new pairs (both endpoints
+    // landed in the index-probe candidate set only when both are in
+    // newDocs ∩ index — impossible for a fresh increment, but the
+    // batch self-pairs are computed exactly regardless)
+    cross.unionByName(
+      editDistancePairs(newDocs, textCol, idCol, maxDist, q))
+      .distinct()
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,

@@ -632,6 +632,43 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // incremental edit distance (r8): cross pairs probe the persisted
+    // prefix-gram index (partition-pruned to the increment's ±1 length
+    // buckets), within-increment pairs are the batch operator; the
+    // oracle is the full brute-force join restricted to pairs with at
+    // least one increment endpoint — the same "exactly all pairs <= d"
+    // contract as the batch row, through the index
+    "q_dedup_edit_incremental" -> QueryDef(
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |inc0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |inc AS (SELECT doc_id, text FROM inc0
+        |        UNION ALL
+        |        SELECT doc_id + 10000, text || ' x' FROM inc0
+        |        WHERE doc_id % 20 = 0),
+        |u AS (SELECT * FROM hist UNION ALL SELECT * FROM inc)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        |FROM u a JOIN u b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 3
+        | AND (a.doc_id IN (SELECT doc_id FROM inc)
+        |      OR b.doc_id IN (SELECT doc_id FROM inc))
+        |WHERE levenshtein(a.text, b.text) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val inc0 = docs.filter(col("doc_id") % 10 === 0)
+      val inc = inc0.union(inc0.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text")))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ed_idx").toString
+      Dedup.writeEditIndex(hist, "text", "doc_id", idx, maxDist = 3)
+      Dedup.editDistancePairsIncremental(s, inc, hist, idx,
+        "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     "q_dedup_clusters_df" -> QueryDef(
       sqlJaccardClusters(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
       val docs = Tables.load(s, d, "documents")

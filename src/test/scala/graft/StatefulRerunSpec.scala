@@ -15,6 +15,7 @@ class StatefulRerunSpec extends SparkSpec {
   private val stateful = Seq(
     "q_boilerplate_incremental",
     "q_dedup_cc_incremental",
+    "q_dedup_edit_incremental",
     "q_dedup_embedding_incremental",
     "q_dedup_exact_incremental",
     "q_dedup_lsh_incremental",

@@ -101,6 +101,68 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental edit-distance pairs equal the batch pairs with an " +
+    "increment endpoint, across random corpora and an index append") {
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rng = new scala.util.Random(23)
+    def word(n: Int) = Seq.fill(n)("abc"(rng.nextInt(3))).mkString
+    for (trial <- 0 until 3) {
+      val d = 1 + trial % 3
+      // mixed lengths straddling the q=2 fallback boundary, with
+      // planted near-dups in BOTH splits so cross and self pairs occur
+      val base = (0 until 30).map(i => (i.toLong, word(3 + rng.nextInt(10))))
+      val planted = (0 until 15).map { i =>
+        val (_, t) = base(rng.nextInt(base.length))
+        val arr = t.toCharArray
+        if (arr.nonEmpty) arr(rng.nextInt(arr.length)) = "abc"(rng.nextInt(3))
+        (50L + i, new String(arr))
+      }
+      val all = base ++ planted
+      val (hist, inc) = all.partition(_._1 % 3 != 0L)
+      val histDf = hist.toDF("id", "t")
+      val incDf = inc.toDF("id", "t")
+      val idx = java.nio.file.Files
+        .createTempDirectory("prop_ed_idx").toString
+      // build from a PREFIX of history, append the rest — the probe
+      // must see the union exactly as a one-shot build would
+      val cut = hist.size / 2
+      Dedup.writeEditIndex(hist.take(cut).toDF("id", "t"),
+        "t", "id", idx, d, q = 2)
+      Dedup.appendEditIndex(hist.drop(cut).toDF("id", "t"),
+        "t", "id", idx, d, q = 2)
+      val got = Dedup.editDistancePairsIncremental(spark, incDf, histDf,
+        idx, "t", "id", d, q = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val incIds = inc.map(_._1).toSet
+      val want = (for {
+        (ia, ta) <- all; (ib, tb) <- all
+        if ia < ib && (incIds(ia) || incIds(ib))
+        dd = lev(ta, tb) if dd <= d
+      } yield (ia, ib, dd)).toSet
+      assert(got == want,
+        s"trial $trial d=$d diff: ${(got diff want) ++ (want diff got)}")
+      // params sidecar: mismatched probe refused
+      intercept[IllegalArgumentException] {
+        Dedup.editDistancePairsIncremental(spark, incDf, histDf, idx,
+          "t", "id", d + 1, q = 2).collect()
+      }
+    }
+  }
+
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(7L + i)))
 

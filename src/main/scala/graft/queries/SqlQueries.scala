@@ -263,6 +263,40 @@ object SqlQueries {
       rows.toDF("rname", "pre_in", "post_in")
     },
 
+    // admin teardown statements (r8): CLEAR DATA truncates every table
+    // keeping schema (row counts recorded before/after prove it), DROP
+    // GRAPH DATABASE tears the whole graph down and the catalog is
+    // immediately reusable — the final SELECT reads a table created
+    // AFTER the drop, so the oracle hash verifies the full lifecycle
+    "q_sql_clear_graph" -> QueryDef(
+      """SELECT s_name AS name,
+        |  CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS pre_rows,
+        |  CAST(0 AS BIGINT) AS post_clear,
+        |  CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS post_repop
+        |FROM supplier ORDER BY name""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_clear_q").toString
+      val gs = new GraphSession(s, new graft.ddl.GraphCatalog(s, dir))
+      graft.Tables.registerAll(s, d)
+      gs.sql("CREATE NODE TABLE T (k INT NODEID, name STRING)")
+      gs.sql("INSERT NODE INTO T SELECT r_regionkey AS k, r_name AS name FROM region")
+      val pre = gs.catalog.get.provider.nodeTable("T").count()
+      gs.sql("CLEAR DATA")
+      val mid = gs.catalog.get.provider.nodeTable("T").count()
+      gs.sql("INSERT NODE INTO T SELECT n_nationkey AS k, n_name AS name FROM nation")
+      val repop = gs.catalog.get.provider.nodeTable("T").count()
+      gs.sql("DROP GRAPH DATABASE")
+      gs.sql("CREATE NODE TABLE T2 (k INT NODEID, name STRING)")
+      gs.sql("INSERT NODE INTO T2 SELECT s_suppkey AS k, s_name AS name FROM supplier")
+      val names = gs.catalog.get.provider.nodeTable("T2")
+        .select(org.apache.spark.sql.functions.col("name"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      names.map(n => (n, pre, mid, repop))
+        .toDF("name", "pre_rows", "post_clear", "post_repop")
+    },
+
     // T-SQL OFFSET ... FETCH through the dialect: normalized to Spark's
     // LIMIT/OFFSET ordering and pushed through the delegated tail
     "q_sql_offset_fetch" -> QueryDef(

@@ -484,6 +484,17 @@ object EdgeStream {
     * batchId, replays are committed no-ops). The very first batch
     * bootstraps both the IVF layout and the graph — the increment's
     * general case already IS the batch build when history is empty.
+    *
+    * Maintenance: the within-cell repair cost is Σ|cell|², so a
+    * drifting ingest stream that overgrows one cell degrades
+    * quadratically — watch [[graft.ext.Similarity.ivfHotCells]] on the
+    * ivfDir (a metadata-scale check) and, when it trips, pause the
+    * stream and run [[graft.ext.Similarity.retrainKnnQuantizer]]
+    * (re-cell + batch-rebuilt state as the next version; the resumed
+    * stream must assign cells with the NEW persisted quantizer).
+    * Deliberately NOT wired into the batch loop: the IVF rewrite is a
+    * whole-layout overwrite whose crash window needs an operator
+    * decision, not a silent mid-stream mutation.
     */
   def knnGraphVectors(vecs: DataFrame, idCol: String, vecCol: String,
       cellCol: String, k: Int, ivfDir: String,

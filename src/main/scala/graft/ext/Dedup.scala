@@ -111,18 +111,20 @@ object Dedup {
     * (tweets, code lines) no longer degenerate: same-length docs only
     * pair when they actually share a selected gram.
     *
-    * The global order here is `xxhash64(gram)` rather than Ed-Join's
-    * df-ascending order: a pseudo-random order spreads hot grams'
-    * prefix membership uniformly (a stop-phrase gram makes a doc's
-    * prefix only when it hashes into the doc's q·d+1 smallest — a
-    * (q·d+1)/|grams(doc)| event), while making the prefix a pure
-    * MAP-SIDE array computation per row — sort the doc's distinct
-    * hashed grams, keep values ≤ the (q·d+1)-smallest (ties included,
-    * which is what keeps the pigeonhole argument airtight under hash
-    * collisions). No corpus-scale gram explode, no global df shuffle,
-    * no per-doc window: the only exploded relation is q·d+1 longs per
-    * doc, and the only shuffle is the candidate equi-join on an
-    * 8-byte key.
+    * The global order is Ed-Join's df-ascending (rarest first, hash
+    * ties) — the property that keeps TEMPLATED corpora from
+    * degenerating: two docs sharing 90% boilerplate still get nearly
+    * disjoint prefixes, because each doc's unique grams have df 1 and
+    * head its prefix (a corpus-independent pseudo-random order was
+    * measured to hand same-template docs identical prefixes — the
+    * candidate join went quadratic per template on a 100k-doc stress
+    * corpus). The df pass stays cheap by construction: grams travel
+    * as 64-bit hashes everywhere (explode → count → join back → one
+    * per-doc aggregation that sorts ≤len (df, hash) structs and
+    * slices q·d+1 — no strings shuffled, no window). (df, hash) is a
+    * total order on a doc's distinct grams, so the slice needs no
+    * tie handling; hash collisions merely merge two grams into one
+    * blocking key, which can only ADD candidates.
     *
     * Completeness needs a doc to HAVE q·d+1 grams: docs shorter than
     * q·(d+1) chars fall back to an all-pairs bucket over the
@@ -137,26 +139,55 @@ object Dedup {
   private def editShortMax(maxDist: Int, q: Int): Int = q * (maxDist + 1) - 1
 
   /** Per-doc prefix-gram rows (id, len, g, b) for docs long enough to
-    * fill a prefix: the q·d+1 hash-smallest distinct q-grams (ties
-    * kept), computed entirely map-side, with the width-(d+1) length
-    * bucket the candidate joins key on. The blocking relation of
-    * [[editDistancePairs]] and the row layout of [[writeEditIndex]].
+    * fill a prefix: the q·d+1 DF-SMALLEST distinct q-grams under the
+    * global (document frequency asc, hash asc) order — Ed-Join's
+    * rarest-first order, which is what keeps templated corpora from
+    * degenerating (docs sharing 90% of their grams still get nearly
+    * disjoint prefixes, because each doc's UNIQUE grams have df 1 and
+    * head its prefix; a pseudo-random hash order instead hands
+    * same-template docs identical prefixes and the candidate join
+    * goes quadratic per template). Grams travel as 64-bit hashes
+    * everywhere — the df aggregate, the join back and the per-doc
+    * min-k (one aggregation: sort the doc's ≤len (df, hash) structs,
+    * slice q·d+1 — no window, no strings shuffled). (df, hash) is a
+    * total order on a doc's distinct grams, so the slice needs no tie
+    * handling. `b` is the width-(d+1) length bucket the candidate
+    * joins compose with the gram key.
     */
-  private def editPrefixRows(df: DataFrame, textCol: String,
-      idCol: String, maxDist: Int, q: Int): DataFrame = {
-    val prefLen = q * maxDist + 1
+  /** (id, len, g) distinct hashed q-grams of prefix-capable docs */
+  private def editGramRows(df: DataFrame, textCol: String,
+      idCol: String, maxDist: Int, q: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
       .filter(col("len") > editShortMax(maxDist, q))
-      .select(col("id"), col("len"),
-        expr(("array_sort(array_distinct(transform(" +
-          s"sequence(1, len - ${q - 1}), " +
-          s"i -> xxhash64(substring(t, i, $q)))))")).as("__hs"))
       .select(col("id"), col("len"), explode(expr(
-        s"filter(__hs, h -> h <= element_at(__hs, " +
-          s"least(size(__hs), $prefLen)))")).as("g"))
+        ("array_distinct(transform(" +
+          s"sequence(1, len - ${q - 1}), " +
+          s"i -> xxhash64(substring(t, i, $q))))"))).as("g"))
+
+  /** per-doc prefix under the (df asc, hash asc) order given by
+    * `dfLookup` (g, gdf); grams absent from the lookup order as df 0
+    * (new grams are by definition the rarest)
+    */
+  private def editPrefixFrom(grams: DataFrame, dfLookup: DataFrame,
+      maxDist: Int, q: Int): DataFrame = {
+    val prefLen = q * maxDist + 1
+    grams.join(dfLookup, Seq("g"), "left")
+      .withColumn("gdf", coalesce(col("gdf"), lit(0L)))
+      .groupBy("id").agg(first(col("len")).as("len"),
+        expr(s"slice(array_sort(collect_list(struct(gdf, g))), 1, $prefLen)")
+          .as("__p"))
+      .select(col("id"), col("len"),
+        explode(expr("transform(__p, x -> x.g)")).as("g"))
       .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+  }
+
+  private def editPrefixRows(df: DataFrame, textCol: String,
+      idCol: String, maxDist: Int, q: Int): DataFrame = {
+    val grams = editGramRows(df, textCol, idCol, maxDist, q)
+    editPrefixFrom(grams,
+      grams.groupBy("g").agg(count(lit(1)).as("gdf")), maxDist, q)
   }
 
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
@@ -226,13 +257,26 @@ object Dedup {
     * embedding): `prefix/` holds the corpus's prefix-gram rows
     * partitioned by length bucket (so a probe prunes to the
     * increment's ±1 buckets), `short/` the (id, len) universe of docs
-    * short enough to be fallback partners. ~q·d+1 longs per long doc —
-    * the text itself is NOT duplicated into the index; verification
-    * fetches it from the corpus, semi-joined down to candidates.
+    * short enough to be fallback partners, and `df/` the FROZEN
+    * (gram, df) snapshot that defines the index's global gram order.
+    * Freezing matters for correctness, not just speed: prefix-prefix
+    * joins are complete only when BOTH docs' prefixes use the SAME
+    * total order, so appends and probes order by this snapshot, never
+    * by their increment's own df (grams unseen at build time order as
+    * df 0 — new grams are by definition the rarest). Long-drifted
+    * corpora refresh selectivity by rebuilding the index — the same
+    * retrain story as the kNN quantizer; completeness never depends
+    * on it. ~q·d+1 longs per long doc — the text itself is NOT
+    * duplicated into the index; verification fetches it from the
+    * corpus, semi-joined down to candidates.
     */
   def writeEditIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, maxDist: Int, q: Int = 5): Unit = {
-    editPrefixRows(docs, textCol, idCol, maxDist, q)
+    val grams = editGramRows(docs, textCol, idCol, maxDist, q)
+      .stageBoundary
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    gdf.write.mode("overwrite").parquet(s"$path/df")
+    editPrefixFrom(grams, gdf, maxDist, q)
       .repartition(col("b"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$path/prefix")
     docs.filter(col(textCol).isNotNull)
@@ -243,11 +287,21 @@ object Dedup {
     IndexParams.write(docs.sparkSession, path, editParams(maxDist, q))
   }
 
-  /** append an increment's rows to a [[writeEditIndex]] layout */
+  private def frozenDf(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.schema("g LONG, gdf LONG").parquet(s"$path/df")
+
+  /** append an increment's rows to a [[writeEditIndex]] layout —
+    * prefixes ordered by the index's FROZEN df snapshot (see
+    * [[writeEditIndex]]: order consistency is a completeness
+    * requirement, not an optimization)
+    */
   def appendEditIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, maxDist: Int, q: Int = 5): Unit = {
-    IndexParams.writeOrCheck(docs.sparkSession, path, editParams(maxDist, q))
-    editPrefixRows(docs, textCol, idCol, maxDist, q)
+    val spark = docs.sparkSession
+    IndexParams.writeOrCheck(spark, path, editParams(maxDist, q))
+    editPrefixFrom(editGramRows(docs, textCol, idCol, maxDist, q),
+      frozenDf(spark, path), maxDist, q)
       .repartition(col("b"))
       .write.mode("append").partitionBy("b").parquet(s"$path/prefix")
     docs.filter(col(textCol).isNotNull)
@@ -273,7 +327,11 @@ object Dedup {
       q: Int = 5): DataFrame = {
     IndexParams.check(spark, indexPath, editParams(maxDist, q))
     val shortMax = editShortMax(maxDist, q)
-    val newPrefix = editPrefixRows(newDocs, textCol, idCol, maxDist, q)
+    // the increment's prefixes MUST use the index's frozen gram order
+    // (see writeEditIndex — mixed orders break prefix completeness)
+    val newPrefix = editPrefixFrom(
+      editGramRows(newDocs, textCol, idCol, maxDist, q),
+      frozenDf(spark, indexPath), maxDist, q)
       .stageBoundary
     // static isin pruning: the touched buckets are known before the
     // join, so only those partition dirs of the index are read

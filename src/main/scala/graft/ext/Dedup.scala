@@ -272,8 +272,10 @@ object Dedup {
     */
   def writeEditIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, maxDist: Int, q: Int = 5): Unit = {
+    // grams feed both the df aggregate and the prefix build; the
+    // explode recomputes cheaper than a checkpoint of the corpus-scale
+    // gram relation would materialize
     val grams = editGramRows(docs, textCol, idCol, maxDist, q)
-      .stageBoundary
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     gdf.write.mode("overwrite").parquet(s"$path/df")
     editPrefixFrom(grams, gdf, maxDist, q)
@@ -349,44 +351,50 @@ object Dedup {
       col("a.b") + 1 === col("b.b") && col("a.g") === col("b.g") && lenOk)
     val crossDown = newPrefix.as("a").join(index.as("b"),
       col("a.b") === col("b.b") + 1 && col("a.g") === col("b.g") && lenOk)
-    val newShort = newDocs.filter(col(textCol).isNotNull)
+    // within-increment prefixes REUSE newPrefix (frozen order on both
+    // sides keeps the pigeonhole argument intact — and skips a whole
+    // second df pass the batch operator would run)
+    val selfSame = newPrefix.as("a").join(newPrefix.as("b"),
+      col("a.g") === col("b.g") && col("a.b") === col("b.b") &&
+        col("a.id") < col("b.id") && lenOk)
+    val selfAdj = newPrefix.as("a").join(newPrefix.as("b"),
+      col("a.b") + 1 === col("b.b") && col("a.g") === col("b.g") && lenOk)
+    // short fallback: new docs that can't fill a prefix pair against
+    // BOTH the history short universe and the increment's own
+    val newPartners = newDocs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"),
         length(col(textCol)).as("len"))
       .filter(col("len") <= shortMax + maxDist)
       .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+    val newShort = newPartners
       .select(col("id"), col("len"),
         explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
     val histShort = spark.read.schema("id LONG, len INT")
       .parquet(s"$indexPath/short")
       .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
-    val crossShort = newShort.as("a").join(histShort.as("b"),
+    val crossShort = newShort.as("a").join(
+      histShort.unionByName(newPartners).as("b"),
       col("a.b") === col("b.b") && col("a.id") =!= col("b.id") && lenOk)
-    val crossCand = Seq(crossSame, crossUp, crossDown, crossShort)
+    val candidates = Seq(crossSame, crossUp, crossDown,
+      selfSame, selfAdj, crossShort)
       .map(_.select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b")))
       .reduce(_ unionByName _)
       .distinct().stageBoundary
-    val candIds = crossCand.select(col("id_a").as("__cid"))
-      .union(crossCand.select(col("id_b"))).distinct()
+    val candIds = candidates.select(col("id_a").as("__cid"))
+      .union(candidates.select(col("id_b"))).distinct()
     val texts = corpus.select(col(idCol), col(textCol))
       .unionByName(newDocs.select(col(idCol), col(textCol)))
       .filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"))
       .join(candIds, col("id") === col("__cid"), "left_semi")
       .stageBoundary
-    val cross = crossCand
+    candidates
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
-    // the cross probe can also surface new-new pairs (both endpoints
-    // landed in the index-probe candidate set only when both are in
-    // newDocs ∩ index — impossible for a fresh increment, but the
-    // batch self-pairs are computed exactly regardless)
-    cross.unionByName(
-      editDistancePairs(newDocs, textCol, idCol, maxDist, q))
-      .distinct()
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,

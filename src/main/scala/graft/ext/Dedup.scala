@@ -254,9 +254,9 @@ object Dedup {
 
   /** Persist the edit-distance blocking index — the daily-ingest face
     * the rest of the dedup family already has (exact/LSH/simhash/span/
-    * embedding): `prefix/` holds the corpus's prefix-gram rows
-    * partitioned by length bucket (so a probe prunes to the
-    * increment's ±1 buckets), `short/` the (id, len) universe of docs
+    * embedding): `prefix/` holds the corpus's prefix-gram rows sorted
+    * by length bucket (row-group min/max stats serve a probe's bucket
+    * filter), `short/` the (id, len) universe of docs
     * short enough to be fallback partners, and `df/` the FROZEN
     * (gram, df) snapshot that defines the index's global gram order.
     * Freezing matters for correctness, not just speed: prefix-prefix
@@ -278,9 +278,17 @@ object Dedup {
     val grams = editGramRows(docs, textCol, idCol, maxDist, q)
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     gdf.write.mode("overwrite").parquet(s"$path/df")
-    editPrefixFrom(grams, gdf, maxDist, q)
-      .repartition(col("b"))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$path/prefix")
+    // plain write sorted by bucket (row-group min/max carries the
+    // length-bucket pruning a probe's b-filter needs) — a
+    // partitionBy("b") layout measured 3-5x slower to WRITE (one tiny
+    // file per task x bucket) while buying nothing: a real increment
+    // spans all length buckets, so directory pruning never fires.
+    // The order side is the JUST-WRITTEN df snapshot read back — the
+    // write already materialized the aggregate, so the prefix pass
+    // reuses it instead of re-aggregating the gram relation
+    editPrefixFrom(grams, frozenDf(docs.sparkSession, path), maxDist, q)
+      .sortWithinPartitions("b")
+      .write.mode("overwrite").parquet(s"$path/prefix")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"),
         length(col(textCol)).as("len"))
@@ -304,8 +312,8 @@ object Dedup {
     IndexParams.writeOrCheck(spark, path, editParams(maxDist, q))
     editPrefixFrom(editGramRows(docs, textCol, idCol, maxDist, q),
       frozenDf(spark, path), maxDist, q)
-      .repartition(col("b"))
-      .write.mode("append").partitionBy("b").parquet(s"$path/prefix")
+      .sortWithinPartitions("b")
+      .write.mode("append").parquet(s"$path/prefix")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"),
         length(col(textCol)).as("len"))

@@ -343,14 +343,23 @@ object Dedup {
       editGramRows(newDocs, textCol, idCol, maxDist, q),
       frozenDf(spark, indexPath), maxDist, q)
       .stageBoundary
-    // static isin pruning: the touched buckets are known before the
-    // join, so only those partition dirs of the index are read
-    val buckets = newPrefix.select(col("b")).distinct().collect()
-      .map(_.getLong(0)).flatMap(b => Seq(b - 1, b, b + 1)).distinct
-    val index = spark.read
+    // static bucket pruning: the touched buckets are known before the
+    // join, so the index read skips foreign row groups (the prefix
+    // file is bucket-sorted). The driver list is bounded by the
+    // increment's DISTINCT length buckets — narrow for real ingests —
+    // but an arbitrary-length corpus could reach ~maxLen/(d+1)
+    // entries, and a 100k-element isin is a plan-size hazard of its
+    // own; past the cap the filter is dropped and the candidate join
+    // prunes instead (correctness identical either way)
+    val bRows = newPrefix.select(col("b")).distinct().limit(1025)
+      .collect().map(_.getLong(0))
+    val indexAll = spark.read
       .schema("id LONG, len INT, g LONG, b LONG")
       .parquet(s"$indexPath/prefix")
-      .filter(col("b").isin(buckets: _*))
+    val index =
+      if (bRows.length > 1024) indexAll // over the cap: list may be cut
+      else indexAll.filter(col("b").isin(
+        bRows.flatMap(b => Seq(b - 1, b, b + 1)).distinct: _*))
     def lenOk = abs(col("a.len") - col("b.len")) <= maxDist
     val crossSame = newPrefix.as("a").join(index.as("b"),
       col("a.g") === col("b.g") && col("a.b") === col("b.b") &&

@@ -121,6 +121,41 @@ class SccSpec extends SparkSpec {
     nodes.map(v => v -> label(v)).toMap
   }
 
+  test("onion topologies: chains of cycles with DAG bridges, dense " +
+    "random digraphs — refinement matches Tarjan at bounded rounds") {
+    val s = spark
+    import s.implicits._
+    def runBounded(edges: Seq[(Long, Long)], rounds: Int) =
+      Scc.strongComponents(edges.toDF("src", "dst"), "src", "dst",
+        maxRounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain of 20 3-cycles, each feeding the next (both id
+    // orientations — the layered structure where per-layer peeling
+    // algorithms pay one round per layer)
+    def cycleChain(ids: Seq[Long]): Seq[(Long, Long)] =
+      ids.grouped(3).toSeq.flatMap { g =>
+        Seq((g(0), g(1)), (g(1), g(2)), (g(2), g(0)))
+      } ++ ids.grouped(3).toSeq.sliding(2).map(w => (w(0)(2), w(1)(0))).toSeq
+    val asc = (0L until 60L)
+    val desc = asc.reverse
+    for (ids <- Seq(asc, desc)) {
+      val e = cycleChain(ids)
+      val got = runBounded(e, rounds = 8)
+      assert(got == tarjan(e), s"orientation ${ids.head}: " +
+        (got.toSet diff tarjan(e).toSet).take(5).toString)
+    }
+    // dense random digraphs (m = 4n): big SCCs + a periphery
+    val rng = new scala.util.Random(99)
+    for (trial <- 0 until 2) {
+      val n = 40
+      val e = Seq.fill(n * 4)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val got = runBounded(e, rounds = 12)
+      assert(got == tarjan(e), s"dense trial $trial")
+    }
+  }
+
   test("nested/interlocking cycles form one SCC; determinism across runs") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 1L),
       (10L, 11L), (11L, 10L))

@@ -89,17 +89,44 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
 
   private def tablePath(name: String): String = s"$dir/tables/$name"
 
-  /** register the parquet dir as an external bucketed table (idempotent) */
-  private def ensureRegistered(name: String): Unit = {
+  /** register the parquet dir as an external bucketed table
+    * (idempotent). `known` short-circuits file-schema inference — a
+    * ZERO-ROW table has no data files to infer from (an empty bucketed
+    * saveAsTable writes none), so rewrites pass the schema they just
+    * wrote and the reload path reconstructs the physical layout from
+    * the catalog meta.
+    */
+  private def ensureRegistered(name: String,
+      known: Option[StructType] = None): Unit = {
     val ident = tableIdent(name)
     if (!spark.catalog.tableExists(ident)) {
-      val ddl = spark.read.parquet(tablePath(name)).schema.toDDL
+      val sch = known.getOrElse {
+        try spark.read.parquet(tablePath(name)).schema
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          physicalSchema(name)
+        }
+      }
       spark.sql(
-        s"""CREATE TABLE $ident ($ddl) USING PARQUET
+        s"""CREATE TABLE $ident (${sch.toDDL}) USING PARQUET
            |CLUSTERED BY (GlobalNodeId) SORTED BY (GlobalNodeId)
            |INTO ${buckets.get} BUCKETS
            |LOCATION '${tablePath(name)}'""".stripMargin)
     }
+  }
+
+  /** the full physical column layout of `name` reconstructed from the
+    * catalog meta (the same construction [[createNodeTable]] writes) —
+    * plan-only, no jobs
+    */
+  private def physicalSchema(name: String): StructType = {
+    val td = schema.table(name)
+    val propTypes = propertyTypes(name)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), propTypes)
+    GraphBuilder.nodeTable(td, empty,
+      td.nodeIdColumn.getOrElse(propTypes.fieldNames.head),
+      td.edges.map(e => e.name -> emptyPairs(e)).toMap,
+      schema.incomingEdges(name).map(e => e -> emptyPairs(e))).schema
   }
 
   def provider: GraphProvider = new GraphProvider {
@@ -366,7 +393,7 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     fs.delete(marker, false)
     buckets.foreach { _ =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(tableName)}")
-      ensureRegistered(tableName)
+      ensureRegistered(tableName, Some(df.schema))
     }
     cache.remove(tableName)
   }

@@ -207,11 +207,28 @@ class GraphDdlSpec extends SparkSpec {
     // reload: bucket spec comes back from the meta
     val reloaded = new GraphCatalog(spark, dir)
     assert(reloaded.buckets.contains(4))
-    val res2 = new GraphSession(spark, reloaded).sql(
+    val gs2 = new GraphSession(spark, reloaded)
+    val res2 = gs2.sql(
       """SELECT B.name FROM People A, People B MATCH A-[Knows]->B
         |WHERE A.name = 'Bob' ORDER BY B.name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(res2 == Seq("Caven"))
+
+    // admin teardown through the BUCKETED paths: CLEAR DATA truncates
+    // via the bucketed rewrite swap (layout survives), DROP GRAPH
+    // drops the session-catalog registrations too, and the fresh
+    // catalog keeps the bucket spec for new tables
+    gs2.sql("CLEAR DATA")
+    assert(gs2.sql("SELECT COUNT(*) AS n FROM People").head().getLong(0) == 0L)
+    gs2.sql("""INSERT NODE INTO People
+              |SELECT * FROM VALUES (7,'Grace') AS t(id, name)""".stripMargin)
+    assert(gs2.sql("SELECT name FROM People").head().getString(0) == "Grace")
+    gs2.sql("DROP GRAPH DATABASE")
+    assert(gs2.sql("SHOW NODE TABLES").count() == 0L)
+    gs2.sql("CREATE NODE TABLE Crew (id INT NODEID, name STRING)")
+    gs2.sql("""INSERT NODE INTO Crew
+              |SELECT * FROM VALUES (1,'Hopper') AS t(id, name)""".stripMargin)
+    assert(gs2.sql("SELECT COUNT(*) AS n FROM Crew").head().getLong(0) == 1L)
   }
 
   /** Replay of the reference's StoredProcedureTutorial

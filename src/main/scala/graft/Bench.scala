@@ -43,6 +43,8 @@ object Bench {
         .agg(sum("id"), sort_array(collect_list(struct(col("r"), col("id")))))
         .write.mode("overwrite").parquet(tmp.toString)
       spark.read.parquet(tmp.toString).count()
+      val p = new org.apache.hadoop.fs.Path(tmp.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
 
     // warm the graph + stats caches (bulk-load phase), timed once; the 8
@@ -58,6 +60,10 @@ object Bench {
         Duration.Inf)
       queries.SqlQueries.session(spark, sfDir)
     }
+    // the node tables are materialized and persisted — the staged
+    // edge-pair cache behind them is now dead weight; release it so the
+    // whole bench run doesn't pin a second O(edges) copy
+    graph.TpchGraph.releaseStaging(sfDir)
 
     // medians over SPARK_GRAFT_BENCH_RUNS runs (default 3): single-run
     // numbers carry 2-8x transient-contention outliers (BASELINE.md's

@@ -59,6 +59,26 @@ object QueryDef {
   def noOracle(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(run, None)
 
+  /** Per-invocation scratch dir for stateful rows (incremental indexes,
+    * bulk-load staging): created now, deleted recursively at JVM exit.
+    * The result DataFrames read these dirs LAZILY, so an eager delete
+    * inside the query body would race the consumer — a shutdown hook is
+    * the correct lifetime (each Verify/Bench run is its own JVM, so
+    * dirs no longer accumulate across runs).
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** duplicate-proof map constructor for a query file's `defs`: a
     * `Map(...)` literal silently keeps only the LAST entry per key, so
     * a repeated query name un-registers an operator without any test

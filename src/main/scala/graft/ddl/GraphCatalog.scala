@@ -307,15 +307,43 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     cache.remove(name)
   }
 
-  /** CLEAR DATA — the reference's `ClearData`
-    * (`GraphViewConnection.cs:419`): truncate every node table to zero
+  /** TRUNCATE DATA (beyond-ref convenience — deliberately NOT the
+    * reference's ClearData, which drops the schema objects too; see
+    * [[clearData]]): truncate every node table to zero
     * rows; the schema, views, procs and bucketed layout all stay. Each
     * truncation is the crash-safe [[rewrite]] swap, so a crash
     * mid-clear leaves each table either full or empty, never torn.
     */
-  def clearData(): Unit =
+  def truncateData(): Unit =
     schema.tables.foreach(td =>
       rewrite(td.name, provider.nodeTable(td.name).limit(0)))
+
+  /** CLEAR DATA — the reference's `ClearData`
+    * (`GraphViewConnection.cs:419`): drop every schema object the graph
+    * owns — node tables (data AND definition), node/edge views, and
+    * stored procs — while keeping the catalog itself (the meta file and
+    * its version guard) alive, exactly as the reference keeps its
+    * metadata tables across ClearData. The catalog stays immediately
+    * usable: the next CREATE NODE TABLE starts a fresh graph. The
+    * truncate-keep-schema behavior this method had before round 9 lives
+    * on as [[truncateData]], explicitly documented as a beyond-ref
+    * convenience rather than reference parity.
+    */
+  def clearData(): Unit = {
+    buckets.foreach(_ => schema.tables.foreach(td =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(td.name)}")))
+    schema.tables.foreach { td =>
+      val p = new HPath(tablePath(td.name))
+      fsOf(p).delete(p, true)
+    }
+    schema = GraphSchema(Nil)
+    propertyTypes = Map.empty
+    nodeViews = Nil
+    edgeViews = Nil
+    procs = Nil
+    cache.clear()
+    persistMeta()
+  }
 
   /** DROP GRAPH — the reference's `ClearGraphDatabase`
     * (`GraphViewConnection.cs:542`): drop the entire graph — node

@@ -66,6 +66,16 @@ object Mmr {
     require(rows.length <= maxShortlist,
       s"MMR shortlist has ${rows.length} rows > $maxShortlist — run the " +
         "distributed top-N first and re-rank its output")
+    // a zero vector makes cosine NaN, which BigDecimal rejects with an
+    // opaque NumberFormatException and DuckDB's list_cosine_similarity
+    // is equally undefined on — refuse up front with the id instead
+    require(queryVec.exists(_ != 0.0),
+      "MMR query embedding is all-zero — cosine similarity is undefined")
+    rows.find(!_._2.exists(_ != 0.0)).foreach { case (id, _) =>
+      throw new IllegalArgumentException(
+        s"MMR candidate id=$id has an all-zero embedding — cosine " +
+          "similarity is undefined; filter zero-norm vectors first")
+    }
     val byId = rows.sortBy(_._1)
     val rawQ: Map[Long, Double] = byId.map { case (id, v) =>
       id -> cos(queryVec, v)

@@ -63,6 +63,21 @@ object TpchGraph {
 
   private val cache = TrieMap[String, Map[String, DataFrame]]()
 
+  // staged edge-pair DataFrames per sfDir, persisted for the duration of
+  // the build (each list feeds a forward and a reversed adjacency);
+  // released once the node tables have materialized so the process
+  // doesn't pin O(edges) of staging cache for its lifetime
+  private val staged = TrieMap[String, Seq[DataFrame]]()
+
+  /** Unpersist the staged edge-pair cache for `sfDir`. Safe to call any
+    * time: the node tables are themselves persisted, so once they have
+    * materialized the staging cache is dead weight; before that, a
+    * release merely recomputes the pair projection on first use. Bench
+    * calls this right after the bulk-load materializes.
+    */
+  def releaseStaging(sfDir: String): Unit =
+    staged.remove(sfDir).foreach(_.foreach(_.unpersist(false)))
+
   def provider(spark: SparkSession, sfDir: String): GraphProvider =
     new GraphProvider {
       val schema: GraphSchema = TpchGraph.schema
@@ -135,6 +150,7 @@ object TpchGraph {
       ("Supplier", "supplies") -> supplies,
       ("Order", "contains") -> contains)
       .map { case (k, v) => k -> v.persist(StorageLevel.MEMORY_AND_DISK) }
+    staged.put(sfDir, pairs.values.toSeq)
 
     val bases = Map(
       "Region" -> ("r_regionkey", region),

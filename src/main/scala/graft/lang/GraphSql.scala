@@ -398,11 +398,14 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+GRAPH(\s+SAMPLED)?\s*$""".r
   // admin teardown statements — the last public-API parity pieces:
-  // ClearData (GraphViewConnection.cs:419) wipes all node-table DATA
-  // keeping the schema; ClearGraphDatabase (:542) drops the whole
-  // graph (tables, views, procs, meta)
+  // ClearData (GraphViewConnection.cs:419) drops every schema object
+  // (node tables, views, procs) keeping only the catalog meta alive;
+  // ClearGraphDatabase (:542) additionally drops the meta itself.
+  // TRUNCATE DATA is a beyond-ref convenience: zero rows, schema kept.
   private val ClearDataRe =
     """(?is)^\s*CLEAR\s+DATA\s*$""".r
+  private val TruncateDataRe =
+    """(?is)^\s*TRUNCATE\s+DATA\s*$""".r
   private val DropGraphRe =
     """(?is)^\s*DROP\s+GRAPH\s+DATABASE\s*$""".r
 
@@ -728,8 +731,21 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
       }
       affected(0)
     case ClearDataRe() =>
+      // same registry teardown as DROP GRAPH DATABASE — the reference's
+      // ClearData drops tables/views/procs, only the meta survives
       val cat = requireCatalog()
+      val oldTables = cat.schema.tables.map(_.name)
       cat.clearData()
+      oldTables.foreach(spark.catalog.dropTempView)
+      nodeViewsReg.clear()
+      edgeViewsReg.clear()
+      procs.clear()
+      statsCache = None
+      invalidateViews()
+      affected(0)
+    case TruncateDataRe() =>
+      val cat = requireCatalog()
+      cat.truncateData()
       // every table changed shape: stale stats would plan against the
       // old row counts, stale probes against the old samples
       statsCache = None

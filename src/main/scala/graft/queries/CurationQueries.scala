@@ -1148,8 +1148,7 @@ object CurationQueries {
       val docs = Tables.load(s, d, "documents")
       val hist = docs.filter(col("doc_id") % 10 =!= 0)
       val inc = docs.filter(col("doc_id") % 10 === 0)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_win_idx").toString
+      val idx = graft.QueryDef.scratchDir("graft_win_idx")
       SubstringDedup.writeWindowIndex(hist, "text", "doc_id", k = 8, idx)
       SubstringDedup.duplicatedSpansIncremental(inc, idx,
         "text", "doc_id", k = 8)
@@ -1185,8 +1184,7 @@ object CurationQueries {
       val docs = Tables.load(s, d, "documents")
       val corpus = docs.filter(col("source") =!= "src0")
       val bench = docs.filter(col("source") === "src0")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_curate_idx").toString
+      val dir = graft.QueryDef.scratchDir("graft_curate_idx")
       Pipeline.curateV2WriteIndexes(
         corpus.filter(col("doc_id") < 400), "text", "doc_id", dir)
       Pipeline.curateV2Incremental(

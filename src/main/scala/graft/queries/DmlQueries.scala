@@ -213,7 +213,7 @@ object DmlQueries {
       """SELECT CAST(n.n_nationkey AS INTEGER) AS nationkey, r.r_name AS region
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY nationkey""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_bulk").toString
+      val dir = graft.QueryDef.scratchDir("graft_bulk")
       val nation = graft.Tables.load(s, d, "nation")
       val region = graft.Tables.load(s, d, "region")
       region.select(col("r_regionkey").cast(IntegerType).as("rk"),

@@ -661,8 +661,7 @@ object PipelineQueries {
       val inc = inc0.union(inc0.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(col("text"), lit(" x")).as("text")))
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_ed_idx").toString
+      val idx = graft.QueryDef.scratchDir("graft_ed_idx")
       Dedup.writeEditIndex(hist, "text", "doc_id", idx, maxDist = 3)
       Dedup.editDistancePairsIncremental(s, inc, hist, idx,
         "text", "doc_id", maxDist = 3)
@@ -764,8 +763,7 @@ object PipelineQueries {
         |SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_fp_idx").toString
+      val idx = graft.QueryDef.scratchDir("graft_fp_idx")
       Dedup.writeFingerprintIndex(
         docs.filter(col("doc_id") % 10 =!= 0), "text", idx)
       Dedup.exactDedupIncremental(
@@ -796,8 +794,7 @@ object PipelineQueries {
       val docs = Tables.load(s, d, "documents")
       val hist = docs.filter(col("doc_id") % 10 =!= 0)
       val inc = docs.filter(col("doc_id") % 10 === 0)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_lsh_idx").toString
+      val idx = graft.QueryDef.scratchDir("graft_lsh_idx")
       Dedup.writeBandIndex(hist, "text", "doc_id", idx,
         n = 3, numPerms = 64, bands = 8)
       Dedup.minhashLshPairsIncremental(s, inc, hist, idx,
@@ -866,8 +863,7 @@ object PipelineQueries {
          |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_sh_idx").toString
+      val idx = graft.QueryDef.scratchDir("graft_sh_idx")
       Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 10 =!= 0),
         "text", "doc_id", idx, tokenHash = Dedup.PortableTokenHash)
       Dedup.simhashPairsIncremental(s,
@@ -951,8 +947,7 @@ object PipelineQueries {
       val emb = Tables.load(s, d, "embeddings")
       val hist = emb.filter(col("vec_id") % 2 === 1)
       val inc = emb.filter(col("vec_id") % 2 === 0)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_emb_idx").toString
+      val idx = graft.QueryDef.scratchDir("graft_emb_idx")
       val cents = Similarity.trainCentroids(hist, "vec_id", "embedding", 8)
       Similarity.buildIvfIndex(hist.select("vec_id", "embedding"),
         "vec_id", "embedding", cents, idx)

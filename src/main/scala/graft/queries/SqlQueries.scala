@@ -263,11 +263,13 @@ object SqlQueries {
       rows.toDF("rname", "pre_in", "post_in")
     },
 
-    // admin teardown statements (r8): CLEAR DATA truncates every table
-    // keeping schema (row counts recorded before/after prove it), DROP
-    // GRAPH DATABASE tears the whole graph down and the catalog is
-    // immediately reusable — the final SELECT reads a table created
-    // AFTER the drop, so the oracle hash verifies the full lifecycle
+    // admin teardown statements (r8, re-cut r9 to the reference's real
+    // semantics): TRUNCATE DATA (beyond-ref) zeroes rows keeping
+    // schema; CLEAR DATA (GraphViewConnection.cs:419) drops tables/
+    // views/procs keeping the catalog meta — the table must be
+    // re-CREATEd after it; DROP GRAPH DATABASE (:542) drops the meta
+    // too. The final SELECT reads a table created AFTER the full drop,
+    // so the oracle hash verifies the whole lifecycle
     "q_sql_clear_graph" -> QueryDef(
       """SELECT s_name AS name,
         |  CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS pre_rows,
@@ -281,10 +283,17 @@ object SqlQueries {
       gs.sql("CREATE NODE TABLE T (k INT NODEID, name STRING)")
       gs.sql("INSERT NODE INTO T SELECT r_regionkey AS k, r_name AS name FROM region")
       val pre = gs.catalog.get.provider.nodeTable("T").count()
-      gs.sql("CLEAR DATA")
+      gs.sql("TRUNCATE DATA")
       val mid = gs.catalog.get.provider.nodeTable("T").count()
       gs.sql("INSERT NODE INTO T SELECT n_nationkey AS k, n_name AS name FROM nation")
       val repop = gs.catalog.get.provider.nodeTable("T").count()
+      gs.sql("CLEAR DATA")
+      // ref ClearData dropped T's definition, not just its rows — the
+      // catalog must be empty yet immediately reusable
+      require(gs.catalog.get.schema.tables.isEmpty,
+        "CLEAR DATA must drop node-table definitions (ref parity)")
+      gs.sql("CREATE NODE TABLE T2 (k INT NODEID, name STRING)")
+      gs.sql("INSERT NODE INTO T2 SELECT s_suppkey AS k, s_name AS name FROM supplier")
       gs.sql("DROP GRAPH DATABASE")
       gs.sql("CREATE NODE TABLE T2 (k INT NODEID, name STRING)")
       gs.sql("INSERT NODE INTO T2 SELECT s_suppkey AS k, s_name AS name FROM supplier")

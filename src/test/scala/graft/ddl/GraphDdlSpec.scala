@@ -214,15 +214,22 @@ class GraphDdlSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(res2 == Seq("Caven"))
 
-    // admin teardown through the BUCKETED paths: CLEAR DATA truncates
-    // via the bucketed rewrite swap (layout survives), DROP GRAPH
-    // drops the session-catalog registrations too, and the fresh
-    // catalog keeps the bucket spec for new tables
-    gs2.sql("CLEAR DATA")
+    // admin teardown through the BUCKETED paths: TRUNCATE DATA zeroes
+    // rows via the bucketed rewrite swap (layout survives), CLEAR DATA
+    // drops the tables AND their session-catalog registrations keeping
+    // the bucket spec in the surviving meta, DROP GRAPH drops the meta
+    // too, and the fresh catalog keeps the bucket spec for new tables
+    gs2.sql("TRUNCATE DATA")
     assert(gs2.sql("SELECT COUNT(*) AS n FROM People").head().getLong(0) == 0L)
     gs2.sql("""INSERT NODE INTO People
               |SELECT * FROM VALUES (7,'Grace') AS t(id, name)""".stripMargin)
     assert(gs2.sql("SELECT name FROM People").head().getString(0) == "Grace")
+    gs2.sql("CLEAR DATA")
+    assert(gs2.sql("SHOW NODE TABLES").count() == 0L)
+    gs2.sql("CREATE NODE TABLE People (id INT NODEID, name STRING)")
+    gs2.sql("""INSERT NODE INTO People
+              |SELECT * FROM VALUES (8,'Heidi') AS t(id, name)""".stripMargin)
+    assert(gs2.sql("SELECT name FROM People").head().getString(0) == "Heidi")
     gs2.sql("DROP GRAPH DATABASE")
     assert(gs2.sql("SHOW NODE TABLES").count() == 0L)
     gs2.sql("CREATE NODE TABLE Crew (id INT NODEID, name STRING)")
@@ -649,9 +656,10 @@ class GraphDdlSpec extends SparkSpec {
     assert(globalCount() == 2)
   }
 
-  test("CLEAR DATA truncates every table keeping schema/views/procs; " +
-    "DROP GRAPH DATABASE returns a fresh catalog (the reference's " +
-    "ClearData / ClearGraphDatabase admin statements)") {
+  test("TRUNCATE DATA zeroes rows keeping schema/views/procs; CLEAR " +
+    "DATA drops all schema objects keeping the catalog meta (the " +
+    "reference's ClearData, GraphViewConnection.cs:419); DROP GRAPH " +
+    "DATABASE drops the meta too (ClearGraphDatabase, :542)") {
     val dir = Files.createTempDirectory("graft_clear").toString
     val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
     def populate(): Unit = {
@@ -669,8 +677,9 @@ class GraphDdlSpec extends SparkSpec {
     populate()
     assert(gs.sql("EXEC CountPeople").head().getLong(0) == 2L)
 
-    // CLEAR DATA: rows gone, schema + views + procs stay, reusable
-    gs.sql("CLEAR DATA")
+    // TRUNCATE DATA (beyond-ref): rows gone, schema + views + procs
+    // stay, reusable without re-declaring anything
+    gs.sql("TRUNCATE DATA")
     assert(gs.sql("EXEC CountPeople").head().getLong(0) == 0L)
     assert(gs.sql("SELECT COUNT(*) AS n FROM Folk").head().getLong(0) == 0L)
     assert(gs.sql("SHOW NODE TABLES").count() == 1L)
@@ -680,9 +689,10 @@ class GraphDdlSpec extends SparkSpec {
         |WHERE a.name = 'Alice'""".stripMargin)
       .head().getString(0) == "Bob")
 
-    // DROP GRAPH DATABASE: everything gone — tables, views, procs —
-    // and the catalog is immediately reusable as a fresh graph
-    gs.sql("DROP GRAPH DATABASE")
+    // CLEAR DATA: the reference's ClearData — node tables, views and
+    // procs ALL gone (schema objects dropped, not truncated); only the
+    // catalog meta survives and the graph is immediately re-creatable
+    gs.sql("CLEAR DATA")
     assert(gs.sql("SHOW NODE TABLES").count() == 0L)
     assert(gs.sql("SHOW PROCS").count() == 0L)
     assert(gs.sql("SHOW NODE VIEWS").count() == 1L) // only the implicit global
@@ -691,11 +701,18 @@ class GraphDdlSpec extends SparkSpec {
     gs.sql("INSERT NODE INTO Dogs SELECT * FROM VALUES (1,'Rex') AS t(id, name)")
     assert(gs.sql("SELECT COUNT(*) AS n FROM Dogs").head().getLong(0) == 1L)
 
-    // and both survive a catalog reload: the persisted meta reflects
-    // the post-DROP state
+    // CLEAR DATA survives a catalog reload: the persisted meta
+    // reflects the post-clear state (only the re-created table)
     val gs2 = new GraphSession(spark, new GraphCatalog(spark, dir))
     assert(gs2.sql("SHOW NODE TABLES").collect().map(_.getString(0)).toSeq
       == Seq("Dogs"))
     assert(gs2.sql("SHOW PROCS").count() == 0L)
+
+    // DROP GRAPH DATABASE: the meta goes too — a fresh graph starts
+    gs2.sql("DROP GRAPH DATABASE")
+    assert(gs2.sql("SHOW NODE TABLES").count() == 0L)
+    gs2.sql("CREATE NODE TABLE Cats (id INT NODEID, name STRING)")
+    gs2.sql("INSERT NODE INTO Cats SELECT * FROM VALUES (1,'Tom') AS t(id, name)")
+    assert(gs2.sql("SELECT COUNT(*) AS n FROM Cats").head().getLong(0) == 1L)
   }
 }

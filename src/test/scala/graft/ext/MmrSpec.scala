@@ -48,4 +48,24 @@ class MmrSpec extends SparkSpec {
     assert(Mmr.scaled(-1.0) == -1000000000L)
     assert(Mmr.scaled(0.0) == 0L)
   }
+
+  test("zero-norm embeddings are refused with a clear message, not a " +
+    "NumberFormatException out of BigDecimal(NaN)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Mmr.select(rows, "vec_id", "embedding", q, k = 2)
+    }
+    assert(e.getMessage.contains("id=2"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("zero"), e.getMessage)
+    val eq = intercept[IllegalArgumentException] {
+      Mmr.select(rows.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", Array(0.0, 0.0, 0.0), k = 1)
+    }
+    assert(eq.getMessage.toLowerCase.contains("query"), eq.getMessage)
+  }
 }

@@ -43,7 +43,7 @@ object Stage {
   def boundary(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {
-      case "local" => df.localCheckpoint(true)
+      case "local" => patchLocalStats(df.localCheckpoint(true))
       case "reliable" =>
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(requiredDir(spark) + "/rdd")
@@ -57,6 +57,42 @@ object Stage {
         spark.read.parquet(path)
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be local|reliable|parquet, got $other")
+    }
+  }
+
+  /** A local boundary's `LogicalRDD` inherits `originStats` from the
+    * plan it checkpointed — for a multi-join subtree those are
+    * join-ESTIMATE blowups, orders of magnitude above the bytes that
+    * actually materialized. Garbage-huge stats on a tiny checkpoint
+    * mislead downstream planning; concretely, Spark 4's
+    * `InjectRuntimeFilter` saw a "huge" candidate-pair boundary in the
+    * edit-distance probe and injected default-sized (1 MiB) bloom
+    * filters that rode along in every task binary of every consuming
+    * stage (the driver-log "Broadcasting large task binary with size
+    * 4.1 MiB" tail). The checkpoint is EAGER, so the true size is
+    * sitting in the block manager — replace the inherited estimate
+    * with the measured bytes (and keep everything else of the plan).
+    * A boundary that really is big keeps honestly-big stats, so
+    * genuinely useful runtime filters still inject at scale.
+    */
+  private def patchLocalStats(cp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    val session = cp.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cp.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        session.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id) match {
+          case Some(info) =>
+            val bytes = math.max(info.memSize + info.diskSize, 1L)
+            org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session,
+              LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+                lr.outputOrdering, lr.isStreaming, lr.stream)(session,
+                Some(Statistics(sizeInBytes = bytes)), None))
+          case None => cp
+        }
+      case _ => cp
     }
   }
 

@@ -136,7 +136,7 @@ object Dedup {
     * pairs at ≤ d, not a candidate superset.
     */
   /** docs shorter than this can't fill a q·d+1-gram prefix */
-  private def editShortMax(maxDist: Int, q: Int): Int = q * (maxDist + 1) - 1
+  private[ext] def editShortMax(maxDist: Int, q: Int): Int = q * (maxDist + 1) - 1
 
   /** Per-doc prefix-gram rows (id, len, g, b) for docs long enough to
     * fill a prefix: the q·d+1 DF-SMALLEST distinct q-grams under the
@@ -155,7 +155,7 @@ object Dedup {
     * joins compose with the gram key.
     */
   /** (id, len, g) distinct hashed q-grams of prefix-capable docs */
-  private def editGramRows(df: DataFrame, textCol: String,
+  private[ext] def editGramRows(df: DataFrame, textCol: String,
       idCol: String, maxDist: Int, q: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"),
@@ -170,7 +170,7 @@ object Dedup {
     * `dfLookup` (g, gdf); grams absent from the lookup order as df 0
     * (new grams are by definition the rarest)
     */
-  private def editPrefixFrom(grams: DataFrame, dfLookup: DataFrame,
+  private[ext] def editPrefixFrom(grams: DataFrame, dfLookup: DataFrame,
       maxDist: Int, q: Int): DataFrame = {
     val prefLen = q * maxDist + 1
     grams.join(dfLookup, Seq("g"), "left")
@@ -265,8 +265,9 @@ object Dedup {
     * by their increment's own df (grams unseen at build time order as
     * df 0 — new grams are by definition the rarest). Long-drifted
     * corpora refresh selectivity by rebuilding the index — the same
-    * retrain story as the kNN quantizer; completeness never depends
-    * on it. ~q·d+1 longs per long doc — the text itself is NOT
+    * retrain story as the kNN quantizer, with the same observer:
+    * [[editHotPrefixes]] watches per-(gram, bucket) fan-out and a trip
+    * calls [[rebuildEditIndex]]; completeness never depends on it. ~q·d+1 longs per long doc — the text itself is NOT
     * duplicated into the index; verification fetches it from the
     * corpus, semi-joined down to candidates.
     */
@@ -320,6 +321,39 @@ object Dedup {
       .filter(col("len") <= editShortMax(maxDist, q) + maxDist)
       .write.mode("append").parquet(s"$path/short")
   }
+
+  /** Drift observer for a [[writeEditIndex]] layout — the same
+    * trip-wire the maintained kNN graph has in `ivfHotCells`: the
+    * frozen df order keeps the index COMPLETE forever, but selectivity
+    * decays as the corpus drifts. A gram that was rare (or unseen) at
+    * build time sorts early in the frozen order, so if ingest later
+    * makes it ubiquitous it lands in every new doc's prefix and its
+    * (gram, length-bucket) join key fans out quadratically in the
+    * probe. This measures exactly that hazard: per-(gram, bucket)
+    * prefix-row counts above `maxRows`. One text-free aggregate over
+    * the prefix file — run it on the maintenance cadence; a non-empty
+    * result is the signal to [[rebuildEditIndex]].
+    */
+  def editHotPrefixes(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, maxRows: Long): DataFrame =
+    spark.read.schema("id LONG, len INT, g LONG, b LONG")
+      .parquet(s"$indexPath/prefix")
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("rows"))
+      .filter(col("rows") > maxRows)
+
+  /** Maintenance move when [[editHotPrefixes]] trips: re-derive the
+    * (gram, df) snapshot from the ACCUMULATED corpus and rewrite the
+    * whole layout under the fresh order. The rebuilt index is exactly
+    * [[writeEditIndex]] over `docs`, so the incremental face resumes
+    * from the same state a from-scratch build would give — probes
+    * after a rebuild stay ≡ the batch operator (spec-pinned). Single
+    * writer during the rewrite, like every index in this family; a
+    * crash mid-rebuild is recovered by re-running the rebuild (the
+    * index holds no text — the caller still owns the corpus).
+    */
+  def rebuildEditIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, maxDist: Int, q: Int = 5): Unit =
+    writeEditIndex(docs, textCol, idCol, path, maxDist, q)
 
   /** Edit-distance pairs of an ingestion increment: every pair at
     * ≤ maxDist with AT LEAST ONE endpoint in `newDocs` — cross pairs

@@ -81,7 +81,8 @@ object Scc {
     * `component` = the SCC's minimum member id. Self-loops are
     * irrelevant to SCC membership and dropped. */
   def strongComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 100): DataFrame = {
+      maxRounds: Int = 100,
+      roundObserver: Int => Unit = _ => ()): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst"))
@@ -97,6 +98,7 @@ object Scc {
     var rounds = 0
     while (!remaining.isEmpty) {
       rounds += 1
+      roundObserver(rounds)
       require(rounds <= maxRounds,
         s"SCC refinement exceeded $maxRounds rounds — an adversarial " +
           "nesting of components; raise maxRounds or shard upstream")

@@ -225,10 +225,14 @@ object SqlQueries {
         |AS t(pos, "column", role, detail) ORDER BY pos""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
+      // the constant partition key keeps the (bounded-by-column-count)
+      // numbering window off WindowExec's no-partition WARN path — the
+      // single partition is fine here, DESCRIBE rows scale with the
+      // schema, never the data
       session(s, d).sql("DESCRIBE NODE TABLE Customer")
         .withColumn("pos", monotonically_increasing_id())
         .withColumn("pos", row_number().over(
-          Window.orderBy("pos")).cast("int"))
+          Window.partitionBy(lit(0)).orderBy("pos")).cast("int"))
     },
 
     "q_sql_drop_table" -> QueryDef(

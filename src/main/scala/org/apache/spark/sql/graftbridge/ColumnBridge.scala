@@ -22,6 +22,14 @@ object ColumnBridge {
   def convertedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** wrap a logical plan as a DataFrame — the `private[sql]`
+    * `Dataset.ofRows` seam, needed when a library rebuilds a plan node
+    * (e.g. a checkpoint's `LogicalRDD` with corrected statistics) */
+  def ofRows(session: org.apache.spark.sql.classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
+
   /** drive a configured `SparkSessionExtensions`' function injections
     * into a registry — the `private[sql]` step session construction
     * performs, exposed so tests can exercise the extensions hook */

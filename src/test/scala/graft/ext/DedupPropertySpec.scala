@@ -181,6 +181,64 @@ class DedupPropertySpec extends SparkSpec {
     (i.toLong + 1, text)
   }
 
+  test("edit-index drift observer: a once-unseen gram gone ubiquitous " +
+    "trips editHotPrefixes; rebuildEditIndex restores selectivity and " +
+    "the probe stays equal to the batch operator") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(47)
+    val alpha = "abcdefghij" // no 'z': the drift gram is unseen at build
+    def word(n: Int) = Seq.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+    val hist = (0 until 40).map(i => (i.toLong, word(12)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ed_drift")
+      .toString
+    Dedup.writeEditIndex(hist.toDF("id", "t"), "t", "id", idx,
+      maxDist = 1, q = 2)
+    assert(Dedup.editHotPrefixes(spark, idx, maxRows = 15).isEmpty)
+
+    // drifting ingest: every new doc starts with "zz" — a gram with
+    // frozen df 0 — followed by a slice of a HIST doc (grams all seen
+    // at build). df-0 grams sort first, so "zz" lands in every
+    // appended prefix: one (gram, bucket) key carries all 30 rows
+    val drifted = (0 until 30).map(i =>
+      (100L + i, "zz" + hist(i % hist.length)._2.take(10)))
+    Dedup.appendEditIndex(drifted.toDF("id", "t"), "t", "id", idx,
+      maxDist = 1, q = 2)
+    val hot = Dedup.editHotPrefixes(spark, idx, maxRows = 15)
+      .collect().map(_.getLong(2))
+    assert(hot.nonEmpty && hot.max >= 30L, hot.toSeq.toString)
+
+    // maintenance: rebuild over the ACCUMULATED corpus — "zz" now has
+    // df 30, so the fresh order evicts it from the prefixes and no
+    // (gram, bucket) key stays hot
+    val accumulated = hist ++ drifted
+    Dedup.rebuildEditIndex(accumulated.toDF("id", "t"), "t", "id", idx,
+      maxDist = 1, q = 2)
+    assert(Dedup.editHotPrefixes(spark, idx, maxRows = 15).isEmpty)
+
+    // probe after the rebuild ≡ batch over the union, restricted to
+    // increment-touching pairs (the same contract as before the drift)
+    val probe = Seq(
+      (200L, { val a = hist(0)._2.toCharArray; a(5) = 'q'; new String(a) }),
+      (201L, { val a = drifted(0)._2.toCharArray; a(7) = 'q'; new String(a) }),
+      (202L, word(12)))
+    val got = Dedup.editDistancePairsIncremental(spark,
+      probe.toDF("id", "t"), accumulated.toDF("id", "t"), idx,
+      "t", "id", maxDist = 1, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val probeIds = probe.map(_._1).toSet
+    val want = Dedup.editDistancePairs(
+      (accumulated ++ probe).toDF("id", "t"), "t", "id", maxDist = 1, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => probeIds.contains(p._1) || probeIds.contains(p._2))
+      .toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.exists { case (a, b, _) => a == 0L && b == 200L },
+      "planted hist near-dup missing")
+    assert(want.exists { case (a, b, _) => a == 100L && b == 201L },
+      "planted drifted near-dup missing")
+  }
+
   test("incremental substring spans equal the full-corpus spans on the " +
     "increment, across random corpora") {
     val s = spark

@@ -46,7 +46,11 @@ import graft.Stage.StageOps
   * round 1 and every node extracts in round 2 — and pointer jumping
   * fixes the inner one (StressRank's 100k-singleton chain: 2 outer
   * rounds, ~log inner iterations). `maxRounds` stays as a guard for
-  * adversarial onion topologies.
+  * adversarial onion topologies — whose measured law is LOGARITHMIC,
+  * not depth-proportional: `tools/StressOnion` pins 10,000-layer
+  * cycle-chains at 2 rounds (asc/desc ids), 13 rounds (recursive
+  * middle-min layout, = log₂ L exactly) and 21 rounds (random
+  * permutation, ≈1.6·log₂ L), each verified node-exact (PLANS.md r9).
   */
 object Scc {
 

@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   * node's component equals its cycle's min id. The pin: every layout
   * resolves within 24 rounds at 10,000 layers — depth-proportional
   * behavior (the r7 peel) would need 10k rounds and trips immediately.
+  * Measured (PLANS.md r9): asc/desc 2 rounds, mid 13 (= log₂ 10k),
+  * rand 21 (≈1.6·log₂ L) — the refinement's round law is logarithmic.
   *
   * Usage: runMain graft.tools.StressOnion [layers]
   */

@@ -55,7 +55,17 @@ class PlanGuardSpec extends SparkSpec {
     // graded contamination fraction: bench side distinct (1 exchange)
     // + gram explodes on both sides (2 generates) + broadcast left
     // join, then the per-doc count and ORDER BY exchanges
-    "q_contamination_frac" -> Fingerprint(3, 1, 2, 0))
+    "q_contamination_frac" -> Fingerprint(3, 1, 2, 0),
+    // view-path MATCH rows (r9, verdict #7): traversals through node/
+    // edge views must keep the member-union shape with per-member
+    // pushdown. Appended AFTER the existing golden rows so the cache
+    // warm-order (and therefore the InMemoryRelation prints those
+    // earlier fingerprints embed) is unchanged. Same caveat as
+    // q_sql_edge_view: persist/ReusedExchange changes move counts
+    // between prints without changing physical work — re-pin with a
+    // note on deliberate plan changes
+    "q_sql_view_varlen" -> Fingerprint(187, 83, 53, 0),
+    "q_sql_correlated_view" -> Fingerprint(429, 190, 126, 0))
 
   golden.foreach { case (q, expected) =>
     test(s"golden plan fingerprint: $q") {

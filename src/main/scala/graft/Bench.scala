@@ -140,7 +140,8 @@ object Bench {
           val Array(k, v) = kv.split("=", 2)
           k.trim -> v.trim.toDouble
         }.toMap
-      val violations = budgetViolations(famMap, budgets)
+      val violations = budgetViolations(
+        famMap + ("graph_build" -> buildSec), budgets)
       if (violations.nonEmpty) {
         violations.foreach(v => System.err.println(s"[bench-budget] $v"))
         spark.stop()
@@ -159,7 +160,12 @@ object Bench {
   val DefaultBudgets: Map[String, Double] = Map(
     "ann" -> 10.0, "dedup" -> 45.0, "dml" -> 4.0, "graphx" -> 3.0,
     "match" -> 4.0, "multimodal" -> 17.0, "other" -> 85.0,
-    "path" -> 3.5, "pipeline" -> 16.0, "sql" -> 15.0, "text" -> 2.0)
+    "path" -> 3.5, "pipeline" -> 16.0, "sql" -> 15.0, "text" -> 2.0,
+    // the one-time bulk load, budgeted as its own row (r9): the r8
+    // driver run measured 8.97 s and the driver's own gate is 60 s —
+    // >=3x headroom over the observed median means environment drift
+    // trips THIS gate with ~30 s of margin left, never the driver's
+    "graph_build" -> 30.0)
 
   /** pure check, unit-testable: families over budget, rendered */
   private[graft] def budgetViolations(famSums: Map[String, Double],

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Stage.StageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -26,8 +27,13 @@ import org.apache.spark.sql.types._
   * ever proportional to a neighborhood list held in memory: the
   * per-node minimum is an aggregate, NOT a `collect_list`, so a
   * 100M-degree hub costs its partial aggregates, not a 800MB array
-  * row. Each round ends in an eager `localCheckpoint` to truncate
-  * lineage (the PathExpand fixpoint move).
+  * row. Each round ends in an eager stage boundary to truncate
+  * lineage (the PathExpand fixpoint move) — through `Stage.boundary`,
+  * which also replaces the checkpoint's inherited join-estimate stats
+  * with measured bytes (a raw localCheckpoint here made the runtime
+  * filter rule treat the tiny per-round edge set as huge and pack
+  * default-sized bloom filters into every task binary — the r9
+  * 2-3 MiB task-binary WARNs in q_dedup_cc_incremental).
   *
   * Determinism: the final labeling (every node → the minimum id in
   * its component) is unique, so the merge/join order inside rounds
@@ -58,7 +64,7 @@ object Cc {
         greatest(col(aCol), col(bCol)).cast(LongType).as("u"),
         least(col(aCol), col(bCol)).cast(LongType).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .stageBoundary
     var round = 0
     var converged = edges.isEmpty
     while (!converged) {
@@ -76,7 +82,7 @@ object Cc {
         .filter(col("w") > col("n"))
         .select(col("w").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .stageBoundary
       // -- small-star: on the parent-pointer orientation (all v < u),
       //    m = min neighbor; u and every smaller neighbor attach to m
       val smins = ls.groupBy("u").agg(min(col("v")).as("m"))
@@ -85,7 +91,7 @@ object Cc {
         .select(col("v").as("u"), col("m").as("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .stageBoundary
       // fixpoint test: the edge set is a star forest, which needs BOTH
       //  (a) no edge target is also a source (pointers land on roots),
       //  (b) every source has exactly ONE parent.

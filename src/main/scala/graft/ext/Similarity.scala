@@ -1118,16 +1118,36 @@ object Similarity {
     * (score, cell) structs, score rounded to absorb float noise), no
     * join, no shuffle. Feeds [[ivfTopK]] / [[writeIvfIndex]].
     */
+  /** Above this k the centroid matrix moves out of the plan: the
+    * literal argmax serializes every centroid into every consuming
+    * stage's task binary (k=8192 × 128-d ≈ 8 MB per stage — the
+    * KMeansIvfSpec "broadcasting large task binary" WARNs), while the
+    * [[graft.functions.NearestCell]] broadcast path ships a handle and
+    * fetches the matrix once per executor. 256 × 768-d ≈ 800 KB of
+    * literal stays comfortably under the scheduler's 1 MiB warn line.
+    */
+  val LiteralCentroidLimit = 256
+
   def assignCells(corpus: DataFrame, vecCol: String, cellCol: String,
-      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
-    val centArr = array(centroids.map { case (i, v) =>
-      struct(lit(i).as("cell"), typedlit(v).as("cv"))
-    }: _*)
-    val scored = transform(centArr, c => struct(
-      round(cosine(col(vecCol), c.getField("cv")), 9).as("cs"),
-      c.getField("cell").as("cell")))
-    corpus.withColumn(cellCol, array_max(scored).getField("cell"))
-  }
+      centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    if (centroids.size <= LiteralCentroidLimit) {
+      val centArr = array(centroids.map { case (i, v) =>
+        struct(lit(i).as("cell"), typedlit(v).as("cv"))
+      }: _*)
+      val scored = transform(centArr, c => struct(
+        round(cosine(col(vecCol), c.getField("cv")), 9).as("cs"),
+        c.getField("cell").as("cell")))
+      corpus.withColumn(cellCol, array_max(scored).getField("cell"))
+    } else {
+      // broadcast argmax — semantics identical to the literal fold by
+      // construction (same CosineSim static, same Round-on-double
+      // rounding, same lexicographic (cs, cell) tie rule; spec-pinned
+      // equal on random and tie-crafted inputs in KMeansIvfSpec)
+      val bc = corpus.sparkSession.sparkContext.broadcast(
+        centroids.map { case (i, v) => (i, v.toArray) }.toArray)
+      corpus.withColumn(cellCol,
+        graft.functions.NearestCell(col(vecCol), bc))
+    }
 
   /** Corpus bound for the unblocked all-pairs kernel: 100k × 768-d float
     * vectors ≈ 300 MB of broadcast build side — comfortably inside

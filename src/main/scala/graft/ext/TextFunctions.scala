@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Stage.StageOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -663,11 +664,12 @@ object TextFunctions {
         else {
           val (a, b) = (best(0).getString(0), best(0).getString(1))
           out += ((a, b, best(0).getLong(2)))
-          // localCheckpoint per round: keeps the replace-chain lineage
-          // flat so round r doesn't recompute rounds 1..r-1
+          // stage boundary per round: keeps the replace-chain lineage
+          // flat so round r doesn't recompute rounds 1..r-1 (and
+          // carries measured stats — see Stage.patchLocalStats)
           state = state
             .withColumn("__s", bpeMergeOnce(col("__s"), a, b))
-            .localCheckpoint(true)
+            .stageBoundary
         }
       }
     }

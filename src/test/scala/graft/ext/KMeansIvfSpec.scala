@@ -226,6 +226,55 @@ class KMeansIvfSpec extends SparkSpec {
     assert(purity >= 0.85, s"cell purity $purity at k=$bigK")
   }
 
+  test("broadcast argmax (k > LiteralCentroidLimit) assigns the same " +
+    "cells as the literal fold — random vectors, exact ties, zero " +
+    "vectors") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13L)
+    val dim = 8
+    // centroids: k just over the literal limit, with a crafted EXACT
+    // duplicate pair (ids 7 and 290 share a vector — the lexicographic
+    // (cs, cell) tie rule must pick 290) and one centroid at a vector
+    // a corpus row duplicates (cs exactly 1.0 after rounding)
+    val dupVec = Seq.fill(dim)(rng.nextGaussian().toFloat)
+    val k = Similarity.LiteralCentroidLimit + 44
+    val cents: Seq[(Int, Seq[Float])] = (0 until k).map { i =>
+      if (i == 7 || i == k - 10) (i, dupVec)
+      else (i, Seq.fill(dim)(rng.nextGaussian().toFloat))
+    }
+    val corpus = ((0 until 400).map(i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian().toFloat))) ++
+      Seq((9001L, dupVec), // exact centroid hit -> the duplicate pair tie
+        (9002L, Seq.fill(dim)(0f)))) // zero vector -> NaN cosine path
+      .toDF("vec_id", "embedding")
+
+    // literal reference: the same fold assignCells uses below the
+    // limit, built here directly so both paths run at the SAME k
+    val centArr = array(cents.map { case (i, v) =>
+      struct(lit(i).as("cell"), typedlit(v).as("cv"))
+    }: _*)
+    val scored = transform(centArr, c => struct(
+      round(Similarity.cosine(col("embedding"), c.getField("cv")), 9)
+        .as("cs"),
+      c.getField("cell").as("cell")))
+    val literal = corpus
+      .withColumn("cell", array_max(scored).getField("cell"))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    assert(k > Similarity.LiteralCentroidLimit)
+    val broadcastPath = Similarity.assignCells(
+      corpus, "embedding", "cell", cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(broadcastPath == literal,
+      s"diverged: ${(broadcastPath.toSet diff literal.toSet).take(5)}")
+    // the tie really exercised the rule: the duplicated centroid pair
+    // resolves to the larger id
+    assert(literal(9001L) == k - 10, literal(9001L).toString)
+  }
+
   test("semanticDedup accepts trained centroids") {
     val s = spark
     import s.implicits._

@@ -505,29 +505,115 @@ object Dedup {
     * (e.g. 16 bands x 4 rows at j>=0.9: miss ~1e-16). The shuffles are
     * bands (constant per doc) + the candidate verification — never the
     * full shingle cross join.
+    *
+    * Exact shingle-SET duplicates collapse to one representative (the
+    * set's min id) BEFORE the band join. Lossless: jaccard depends only
+    * on the shingle set, so equal-set docs have jaccard 1 with each
+    * other and identical jaccard against every third doc — within-set
+    * pairs are emitted directly at 1.0 and each representative pair
+    * copies unchanged to its member pairs. This removes the classic LSH
+    * hot-bucket quadratic: m exact copies of one page land together in
+    * EVERY band bucket (bands×m² candidate-join rows, m² shingle-array
+    * verifications); collapsed, the page bands once and its m²/2 pairs
+    * come out of one O(output) equi-join with no verification at all.
+    * Set identity is a 128-bit sorted-set fingerprint (collision odds
+    * across 1e10 docs ~1e-19 — far below the banding miss probability
+    * the contract already accepts).
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minJaccard: Double,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
-    require(numPerms % bands == 0, "numPerms must divide into bands")
-    // (id, shingles) is DERIVED, never persisted: the shingle arrays are
-    // roughly the corpus itself, so caching them across passes is the
-    // one thing that cannot survive a 100 TB run. Candidate generation
-    // shingles the corpus ONCE (map-only into constant-size band keys);
-    // verification re-shingles only the candidate docs.
-    def shingled(d: DataFrame) = d.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), n).as("shs"))
-      .filter(size(col("shs")) > 0)
-    // candidate generation carries only (id, band, bandHash) — constant
-    // bytes per doc; the shingle arrays stay out of this shuffle entirely.
-    // Materialized once (localCheckpoint → executor-local storage, ~20
-    // bytes × bands per doc) so the self-join below reads it twice
-    // instead of re-running the corpus-wide shingle+signature pipeline
-    // per side
-    val banded = bandRows(df, textCol, idCol, n, numPerms, bands)
+    val c = lshCollapse(df, textCol, idCol, n, minJaccard, numPerms, bands)
+    // within-set pairs: jaccard exactly 1.0, no verification. Pruned to
+    // multi-member sets — in a mostly-unique corpus this relation is
+    // ~empty, so the join costs nothing
+    val dupMemb = c.memb.filter(col("__cnt") > 1).select("id", "rep")
+    val within = dupMemb.as("m1")
+      .join(dupMemb.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= minJaccard) // degenerate τ>1 → constant-folds to empty
+    // cross-set pairs copy the representative pair's jaccard; member ids
+    // of different sets are not mutually ordered, so re-order per row.
+    // Each unordered doc pair maps to exactly ONE rep pair → no dups
+    val cross = c.repPairs.as("p")
+      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
+      .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("p.jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** The near-dedup "doomed" set: ids with at least one verified
+    * near-dup partner of SMALLER id — semantically
+    * `minhashLshPairs(...).select(id_b).distinct()`, computed without
+    * ever expanding member pairs. Sound and complete because the
+    * representative of an exact-shingle-set group is the group MINIMUM:
+    * a non-representative x is doomed by its rep (rep < x, jaccard 1);
+    * a representative x is doomed iff some other group holds a member
+    * y < x at jaccard ≥ τ, and then that group's rep = min ≤ y < x
+    * verifies at the same jaccard — so representative pairs alone
+    * decide it. A corpus with m copies of one page dooms its m−1
+    * non-minimal ids with O(m) work where the pair set is Θ(m²) — the
+    * right primitive for keep/drop curation at 100 TB.
+    *
+    * Returns one column named `idCol`.
+    */
+  def minhashLshDoomed(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minJaccard: Double,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val c = lshCollapse(df, textCol, idCol, n, minJaccard, numPerms, bands)
+    val nonReps = c.memb.filter(col("id") =!= col("rep")).select(col("id"))
+      .filter(lit(1.0) >= minJaccard)
+    nonReps.union(c.repPairs.select(col("id_b").as("id")))
+      .distinct().select(col("id").as(idCol))
+  }
+
+  /** memb: one (id, rep, __cnt) row per doc (rep = min id of the doc's
+    * exact-shingle-set group); repPairs: verified (id_a, id_b, jaccard)
+    * pairs between representatives
+    */
+  private case class LshCollapsed(memb: DataFrame, repPairs: DataFrame)
+
+  /** Shared core of [[minhashLshPairs]] / [[minhashLshDoomed]]: band the
+    * corpus tagged with shingle-set fingerprints, collapse each set to
+    * its min-id representative, bucket-join representatives, verify.
+    *
+    * (id, shingles) is DERIVED, never persisted: the shingle arrays are
+    * roughly the corpus itself, so caching them across passes is the
+    * one thing that cannot survive a 100 TB run. Candidate generation
+    * shingles the corpus ONCE (map-only into constant-size band keys);
+    * verification re-shingles only the candidate docs.
+    */
+  private def lshCollapse(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minJaccard: Double, numPerms: Int, bands: Int): LshCollapsed = {
+    // banding carries only (id, fp, band, bandHash) — constant bytes per
+    // doc; shingle arrays stay out of every shuffle. Materialized once
+    // (localCheckpoint → executor-local storage, ~28 bytes × bands per
+    // doc): the member slice, the rep window and the self-join all read
+    // it without re-running the corpus-wide shingle+signature pipeline
+    val banded = bandRowsFp(df, textCol, idCol, n, numPerms, bands)
       .stageBoundary
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    // one (fp, id) row per doc — a cheap re-scan of the materialized
+    // banding (band 0 exists for every banded doc)
+    val members = banded.filter(col("band") === 0).select("fp", "id")
+    val reps = members.groupBy("fp")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
+    val memb = members.join(reps, "fp")
+      .select(col("id"), col("rep"), col("__cnt"))
+      .stageBoundary
+    // representative band rows: one shuffle of the constant-size band
+    // relation; every exact-set duplicate group bands exactly once
+    val repBanded = banded
+      .withColumn("__rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("id") === col("__rep"))
+      .select("id", "band", "bandHash")
+      .stageBoundary
+    val candidates = repBanded.as("a")
+      .join(repBanded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandHash") === col("b.bandHash") &&
           col("a.id") < col("b.id"))
@@ -536,15 +622,27 @@ object Dedup {
       // the pair set is O(duplicates) — materialize it small so the
       // verify side starts from the checkpointed pair list
       .stageBoundary
-    // shingles re-derive ONLY for docs in some candidate pair: semi-join
-    // the raw rows on the candidate-id list first (O(duplicates), AQE
-    // broadcasts it when small), then shingle the survivors
+    LshCollapsed(memb,
+      verifyJaccard(df.select(col(idCol), col(textCol)), textCol, idCol,
+        n, minJaccard, candidates))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * the docs' hashed shingle sets. Shingles re-derive ONLY for docs in
+    * some candidate pair: semi-join the raw rows on the candidate-id
+    * list first (O(duplicates), AQE broadcasts it when small), then
+    * shingle the survivors.
+    */
+  private def verifyJaccard(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, minJaccard: Double, candidates: DataFrame): DataFrame = {
     val candIds = candidates.select(col("id_a").as("__cid"))
       .union(candidates.select(col("id_b"))).distinct()
     // materialized once (O(candidate docs), small) — both join sides
     // read it without re-running the semi-join + shingling
-    val verifyDocs = shingled(
-      df.join(candIds, col(idCol) === col("__cid"), "left_semi"))
+    val verifyDocs = docs
+      .join(candIds, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
       .stageBoundary
     candidates
       .join(verifyDocs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
@@ -594,15 +692,28 @@ object Dedup {
     * [[minhashLshPairs]], exposed for index builds and probes
     */
   private def bandRows(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numPerms: Int, bands: Int): DataFrame =
+    bandRowsFp(df, textCol, idCol, n, numPerms, bands).drop("fp")
+
+  /** (id, fp, band, bandHash) rows: banding plus the doc's 128-bit
+    * exact-shingle-SET fingerprint (two xxhash64 passes over the sorted
+    * distinct hashed shingles — order-canonical, so any two docs with
+    * the same set get the same fp regardless of text order). MinHashSig
+    * is order-insensitive, so feeding it the sorted array leaves band
+    * hashes — and therefore persisted band indexes — unchanged.
+    */
+  private def bandRowsFp(df: DataFrame, textCol: String, idCol: String,
       n: Int, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val rows = numPerms / bands
     df.select(col(idCol).as("id"),
-      array_distinct(graft.functions.ShingleHashes(
-        TextFunctions.tokens(col(textCol)), n)).as("shs"))
+      array_sort(hashedShingles(col(textCol), n)).as("shs"))
       .filter(size(col("shs")) > 0)
+      .withColumn("fp",
+        struct(xxhash64(col("shs")).as("h1"),
+          xxhash64(reverse(col("shs"))).as("h2")))
       .withColumn("sig", graft.functions.MinHashSig(col("shs"), numPerms))
-      .select(col("id"),
+      .select(col("id"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rows + 1, lit(rows)))))))
@@ -653,24 +764,10 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val candidates = crossCand.union(selfCand).distinct().stageBoundary
-    val candIds = candidates.select(col("id_a").as("__cid"))
-      .union(candidates.select(col("id_b"))).distinct()
-    def shingled(d: DataFrame) = d.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), n).as("shs"))
-      .filter(size(col("shs")) > 0)
-    val verifyDocs = shingled(
+    verifyJaccard(
       corpus.select(col(idCol), col(textCol))
-        .unionByName(newDocs.select(col(idCol), col(textCol)))
-        .join(candIds, col(idCol) === col("__cid"), "left_semi"))
-      .stageBoundary
-    candidates
-      .join(verifyDocs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(verifyDocs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (size(col("shs_a")) + size(col("shs_b")) - col("inter")).cast(DoubleType))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+        .unionByName(newDocs.select(col(idCol), col(textCol))),
+      textCol, idCol, n, minJaccard, candidates)
   }
 
   /** the default token hash: xxhash64 (fastest, engine-internal) */

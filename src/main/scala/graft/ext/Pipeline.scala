@@ -36,9 +36,11 @@ object Pipeline {
     val deduped =
       if (!nearDedup) exactDeduped
       else {
-        val doomed = Dedup.minhashLshPairs(exactDeduped, textCol, idCol,
+        // doomed-set primitive, not the pair list: identical anti-join
+        // result (proof at Dedup.minhashLshDoomed) without materializing
+        // the Θ(m²) pairs a duplicate-heavy corpus implies
+        val doomed = Dedup.minhashLshDoomed(exactDeduped, textCol, idCol,
           n = 3, minJaccard = minJaccard)
-          .select(col("id_b").as(idCol)).distinct()
         exactDeduped.join(doomed, Seq(idCol), "left_anti")
       }
     // 4. annotations (map-only)
@@ -91,9 +93,8 @@ object Pipeline {
       .select(idCol)
     val exact = cleaned.join(keepers, Seq(idCol), "left_semi")
       .stageBoundary
-    val doomed = Dedup.minhashLshPairs(exact, "cleaned", idCol,
+    val doomed = Dedup.minhashLshDoomed(exact, "cleaned", idCol,
       n = 3, minJaccard = minJaccard)
-      .select(col("id_b").as(idCol)).distinct()
     val nearDeduped = exact.join(doomed, Seq(idCol), "left_anti")
       .stageBoundary
     val dirty = Decontaminate.overlapHits(

@@ -202,10 +202,10 @@ object EdgeStream {
     val haveIndex = exists(indexDir)
     val doomed =
       if (!haveIndex) {
-        // first batch: self-dedup only
-        graft.ext.Dedup.minhashLshPairs(batch, textCol, idCol,
+        // first batch: self-dedup only (doomed-set primitive — same
+        // result as pairs.id_b, never materializes within-set pairs)
+        graft.ext.Dedup.minhashLshDoomed(batch, textCol, idCol,
           n, minJaccard, numPerms, bands)
-          .select(col("id_b").as(idCol)).distinct()
       } else {
         // a batch doc drops when it near-matches history (history
         // always wins) or is the larger id of an in-batch pair —

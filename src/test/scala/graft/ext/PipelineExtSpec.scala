@@ -58,6 +58,47 @@ class PipelineExtSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("LSH exact-set collapse is lossless: dup-heavy corpus ≡ brute force") {
+    val s = spark
+    import s.implicits._
+    // five exact copies (one shingle set banding once), a rotation pair
+    // (same shingle SET, different text — collapse must key on the set,
+    // not the text), a near-dup of the copies (cross-set expansion must
+    // fan its rep pair out to every member), and an unrelated doc
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "the quick brown fox jumps over the lazy dog tonight"),
+      (13L, "the quick brown fox jumps over the lazy dog tonight"),
+      (14L, "the quick brown fox jumps over the lazy dog tonight"),
+      (20L, "a b c a b c"),
+      (21L, "b c a b c a"),
+      (30L, "the quick brown fox jumps over the lazy cat tonight"),
+      (40L, "completely unrelated words about spark query engines"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val brute = pairSet(
+      Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5))
+    val lsh = pairSet(
+      Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 0.5,
+        numPerms = 64, bands = 32))
+    assert(lsh == brute)
+    // the rotation pair is same-SET: emitted by the within path at 1.0
+    assert(lsh.exists(p => p._1 == 20L && p._2 == 21L && p._3 == BigDecimal(1)))
+    // all C(5,2)=10 copy pairs at 1.0, and 30 pairs with every copy
+    assert(lsh.count(p => p._1 >= 10L && p._2 <= 14L) == 10)
+    assert(lsh.count(p => p._1 <= 14L && p._2 == 30L) == 5)
+    // doomed primitive ≡ pairs' higher-id set
+    val doomed = Dedup.minhashLshDoomed(corpus, "text", "doc_id", 3, 0.5,
+      numPerms = 64, bands = 32)
+      .collect().map(_.getLong(0)).toSet
+    val fromPairs = lsh.map(_._2)
+    assert(doomed == fromPairs)
+  }
+
   test("simhash: identical docs collide, near-dups are close, rest far") {
     val sh = Dedup.simhashes(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

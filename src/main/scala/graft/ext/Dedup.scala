@@ -523,27 +523,33 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minJaccard: Double,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
-    val c = lshCollapse(df, textCol, idCol, n, minJaccard, numPerms, bands)
-    // within-set pairs: jaccard exactly 1.0, no verification. Pruned to
-    // multi-member sets — in a mostly-unique corpus this relation is
-    // ~empty, so the join costs nothing
-    val dupMemb = c.memb.filter(col("__cnt") > 1).select("id", "rep")
-    val within = dupMemb.as("m1")
-      .join(dupMemb.as("m2"),
-        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
-        lit(1.0).as("jaccard"))
-      .filter(lit(1.0) >= minJaccard) // degenerate τ>1 → constant-folds to empty
+    val c = lshCollapse(df, textCol, idCol, n, numPerms, bands)
+    val repPairs = verifyJaccard(df.select(col(idCol), col(textCol)),
+      textCol, idCol, n, minJaccard, selfCandidates(c.repBanded))
     // cross-set pairs copy the representative pair's jaccard; member ids
     // of different sets are not mutually ordered, so re-order per row.
     // Each unordered doc pair maps to exactly ONE rep pair → no dups
-    val cross = c.repPairs.as("p")
+    val cross = repPairs.as("p")
       .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
       .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
       .select(least(col("ma.id"), col("mb.id")).as("id_a"),
         greatest(col("ma.id"), col("mb.id")).as("id_b"),
         col("p.jaccard"))
-    within.unionByName(cross)
+    withinSetPairs(c.memb, minJaccard).unionByName(cross)
+  }
+
+  /** within-set pairs at jaccard exactly 1.0, no verification. Pruned to
+    * multi-member sets — in a mostly-unique corpus this relation is
+    * ~empty, so the join costs nothing
+    */
+  private def withinSetPairs(memb: DataFrame, minJaccard: Double): DataFrame = {
+    val dupMemb = memb.filter(col("__cnt") > 1).select("id", "rep")
+    dupMemb.as("m1")
+      .join(dupMemb.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= minJaccard) // degenerate τ>1 → constant-folds to empty
   }
 
   /** The near-dedup "doomed" set: ids with at least one verified
@@ -564,22 +570,24 @@ object Dedup {
   def minhashLshDoomed(df: DataFrame, textCol: String, idCol: String,
       n: Int, minJaccard: Double,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
-    val c = lshCollapse(df, textCol, idCol, n, minJaccard, numPerms, bands)
+    val c = lshCollapse(df, textCol, idCol, n, numPerms, bands)
+    val repPairs = verifyJaccard(df.select(col(idCol), col(textCol)),
+      textCol, idCol, n, minJaccard, selfCandidates(c.repBanded))
     val nonReps = c.memb.filter(col("id") =!= col("rep")).select(col("id"))
       .filter(lit(1.0) >= minJaccard)
-    nonReps.union(c.repPairs.select(col("id_b").as("id")))
+    nonReps.union(repPairs.select(col("id_b").as("id")))
       .distinct().select(col("id").as(idCol))
   }
 
   /** memb: one (id, rep, __cnt) row per doc (rep = min id of the doc's
-    * exact-shingle-set group); repPairs: verified (id_a, id_b, jaccard)
-    * pairs between representatives
+    * exact-shingle-set group, __cnt = group size); repBanded: the
+    * representatives' (id, band, bandHash) rows
     */
-  private case class LshCollapsed(memb: DataFrame, repPairs: DataFrame)
+  private case class LshCollapsed(memb: DataFrame, repBanded: DataFrame)
 
-  /** Shared core of [[minhashLshPairs]] / [[minhashLshDoomed]]: band the
-    * corpus tagged with shingle-set fingerprints, collapse each set to
-    * its min-id representative, bucket-join representatives, verify.
+  /** Shared core of the collapsed LSH family: band the corpus tagged
+    * with shingle-set fingerprints, collapse each set to its min-id
+    * representative.
     *
     * (id, shingles) is DERIVED, never persisted: the shingle arrays are
     * roughly the corpus itself, so caching them across passes is the
@@ -588,7 +596,7 @@ object Dedup {
     * verification re-shingles only the candidate docs.
     */
   private def lshCollapse(df: DataFrame, textCol: String, idCol: String,
-      n: Int, minJaccard: Double, numPerms: Int, bands: Int): LshCollapsed = {
+      n: Int, numPerms: Int, bands: Int): LshCollapsed = {
     // banding carries only (id, fp, band, bandHash) — constant bytes per
     // doc; shingle arrays stay out of every shuffle. Materialized once
     // (localCheckpoint → executor-local storage, ~28 bytes × bands per
@@ -612,20 +620,22 @@ object Dedup {
       .filter(col("id") === col("__rep"))
       .select("id", "band", "bandHash")
       .stageBoundary
-    val candidates = repBanded.as("a")
+    LshCollapsed(memb, repBanded)
+  }
+
+  /** bucket self-join of representative band rows → distinct candidate
+    * pairs (id_a < id_b), materialized small so the verify side starts
+    * from the checkpointed pair list (the pair set is O(duplicates))
+    */
+  private def selfCandidates(repBanded: DataFrame): DataFrame =
+    repBanded.as("a")
       .join(repBanded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandHash") === col("b.bandHash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      // the pair set is O(duplicates) — materialize it small so the
-      // verify side starts from the checkpointed pair list
       .stageBoundary
-    LshCollapsed(memb,
-      verifyJaccard(df.select(col(idCol), col(textCol)), textCol, idCol,
-        n, minJaccard, candidates))
-  }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     * the docs' hashed shingle sets. Shingles re-derive ONLY for docs in
@@ -642,6 +652,10 @@ object Dedup {
     val verifyDocs = docs
       .join(candIds, col(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("shs"))
+      // candidate-scaled, post-semi-join: the incremental caller unions
+      // corpus ∪ newDocs, so a replayed doc's text arrives twice — a
+      // duplicate id here would duplicate every pair it verifies
+      .dropDuplicates("id")
       .filter(size(col("shs")) > 0)
       .stageBoundary
     candidates
@@ -735,39 +749,142 @@ object Dedup {
     * Output matches [[minhashLshPairs]] over `corpus ∪ newDocs`
     * restricted to pairs touching the increment (id_a < id_b). LSH
     * parameters must equal the index build's.
+    *
+    * The increment gets the same exact-shingle-set collapse as the
+    * batch operator: a daily batch carrying m copies of one hot page
+    * probes the index and self-joins ONCE for that page instead of m
+    * times (bands×m² rows). Representative pairs expand back to member
+    * pairs by membership joins — history ids, which have no increment
+    * group, pass through unchanged. Replay overlap (an increment doc already
+    * present in the index) is pruned at the probe: every pair touching
+    * a replayed doc is already produced by the increment side, so index
+    * matches onto increment ids are anti-joined away. That leaves the
+    * three pair sources pairwise disjoint and duplicate-free — the
+    * output needs no final distinct, so nothing ever shuffles at
+    * member-pair (output) granularity, only at rep/candidate scale.
     */
   def minhashLshPairsIncremental(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, corpus: DataFrame, indexPath: String,
       textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.9,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val (c, crossPairs, selfPairs) = lshIncProbe(spark, newDocs, corpus,
+      indexPath, textCol, idCol, n, minJaccard, numPerms, bands)
+    // expand rep pairs to member pairs — inner joins, since crossPairs'
+    // id_a and selfPairs' both sides are increment reps by construction.
+    // No final distinct: cross pairs carry a history-only side (each
+    // member pair maps to exactly one rep pair), self pairs span
+    // disjoint groups, and within-set pairs stay inside one group — the
+    // three sources are pairwise disjoint and individually
+    // duplicate-free, so the union already is
+    val crossExp = crossPairs.as("p")
+      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
+      .select(least(col("ma.id"), col("p.id_b")).as("id_a"),
+        greatest(col("ma.id"), col("p.id_b")).as("id_b"),
+        col("p.jaccard"))
+    val selfExp = selfPairs.as("p")
+      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
+      .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("p.jaccard"))
+    withinSetPairs(c.memb, minJaccard)
+      .unionByName(crossExp).unionByName(selfExp)
+  }
+
+  /** Incremental doomed set at representative granularity — the ids an
+    * ingest batch should DROP, computed without ever materializing
+    * member-level pairs (the Θ(m_inc·m_hist) expansion a hot page
+    * forces on [[minhashLshPairsIncremental]]'s output).
+    *
+    * Two greedy keep policies, both resolved per exact-shingle-set
+    * group (within a group every member shares the rep's shingle set,
+    * hence its neighbor set and the jaccard of every pair it appears
+    * in — so the member-pair-derived set is recoverable exactly):
+    *
+    *   - `historyWins = true` (the streaming-ingest contract): a batch
+    *     doc drops when it near-matches ANY history doc, or has a
+    *     smaller in-batch neighbor. Group form: non-reps (their rep is
+    *     a smaller in-batch neighbor at jaccard 1.0) ∪ every member of
+    *     a group whose rep has a verified history neighbor ∪ reps with
+    *     a smaller verified partner rep.
+    *   - `historyWins = false` (the larger-id contract of
+    *     [[minhashLshPairs]].id_b consumers): a batch doc drops only if
+    *     some neighbor has a SMALLER id, history or not. The history
+    *     test becomes min(history neighbor id) < member id. Doomed
+    *     history ids are not emitted — consumers anti-join the batch,
+    *     where they are no-ops.
+    */
+  def minhashLshDoomedIncremental(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, corpus: DataFrame, indexPath: String,
+      textCol: String, idCol: String,
+      n: Int = 3, minJaccard: Double = 0.9,
+      numPerms: Int = 64, bands: Int = 16,
+      historyWins: Boolean = true): DataFrame = {
+    val (c, crossPairs, selfPairs) = lshIncProbe(spark, newDocs, corpus,
+      indexPath, textCol, idCol, n, minJaccard, numPerms, bands)
+    val nonReps = c.memb.filter(col("id") =!= col("rep")).select(col("id"))
+      .filter(lit(1.0) >= minJaccard) // degenerate τ>1 → constant-folds to empty
+    val histDoomed =
+      if (historyWins)
+        c.memb.join(crossPairs.select(col("id_a").as("rep")).distinct(),
+          Seq("rep"), "left_semi").select(col("id"))
+      else
+        c.memb.join(
+          crossPairs.select(col("id_a").as("rep"), col("id_b"))
+            .groupBy("rep").agg(min("id_b").as("__hmin")),
+          Seq("rep"))
+          .filter(col("__hmin") < col("id")).select(col("id"))
+    nonReps.union(histDoomed)
+      .union(selfPairs.select(col("id_b").as("id")))
+      .distinct().select(col("id").as(idCol))
+  }
+
+  /** Shared probe of the incremental near-dedup family: collapse the
+    * increment to exact-shingle-set representatives, probe the
+    * persisted band index — pruned of matches onto replayed increment
+    * ids, since every pair touching a replayed doc is already produced
+    * by the increment side (its group rep probes with identical band
+    * rows) — self-join the rep band rows, and exact-verify. Returns the
+    * collapse plus two verified rep-level pair sets:
+    *   - cross: (id_a = increment rep, id_b = history-only id, jaccard)
+    *   - self:  (id_a < id_b, both increment reps, jaccard)
+    */
+  private def lshIncProbe(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, corpus: DataFrame, indexPath: String,
+      textCol: String, idCol: String, n: Int, minJaccard: Double,
+      numPerms: Int, bands: Int)
+      : (LshCollapsed, DataFrame, DataFrame) = {
     IndexParams.check(spark, indexPath, bandParams(n, numPerms, bands))
-    val newBands = bandRows(newDocs, textCol, idCol, n, numPerms, bands)
-      .stageBoundary
+    val c = lshCollapse(newDocs, textCol, idCol, n, numPerms, bands)
     // explicit schema: an EMPTY band-partitioned index (bootstrap of the
     // streaming face) has no data files to infer from
     val index = spark.read
       .schema("id LONG, bandHash LONG, band INT").parquet(indexPath)
-    // old⋈new across the index + new⋈new within the increment; pair
-    // ids ordered so the union is duplicate-free
-    val crossCand = newBands.as("a")
+    val crossCand = c.repBanded.as("a")
       .join(index.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandHash") === col("b.bandHash") &&
           col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
-    val selfCand = newBands.as("a")
-      .join(newBands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bandHash") === col("b.bandHash") &&
-          col("a.id") < col("b.id"))
+      // the replay anti-join is candidate-scaled: it runs on the
+      // band-match output, never the index
+      .join(c.memb.select(col("id").as("__iid")),
+        col("b.id") === col("__iid"), "left_anti")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val candidates = crossCand.union(selfCand).distinct().stageBoundary
-    verifyJaccard(
+      .distinct()
+    val candidates = crossCand
+      .unionByName(selfCandidates(c.repBanded)).distinct().stageBoundary
+    val repPairs = verifyJaccard(
       corpus.select(col(idCol), col(textCol))
         .unionByName(newDocs.select(col(idCol), col(textCol))),
       textCol, idCol, n, minJaccard, candidates)
+    // id_b splits the two sources: a history id is never an increment
+    // rep (ids are globally unique)
+    val repIds = c.memb.filter(col("id") === col("rep"))
+      .select(col("id").as("__rid"))
+    (c,
+      repPairs.join(repIds, col("id_b") === col("__rid"), "left_anti"),
+      repPairs.join(repIds, col("id_b") === col("__rid"), "left_semi"))
   }
 
   /** the default token hash: xxhash64 (fastest, engine-internal) */

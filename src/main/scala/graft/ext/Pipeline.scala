@@ -181,11 +181,14 @@ object Pipeline {
     val exact = Dedup.exactDedupIncremental(
       cleaned, s"$dir/fingerprints", "cleaned", idCol)
       .stageBoundary
-    val doomed = Dedup.minhashLshPairsIncremental(spark,
+    // larger-id greedy drop (the batch contract's pairs.id_b), resolved
+    // at rep granularity — doomed history ids were no-ops in the
+    // anti-join, so the increment-only doomed set is the same filter
+    val doomed = Dedup.minhashLshDoomedIncremental(spark,
       exact.select(col(idCol), col("cleaned")),
       spark.read.parquet(s"$dir/exact_docs"), s"$dir/bands",
-      "cleaned", idCol, n = 3, minJaccard = minJaccard)
-      .select(col("id_b").as(idCol)).distinct()
+      "cleaned", idCol, n = 3, minJaccard = minJaccard,
+      historyWins = false)
     val nearDeduped = exact.join(doomed, Seq(idCol), "left_anti")
       .stageBoundary
     val dirty = Decontaminate.overlapHits(

@@ -803,6 +803,42 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // the ingest-shape doomed set (streaming history-wins policy): the
+    // increment ids to DROP, resolved at exact-shingle-set-rep
+    // granularity without materializing member pairs. Oracle: a batch
+    // doc is doomed iff it has any verified history neighbor, or a
+    // smaller verified in-batch neighbor
+    "q_dedup_lsh_doomed_inc" -> QueryDef(
+      s"""WITH sh AS ($SqlShingles),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.9
+         |    AND (id_a % 10 = 0 OR id_b % 10 = 0))
+         |SELECT DISTINCT CASE
+         |    WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN id_b
+         |    WHEN id_a % 10 = 0 THEN id_a
+         |    ELSE id_b END AS doc_id
+         |FROM pairs
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val inc = docs.filter(col("doc_id") % 10 === 0)
+      val idx = graft.QueryDef.scratchDir("graft_lsh_didx")
+      Dedup.writeBandIndex(hist, "text", "doc_id", idx,
+        n = 3, numPerms = 64, bands = 8)
+      Dedup.minhashLshDoomedIncremental(s, inc, hist, idx,
+        "text", "doc_id", n = 3, minJaccard = 0.9,
+        numPerms = 64, bands = 8, historyWins = true)
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup with the portable (md5-derived) token hash: the
     // oracle recomputes the identical 60-bit simhash per doc in SQL
     // (per-bit majority vote over token hashes) and brute-force

@@ -208,27 +208,15 @@ object EdgeStream {
           n, minJaccard, numPerms, bands)
       } else {
         // a batch doc drops when it near-matches history (history
-        // always wins) or is the larger id of an in-batch pair —
-        // the same greedy policy as Pipeline.curate
-        val batchIds = batch.select(col(idCol)).distinct()
-          .stageBoundary
-        val aIds = batchIds.withColumnRenamed(idCol, "id_a")
-        val bIds = batchIds.withColumnRenamed(idCol, "id_b")
-        val pairs = graft.ext.Dedup.minhashLshPairsIncremental(
+        // always wins) or has a smaller in-batch near-neighbor — the
+        // same greedy policy the pair-derived set gave, but resolved at
+        // exact-shingle-set-rep granularity: a batch of m copies of a
+        // hot history page never materializes its m×|history matches|
+        // member pairs
+        graft.ext.Dedup.minhashLshDoomedIncremental(
           spark, batch, corpus, indexDir, textCol, idCol,
-          n, minJaccard, numPerms, bands)
+          n, minJaccard, numPerms, bands, historyWins = true)
           .stageBoundary
-        val aInBatch = pairs.join(aIds, Seq("id_a"), "left_semi")
-        val bothInBatch =
-          aInBatch.join(bIds, Seq("id_b"), "left_semi")
-        val vsHistoryA = aInBatch // a in batch, b in history
-          .join(bIds, Seq("id_b"), "left_anti")
-          .select(col("id_a").as(idCol))
-        val vsHistoryB = pairs   // a in history, b in batch
-          .join(aIds, Seq("id_a"), "left_anti")
-          .select(col("id_b").as(idCol))
-        bothInBatch.select(col("id_b").as(idCol))
-          .union(vsHistoryA).union(vsHistoryB).distinct()
       }
     val kept = batch.join(doomed, Seq(idCol), "left_anti")
       .stageBoundary

@@ -761,4 +761,94 @@ class PipelineExtSpec extends SparkSpec {
     assert(got == full)
     assert(got.contains((1L, 6L))) // the exact copy is found via the index
   }
+
+  test("incremental LSH with a dup-heavy increment: collapse expansion " +
+    "equals the full join restricted to increment-touching pairs") {
+    val s = spark
+    import s.implicits._
+    // history: one hot page (2 copies) + an unrelated doc; increment:
+    // 3 more copies of the hot page (same-set group within the
+    // increment AND vs history), a near-dup, and a replayed history doc
+    // (id 2 appears in the index and the increment — the replay corner)
+    val page = "the quick brown fox jumps over the lazy dog tonight"
+    val hist = Seq(
+      (1L, page), (2L, page),
+      (3L, "completely unrelated words about spark query engines"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, page), (11L, page), (12L, page),
+      (13L, "the quick brown fox jumps over the lazy cat tonight"),
+      (2L, page)) // replay
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("lsh_idx_dup_spec").toString
+    Dedup.writeBandIndex(hist, "text", "doc_id", idx,
+      n = 3, numPerms = 64, bands = 32)
+    val gotRows = Dedup.minhashLshPairsIncremental(s, inc, hist, idx,
+      "text", "doc_id", n = 3, minJaccard = 0.5, numPerms = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = gotRows.toSet
+    // the no-final-distinct contract: the three pair sources must be
+    // duplicate-free even under replay overlap
+    assert(gotRows.length == got.size)
+    val incIds = Set(10L, 11L, 12L, 13L, 2L)
+    val full = Dedup.minhashLshPairs(
+      hist.unionByName(inc.filter(col("doc_id") =!= 2L)), "text", "doc_id",
+      n = 3, minJaccard = 0.5, numPerms = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => incIds(p._1) || incIds(p._2))
+    assert(got == full)
+    // every pair touches the increment; no self-pairs
+    assert(got.forall(p => (incIds(p._1) || incIds(p._2)) && p._1 != p._2))
+    assert(Seq((1L, 10L), (2L, 10L), (10L, 11L), (10L, 13L))
+      .forall(got.contains))
+  }
+
+  test("incremental LSH doomed: rep-level set equals the pair-derived " +
+    "policy under both historyWins settings") {
+    val s = spark
+    import s.implicits._
+    // history ids deliberately NOT all smaller than increment ids (7 >
+    // 4/5/6) so the two policies genuinely differ: under larger-id the
+    // increment docs 4/5/6 survive a match with history doc 7; under
+    // history-wins they drop
+    val page = "the quick brown fox jumps over the lazy dog tonight"
+    val hist = Seq(
+      (1L, "completely unrelated words about spark query engines"),
+      (7L, page))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (4L, page), (5L, page), (6L, page),
+      (13L, "the quick brown fox jumps over the lazy cat tonight"),
+      (20L, "another separate island of text with no neighbors"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("lsh_idx_doomed_spec").toString
+    Dedup.writeBandIndex(hist, "text", "doc_id", idx,
+      n = 3, numPerms = 64, bands = 32)
+    val pairs = Dedup.minhashLshPairsIncremental(s, inc, hist, idx,
+      "text", "doc_id", n = 3, minJaccard = 0.5, numPerms = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incIds = Set(4L, 5L, 6L, 13L, 20L)
+    def doomedOf(historyWins: Boolean): Set[Long] =
+      Dedup.minhashLshDoomedIncremental(s, inc, hist, idx,
+        "text", "doc_id", n = 3, minJaccard = 0.5, numPerms = 64,
+        bands = 32, historyWins = historyWins)
+        .collect().map(_.getLong(0)).toSet
+    // pair-derived references, restricted to increment ids
+    val largerId = pairs.map(_._2).filter(incIds)
+    val historyWins = pairs.flatMap { case (a, b) =>
+      (incIds(a), incIds(b)) match {
+        case (true, true)   => Seq(b)        // in-batch: larger drops
+        case (true, false)  => Seq(a)        // vs history: batch drops
+        case (false, true)  => Seq(b)
+        case _              => Nil
+      }
+    }
+    assert(doomedOf(historyWins = false) == largerId)
+    assert(doomedOf(historyWins = true) == historyWins)
+    // the policies disagree on this input (4 survives larger-id as the
+    // smallest id of its component, drops under history-wins)
+    assert(!largerId.contains(4L) && historyWins.contains(4L))
+  }
 }

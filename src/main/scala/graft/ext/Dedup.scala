@@ -200,16 +200,36 @@ object Dedup {
     // (shorter strings stay out of the fallback bucket)
     require(q >= 2, "q must be >= 2")
     val shortMax = editShortMax(maxDist, q) // fewer than q·d+1 q-grams
-    val docs = df.filter(col(textCol).isNotNull)
+    val docs0 = df.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
+    // exact-text collapse to min-id representatives: edit distance is
+    // content-determined, so identical docs are pairwise distance 0 and
+    // share every distance to third strings — a hot boilerplate cluster
+    // of m copies then grams/verifies ONCE instead of inflating the
+    // prefix join by (q·d+1)·m² and running m² identical DPs. The
+    // membership relation is constant-width (md5 fp + two longs); the
+    // rep restriction anti-joins the DUPLICATE-id set, whose size
+    // scales with duplicates, not the corpus (broadcast in the common
+    // mostly-unique case)
+    val members = docs0.select(col("id"), md5(col("t")).as("fp"))
+    val reps = members.groupBy("fp")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
+    val memb = members.join(reps, "fp")
+      .select(col("id"), col("rep"), col("__cnt"))
+      .stageBoundary
+    val dupIds = memb.filter(col("id") =!= col("rep"))
+      .select(col("id").as("__did"))
+    val docs = docs0.join(dupIds, col("id") === col("__did"), "left_anti")
     // the length window rides IN the join key (width-d+1 buckets,
     // same + adjacent joins — |len diff| <= d spans at most adjacent
     // buckets): a hot gram (a stop-phrase gram whose hash happens to
     // be globally small sits in most docs' prefixes) then fans out per
     // (gram, length-bucket), not per gram — the join never materializes
     // the cross-length pairs the window would only discard afterwards
-    val p = editPrefixRows(df, textCol, idCol, maxDist, q)
+    val p = editPrefixRows(
+      docs.select(col("id").as(idCol), col("t").as(textCol)),
+      textCol, idCol, maxDist, q)
     val candSame = p.as("a").join(p.as("b"),
       col("a.g") === col("b.g") && col("a.b") === col("b.b") &&
         col("a.id") < col("b.id") &&
@@ -240,12 +260,30 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
     val texts = docs.select(col("id"), col("t"))
-    candLong.unionByName(candShort).distinct()
+    val repPairs = candLong.unionByName(candShort).distinct()
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
+    // within-group pairs at distance exactly 0 (multi-member groups
+    // only — ~empty in a mostly-unique corpus); cross-group pairs copy
+    // the rep pair's distance to every member pair. Groups are disjoint
+    // and each member pair maps to exactly one rep pair, so the union
+    // is duplicate-free without a member-level distinct
+    val dupMemb = memb.filter(col("__cnt") > 1).select("id", "rep")
+    val within = dupMemb.as("m1")
+      .join(dupMemb.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(0).cast(IntegerType).as("dist"))
+    val cross = repPairs.as("p")
+      .join(memb.as("ma"), col("ma.rep") === col("p.id_a"))
+      .join(memb.as("mb"), col("mb.rep") === col("p.id_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("p.dist"))
+    within.unionByName(cross)
   }
 
   private def editParams(maxDist: Int, q: Int) =
@@ -371,10 +409,29 @@ object Dedup {
       q: Int = 5): DataFrame = {
     IndexParams.check(spark, indexPath, editParams(maxDist, q))
     val shortMax = editShortMax(maxDist, q)
+    // exact-text collapse of the increment (see editDistancePairs): a
+    // batch of m copies of one hot page probes the index once instead
+    // of m times. Replayed ids (already in the index) are pruned from
+    // the history side of every candidate join — a replayed doc's group
+    // rep carries identical prefix/length rows, so every pair touching
+    // it is already produced by the increment side
+    val members0 = newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        md5(col(textCol)).as("fp"))
+    val edReps = members0.groupBy("fp")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
+    val memb = members0.join(edReps, "fp")
+      .select(col("id"), col("rep"), col("__cnt"))
+      .stageBoundary
+    val incIds = memb.select(col("id").as("__iid"))
+    val repDocs = newDocs
+      .join(memb.filter(col("id") =!= col("rep"))
+          .select(col("id").as("__did")),
+        col(idCol).cast(LongType) === col("__did"), "left_anti")
     // the increment's prefixes MUST use the index's frozen gram order
     // (see writeEditIndex — mixed orders break prefix completeness)
     val newPrefix = editPrefixFrom(
-      editGramRows(newDocs, textCol, idCol, maxDist, q),
+      editGramRows(repDocs, textCol, idCol, maxDist, q),
       frozenDf(spark, indexPath), maxDist, q)
       .stageBoundary
     // static bucket pruning: the touched buckets are known before the
@@ -410,9 +467,10 @@ object Dedup {
         col("a.id") < col("b.id") && lenOk)
     val selfAdj = newPrefix.as("a").join(newPrefix.as("b"),
       col("a.b") + 1 === col("b.b") && col("a.g") === col("b.g") && lenOk)
-    // short fallback: new docs that can't fill a prefix pair against
-    // BOTH the history short universe and the increment's own
-    val newPartners = newDocs.filter(col(textCol).isNotNull)
+    // short fallback: new rep docs that can't fill a prefix pair
+    // against BOTH the history short universe (pruned of replayed ids)
+    // and the increment's own reps
+    val newPartners = repDocs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"),
         length(col(textCol)).as("len"))
       .filter(col("len") <= shortMax + maxDist)
@@ -422,30 +480,62 @@ object Dedup {
         explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
     val histShort = spark.read.schema("id LONG, len INT")
       .parquet(s"$indexPath/short")
+      .join(incIds, col("id") === col("__iid"), "left_anti")
       .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
     val crossShort = newShort.as("a").join(
       histShort.unionByName(newPartners).as("b"),
       col("a.b") === col("b.b") && col("a.id") =!= col("b.id") && lenOk)
-    val candidates = Seq(crossSame, crossUp, crossDown,
-      selfSame, selfAdj, crossShort)
+    // the prefix-index matches drop replayed ids AFTER the join —
+    // candidate-scaled, never an index-wide anti-join
+    val crossCand = Seq(crossSame, crossUp, crossDown)
+      .map(_.select(col("a.id").as("rid"), col("b.id").as("hid")))
+      .reduce(_ unionByName _)
+      .join(incIds, col("hid") === col("__iid"), "left_anti")
+      .select(least(col("rid"), col("hid")).as("id_a"),
+        greatest(col("rid"), col("hid")).as("id_b"))
+    val candidates = Seq(selfSame, selfAdj, crossShort)
       .map(_.select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b")))
       .reduce(_ unionByName _)
+      .unionByName(crossCand)
       .distinct().stageBoundary
     val candIds = candidates.select(col("id_a").as("__cid"))
       .union(candidates.select(col("id_b"))).distinct()
     val texts = corpus.select(col(idCol), col(textCol))
-      .unionByName(newDocs.select(col(idCol), col(textCol)))
+      .unionByName(repDocs.select(col(idCol), col(textCol)))
       .filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"))
       .join(candIds, col("id") === col("__cid"), "left_semi")
+      .dropDuplicates("id") // a replayed rep's text arrives from both
       .stageBoundary
-    candidates
+    val repPairs = candidates
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
+    // expansion: increment reps fan out to their exact-copy members,
+    // history ids pass through (left joins + coalesce — a verified pair
+    // may carry its rep on either side after the least/greatest
+    // reorder). Verified pairs are distinct at rep level, groups are
+    // disjoint, and replayed ids were pruned — so member pairs are
+    // duplicate-free without a final distinct
+    val dupMemb = memb.filter(col("__cnt") > 1).select("id", "rep")
+    val within = dupMemb.as("m1")
+      .join(dupMemb.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(0).cast(IntegerType).as("dist"))
+    val cross = repPairs.as("p")
+      .join(memb.as("ma"), col("ma.rep") === col("p.id_a"), "left")
+      .join(memb.as("mb"), col("mb.rep") === col("p.id_b"), "left")
+      .select(
+        least(coalesce(col("ma.id"), col("p.id_a")),
+          coalesce(col("mb.id"), col("p.id_b"))).as("id_a"),
+        greatest(coalesce(col("ma.id"), col("p.id_a")),
+          coalesce(col("mb.id"), col("p.id_b"))).as("id_b"),
+        col("p.dist"))
+    within.unionByName(cross)
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
@@ -928,12 +1018,69 @@ object Dedup {
       maxHamming: Int = 3,
       tokenHash: Column => Column = XxTokenHash): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
-    // materialized once (4 short rows per doc) so the self-join below
-    // doesn't re-run the corpus-wide tokenize+simhash pass per side
+    val c = simhashCollapse(df, textCol, idCol, tokenHash)
+    // rep-level bucket join + hamming check — hot exact-duplicate
+    // clusters (identical fingerprints) band exactly once instead of
+    // emitting 4·m² bucket-join rows
+    val repPairs = simhashRepPairs(c.repBanded, maxHamming)
+    // within-group pairs: identical fingerprints, hamming exactly 0.
+    // Pruned to multi-member groups — ~empty in a mostly-unique corpus
+    val dupMemb = c.memb.filter(col("__cnt") > 1).select("id", "rep")
+    val within = dupMemb.as("m1")
+      .join(dupMemb.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(0).as("hamming"))
+    // cross-group expansion: distinct groups have distinct fingerprints,
+    // so each member pair maps to exactly one rep pair — the union is
+    // duplicate-free without a member-level distinct
+    val cross = repPairs.as("p")
+      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
+      .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("p.hamming"))
+    within.unionByName(cross)
+  }
+
+  /** memb: one (id, rep, __cnt) row per doc (rep = min id among docs
+    * with an IDENTICAL 64-bit simhash — hamming depends only on the
+    * fingerprint, so group members are pairwise hamming 0 and share
+    * every distance to third docs); repBanded: the representatives'
+    * (id, simhash, band, bandVal) rows
+    */
+  private case class SimhashCollapsed(memb: DataFrame, repBanded: DataFrame)
+
+  private def simhashCollapse(df: DataFrame, textCol: String,
+      idCol: String, tokenHash: Column => Column): SimhashCollapsed = {
+    // materialized once (4 short rows per doc) so the member slice, the
+    // rep window and the bucket join all read it without re-running the
+    // corpus-wide tokenize+simhash pass
     val banded = simhashBandRows(df, textCol, idCol, tokenHash)
       .stageBoundary
-    banded.as("a")
-      .join(banded.as("b"),
+    val members = banded.filter(col("band") === 0).select("simhash", "id")
+    val reps = members.groupBy("simhash")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
+    val memb = members.join(reps, "simhash")
+      .select(col("id"), col("rep"), col("__cnt"))
+      .stageBoundary
+    val repBanded = banded
+      .withColumn("__rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
+      .filter(col("id") === col("__rep"))
+      .select("id", "simhash", "band", "bandVal")
+      .stageBoundary
+    SimhashCollapsed(memb, repBanded)
+  }
+
+  /** bucket self-join of representative band rows → verified
+    * (id_a < id_b, hamming) rep pairs; the distinct is candidate-scaled
+    * (two reps can share up to 4 bands)
+    */
+  private def simhashRepPairs(repBanded: DataFrame,
+      maxHamming: Int): DataFrame =
+    repBanded.as("a")
+      .join(repBanded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandVal") === col("b.bandVal") &&
           col("a.id") < col("b.id"))
@@ -943,7 +1090,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-  }
 
   /** Persist the corpus's simhash band index: (id, simhash, band,
     * bandVal) partitioned by band — ~40 B per doc. Unlike the MinHash
@@ -980,28 +1126,51 @@ object Dedup {
       tokenHash: Column => Column = XxTokenHash): DataFrame = {
     require(maxHamming < 4, "4 x 16-bit banding guarantees only hamming <= 3")
     IndexParams.check(spark, indexPath, simhashParams(tokenHash))
-    val newBands = simhashBandRows(newDocs, textCol, idCol, tokenHash)
-      .stageBoundary
+    val c = simhashCollapse(newDocs, textCol, idCol, tokenHash)
     // explicit schema: an empty band-partitioned index has no data
     // files to infer from
     val index = spark.read
       .schema("id LONG, simhash LONG, bandVal LONG, band INT")
       .parquet(indexPath)
-    def pairs(a: DataFrame, b: DataFrame, strict: Boolean) =
-      a.as("a").join(b.as("b"),
+    // rep probe of the index, pruned of matches onto replayed increment
+    // ids (the replayed doc's group rep carries an identical fingerprint,
+    // so every pair touching it is already produced by the increment
+    // side). id_a = increment rep, id_b = history-only id
+    val crossPairs = c.repBanded.as("a")
+      .join(index.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandVal") === col("b.bandVal") &&
-          (if (strict) col("a.id") < col("b.id")
-           else col("a.id") =!= col("b.id")))
-        .select(least(col("a.id"), col("b.id")).as("id_a"),
-          greatest(col("a.id"), col("b.id")).as("id_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-            .as("hamming"))
-    pairs(newBands, index, strict = false)
-      .union(pairs(newBands, newBands, strict = true))
+          col("a.id") =!= col("b.id"))
+      .join(c.memb.select(col("id").as("__iid")),
+        col("b.id") === col("__iid"), "left_anti")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    val selfPairs = simhashRepPairs(c.repBanded, maxHamming)
+    // same three disjoint, individually duplicate-free sources as the
+    // batch operator — no member-level distinct
+    val dupMemb = c.memb.filter(col("__cnt") > 1).select("id", "rep")
+    val within = dupMemb.as("m1")
+      .join(dupMemb.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(0).as("hamming"))
+    val crossExp = crossPairs.as("p")
+      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
+      .select(least(col("ma.id"), col("p.id_b")).as("id_a"),
+        greatest(col("ma.id"), col("p.id_b")).as("id_b"),
+        col("p.hamming"))
+    val selfExp = selfPairs.as("p")
+      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
+      .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("p.hamming"))
+    within.unionByName(crossExp).unionByName(selfExp)
   }
 
   /** Transitive near-duplicate cluster resolution: connected components

@@ -46,6 +46,46 @@ class DedupPropertySpec extends SparkSpec {
       s"diff: ${(got diff want) ++ (want diff got)}")
   }
 
+  test("editDistancePairs: exact-copy-heavy corpus — the collapse emits " +
+    "every member pair exactly once with the rep pair's distance") {
+    val s = spark
+    import s.implicits._
+    // 3 copies of A, 4 copies of B (ed(A,B)=1), one at distance 2,
+    // one far away; mixed id order so reps aren't contiguous
+    val a = "kangaroo jumping fence"
+    val b = "kangaroo jumping hence"
+    val c = "kangaroo jumping hedge"
+    val rows = Seq(
+      (7L, a), (1L, a), (4L, a),
+      (2L, b), (9L, b), (3L, b), (8L, b),
+      (5L, c),
+      (6L, "entirely different content here!!"))
+    val gotRows = Dedup.editDistancePairs(rows.toDF("id", "t"), "t", "id",
+      maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = gotRows.toSet
+    assert(gotRows.length == got.size) // duplicate-free without a distinct
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(x.length + 1)(i => i)
+      for (j <- 1 to y.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to x.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(x.length)
+    }
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == want,
+      s"diff: ${(got diff want) ++ (want diff got)}")
+  }
+
   test("editDistancePairs: adversarial SAME-LENGTH corpus — prefix " +
     "q-gram blocking misses no pair <= d (the topology where pure " +
     "length blocking degenerates)") {
@@ -237,6 +277,41 @@ class DedupPropertySpec extends SparkSpec {
       "planted hist near-dup missing")
     assert(want.exists { case (a, b, _) => a == 100L && b == 201L },
       "planted drifted near-dup missing")
+  }
+
+  test("incremental edit distance with a dup-heavy increment and " +
+    "replay: collapse expansion equals batch, duplicate-free") {
+    val s = spark
+    import s.implicits._
+    val a0 = "kangaroo jumping fence"
+    val b0 = "kangaroo jumping hence" // ed 1 from a0
+    val hist = Seq(
+      (1L, a0), (2L, a0),
+      (3L, "totally unrelated content string"))
+    val inc = Seq(
+      (10L, a0), (11L, a0), (12L, a0), // copies of the hot history page
+      (13L, b0),                       // near-dup
+      (2L, a0))                        // replay: id 2 is in the index too
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ed_dup_inc").toString
+    Dedup.writeEditIndex(hist.toDF("id", "t"), "t", "id", idx,
+      maxDist = 2, q = 3)
+    val gotRows = Dedup.editDistancePairsIncremental(spark,
+      inc.toDF("id", "t"), hist.toDF("id", "t"), idx,
+      "t", "id", maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = gotRows.toSet
+    assert(gotRows.length == got.size) // no member-level distinct needed
+    val incIds = Set(10L, 11L, 12L, 13L, 2L)
+    val want = Dedup.editDistancePairs(
+      (hist ++ inc.filter(_._1 != 2L)).toDF("id", "t"), "t", "id",
+      maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => incIds(p._1) || incIds(p._2)).toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+    assert(got.forall(p => p._1 != p._2))
+    assert(Seq((1L, 10L, 0), (2L, 10L, 0), (10L, 11L, 0), (10L, 13L, 1))
+      .forall(got.contains))
   }
 
   test("incremental substring spans equal the full-corpus spans on the " +

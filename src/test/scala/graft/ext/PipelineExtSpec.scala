@@ -740,6 +740,46 @@ class PipelineExtSpec extends SparkSpec {
     assert(got.contains((1L, 6L))) // the exact copy: hamming 0 via index
   }
 
+  test("simhash with a dup-heavy increment and replay: collapse " +
+    "expansion equals the full join, duplicate-free") {
+    val s = spark
+    import s.implicits._
+    val page = "the quick brown fox jumps over the lazy dog tonight"
+    val near = "the quick brown fox jumps over the lazy cat tonight"
+    val hist = Seq(
+      (1L, page), (2L, page),
+      (3L, "completely unrelated words about spark query engines"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, page), (11L, page), (12L, page), (13L, near),
+      (2L, page)) // replay: id 2 is in the index AND the increment
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("sh_idx_dup_spec").toString
+    Dedup.writeSimhashIndex(hist, "text", "doc_id", idx)
+    val gotRows = Dedup.simhashPairsIncremental(s, inc, idx,
+      "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = gotRows.toSet
+    assert(gotRows.length == got.size) // no-final-distinct contract
+    val incIds = Set(10L, 11L, 12L, 13L, 2L)
+    val full = Dedup.simhashPairs(
+      hist.unionByName(inc.filter(col("doc_id") =!= 2L)),
+      "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => incIds(p._1) || incIds(p._2))
+    assert(got == full)
+    assert(got.forall(p => (incIds(p._1) || incIds(p._2)) && p._1 != p._2))
+    // identical-fingerprint cluster found via index AND within increment
+    assert(Seq((1L, 10L), (2L, 10L), (10L, 11L)).forall(got.contains))
+    // batch operator emits each pair once on a copy-heavy corpus
+    val batchRows = Dedup.simhashPairs(
+      hist.unionByName(inc.filter(col("doc_id") =!= 2L)),
+      "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batchRows.length == batchRows.toSet.size)
+  }
+
   test("incremental LSH against a persisted band index equals the full " +
     "join restricted to increment-touching pairs") {
     val s = spark

@@ -183,7 +183,7 @@ object Dedup {
       .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
   }
 
-  private def editPrefixRows(df: DataFrame, textCol: String,
+  private[graft] def editPrefixRows(df: DataFrame, textCol: String,
       idCol: String, maxDist: Int, q: Int): DataFrame = {
     val grams = editGramRows(df, textCol, idCol, maxDist, q)
     editPrefixFrom(grams,
@@ -547,8 +547,36 @@ object Dedup {
     // corpus-scale, so shrinking its shuffle payload matters more than
     // anything else here. Sizes and intersections see the same hashed
     // universe (collisions ~2⁻⁶⁴ per pair), keeping jaccard consistent.
-    var sh = df.select(col(idCol).as("id"),
-      explode(hashedShingles(col(textCol), n)).as("sh"))
+    //
+    // Set-fp collapse (see minhashLshPairs): jaccard depends only on
+    // the shingle SET, so equal-set docs collapse to their min-id
+    // representative before the self-join, and the hot-shingle cap
+    // moves to representative (distinct-set) granularity. At doc
+    // granularity the cap had a recall hole at exactly the spot dedup
+    // exists for: > cap verbatim copies of one page pushed EVERY
+    // shingle of that page over the cap, so hot boilerplate produced
+    // zero pairs. Collapsed, copy count cannot evict a page's shingles
+    // (the page contributes ONE row per shingle), and within-set pairs
+    // bypass candidate generation entirely — identical sets need no
+    // shared-shingle evidence
+    val keyed = df.select(col(idCol).as("id"),
+        array_sort(hashedShingles(col(textCol), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), struct(xxhash64(col("shs")).as("h1"),
+        xxhash64(reverse(col("shs"))).as("h2")).as("fp"))
+      .stageBoundary // constant-width (id, fp): arrays never materialize
+    val reps = keyed.groupBy("fp")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
+    val memb = keyed.join(reps, "fp")
+      .select(col("id"), col("rep"), col("__cnt"))
+      .stageBoundary
+    // representative shingles re-derive from the raw docs (the arrays
+    // are roughly the corpus — never cached; see lshCollapse), semi-
+    // joined to the rep ids, whose count is the DISTINCT corpus size
+    var sh = df.join(reps.select(col("rep").as("__rid")),
+        col(idCol) === col("__rid"), "left_semi")
+      .select(col(idCol).as("id"),
+        explode(hashedShingles(col(textCol), n)).as("sh"))
     maxShingleFreq.foreach { cap =>
       // window count, not groupBy+anti-join: one shuffle on the shingle
       // key, whose hash partitioning the self-join below then reuses
@@ -564,7 +592,7 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
         "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
@@ -574,6 +602,16 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+    // cross-set member pairs copy the rep pair's jaccard (identical
+    // sets); each unordered doc pair maps to exactly ONE rep pair and
+    // groups are disjoint, so the union needs no member-level distinct
+    val cross = repPairs.as("p")
+      .join(memb.as("ma"), col("ma.rep") === col("p.id_a"))
+      .join(memb.as("mb"), col("mb.rep") === col("p.id_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("p.jaccard"))
+    withinSetPairs(memb, minJaccard).unionByName(cross)
   }
 
   /** MinHash signature column: for perm i, min over shingles of

@@ -169,29 +169,81 @@ object PipelineQueries {
        |WHERE len(w) >= 3""".stripMargin
 
   /** DuckDB mirror of the exact n-gram jaccard pair join; `cap` mirrors
-    * Dedup.DefaultMaxShingleFreq hot-shingle suppression
+    * Dedup.DefaultMaxShingleFreq hot-shingle suppression.
+    *
+    * Mirrors the r9 set collapse: docs group by their DISTINCT shingle
+    * set (DuckDB partitions by the sorted list itself where Spark uses
+    * the 128-bit sorted-set fingerprint — same partition, no hash to
+    * replicate), the cap counts distinct SETS containing a shingle (so
+    * copy count can't evict a hot page's shingles), representative
+    * pairs compute jaccard once, within-set pairs emit at exactly 1.0,
+    * and member pairs copy their rep pair's value. At cap=None the
+    * collapse changes no VALUES (identical sets are jaccard 1.0 by
+    * brute force too), so the uncapped callers keep the plain
+    * brute-force mirror below.
     */
-  private def sqlJaccardPairs(tau: Double, cap: Option[Int] = None) = {
-    val shSrc = cap match {
-      case Some(c) =>
-        s"""SELECT * FROM sh0 WHERE sh NOT IN (
-           |  SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $c)""".stripMargin
-      case None => "SELECT * FROM sh0"
+  private def sqlJaccardPairs(tau: Double, cap: Option[Int] = None) =
+    cap match {
+      case Some(_) =>
+        "WITH " + sqlJaccardPairCtes(tau, cap) + """
+          |SELECT id_a, id_b, jaccard FROM allpairs
+          |ORDER BY id_a, id_b""".stripMargin
+      case None =>
+        s"""WITH sh0 AS ($SqlShingles),
+           |sh AS (SELECT * FROM sh0),
+           |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |       CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.id = id_a
+           |JOIN sizes sb ON sb.id = id_b
+           |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= $tau
+           |ORDER BY id_a, id_b""".stripMargin
     }
-    s"""WITH sh0 AS ($SqlShingles),
-       |sh AS ($shSrc),
+
+  /** the collapsed-jaccard CTE chain (no leading WITH), ending in
+    * `allpairs(id_a, id_b, jaccard)` — shared by the pair oracle and
+    * the cluster oracles. sh0/grp are MATERIALIZED: both are referenced
+    * more than once and DuckDB inlines plain CTEs.
+    */
+  private def sqlJaccardPairCtes(tau: Double, cap: Option[Int]) = {
+    val capped = cap match {
+      case Some(c) =>
+        s"""SELECT * FROM shr WHERE sh NOT IN (
+           |  SELECT sh FROM shr GROUP BY sh HAVING COUNT(*) > $c)""".stripMargin
+      case None => "SELECT * FROM shr"
+    }
+    s"""sh0 AS MATERIALIZED ($SqlShingles),
+       |grp AS MATERIALIZED (
+       |  SELECT id, MIN(id) OVER (PARTITION BY ss) AS rep
+       |  FROM (SELECT id, list_sort(list(sh)) AS ss FROM sh0 GROUP BY id)),
+       |shr AS (SELECT s.id, s.sh FROM sh0 s
+       |        JOIN grp g ON g.id = s.id AND g.id = g.rep),
+       |sh AS ($capped),
        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
        |inter AS (
        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       |       CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.id = id_a
-       |JOIN sizes sb ON sb.id = id_b
-       |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= $tau
-       |ORDER BY id_a, id_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |rp AS (
+       |  SELECT id_a, id_b,
+       |         CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.id = id_a
+       |  JOIN sizes sb ON sb.id = id_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= $tau),
+       |allpairs AS (
+       |  SELECT m1.id AS id_a, m2.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM grp m1 JOIN grp m2 ON m1.rep = m2.rep AND m1.id < m2.id
+       |  UNION ALL
+       |  SELECT LEAST(ma.id, mb.id) AS id_a, GREATEST(ma.id, mb.id) AS id_b,
+       |         p.jaccard
+       |  FROM rp p JOIN grp ma ON ma.rep = p.id_a
+       |            JOIN grp mb ON mb.rep = p.id_b)""".stripMargin
   }
 
   /** Cluster-resolution oracle: the same jaccard pairs, closed
@@ -204,16 +256,9 @@ object PipelineQueries {
     * min-id and keep-best cluster oracles
     */
   private def sqlJaccardCompCtes(tau: Double, cap: Option[Int]) = {
-    val ctes = sqlJaccardPairs(tau, cap)
-      .replace("ORDER BY id_a, id_b", "")
-      .replaceFirst("^WITH ", "")
-      .split("\\nSELECT id_a, id_b,")(0)
+    val ctes = sqlJaccardPairCtes(tau, cap)
     s"""WITH RECURSIVE $ctes,
-       |prs AS (
-       |  SELECT id_a, id_b FROM inter
-       |  JOIN sizes sa ON sa.id = id_a
-       |  JOIN sizes sb ON sb.id = id_b
-       |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= $tau),
+       |prs AS (SELECT id_a, id_b FROM allpairs),
        |edges AS (SELECT id_a AS u, id_b AS v FROM prs
        |          UNION SELECT id_b, id_a FROM prs),
        |reach(u, r) AS (

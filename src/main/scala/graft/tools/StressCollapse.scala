@@ -1,0 +1,212 @@
+package graft.tools
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hot-copy stress for the round-9 exact-duplicate collapse on SimHash
+  * and edit distance (the two pairwise operators that gained the
+  * content-keyed rep restriction after LSH did): a corpus where a few
+  * pages each occur in thousands of verbatim copies — boilerplate skew,
+  * the topology every real crawl has — plus a near-constant-length
+  * unique wing that shares the hot pages' length buckets (adversarial
+  * for the edit blocker: the length window alone separates nothing).
+  *
+  * For each operator the tool measures the collapsed entry point
+  * against the pre-collapse shape reconstructed inline (band-all-docs
+  * self-join for simhash; prefix-join-all-docs for edit distance —
+  * byte-for-byte the shapes that shipped before round 9), and REQUIRES
+  * identical pair counts: the collapse is lossless, so any count drift
+  * is a completeness bug, not noise. The expected count is also checked
+  * against the closed form G*C(M,2) (within-group pairs at distance 0;
+  * cross-group and unique-wing texts differ by >> d edits / > 3
+  * hamming by construction).
+  *
+  * The incremental wing indexes the corpus once, then probes with
+  * M/10 more copies of each hot page: the collapsed probe touches the
+  * index at rep granularity (one probe per page, not per copy) and must
+  * produce exactly G*(C(Mnew,2) + Mnew*M) increment-touching pairs.
+  *
+  * Usage:
+  *   runMain graft.tools.StressCollapse <workDir> [groups] [copies]
+  *     [unique] [--skip-legacy]
+  */
+object StressCollapse {
+  def main(args: Array[String]): Unit = {
+    val work = args(0)
+    val groups = if (args.length > 1) args(1).toInt else 5
+    val copies = if (args.length > 2) args(2).toInt else 1000
+    val unique = if (args.length > 3) args(3).toInt else 20000
+    val skipLegacy = args.contains("--skip-legacy")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(tag: String)(f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[collapse] $tag%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      n
+    }
+
+    // hot wing: group g's text is a fixed templated page (all copies
+    // verbatim-identical; across groups the template number + hash
+    // token differ by >> d edits); unique wing: the StressEd template
+    // keyed per id — same narrow length band as the hot pages
+    def textOf(idc: Column) = concat(
+      lit("the quick brown fox template number "),
+      pmod(idc, lit(40)).cast("string"),
+      lit(" jumps over the lazy dog while user "),
+      lower(hex(xxhash64(idc))),
+      lit(" watches the pipeline run to completion without any surprise"))
+    val path = s"$work/collapse_g${groups}_c${copies}_u$unique.parquet"
+    if (!new java.io.File(path).exists()) {
+      val hot = spark.range(groups.toLong * copies)
+        .select((col("id") + 1000000L).as("doc_id"),
+          textOf(pmod(col("id"), lit(groups)) * 1000L).as("text"))
+      val uniq = spark.range(unique.toLong)
+        .select(col("id").as("doc_id"),
+          textOf(col("id") + 100000000L).as("text"))
+      hot.unionByName(uniq).repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    val docs = spark.read.parquet(path)
+    println(s"[collapse] corpus=${docs.count()} rows " +
+      s"($groups groups x $copies copies + $unique unique)")
+    val expectBatch = groups.toLong * copies * (copies - 1) / 2
+
+    // ---- simhash ----
+    val sh = time("simhash pairs (collapse)") {
+      Dedup.simhashPairs(docs, "text", "doc_id").count()
+    }
+    require(sh == expectBatch,
+      s"simhash collapsed count $sh != expected $expectBatch")
+    if (!skipLegacy) {
+      val shLegacy = time("simhash pairs (legacy band self-join)") {
+        legacySimhash(docs).count()
+      }
+      require(shLegacy == sh,
+        s"simhash legacy count $shLegacy != collapsed $sh — collapse lost pairs")
+    }
+
+    // ---- edit distance ----
+    val d = 2
+    val ed = time("edit pairs (collapse)") {
+      Dedup.editDistancePairs(docs, "text", "doc_id", maxDist = d).count()
+    }
+    require(ed == expectBatch,
+      s"edit collapsed count $ed != expected $expectBatch")
+    if (!skipLegacy) {
+      val edLegacy = time("edit pairs (legacy prefix join, all copies)") {
+        legacyEdit(docs, d).count()
+      }
+      require(edLegacy == ed,
+        s"edit legacy count $edLegacy != collapsed $ed — collapse lost pairs")
+    }
+
+    // ---- incremental: index history once, probe a dup-heavy batch ----
+    val newCopies = math.max(copies / 10, 10)
+    val inc = spark.range(groups.toLong * newCopies)
+      .select((col("id") + 5000000L).as("doc_id"),
+        textOf(pmod(col("id"), lit(groups)) * 1000L).as("text"))
+      .localCheckpoint(true)
+    val expectInc = groups.toLong *
+      (newCopies.toLong * (newCopies - 1) / 2 + newCopies.toLong * copies)
+
+    val edIdx = s"$work/collapse_edidx"
+    time("edit index build (history)") {
+      Dedup.writeEditIndex(docs, "text", "doc_id", edIdx, maxDist = d); 0L
+    }
+    val edInc = time(s"edit incremental probe (${inc.count()} new)") {
+      Dedup.editDistancePairsIncremental(spark, inc, docs, edIdx,
+        "text", "doc_id", maxDist = d).count()
+    }
+    require(edInc == expectInc,
+      s"edit incremental count $edInc != expected $expectInc")
+
+    val shIdx = s"$work/collapse_shidx"
+    time("simhash index build (history)") {
+      Dedup.writeSimhashIndex(docs, "text", "doc_id", shIdx); 0L
+    }
+    val shInc = time("simhash incremental probe") {
+      Dedup.simhashPairsIncremental(spark, inc, shIdx,
+        "text", "doc_id").count()
+    }
+    require(shInc == expectInc,
+      s"simhash incremental count $shInc != expected $expectInc")
+
+    println("[collapse] ALL CHECKS PASSED")
+    spark.stop()
+  }
+
+  /** the pre-r9 simhash shape: band every doc, self-join the bucket
+    * rows, candidate-scaled distinct, hamming filter
+    */
+  private def legacySimhash(docs: DataFrame): DataFrame = {
+    import graft.Stage.StageOps
+    val banded = Dedup.simhashes(docs, "text", "doc_id")
+      .select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandVal")
+      .stageBoundary
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandVal") === col("b.bandVal") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** the pre-r9 edit shape: prefix rows for EVERY copy (a hot group of
+    * m copies shares all its grams, so the (gram, bucket) join emits
+    * (q*d+1) * m^2 / 2 candidate rows per group and runs m^2 / 2
+    * identical Levenshtein DPs)
+    */
+  private def legacyEdit(df: DataFrame, maxDist: Int,
+      q: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val shortMax = q * (maxDist + 1) - 1
+    val docs = df.filter(col("text").isNotNull)
+      .select(col("doc_id").cast(LongType).as("id"), col("text").as("t"),
+        length(col("text")).as("len"))
+    val p = Dedup.editPrefixRows(df, "text", "doc_id", maxDist, q)
+    val candSame = p.as("a").join(p.as("b"),
+      col("a.g") === col("b.g") && col("a.b") === col("b.b") &&
+        col("a.id") < col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candAdj = p.as("a").join(p.as("b"),
+      col("a.g") === col("b.g") && col("a.b") + 1 === col("b.b") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val candLong = candSame.unionByName(candAdj)
+    val short = docs.filter(col("len") <= shortMax)
+      .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+      .select(col("id"), col("len"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    val partners = docs.filter(col("len") <= shortMax + maxDist)
+      .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+    val candShort = short.as("a").join(partners.as("b"),
+      col("a.b") === col("b.b") && col("a.id") =!= col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val texts = docs.select(col("id"), col("t"))
+    candLong.unionByName(candShort).distinct()
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
+  }
+}

@@ -391,23 +391,60 @@ class PipelineExtSpec extends SparkSpec {
     assert(viaDegree == expected)
   }
 
-  test("hot-shingle cap drops quadratic shingles, keeps near-dup pairs") {
+  test("hot-shingle cap drops quadratic shingles, keeps exact-set pairs") {
     val s = spark
     import s.implicits._
     val uncapped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
       maxShingleFreq = None)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // cap of 1 suppresses every shingle shared by >1 doc, so the exact
-    // dup pair (1,6) — whose shingles are all shared — must disappear
+    // cap of 1 suppresses every shingle shared by >1 DISTINCT set, so
+    // the cross-set near-dup pair (1,2) disappears — but the exact-dup
+    // pair (1,6) survives: identical sets pair through the within path
+    // without candidate shingles (the r9 recall fix — at doc
+    // granularity the cap silently dropped exact duplicates of any
+    // page hotter than the cap)
     val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
       maxShingleFreq = Some(1))
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(uncapped.contains((1L, 6L)))
-    assert(!capped.contains((1L, 6L)))
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((1L, 6L)))
+    assert(!capped.contains((1L, 2L)))
+    assert(capped.contains((1L, 6L)))
     // the default cap (1000) is inert on this corpus
     val defaulted = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(defaulted == uncapped)
+  }
+
+  test("jaccard set collapse: hot-copy group above the cap still pairs") {
+    val s = spark
+    import s.implicits._
+    // 8 verbatim copies of one page — hotter than cap=5. Pre-r9, every
+    // shingle of the page exceeded the cap, so its copies produced ZERO
+    // pairs; collapsed, the page contributes one row per shingle and
+    // the within path emits all C(8,2) pairs at exactly 1.0
+    val copies = (0 until 8).map(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog tonight"))
+    val corpus = (copies ++ Seq(
+      (200L, "the quick brown fox jumps over the lazy cat tonight"),
+      (300L, "completely unrelated words about spark query engines")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5,
+      maxShingleFreq = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5,
+      maxShingleFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // no shingle spans >5 DISTINCT sets here, so the rep-granularity
+    // cap is inert and capped ≡ brute force — including the 28 copy
+    // pairs at 1.0 and the 8 near-dup pairs against doc 200
+    assert(capped == brute)
+    assert(capped.count(p => p._1 >= 100L && p._2 < 200L && p._3 == 1.0) == 28)
+    assert(capped.count(p => p._2 == 200L) == 8)
+    // exact row-count discipline: the member expansion must not
+    // duplicate any pair
+    val all = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5,
+      maxShingleFreq = Some(5)).collect()
+    assert(all.length == all.map(r => (r.getLong(0), r.getLong(1))).toSet.size)
   }
 
   test("salted adjacency aggregation equals the single-shuffle build") {

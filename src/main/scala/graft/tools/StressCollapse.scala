@@ -78,11 +78,24 @@ object StressCollapse {
     val expectBatch = groups.toLong * copies * (copies - 1) / 2
 
     // ---- simhash ----
-    val sh = time("simhash pairs (collapse)") {
-      Dedup.simhashPairs(docs, "text", "doc_id").count()
-    }
-    require(sh == expectBatch,
-      s"simhash collapsed count $sh != expected $expectBatch")
+    // No closed-form TOTAL here: simhash is a semantic near-dup metric,
+    // and the templated unique wing legitimately pairs across docs that
+    // differ in one token of ~20 (word-level fingerprints land within
+    // hamming <= 3 — that's the operator working, not noise; at
+    // 5x2000+50k the wing contributes ~77M true pairs). The exactness
+    // checks that ARE deterministic: every within-hot-group copy pair
+    // appears at hamming 0 with no duplicates, and the collapse loses
+    // nothing vs the legacy per-copy shape (total equality).
+    val shDf = Dedup.simhashPairs(docs, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = time("simhash pairs (collapse)") { shDf.count() }
+    val shHot = shDf.filter(col("id_a") >= 1000000L &&
+        col("id_b") >= 1000000L && col("hamming") === 0 &&
+        pmod(col("id_a") - 1000000L, lit(groups)) ===
+          pmod(col("id_b") - 1000000L, lit(groups)))
+      .count()
+    require(shHot == expectBatch,
+      s"simhash hot-group hamming-0 count $shHot != expected $expectBatch")
     if (!skipLegacy) {
       val shLegacy = time("simhash pairs (legacy band self-join)") {
         legacySimhash(docs).count()
@@ -90,6 +103,7 @@ object StressCollapse {
       require(shLegacy == sh,
         s"simhash legacy count $shLegacy != collapsed $sh — collapse lost pairs")
     }
+    shDf.unpersist()
 
     // ---- edit distance ----
     val d = 2
@@ -134,8 +148,31 @@ object StressCollapse {
       Dedup.simhashPairsIncremental(spark, inc, shIdx,
         "text", "doc_id").count()
     }
-    require(shInc == expectInc,
-      s"simhash incremental count $shInc != expected $expectInc")
+    // increment copies share templates with unique-wing docs, so the
+    // closed form undercounts for simhash (see the batch note); the
+    // scale-true contract is instead checked directly: incremental ==
+    // batch over history ∪ increment restricted to increment-touching
+    // pairs, plus hot-group hamming-0 exactness
+    val shIncBatch = time("simhash batch(history ∪ inc), inc-touching") {
+      Dedup.simhashPairs(docs.unionByName(inc), "text", "doc_id")
+        .filter(col("id_a") >= 5000000L || col("id_b") >= 5000000L)
+        .count()
+    }
+    require(shInc == shIncBatch,
+      s"simhash incremental count $shInc != batch-restricted $shIncBatch")
+    val shIncHot = Dedup.simhashPairsIncremental(spark, inc, shIdx,
+        "text", "doc_id")
+      .filter(col("hamming") === 0 &&
+        ((col("id_a") >= 5000000L && col("id_b") >= 5000000L &&
+          pmod(col("id_a") - 5000000L, lit(groups)) ===
+            pmod(col("id_b") - 5000000L, lit(groups))) ||
+         (col("id_a") >= 1000000L && col("id_a") < 5000000L &&
+          col("id_b") >= 5000000L &&
+          pmod(col("id_a") - 1000000L, lit(groups)) ===
+            pmod(col("id_b") - 5000000L, lit(groups)))))
+      .count()
+    require(shIncHot == expectInc,
+      s"simhash incremental hot-group count $shIncHot != expected $expectInc")
 
     println("[collapse] ALL CHECKS PASSED")
     spark.stop()

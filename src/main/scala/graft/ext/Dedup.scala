@@ -212,13 +212,18 @@ object Dedup {
     // rep restriction anti-joins the DUPLICATE-id set, whose size
     // scales with duplicates, not the corpus (broadcast in the common
     // mostly-unique case)
+    // duplicates-only membership in one window pass over the md5 keys
+    // (members is referenced once — no groupBy+join, no boundary of its
+    // own); singleton docs never enter a membership row at all
     val members = docs0.select(col("id"), md5(col("t")).as("fp"))
-    val reps = members.groupBy("fp")
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
-    val memb = members.join(reps, "fp")
-      .select(col("id"), col("rep"), col("__cnt"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val dupMemb = members
+      .withColumn("rep", min(col("id")).over(wFp))
+      .withColumn("__cnt", count(lit(1)).over(wFp))
+      .filter(col("__cnt") > 1)
+      .select(col("id"), col("rep"))
       .stageBoundary
-    val dupIds = memb.filter(col("id") =!= col("rep"))
+    val dupIds = dupMemb.filter(col("id") =!= col("rep"))
       .select(col("id").as("__did"))
     val docs = docs0.join(dupIds, col("id") === col("__did"), "left_anti")
     // the length window rides IN the join key (width-d+1 buckets,
@@ -266,24 +271,17 @@ object Dedup {
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
-    // within-group pairs at distance exactly 0 (multi-member groups
-    // only — ~empty in a mostly-unique corpus); cross-group pairs copy
-    // the rep pair's distance to every member pair. Groups are disjoint
-    // and each member pair maps to exactly one rep pair, so the union
-    // is duplicate-free without a member-level distinct
-    val dupMemb = memb.filter(col("__cnt") > 1).select("id", "rep")
+    // within-group pairs at distance exactly 0 (duplicates-only
+    // membership — ~empty in a mostly-unique corpus); cross-group pairs
+    // copy the rep pair's distance to every member pair. Groups are
+    // disjoint and each member pair maps to exactly one rep pair, so
+    // the union is duplicate-free without a member-level distinct
     val within = dupMemb.as("m1")
       .join(dupMemb.as("m2"),
         col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
         lit(0).cast(IntegerType).as("dist"))
-    val cross = repPairs.as("p")
-      .join(memb.as("ma"), col("ma.rep") === col("p.id_a"))
-      .join(memb.as("mb"), col("mb.rep") === col("p.id_b"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"),
-        col("p.dist"))
-    within.unionByName(cross)
+    within.unionByName(expandDupPairs(repPairs, dupMemb, "dist"))
   }
 
   private def editParams(maxDist: Int, q: Int) =
@@ -418,14 +416,18 @@ object Dedup {
     val members0 = newDocs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"),
         md5(col(textCol)).as("fp"))
-    val edReps = members0.groupBy("fp")
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
-    val memb = members0.join(edReps, "fp")
-      .select(col("id"), col("rep"), col("__cnt"))
+    // duplicates-only membership in one window pass (see
+    // editDistancePairs — same shape)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val dupMemb = members0
+      .withColumn("rep", min(col("id")).over(wFp))
+      .withColumn("__cnt", count(lit(1)).over(wFp))
+      .filter(col("__cnt") > 1)
+      .select(col("id"), col("rep"))
       .stageBoundary
-    val incIds = memb.select(col("id").as("__iid"))
+    val incIds = members0.select(col("id").as("__iid"))
     val repDocs = newDocs
-      .join(memb.filter(col("id") =!= col("rep"))
+      .join(dupMemb.filter(col("id") =!= col("rep"))
           .select(col("id").as("__did")),
         col(idCol).cast(LongType) === col("__did"), "left_anti")
     // the increment's prefixes MUST use the index's frozen gram order
@@ -515,27 +517,17 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
     // expansion: increment reps fan out to their exact-copy members,
-    // history ids pass through (left joins + coalesce — a verified pair
-    // may carry its rep on either side after the least/greatest
-    // reorder). Verified pairs are distinct at rep level, groups are
-    // disjoint, and replayed ids were pruned — so member pairs are
-    // duplicate-free without a final distinct
-    val dupMemb = memb.filter(col("__cnt") > 1).select("id", "rep")
+    // history ids and singleton reps pass through (left joins +
+    // coalesce — a verified pair may carry its rep on either side after
+    // the least/greatest reorder). Verified pairs are distinct at rep
+    // level, groups are disjoint, and replayed ids were pruned — so
+    // member pairs are duplicate-free without a final distinct
     val within = dupMemb.as("m1")
       .join(dupMemb.as("m2"),
         col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
         lit(0).cast(IntegerType).as("dist"))
-    val cross = repPairs.as("p")
-      .join(memb.as("ma"), col("ma.rep") === col("p.id_a"), "left")
-      .join(memb.as("mb"), col("mb.rep") === col("p.id_b"), "left")
-      .select(
-        least(coalesce(col("ma.id"), col("p.id_a")),
-          coalesce(col("mb.id"), col("p.id_b"))).as("id_a"),
-        greatest(coalesce(col("ma.id"), col("p.id_a")),
-          coalesce(col("mb.id"), col("p.id_b"))).as("id_b"),
-        col("p.dist"))
-    within.unionByName(cross)
+    within.unionByName(expandDupPairs(repPairs, dupMemb, "dist"))
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
@@ -559,22 +551,30 @@ object Dedup {
     // (the page contributes ONE row per shingle), and within-set pairs
     // bypass candidate generation entirely — identical sets need no
     // shared-shingle evidence
+    // constant-width (id, fp) rows: the sorted shingle arrays never
+    // materialize past the map side. One window pass over fp yields the
+    // duplicates-only membership (keyed is referenced exactly once, so
+    // only the tiny dup relation needs a boundary); the rep restriction
+    // below is an anti-join against non-rep duplicate ids — never a
+    // corpus-size semi-join against the distinct-set relation
     val keyed = df.select(col(idCol).as("id"),
         array_sort(hashedShingles(col(textCol), n)).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("id"), struct(xxhash64(col("shs")).as("h1"),
         xxhash64(reverse(col("shs"))).as("h2")).as("fp"))
-      .stageBoundary // constant-width (id, fp): arrays never materialize
-    val reps = keyed.groupBy("fp")
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
-    val memb = keyed.join(reps, "fp")
-      .select(col("id"), col("rep"), col("__cnt"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val dupMemb = keyed
+      .withColumn("rep", min(col("id")).over(wFp))
+      .withColumn("__cnt", count(lit(1)).over(wFp))
+      .filter(col("__cnt") > 1)
+      .select(col("id"), col("rep"))
       .stageBoundary
     // representative shingles re-derive from the raw docs (the arrays
-    // are roughly the corpus — never cached; see lshCollapse), semi-
-    // joined to the rep ids, whose count is the DISTINCT corpus size
-    var sh = df.join(reps.select(col("rep").as("__rid")),
-        col(idCol) === col("__rid"), "left_semi")
+    // are roughly the corpus — never cached; see lshCollapse); docs
+    // with empty shingle sets explode to nothing either way
+    var sh = df.join(dupMemb.filter(col("id") =!= col("rep"))
+          .select(col("id").as("__did")),
+        col(idCol) === col("__did"), "left_anti")
       .select(col(idCol).as("id"),
         explode(hashedShingles(col(textCol), n)).as("sh"))
     maxShingleFreq.foreach { cap =>
@@ -605,13 +605,8 @@ object Dedup {
     // cross-set member pairs copy the rep pair's jaccard (identical
     // sets); each unordered doc pair maps to exactly ONE rep pair and
     // groups are disjoint, so the union needs no member-level distinct
-    val cross = repPairs.as("p")
-      .join(memb.as("ma"), col("ma.rep") === col("p.id_a"))
-      .join(memb.as("mb"), col("mb.rep") === col("p.id_b"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"),
-        col("p.jaccard"))
-    withinSetPairs(memb, minJaccard).unionByName(cross)
+    withinSetPairs(dupMemb, minJaccard)
+      .unionByName(expandDupPairs(repPairs, dupMemb, "jaccard"))
   }
 
   /** MinHash signature column: for perm i, min over shingles of
@@ -654,30 +649,48 @@ object Dedup {
     val c = lshCollapse(df, textCol, idCol, n, numPerms, bands)
     val repPairs = verifyJaccard(df.select(col(idCol), col(textCol)),
       textCol, idCol, n, minJaccard, selfCandidates(c.repBanded))
-    // cross-set pairs copy the representative pair's jaccard; member ids
-    // of different sets are not mutually ordered, so re-order per row.
-    // Each unordered doc pair maps to exactly ONE rep pair → no dups
-    val cross = repPairs.as("p")
-      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
-      .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"),
-        col("p.jaccard"))
-    withinSetPairs(c.memb, minJaccard).unionByName(cross)
+    withinSetPairs(c.dupMemb, minJaccard)
+      .unionByName(expandDupPairs(repPairs, c.dupMemb, "jaccard"))
   }
 
-  /** within-set pairs at jaccard exactly 1.0, no verification. Pruned to
-    * multi-member sets — in a mostly-unique corpus this relation is
-    * ~empty, so the join costs nothing
+  /** within-set pairs at jaccard exactly 1.0, no verification — off the
+    * duplicates-only membership, so in a mostly-unique corpus this
+    * relation is ~empty and the join costs nothing
     */
-  private def withinSetPairs(memb: DataFrame, minJaccard: Double): DataFrame = {
-    val dupMemb = memb.filter(col("__cnt") > 1).select("id", "rep")
+  private def withinSetPairs(dupMemb: DataFrame, minJaccard: Double): DataFrame =
     dupMemb.as("m1")
       .join(dupMemb.as("m2"),
         col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
         lit(1.0).as("jaccard"))
       .filter(lit(1.0) >= minJaccard) // degenerate τ>1 → constant-folds to empty
+
+  /** Expand verified rep-level pairs to member pairs through the
+    * duplicates-only membership: LEFT joins with coalesce fallback —
+    * a singleton rep has no membership row and passes through
+    * unchanged, a duplicate group's rep fans out to every member; the
+    * metric column copies (identical content ⇒ identical metric). One
+    * pass over the pair relation, joins sized by duplicates — never a
+    * corpus-width expansion join. Each unordered member pair maps to
+    * exactly one rep pair and groups are disjoint, so the result is
+    * duplicate-free without a member-level distinct. With
+    * `bothSides = false` only id_a expands (the incremental cross
+    * shape, where id_b is a raw history id).
+    */
+  private def expandDupPairs(repPairs: DataFrame, dupMemb: DataFrame,
+      metricCol: String, bothSides: Boolean = true): DataFrame = {
+    val a = repPairs.as("p")
+      .join(dupMemb.as("ma"), col("ma.rep") === col("p.id_a"), "left")
+    val exp = if (bothSides)
+      a.join(dupMemb.as("mb"), col("mb.rep") === col("p.id_b"), "left")
+        .select(coalesce(col("ma.id"), col("p.id_a")).as("__xa"),
+          coalesce(col("mb.id"), col("p.id_b")).as("__xb"),
+          col(metricCol))
+    else
+      a.select(coalesce(col("ma.id"), col("p.id_a")).as("__xa"),
+        col("p.id_b").as("__xb"), col(metricCol))
+    exp.select(least(col("__xa"), col("__xb")).as("id_a"),
+      greatest(col("__xa"), col("__xb")).as("id_b"), col(metricCol))
   }
 
   /** The near-dedup "doomed" set: ids with at least one verified
@@ -701,17 +714,28 @@ object Dedup {
     val c = lshCollapse(df, textCol, idCol, n, numPerms, bands)
     val repPairs = verifyJaccard(df.select(col(idCol), col(textCol)),
       textCol, idCol, n, minJaccard, selfCandidates(c.repBanded))
-    val nonReps = c.memb.filter(col("id") =!= col("rep")).select(col("id"))
+    val nonReps = c.dupMemb.filter(col("id") =!= col("rep"))
+      .select(col("id"))
       .filter(lit(1.0) >= minJaccard)
     nonReps.union(repPairs.select(col("id_b").as("id")))
       .distinct().select(col("id").as(idCol))
   }
 
-  /** memb: one (id, rep, __cnt) row per doc (rep = min id of the doc's
-    * exact-shingle-set group, __cnt = group size); repBanded: the
-    * representatives' (id, band, bandHash) rows
+  /** ids: one (id) row per doc; dupMemb: (id, rep) rows for members of
+    * MULTI-member exact-shingle-set groups only (rep = the group's min
+    * id) — sized by duplicates, not the corpus, so every downstream
+    * join against it broadcasts in the mostly-unique case; repBanded:
+    * the representatives' (id, band, bandHash) rows.
+    *
+    * The full (id → rep) map is deliberately NOT built: constructing it
+    * costs a corpus×corpus join on the fingerprint and consuming it
+    * costs corpus-size expansion joins, where singleton groups (the
+    * overwhelming majority of any real corpus) carry zero information —
+    * rep pairs pass through expansion unchanged via LEFT joins against
+    * dupMemb with coalesce fallback.
     */
-  private case class LshCollapsed(memb: DataFrame, repBanded: DataFrame)
+  private case class LshCollapsed(ids: DataFrame, dupMemb: DataFrame,
+      repBanded: DataFrame)
 
   /** Shared core of the collapsed LSH family: band the corpus tagged
     * with shingle-set fingerprints, collapse each set to its min-id
@@ -735,20 +759,26 @@ object Dedup {
     // one (fp, id) row per doc — a cheap re-scan of the materialized
     // banding (band 0 exists for every banded doc)
     val members = banded.filter(col("band") === 0).select("fp", "id")
-    val reps = members.groupBy("fp")
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
-    val memb = members.join(reps, "fp")
-      .select(col("id"), col("rep"), col("__cnt"))
+    // duplicates-only membership in ONE window pass (no groupBy+join —
+    // members is referenced once, so it needs no boundary of its own);
+    // singleton docs never enter a membership row at all. The boundary
+    // output is sized by duplicates, ~empty in a mostly-unique corpus
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val dupMemb = members
+      .withColumn("rep", min(col("id")).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") > 1)
+      .select(col("id"), col("rep"))
       .stageBoundary
-    // representative band rows: one shuffle of the constant-size band
-    // relation; every exact-set duplicate group bands exactly once
+    // representative band rows: drop non-rep duplicate members — a
+    // broadcast anti-join against the (tiny) non-rep id set, cheap to
+    // recompute off the checkpointed banding, so no boundary here
     val repBanded = banded
-      .withColumn("__rep", min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("id") === col("__rep"))
+      .join(dupMemb.filter(col("id") =!= col("rep"))
+          .select(col("id").as("__nid")),
+        col("id") === col("__nid"), "left_anti")
       .select("id", "band", "bandHash")
-      .stageBoundary
-    LshCollapsed(memb, repBanded)
+    LshCollapsed(members.select("id"), dupMemb, repBanded)
   }
 
   /** bucket self-join of representative band rows → distinct candidate
@@ -898,26 +928,15 @@ object Dedup {
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     val (c, crossPairs, selfPairs) = lshIncProbe(spark, newDocs, corpus,
       indexPath, textCol, idCol, n, minJaccard, numPerms, bands)
-    // expand rep pairs to member pairs — inner joins, since crossPairs'
-    // id_a and selfPairs' both sides are increment reps by construction.
-    // No final distinct: cross pairs carry a history-only side (each
-    // member pair maps to exactly one rep pair), self pairs span
-    // disjoint groups, and within-set pairs stay inside one group — the
-    // three sources are pairwise disjoint and individually
-    // duplicate-free, so the union already is
-    val crossExp = crossPairs.as("p")
-      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
-      .select(least(col("ma.id"), col("p.id_b")).as("id_a"),
-        greatest(col("ma.id"), col("p.id_b")).as("id_b"),
-        col("p.jaccard"))
-    val selfExp = selfPairs.as("p")
-      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
-      .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"),
-        col("p.jaccard"))
-    withinSetPairs(c.memb, minJaccard)
-      .unionByName(crossExp).unionByName(selfExp)
+    // expand rep pairs to member pairs. No final distinct: cross pairs
+    // carry a history-only side (each member pair maps to exactly one
+    // rep pair), self pairs span disjoint groups, and within-set pairs
+    // stay inside one group — the three sources are pairwise disjoint
+    // and individually duplicate-free, so the union already is
+    withinSetPairs(c.dupMemb, minJaccard)
+      .unionByName(
+        expandDupPairs(crossPairs, c.dupMemb, "jaccard", bothSides = false))
+      .unionByName(expandDupPairs(selfPairs, c.dupMemb, "jaccard"))
   }
 
   /** Incremental doomed set at representative granularity — the ids an
@@ -951,18 +970,27 @@ object Dedup {
       historyWins: Boolean = true): DataFrame = {
     val (c, crossPairs, selfPairs) = lshIncProbe(spark, newDocs, corpus,
       indexPath, textCol, idCol, n, minJaccard, numPerms, bands)
-    val nonReps = c.memb.filter(col("id") =!= col("rep")).select(col("id"))
+    val nonReps = c.dupMemb.filter(col("id") =!= col("rep"))
+      .select(col("id"))
       .filter(lit(1.0) >= minJaccard) // degenerate τ>1 → constant-folds to empty
+    // group verdicts decompose over the duplicates-only membership: the
+    // rep's own verdict comes straight off crossPairs (id_a IS the
+    // rep), non-rep members inherit through dupMemb
     val histDoomed =
-      if (historyWins)
-        c.memb.join(crossPairs.select(col("id_a").as("rep")).distinct(),
-          Seq("rep"), "left_semi").select(col("id"))
-      else
-        c.memb.join(
-          crossPairs.select(col("id_a").as("rep"), col("id_b"))
-            .groupBy("rep").agg(min("id_b").as("__hmin")),
-          Seq("rep"))
-          .filter(col("__hmin") < col("id")).select(col("id"))
+      if (historyWins) {
+        val hitReps = crossPairs.select(col("id_a").as("rep")).distinct()
+        hitReps.select(col("rep").as("id"))
+          .union(c.dupMemb.filter(col("id") =!= col("rep"))
+            .join(hitReps, Seq("rep"), "left_semi").select(col("id")))
+      } else {
+        val hmin = crossPairs.select(col("id_a").as("rep"), col("id_b"))
+          .groupBy("rep").agg(min("id_b").as("__hmin"))
+        hmin.filter(col("__hmin") < col("rep"))
+          .select(col("rep").as("id"))
+          .union(c.dupMemb.filter(col("id") =!= col("rep"))
+            .join(hmin, Seq("rep"))
+            .filter(col("__hmin") < col("id")).select(col("id")))
+      }
     nonReps.union(histDoomed)
       .union(selfPairs.select(col("id_b").as("id")))
       .distinct().select(col("id").as(idCol))
@@ -996,7 +1024,7 @@ object Dedup {
           col("a.id") =!= col("b.id"))
       // the replay anti-join is candidate-scaled: it runs on the
       // band-match output, never the index
-      .join(c.memb.select(col("id").as("__iid")),
+      .join(c.ids.select(col("id").as("__iid")),
         col("b.id") === col("__iid"), "left_anti")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -1006,13 +1034,14 @@ object Dedup {
       corpus.select(col(idCol), col(textCol))
         .unionByName(newDocs.select(col(idCol), col(textCol))),
       textCol, idCol, n, minJaccard, candidates)
-    // id_b splits the two sources: a history id is never an increment
-    // rep (ids are globally unique)
-    val repIds = c.memb.filter(col("id") === col("rep"))
-      .select(col("id").as("__rid"))
+    // id_b splits the two sources: candidate id_b values are either
+    // increment REPS (self side) or history-only ids (replay pruned
+    // above), so membership in the increment's id set decides — a
+    // history id is never an increment id here
+    val incIds = c.ids.select(col("id").as("__rid"))
     (c,
-      repPairs.join(repIds, col("id_b") === col("__rid"), "left_anti"),
-      repPairs.join(repIds, col("id_b") === col("__rid"), "left_semi"))
+      repPairs.join(incIds, col("id_b") === col("__rid"), "left_anti"),
+      repPairs.join(incIds, col("id_b") === col("__rid"), "left_semi"))
   }
 
   /** the default token hash: xxhash64 (fastest, engine-internal) */
@@ -1061,54 +1090,60 @@ object Dedup {
     // clusters (identical fingerprints) band exactly once instead of
     // emitting 4·m² bucket-join rows
     val repPairs = simhashRepPairs(c.repBanded, maxHamming)
-    // within-group pairs: identical fingerprints, hamming exactly 0.
-    // Pruned to multi-member groups — ~empty in a mostly-unique corpus
-    val dupMemb = c.memb.filter(col("__cnt") > 1).select("id", "rep")
-    val within = dupMemb.as("m1")
+    // within-group pairs: identical fingerprints, hamming exactly 0 —
+    // off the duplicates-only membership, ~empty in a mostly-unique
+    // corpus. Cross-group expansion: distinct groups have distinct
+    // fingerprints, so each member pair maps to exactly one rep pair —
+    // the union is duplicate-free without a member-level distinct
+    val within = withinHamming0(c.dupMemb)
+    within.unionByName(expandDupPairs(repPairs, c.dupMemb, "hamming"))
+  }
+
+  /** within-group pairs at hamming exactly 0 off the duplicates-only
+    * membership
+    */
+  private def withinHamming0(dupMemb: DataFrame): DataFrame =
+    dupMemb.as("m1")
       .join(dupMemb.as("m2"),
         col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
         lit(0).as("hamming"))
-    // cross-group expansion: distinct groups have distinct fingerprints,
-    // so each member pair maps to exactly one rep pair — the union is
-    // duplicate-free without a member-level distinct
-    val cross = repPairs.as("p")
-      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
-      .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"),
-        col("p.hamming"))
-    within.unionByName(cross)
-  }
 
-  /** memb: one (id, rep, __cnt) row per doc (rep = min id among docs
-    * with an IDENTICAL 64-bit simhash — hamming depends only on the
-    * fingerprint, so group members are pairwise hamming 0 and share
-    * every distance to third docs); repBanded: the representatives'
-    * (id, simhash, band, bandVal) rows
+  /** ids: one (id) row per doc; dupMemb: (id, rep) rows for members of
+    * multi-member identical-fingerprint groups ONLY (hamming depends
+    * only on the fingerprint, so group members are pairwise hamming 0
+    * and share every distance to third docs); repBanded: the
+    * representatives' (id, simhash, band, bandVal) rows. Same
+    * duplicates-only layout as [[LshCollapsed]] — no corpus-size
+    * membership map is ever built or joined.
     */
-  private case class SimhashCollapsed(memb: DataFrame, repBanded: DataFrame)
+  private case class SimhashCollapsed(ids: DataFrame, dupMemb: DataFrame,
+      repBanded: DataFrame)
 
   private def simhashCollapse(df: DataFrame, textCol: String,
       idCol: String, tokenHash: Column => Column): SimhashCollapsed = {
     // materialized once (4 short rows per doc) so the member slice, the
-    // rep window and the bucket join all read it without re-running the
-    // corpus-wide tokenize+simhash pass
+    // rep restriction and the bucket join all read it without re-running
+    // the corpus-wide tokenize+simhash pass
     val banded = simhashBandRows(df, textCol, idCol, tokenHash)
       .stageBoundary
     val members = banded.filter(col("band") === 0).select("simhash", "id")
-    val reps = members.groupBy("simhash")
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("__cnt"))
-    val memb = members.join(reps, "simhash")
-      .select(col("id"), col("rep"), col("__cnt"))
+    // duplicates-only membership in one window pass; the rep band rows
+    // are a broadcast anti-join recomputed off the checkpointed banding
+    // (see lshCollapse — same shape, same no-boundary reasoning)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
+    val dupMemb = members
+      .withColumn("rep", min(col("id")).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") > 1)
+      .select(col("id"), col("rep"))
       .stageBoundary
     val repBanded = banded
-      .withColumn("__rep", min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
-      .filter(col("id") === col("__rep"))
+      .join(dupMemb.filter(col("id") =!= col("rep"))
+          .select(col("id").as("__nid")),
+        col("id") === col("__nid"), "left_anti")
       .select("id", "simhash", "band", "bandVal")
-      .stageBoundary
-    SimhashCollapsed(memb, repBanded)
+    SimhashCollapsed(members.select("id"), dupMemb, repBanded)
   }
 
   /** bucket self-join of representative band rows → verified
@@ -1179,7 +1214,7 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.bandVal") === col("b.bandVal") &&
           col("a.id") =!= col("b.id"))
-      .join(c.memb.select(col("id").as("__iid")),
+      .join(c.ids.select(col("id").as("__iid")),
         col("b.id") === col("__iid"), "left_anti")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
@@ -1191,24 +1226,10 @@ object Dedup {
     val selfPairs = simhashRepPairs(c.repBanded, maxHamming)
     // same three disjoint, individually duplicate-free sources as the
     // batch operator — no member-level distinct
-    val dupMemb = c.memb.filter(col("__cnt") > 1).select("id", "rep")
-    val within = dupMemb.as("m1")
-      .join(dupMemb.as("m2"),
-        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
-        lit(0).as("hamming"))
-    val crossExp = crossPairs.as("p")
-      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
-      .select(least(col("ma.id"), col("p.id_b")).as("id_a"),
-        greatest(col("ma.id"), col("p.id_b")).as("id_b"),
-        col("p.hamming"))
-    val selfExp = selfPairs.as("p")
-      .join(c.memb.as("ma"), col("ma.rep") === col("p.id_a"))
-      .join(c.memb.as("mb"), col("mb.rep") === col("p.id_b"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"),
-        col("p.hamming"))
-    within.unionByName(crossExp).unionByName(selfExp)
+    withinHamming0(c.dupMemb)
+      .unionByName(
+        expandDupPairs(crossPairs, c.dupMemb, "hamming", bothSides = false))
+      .unionByName(expandDupPairs(selfPairs, c.dupMemb, "hamming"))
   }
 
   /** Transitive near-duplicate cluster resolution: connected components

@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: cell assignment is a broadcast-literal argmax (one
   * codegen map pass, no shuffle — [[Similarity.assignCells]]); pairing
-  * is a distributed equi-join on the cell key, so work scales with the
-  * largest cell, never the corpus square ([[Similarity.cosinePairs]]
-  * with a mandatory block key); cluster closure runs on the pair
-  * residual (O(duplicates)) via GraphX connected components
-  * ([[Dedup.resolveClusters]]). No driver-side vector collect beyond
-  * the k centroid rows.
+  * is a distributed equi-join on the cell key over exact-duplicate-
+  * collapsed representatives, so work scales with the largest set of
+  * DISTINCT vectors per cell, never the corpus square and never a
+  * hot page's copy count; cluster closure runs on the collapsed pair
+  * graph — rep pairs plus spanning-star edges for duplicate groups,
+  * O(duplicates) edges where the member-pair clique is O(duplicates²)
+  * — via GraphX connected components ([[Dedup.resolveClusters]]). No
+  * driver-side vector collect beyond the k centroid rows.
   *
   * The default quantizer is [[Similarity.trainCentroids]] — the k
   * smallest-id rows as centroids — which is deterministic and
@@ -43,9 +45,19 @@ object SemanticDedup {
       Similarity.trainCentroids(df, idCol, vecCol, k))
     val celled = Similarity.assignCells(
       df.select(col(idCol), col(vecCol)), vecCol, "cell", cents)
-    val pairs = Similarity.cosinePairs(celled, idCol, vecCol,
-      minCosine = tau, blockCol = Some("cell"))
-    val clusters = Dedup.resolveClusters(pairs, celled, idCol)
+    // close over the COLLAPSED pair graph, not the member-pair
+    // relation: a hot page's m identical embeddings form a clique whose
+    // m²/2 pairs all carry the same information as its spanning star —
+    // rep pairs + (rep, member) edges for threshold-qualifying
+    // duplicate groups reach the identical transitive closure (same
+    // canonical = cluster min id) with O(duplicates) edges instead of
+    // O(duplicates²)
+    val (repPairs, _, stars) = Similarity.blockedVecRepPairs(
+      celled.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col("cell").cast(org.apache.spark.sql.types.LongType).as("blk")),
+      minCosine = tau)
+    val edges = repPairs.select("id_a", "id_b").unionByName(stars)
+    val clusters = Dedup.resolveClusters(edges, celled, idCol)
     celled.select(col(idCol), col("cell"))
       .join(clusters, idCol)
       .withColumn("keep", col(idCol) === col("canonical"))

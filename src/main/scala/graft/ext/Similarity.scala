@@ -476,9 +476,14 @@ object Similarity {
       indexPath: String, newDocs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val cents = readCentroids(spark, indexPath)
-    val inc = assignCells(
-      newDocs.select(col(idCol).as("id"), col(vecCol).as("v")),
-      "v", "cell", cents)
+    // exact-vector collapse of the increment (see vecCollapse): a
+    // dup-heavy ingest batch probes the index and self-joins at rep
+    // granularity; identical vectors assign identical cells, so the
+    // rep's cell IS every member's cell and the fp-only group key is
+    // block-consistent here
+    val raw = newDocs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val (dupMemb, repRaw) = vecCollapse(raw, blockKeyed = false)
+    val inc = assignCells(repRaw, "v", "cell", cents)
       .stageBoundary
     // partition pruning must be GUARANTEED, not hoped for: a plain
     // equi-join may plan as SMJ scanning every cell directory, and
@@ -498,21 +503,28 @@ object Similarity {
       .withColumn("cs", cosine(col("va"), col("vb")))
       .filter(col("cs") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cs"))
-    val cross = inc.as("a").join(hist.as("b"),
+    // cross: increment rep × history id, pruned of history ids that are
+    // replayed increment members (a replayed doc's pairs are produced
+    // by the self/within side — the anti-join replaces the member-level
+    // distinct the pre-collapse shape needed, same as the simhash and
+    // LSH incrementals). id_a = increment rep for the expansion join.
+    val cross = verified(inc.as("a").join(hist.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-    val self = inc.as("a").join(inc.as("b"),
+      .join(raw.select(col("id").as("__iid")),
+        col("b.id") === col("__iid"), "left_anti")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb")))
+    val self = verified(inc.as("a").join(inc.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-    // distinct: if an increment id already exists in the index (a replay
-    // of an already-merged increment), the same pair surfaces from both
-    // the cross and self joins — each pair must appear once, matching
-    // the batch cosinePairs contract (the LSH incremental dedups its
-    // candidates the same way)
-    verified(cross).union(verified(self)).distinct()
+        col("a.v").as("va"), col("b.v").as("vb")))
+    // three disjoint, individually duplicate-free sources — within-
+    // group increment pairs, cross-group increment rep pairs expanded
+    // through both membership sides, and rep × history pairs expanded
+    // through the increment side only (id_b is a real history id)
+    withinVecPairs(raw, dupMemb, minCosine)
+      .unionByName(expandRepPairs(self, dupMemb))
+      .unionByName(expandRepPairs(cross, dupMemb, bothSides = false))
   }
 
   /** int8 scalar quantization of an embedding column: each component
@@ -1168,7 +1180,10 @@ object Similarity {
     *  - `blockCol` given: **exact within blocks** — a distributed
     *    equi-join on the block key (pairs across blocks are by contract
     *    not candidates, matching the reference semantics of a coarse
-    *    quantizer cell);
+    *    quantizer cell). Exact-duplicate vectors collapse to min-id
+    *    representatives first (see `vecCollapse`): a hot page's m
+    *    verbatim copies cost m membership rows plus the output, never
+    *    m² vector-carrying join rows or m² kernel evaluations;
     *  - no block, corpus ≤ [[BroadcastPairLimit]]: exact all pairs via
     *    a Spark-managed broadcast-nested-loop join (`id < id` upper
     *    triangle) with the codegen'd cosine in the join filter;
@@ -1226,16 +1241,133 @@ object Similarity {
       .filter(col("cs") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
 
-  /** exact pairs within a block: distributed equi-join on the block key
-    * — work and shuffle are per-block, so the layout scales with the
-    * largest block, not the corpus
+  /** Exact-vector collapse to min-id representatives — the embedding
+    * face of [[Dedup]]'s content-keyed collapse (edit distance groups
+    * by md5(text), jaccard by the sorted shingle-set fingerprint):
+    * cosine is content-determined, so bit-identical vectors share every
+    * similarity to third vectors, and a hot page's m verbatim copies
+    * (identical embeddings) otherwise inflate the block join by m²
+    * vector-carrying rows and m² kernel evaluations. The group key is
+    * the 128-bit (xxhash64(v), xxhash64(reverse(v))) pair — raw float
+    * bits, so −0.0/0.0 and NaN payloads land in different groups, which
+    * only under-collapses (never wrong). `blockKeyed` folds the block
+    * key into the group: a caller-provided block need not derive from
+    * the vector, and identical vectors in different blocks must NOT
+    * pair. The membership relation is DUPLICATES-ONLY (id, rep) rows —
+    * the full (id → rep) map is never built: it would cost a
+    * corpus×corpus join to construct and corpus-size expansion joins to
+    * consume, where singleton groups carry zero information. Returns
+    * (dupMemb, base restricted to reps).
     */
-  private def pairsWithinBlocks(base: DataFrame, minCosine: Double): DataFrame =
-    base.as("a").join(base.as("b"),
+  private def vecCollapse(base: DataFrame, blockKeyed: Boolean)
+      : (DataFrame, DataFrame) = {
+    val keyCols = if (blockKeyed) Seq("blk", "fp") else Seq("fp")
+    val fp = struct(xxhash64(col("v")).as("h1"),
+      xxhash64(reverse(col("v"))).as("h2")).as("fp")
+    val members =
+      if (blockKeyed) base.select(col("id"), col("blk"), fp)
+      else base.select(col("id"), fp)
+    // duplicates-only membership in one window pass (members is
+    // referenced once — no groupBy+join); only the tiny dup relation
+    // is checkpointed
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val dupMemb = members
+      .withColumn("rep", min(col("id")).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") > 1)
+      .select(col("id"), col("rep"))
+      .stageBoundary
+    val dupIds = dupMemb.filter(col("id") =!= col("rep"))
+      .select(col("id").as("__did"))
+    (dupMemb, base.join(dupIds, col("id") === col("__did"), "left_anti"))
+  }
+
+  /** threshold-qualifying duplicate groups: (__grp = rep id, cs), where
+    * cs is the kernel evaluated ONCE per multi-member group on the
+    * stored vector. cos(v,v) is NOT exactly 1.0 in floating point
+    * (sqrt(n)·sqrt(n) ≠ n), and a zero vector's cosine is NaN — brute
+    * force evaluates the same expression on the same bits, so computing
+    * (not hardcoding 1.0) and filtering preserves values and the NaN
+    * drop bit-for-bit.
+    */
+  private def dupGroupCs(base: DataFrame, dupMemb: DataFrame,
+      minCosine: Double): DataFrame =
+    dupMemb.filter(col("id") === col("rep"))
+      .select("id", "rep")
+      .join(base.select(col("id"), col("v")), "id")
+      .withColumn("cs", cosine(col("v"), col("v")))
+      .filter(col("cs") >= minCosine)
+      .select(col("rep").as("__grp"), col("cs"))
+
+  /** within-group member pairs carrying their group's kernel value */
+  private def withinVecPairs(base: DataFrame, dupMemb: DataFrame,
+      minCosine: Double): DataFrame =
+    dupMemb.as("m1")
+      .join(dupMemb.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      .join(dupGroupCs(base, dupMemb, minCosine),
+        col("m1.rep") === col("__grp"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"), col("cs"))
+
+  /** cross-group member pairs copy their rep pair's kernel value — LEFT
+    * joins against the duplicates-only membership with coalesce
+    * fallback (singleton reps pass through unchanged, never a
+    * corpus-width join). Each unordered member pair maps to exactly ONE
+    * rep pair and groups are disjoint, so the expansion is
+    * duplicate-free without a member-level distinct. With
+    * `bothSides = false` only id_a expands (the incremental cross
+    * shape, where id_b is a raw history id).
+    */
+  private def expandRepPairs(repPairs: DataFrame, dupMemb: DataFrame,
+      bothSides: Boolean = true): DataFrame = {
+    val a = repPairs.as("p")
+      .join(dupMemb.as("ma"), col("ma.rep") === col("p.id_a"), "left")
+    val exp = if (bothSides)
+      a.join(dupMemb.as("mb"), col("mb.rep") === col("p.id_b"), "left")
+        .select(coalesce(col("ma.id"), col("p.id_a")).as("__xa"),
+          coalesce(col("mb.id"), col("p.id_b")).as("__xb"), col("cs"))
+    else
+      a.select(coalesce(col("ma.id"), col("p.id_a")).as("__xa"),
+        col("p.id_b").as("__xb"), col("cs"))
+    exp.select(least(col("__xa"), col("__xb")).as("id_a"),
+      greatest(col("__xa"), col("__xb")).as("id_b"), col("cs"))
+  }
+
+  /** rep-level blocked pairs, membership, and qualifying-group star
+    * edges — the collapsed primitives: [[cosinePairs]] expands them to
+    * the member-pair relation, [[SemanticDedup]] closes over them
+    * directly (a duplicate group is a clique, and connected components
+    * needs only its spanning star — m edges, not m²/2).
+    */
+  private[ext] def blockedVecRepPairs(base: DataFrame, minCosine: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (dupMemb, repBase) = vecCollapse(base, blockKeyed = true)
+    val repPairs = repBase.as("a").join(repBase.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cs", cosine(col("a.v"), col("b.v")))
       .filter(col("cs") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
+    // star edges only for groups whose self-cosine passes the
+    // threshold: identical ZERO vectors produce NaN and must not
+    // cluster, exactly as brute force drops their pairs
+    val stars = dupMemb.filter(col("id") =!= col("rep"))
+      .join(dupGroupCs(base, dupMemb, minCosine),
+        col("rep") === col("__grp"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    (repPairs, dupMemb, stars)
+  }
+
+  /** exact pairs within a block: distributed equi-join on the block key
+    * — work and shuffle are per-block, so the layout scales with the
+    * largest block, not the corpus; exact-duplicate vectors collapse to
+    * representatives first, so it scales with the largest set of
+    * DISTINCT vectors per block
+    */
+  private def pairsWithinBlocks(base: DataFrame, minCosine: Double): DataFrame = {
+    val (repPairs, dupMemb, _) = blockedVecRepPairs(base, minCosine)
+    withinVecPairs(base, dupMemb, minCosine)
+      .unionByName(expandRepPairs(repPairs, dupMemb))
+  }
 
   /** SRP auto-blocking: band rows carry only (id, band, cell) — the
     * vectors stay out of the candidate-generation shuffle and join back
@@ -1244,7 +1376,14 @@ object Similarity {
     */
   private def srpBlockedPairs(base: DataFrame, minCosine: Double,
       bits: Int, bands: Int): DataFrame = {
-    val banded = base
+    // exact-vector collapse before banding: identical vectors have
+    // identical SRP cells, so a hot duplicate group otherwise lands
+    // whole in every band's bucket and squares the candidate join;
+    // collapsed, it bands once and its within pairs bypass candidate
+    // generation (recall for them becomes exactly 1 — identical
+    // vectors always shared all bands anyway)
+    val (dupMemb, repBase) = vecCollapse(base, blockKeyed = false)
+    val banded = repBase
       .select(col("id"), posexplode(SrpBands(col("v"), bits, bands, SrpSeed)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "cell")
     val candidates = banded.as("a")
@@ -1254,12 +1393,14 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    candidates
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+    val repPairs = candidates
+      .join(repBase.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(repBase.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cs", cosine(col("va"), col("vb")))
       .filter(col("cs") >= minCosine)
       .select("id_a", "id_b", "cs")
+    withinVecPairs(base, dupMemb, minCosine)
+      .unionByName(expandRepPairs(repPairs, dupMemb))
   }
 
   // ---- product quantization (PQ / IVF-PQ) ----

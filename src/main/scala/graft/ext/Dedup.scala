@@ -533,6 +533,43 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minJaccard: Double,
       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
+    val (repPairs, dupMemb) =
+      jaccardRepPairs(df, textCol, idCol, n, minJaccard, maxShingleFreq)
+    // cross-set member pairs copy the rep pair's jaccard (identical
+    // sets); each unordered doc pair maps to exactly ONE rep pair and
+    // groups are disjoint, so the union needs no member-level distinct
+    withinSetPairs(dupMemb, minJaccard)
+      .unionByName(expandDupPairs(repPairs, dupMemb, "jaccard"))
+  }
+
+  /** Collapsed near-dup CLUSTER edges: rep-level verified jaccard pairs
+    * plus spanning-star (rep, member) edges for threshold-qualifying
+    * exact-duplicate groups. Transitive closure over these edges equals
+    * closure over the full [[ngramJaccardPairs]] relation — a duplicate
+    * group is a clique and its star spans it — with O(duplicates) edges
+    * where the member-pair expansion is O(duplicates²). The right input
+    * for cluster resolution ([[resolveClusters]], [[Cc]]) when the pair
+    * relation itself is not needed. Columns: (id_a, id_b).
+    */
+  def ngramJaccardClusterEdges(df: DataFrame, textCol: String,
+      idCol: String, n: Int, minJaccard: Double,
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
+    val (repPairs, dupMemb) =
+      jaccardRepPairs(df, textCol, idCol, n, minJaccard, maxShingleFreq)
+    // same qualification gate as withinSetPairs: identical sets sit at
+    // jaccard exactly 1.0 (degenerate τ>1 constant-folds to empty)
+    val stars = dupMemb.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .filter(lit(1.0) >= minJaccard)
+    repPairs.select("id_a", "id_b").unionByName(stars)
+  }
+
+  /** shared core of the exact-jaccard family: (rep-level verified
+    * pairs, duplicates-only membership)
+    */
+  private def jaccardRepPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minJaccard: Double,
+      maxShingleFreq: Option[Int]): (DataFrame, DataFrame) = {
     // shingles join/aggregate by their 64-bit hash: every shuffle
     // (window count, both self-join sides, sizes) carries an 8-byte key
     // instead of an n-word string — the exploded shingle relation is
@@ -602,11 +639,7 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-    // cross-set member pairs copy the rep pair's jaccard (identical
-    // sets); each unordered doc pair maps to exactly ONE rep pair and
-    // groups are disjoint, so the union needs no member-level distinct
-    withinSetPairs(dupMemb, minJaccard)
-      .unionByName(expandDupPairs(repPairs, dupMemb, "jaccard"))
+    (repPairs, dupMemb)
   }
 
   /** MinHash signature column: for perm i, min over shingles of

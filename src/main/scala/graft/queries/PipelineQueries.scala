@@ -637,9 +637,12 @@ object PipelineQueries {
     "q_dedup_clusters" -> QueryDef(
       sqlJaccardClusters(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      // cluster-only consumer: the collapsed edge graph (rep pairs +
+      // duplicate-group stars) closes to the identical components
+      // without materializing member-pair cliques
+      val edges = Dedup.ngramJaccardClusterEdges(docs, "text", "doc_id",
         n = 3, minJaccard = 0.8)
-      Dedup.resolveClusters(pairs, docs, "doc_id")
+      Dedup.resolveClusters(edges, docs, "doc_id")
         .orderBy("doc_id")
     },
 
@@ -716,9 +719,9 @@ object PipelineQueries {
     "q_dedup_clusters_df" -> QueryDef(
       sqlJaccardClusters(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val edges = Dedup.ngramJaccardClusterEdges(docs, "text", "doc_id",
         n = 3, minJaccard = 0.8)
-      Cc.resolveClustersDf(pairs, docs, "doc_id")
+      Cc.resolveClustersDf(edges, docs, "doc_id")
         .orderBy("doc_id")
     },
 
@@ -773,9 +776,9 @@ object PipelineQueries {
            |FROM comp c JOIN best b USING(component)
            |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      val edges = Dedup.ngramJaccardClusterEdges(docs, "text", "doc_id",
         n = 3, minJaccard = 0.8)
-      Cc.resolveClustersBest(pairs,
+      Cc.resolveClustersBest(edges,
         docs.select(col("doc_id"),
           TextFunctions.tokenCount(col("text"))
             .cast(LongType).as("tc")),

@@ -447,6 +447,36 @@ class PipelineExtSpec extends SparkSpec {
     assert(all.length == all.map(r => (r.getLong(0), r.getLong(1))).toSet.size)
   }
 
+  test("jaccard cluster edges close to the same components as member pairs") {
+    val s = spark
+    import s.implicits._
+    // a hot verbatim-copy group (100..104), a near-dup bridge (200
+    // links to the group's content), and unrelated singletons
+    val corpus = ((100 until 105).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog tonight")) ++ Seq(
+      (200L, "the quick brown fox jumps over the lazy cat tonight"),
+      (300L, "completely unrelated words about spark query engines"),
+      (301L, "another disjoint document speaking of graphs and joins")))
+      .toDF("doc_id", "text")
+    def labels(edgeSrc: org.apache.spark.sql.DataFrame) =
+      Dedup.resolveClusters(edgeSrc, corpus, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5,
+      maxShingleFreq = None)
+    val edges = Dedup.ngramJaccardClusterEdges(corpus, "text", "doc_id",
+      3, 0.5, maxShingleFreq = None)
+    assert(labels(edges) == labels(pairs))
+    // the star graph is linear in duplicates where the clique is
+    // quadratic: 4 stars + rep-level pairs, vs C(5,2) within pairs alone
+    val edgeCount = edges.count()
+    assert(edgeCount < pairs.count())
+    assert(labels(edges)(104L) == 100L && labels(edges)(200L) == 100L)
+    // degenerate tau > 1: stars must not connect what pairs would not
+    val edgesHi = Dedup.ngramJaccardClusterEdges(corpus, "text", "doc_id",
+      3, 1.5, maxShingleFreq = None)
+    assert(edgesHi.count() == 0)
+  }
+
   test("salted adjacency aggregation equals the single-shuffle build") {
     import graft.graph.GraphBuilder
     import graft.meta.EdgeAttr

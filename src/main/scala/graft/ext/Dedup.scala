@@ -709,6 +709,17 @@ object Dedup {
     * duplicate-free without a member-level distinct. With
     * `bothSides = false` only id_a expands (the incremental cross
     * shape, where id_b is a raw history id).
+    *
+    * Hot-group fanout parallelism: dupMemb is duplicates-only and
+    * checkpointed with measured stats, so these joins broadcast in any
+    * realistic corpus — and a BROADCAST join has no key-skew problem:
+    * a hot rep's m-way fanout streams in place, parallelized by the
+    * pair side's partitioning, never funneled through one reducer.
+    * Past the broadcast threshold (billions of duplicate rows) the SMJ
+    * falls under AQE skew-join splitting. Manual salting was measured
+    * and REJECTED: exploding the membership S× pushes it past the
+    * broadcast threshold, trading the (nonexistent) broadcast skew for
+    * real shuffles — 114→166 s on the m=20k StressCollapse wing.
     */
   private def expandDupPairs(repPairs: DataFrame, dupMemb: DataFrame,
       metricCol: String, bothSides: Boolean = true): DataFrame = {

@@ -1299,15 +1299,24 @@ object Similarity {
       .filter(col("cs") >= minCosine)
       .select(col("rep").as("__grp"), col("cs"))
 
-  /** within-group member pairs carrying their group's kernel value */
+  /** within-group member pairs carrying their group's kernel value.
+    * The kernel joins onto the MEMBER relation before the pair fanout —
+    * qualifying is per-group work; doing it after the self-join would
+    * probe once per OUTPUT pair (measured 6× on the m=20k StressCollapse
+    * wing, 400M pairs)
+    */
   private def withinVecPairs(base: DataFrame, dupMemb: DataFrame,
-      minCosine: Double): DataFrame =
-    dupMemb.as("m1")
-      .join(dupMemb.as("m2"),
-        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      minCosine: Double): DataFrame = {
+    val qual = dupMemb
       .join(dupGroupCs(base, dupMemb, minCosine),
-        col("m1.rep") === col("__grp"))
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"), col("cs"))
+        col("rep") === col("__grp"))
+      .select(col("id"), col("rep"), col("cs"))
+    qual.as("m1")
+      .join(qual.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        col("m1.cs").as("cs"))
+  }
 
   /** cross-group member pairs copy their rep pair's kernel value — LEFT
     * joins against the duplicates-only membership with coalesce

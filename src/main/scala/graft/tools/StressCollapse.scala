@@ -1,16 +1,19 @@
 package graft.tools
 
-import graft.ext.Dedup
+import graft.ext.{Dedup, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Hot-copy stress for the round-9 exact-duplicate collapse on SimHash
-  * and edit distance (the two pairwise operators that gained the
-  * content-keyed rep restriction after LSH did): a corpus where a few
-  * pages each occur in thousands of verbatim copies — boilerplate skew,
-  * the topology every real crawl has — plus a near-constant-length
-  * unique wing that shares the hot pages' length buckets (adversarial
-  * for the edit blocker: the length window alone separates nothing).
+/** Hot-copy stress for the round-9 exact-duplicate collapse on SimHash,
+  * edit distance and embedding cosine (the pairwise operators that
+  * gained the content-keyed rep restriction after LSH did): a corpus
+  * where a few pages each occur in thousands of verbatim copies —
+  * boilerplate skew, the topology every real crawl has — plus a
+  * near-constant-length unique wing that shares the hot pages' length
+  * buckets (adversarial for the edit blocker: the length window alone
+  * separates nothing). The cosine leg mirrors the topology with
+  * identical per-group 16-dim embeddings and additionally drives
+  * SemanticDedup's star-edge closure end to end.
   *
   * For each operator the tool measures the collapsed entry point
   * against the pre-collapse shape reconstructed inline (band-all-docs
@@ -174,8 +177,76 @@ object StressCollapse {
     require(shIncHot == expectInc,
       s"simhash incremental hot-group count $shIncHot != expected $expectInc")
 
+    // ---- embedding cosine (blocked) ----
+    // hot groups share one PRODUCTION-WIDTH (256-dim, 1 KiB) vector per
+    // group — verbatim-copy embeddings; uniques get deterministic
+    // pseudo-random vectors in ~25-doc blocks. The hot wing is the
+    // adversarial part: one block holding m identical vectors costs the
+    // legacy join m² VECTOR-CARRYING rows (2 KiB per pair — the shuffle
+    // payload, not the kernel, is what kills at embedding width) and m²
+    // kernel evals. The unique wing is capped: it only needs to prove
+    // the mostly-unique premium stays small
+    val dims = 256
+    val uniqueV = math.min(unique, 20000)
+    def vecOf(idc: Column): Column =
+      transform(sequence(lit(0), lit(dims - 1)), j =>
+        ((pmod(xxhash64(idc * lit(1000003L) + j.cast("long")),
+          lit(2000003L)) - lit(1000001L)) / lit(1000001.0)).cast("float"))
+    val hotV = spark.range(groups.toLong * copies)
+      .select((col("id") + 1000000L).as("vec_id"),
+        vecOf(pmod(col("id"), lit(groups)) * lit(7919L)).as("embedding"),
+        pmod(col("id"), lit(groups)).as("blk"))
+    val uniqV = spark.range(uniqueV.toLong)
+      .select(col("id").as("vec_id"),
+        vecOf(col("id") + lit(500000000L)).as("embedding"),
+        (col("id") % 2000 + 10).as("blk"))
+    val vecs = hotV.unionByName(uniqV).repartition(32)
+      .localCheckpoint(true)
+    val csDf = Similarity.cosinePairs(vecs, "vec_id", "embedding",
+      minCosine = 0.9, blockCol = Some("blk"))
+    val cs = time("cosine pairs blocked (collapse)") { csDf.count() }
+    val csHot = csDf.filter(col("id_a") >= 1000000L &&
+        col("id_b") >= 1000000L &&
+        pmod(col("id_a") - 1000000L, lit(groups)) ===
+          pmod(col("id_b") - 1000000L, lit(groups)))
+      .count()
+    require(csHot == expectBatch,
+      s"cosine hot-group pair count $csHot != expected $expectBatch")
+    if (!skipLegacy) {
+      val csLegacy = time("cosine pairs blocked (legacy block join)") {
+        legacyCosine(vecs, 0.9).count()
+      }
+      require(csLegacy == cs,
+        s"cosine legacy count $csLegacy != collapsed $cs — collapse lost pairs")
+    }
+    // star-closure semantic dedup on the same corpus: every hot copy
+    // must resolve to its group minimum
+    val sd = time("semanticDedup (star closure)") {
+      graft.ext.SemanticDedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 8, tau = 0.9)
+        .filter(col("vec_id") >= 1000000L &&
+          col("canonical") === pmod(col("vec_id") - 1000000L, lit(groups))
+            + 1000000L)
+        .count()
+    }
+    require(sd == groups.toLong * copies,
+      s"semanticDedup hot canonical count $sd != ${groups.toLong * copies}")
+
     println("[collapse] ALL CHECKS PASSED")
     spark.stop()
+  }
+
+  /** the pre-r9 cosine shape: blocked equi-join over raw rows, kernel
+    * eval per member pair
+    */
+  private def legacyCosine(vecs: DataFrame, minCosine: Double): DataFrame = {
+    val base = vecs.select(col("vec_id").as("id"), col("embedding").as("v"),
+      col("blk"))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cs", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cs") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
   }
 
   /** the pre-r9 simhash shape: band every doc, self-join the bucket

@@ -798,6 +798,79 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // HOT-COPY face of the LSH dedup: the sf corpora carry no exact
+    // duplicates, so this row constructs them (3 verbatim copies of
+    // each doc_id < 20) — the r9 collapse's within-group, rep-pair
+    // expansion and duplicate-membership paths are LIVE against a
+    // brute-force DuckDB oracle, not just spec-pinned. Copies also
+    // inherit their original's near-dup partners, so cross-group
+    // member expansion is exercised too.
+    "q_dedup_hotcopy_lsh" -> QueryDef(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 100000 + 10 * doc_id + c.i AS doc_id, text
+         |  FROM documents, UNNEST(range(0, 3)) AS c(i) WHERE doc_id < 20),
+         |sh AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |  FROM (SELECT doc_id, $SqlTokens AS w FROM corpus) tok,
+         |       UNNEST(range(1, len(w)-1)) AS t(i)
+         |  WHERE len(w) >= 3),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(2))).as("__i"))
+        .select((lit(100000) + col("doc_id") * 10 + col("__i")).as("doc_id"),
+          col("text"))
+      Dedup.minhashLshPairs(docs.unionByName(copies), "text", "doc_id",
+        n = 3, minJaccard = 0.9, numPerms = 64, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // HOT-COPY face of the embedding dedup (same construction): 3
+    // verbatim-copy embeddings per vec_id < 30, blocked by label —
+    // within pairs carry the computed cos(v,v), cross-group pairs copy
+    // their rep pair's cosine through the membership expansion
+    "q_dedup_hotcopy_embedding" -> QueryDef(
+      """WITH corpus AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 100000 + 10 * vec_id + c.i AS vec_id, label,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings, UNNEST(range(0, 3)) AS c(i) WHERE vec_id < 30)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cs
+        |FROM corpus a
+        |JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.46
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+        .select("vec_id", "label", "embedding")
+      val copies = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          explode(sequence(lit(0), lit(2))).as("__i"))
+        .select((lit(100000) + col("vec_id") * 10 + col("__i")).as("vec_id"),
+          col("label"), col("embedding"))
+      Similarity.cosinePairs(emb.unionByName(copies),
+        "vec_id", "embedding", minCosine = 0.46, blockCol = Some("label"))
+        .select(col("id_a"), col("id_b"), round(col("cs"), 4).as("cs"))
+        .orderBy("id_a", "id_b")
+    },
+
     // incremental exact dedup: the increment (doc_id % 10 = 0) survives
     // only when its fingerprint is absent from history's persisted
     // 16-byte index and it is the min-id holder within the increment

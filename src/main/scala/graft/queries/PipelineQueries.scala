@@ -840,6 +840,125 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // HOT-COPY face of edit distance: exact copies (distance 0 within
+    // groups) alongside the corpus — the md5 collapse, rep restriction
+    // and expansion run live against the brute levenshtein oracle
+    "q_dedup_hotcopy_edit" -> QueryDef(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 100000 + 10 * doc_id + c.i AS doc_id, text
+        |  FROM documents, UNNEST(range(0, 3)) AS c(i) WHERE doc_id < 20)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        |FROM corpus a JOIN corpus b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 2
+        |WHERE levenshtein(a.text, b.text) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(2))).as("__i"))
+        .select((lit(100000) + col("doc_id") * 10 + col("__i")).as("doc_id"),
+          col("text"))
+      Dedup.editDistancePairs(docs.unionByName(copies), "text", "doc_id",
+        maxDist = 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // HOT-COPY face of simhash: identical texts are identical
+    // fingerprints — the fingerprint-group collapse, hamming-0 within
+    // path and banded rep pairs run live against the portable-hash
+    // brute-force oracle
+    "q_dedup_hotcopy_simhash" -> QueryDef(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 100000 + 10 * doc_id + c.i AS doc_id, text
+         |  FROM documents, UNNEST(range(0, 3)) AS c(i) WHERE doc_id < 20),
+         |tok AS (
+         |  SELECT doc_id, unnest($SqlTokens) AS w FROM corpus),
+         |th AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+         |  FROM tok),
+         |bits AS (
+         |  SELECT doc_id, bb.b AS b,
+         |         SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM th, (SELECT unnest(range(0, 60)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |sh AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(2))).as("__i"))
+        .select((lit(100000) + col("doc_id") * 10 + col("__i")).as("doc_id"),
+          col("text"))
+      Dedup.simhashPairs(docs.unionByName(copies), "text", "doc_id",
+        maxHamming = 3, tokenHash = Dedup.PortableTokenHash)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType))
+        .orderBy("id_a", "id_b")
+    },
+
+    // HOT-COPY face of the LSH INCREMENTAL: the ingest batch itself
+    // carries exact duplicates (2 extra copies of every doc_id % 20 = 0
+    // doc), so the increment collapse, rep-level index probe and the
+    // three-source expansion run live. Oracle = brute jaccard over
+    // history ∪ increment restricted to increment-touching pairs
+    "q_dedup_hotcopy_lsh_inc" -> QueryDef(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 100000 + 10 * doc_id + c.i AS doc_id, text
+         |  FROM documents, UNNEST(range(0, 2)) AS c(i)
+         |  WHERE doc_id % 20 = 0),
+         |sh AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |  FROM (SELECT doc_id, $SqlTokens AS w FROM corpus) tok,
+         |       UNNEST(range(1, len(w)-1)) AS t(i)
+         |  WHERE len(w) >= 3),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.9
+         |  AND (id_a % 10 = 0 OR id_b % 10 = 0
+         |       OR id_a >= 100000 OR id_b >= 100000)
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val inc0 = docs.filter(col("doc_id") % 10 === 0)
+      val copies = inc0.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(1))).as("__i"))
+        .select((lit(100000) + col("doc_id") * 10 + col("__i")).as("doc_id"),
+          col("text"))
+      val inc = inc0.unionByName(copies)
+      val idx = graft.QueryDef.scratchDir("graft_lsh_hotidx")
+      Dedup.writeBandIndex(hist, "text", "doc_id", idx,
+        n = 3, numPerms = 64, bands = 8)
+      Dedup.minhashLshPairsIncremental(s, inc, hist, idx,
+        "text", "doc_id", n = 3, minJaccard = 0.9,
+        numPerms = 64, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
+
     // HOT-COPY face of the embedding dedup (same construction): 3
     // verbatim-copy embeddings per vec_id < 30, blocked by label —
     // within pairs carry the computed cos(v,v), cross-group pairs copy

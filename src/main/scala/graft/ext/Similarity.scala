@@ -501,7 +501,7 @@ object Similarity {
         col("__cell").cast(IntegerType).as("cell"))
     def verified(cand: DataFrame) = cand
       .withColumn("cs", cosine(col("va"), col("vb")))
-      .filter(col("cs") >= minCosine)
+      .filter(col("cs") >= minCosine && !isnan(col("cs")))
       .select(col("id_a"), col("id_b"), col("cs"))
     // cross: increment rep × history id, pruned of history ids that are
     // replayed increment members (a replayed doc's pairs are produced
@@ -1238,7 +1238,7 @@ object Similarity {
   private def smallAllPairs(base: DataFrame, minCosine: Double): DataFrame =
     base.as("a").join(broadcast(base.as("b")), col("a.id") < col("b.id"))
       .withColumn("cs", cosine(col("a.v"), col("b.v")))
-      .filter(col("cs") >= minCosine)
+      .filter(col("cs") >= minCosine && !isnan(col("cs")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
 
   /** Exact-vector collapse to min-id representatives — the embedding
@@ -1285,10 +1285,16 @@ object Similarity {
   /** threshold-qualifying duplicate groups: (__grp = rep id, cs), where
     * cs is the kernel evaluated ONCE per multi-member group on the
     * stored vector. cos(v,v) is NOT exactly 1.0 in floating point
-    * (sqrt(n)·sqrt(n) ≠ n), and a zero vector's cosine is NaN — brute
-    * force evaluates the same expression on the same bits, so computing
-    * (not hardcoding 1.0) and filtering preserves values and the NaN
-    * drop bit-for-bit.
+    * (sqrt(n)·sqrt(n) ≠ n), and a zero vector's cosine is NaN — every
+    * pair shape evaluates the same expression on the same bits and
+    * applies the same `>= τ && !isnan` gate, so computing (not
+    * hardcoding 1.0) preserves values and the zero-vector drop exactly.
+    *
+    * The `!isnan` is EXPLICIT everywhere (all five threshold sites):
+    * Spark SQL orders NaN ABOVE every value, so a bare `cs >= τ` lets a
+    * zero embedding pair with its entire cell — pathological for dedup
+    * (one null document would doom every cell-mate). Spec-pinned in
+    * SemanticDedupSpec against a driver-side IEEE brute force.
     */
   private def dupGroupCs(base: DataFrame, dupMemb: DataFrame,
       minCosine: Double): DataFrame =
@@ -1296,7 +1302,7 @@ object Similarity {
       .select("id", "rep")
       .join(base.select(col("id"), col("v")), "id")
       .withColumn("cs", cosine(col("v"), col("v")))
-      .filter(col("cs") >= minCosine)
+      .filter(col("cs") >= minCosine && !isnan(col("cs")))
       .select(col("rep").as("__grp"), col("cs"))
 
   /** within-group member pairs carrying their group's kernel value.
@@ -1354,7 +1360,7 @@ object Similarity {
     val repPairs = repBase.as("a").join(repBase.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cs", cosine(col("a.v"), col("b.v")))
-      .filter(col("cs") >= minCosine)
+      .filter(col("cs") >= minCosine && !isnan(col("cs")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))
     // star edges only for groups whose self-cosine passes the
     // threshold: identical ZERO vectors produce NaN and must not
@@ -1406,7 +1412,7 @@ object Similarity {
       .join(repBase.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(repBase.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cs", cosine(col("va"), col("vb")))
-      .filter(col("cs") >= minCosine)
+      .filter(col("cs") >= minCosine && !isnan(col("cs")))
       .select("id_a", "id_b", "cs")
     withinVecPairs(base, dupMemb, minCosine)
       .unionByName(expandRepPairs(repPairs, dupMemb))

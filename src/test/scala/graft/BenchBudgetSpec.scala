@@ -11,10 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchBudgetSpec extends AnyFunSuite {
 
   test("intentional regression trips its family; others stay quiet") {
-    val measured = Map("dedup" -> 70.0, "ann" -> 5.0, "text" -> 0.9)
+    val measured = Map("dedup" -> 90.0, "ann" -> 5.0, "text" -> 0.9)
     val got = Bench.budgetViolations(measured, Bench.DefaultBudgets)
     assert(got.size == 1, got.toString)
-    assert(got.head.contains("'dedup'") && got.head.contains("70.00"),
+    assert(got.head.contains("'dedup'") && got.head.contains("90.00"),
       got.head)
   }
 

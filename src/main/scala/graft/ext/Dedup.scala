@@ -208,24 +208,12 @@ object Dedup {
     // share every distance to third strings — a hot boilerplate cluster
     // of m copies then grams/verifies ONCE instead of inflating the
     // prefix join by (q·d+1)·m² and running m² identical DPs. The
-    // membership relation is constant-width (md5 fp + two longs); the
-    // rep restriction anti-joins the DUPLICATE-id set, whose size
-    // scales with duplicates, not the corpus (broadcast in the common
-    // mostly-unique case)
-    // duplicates-only membership in one window pass over the md5 keys
-    // (members is referenced once — no groupBy+join, no boundary of its
-    // own); singleton docs never enter a membership row at all
+    // membership relation is constant-width (md5 fp + two longs) and
+    // reduces to None on a duplicate-free corpus (see [[dupMembership]]
+    // — the rep restriction and expansion are then skipped wholesale)
     val members = docs0.select(col("id"), md5(col("t")).as("fp"))
-    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val dupMemb = members
-      .withColumn("rep", min(col("id")).over(wFp))
-      .withColumn("__cnt", count(lit(1)).over(wFp))
-      .filter(col("__cnt") > 1)
-      .select(col("id"), col("rep"))
-      .stageBoundary
-    val dupIds = dupMemb.filter(col("id") =!= col("rep"))
-      .select(col("id").as("__did"))
-    val docs = docs0.join(dupIds, col("id") === col("__did"), "left_anti")
+    val dupMemb = dupMembership(members, "fp")
+    val docs = repRestrict(docs0, col("id"), dupMemb)
     // the length window rides IN the join key (width-d+1 buckets,
     // same + adjacent joins — |len diff| <= d spans at most adjacent
     // buckets): a hot gram (a stop-phrase gram whose hash happens to
@@ -271,18 +259,24 @@ object Dedup {
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
-    // within-group pairs at distance exactly 0 (duplicates-only
-    // membership — ~empty in a mostly-unique corpus); cross-group pairs
-    // copy the rep pair's distance to every member pair. Groups are
+    // within-group pairs at distance exactly 0 plus cross-group pairs
+    // copying the rep pair's distance to every member pair — groups are
     // disjoint and each member pair maps to exactly one rep pair, so
-    // the union is duplicate-free without a member-level distinct
-    val within = dupMemb.as("m1")
+    // the union is duplicate-free without a member-level distinct. On a
+    // duplicate-free corpus both legs short-circuit to the rep pairs
+    val expanded = expandOrPass(repPairs, dupMemb, "dist")
+    dupMemb.fold(expanded)(m => withinDist0(m).unionByName(expanded))
+  }
+
+  /** within-group pairs at distance exactly 0 off the duplicates-only
+    * membership — ~empty in a mostly-unique corpus
+    */
+  private def withinDist0(dupMemb: DataFrame): DataFrame =
+    dupMemb.as("m1")
       .join(dupMemb.as("m2"),
         col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
         lit(0).cast(IntegerType).as("dist"))
-    within.unionByName(expandDupPairs(repPairs, dupMemb, "dist"))
-  }
 
   private def editParams(maxDist: Int, q: Int) =
     Seq("kind" -> "edit-prefix", "maxDist" -> maxDist.toString,
@@ -417,19 +411,10 @@ object Dedup {
       .select(col(idCol).cast(LongType).as("id"),
         md5(col(textCol)).as("fp"))
     // duplicates-only membership in one window pass (see
-    // editDistancePairs — same shape)
-    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val dupMemb = members0
-      .withColumn("rep", min(col("id")).over(wFp))
-      .withColumn("__cnt", count(lit(1)).over(wFp))
-      .filter(col("__cnt") > 1)
-      .select(col("id"), col("rep"))
-      .stageBoundary
+    // editDistancePairs — same shape, same None short-circuit)
+    val dupMemb = dupMembership(members0, "fp")
     val incIds = members0.select(col("id").as("__iid"))
-    val repDocs = newDocs
-      .join(dupMemb.filter(col("id") =!= col("rep"))
-          .select(col("id").as("__did")),
-        col(idCol).cast(LongType) === col("__did"), "left_anti")
+    val repDocs = repRestrict(newDocs, col(idCol).cast(LongType), dupMemb)
     // the increment's prefixes MUST use the index's frozen gram order
     // (see writeEditIndex — mixed orders break prefix completeness)
     val newPrefix = editPrefixFrom(
@@ -521,13 +506,10 @@ object Dedup {
     // coalesce — a verified pair may carry its rep on either side after
     // the least/greatest reorder). Verified pairs are distinct at rep
     // level, groups are disjoint, and replayed ids were pruned — so
-    // member pairs are duplicate-free without a final distinct
-    val within = dupMemb.as("m1")
-      .join(dupMemb.as("m2"),
-        col("m1.rep") === col("m2.rep") && col("m1.id") < col("m2.id"))
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
-        lit(0).cast(IntegerType).as("dist"))
-    within.unionByName(expandDupPairs(repPairs, dupMemb, "dist"))
+    // member pairs are duplicate-free without a final distinct. A
+    // duplicate-free increment short-circuits to the rep pairs
+    val expanded = expandOrPass(repPairs, dupMemb, "dist")
+    dupMemb.fold(expanded)(m => withinDist0(m).unionByName(expanded))
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
@@ -537,9 +519,11 @@ object Dedup {
       jaccardRepPairs(df, textCol, idCol, n, minJaccard, maxShingleFreq)
     // cross-set member pairs copy the rep pair's jaccard (identical
     // sets); each unordered doc pair maps to exactly ONE rep pair and
-    // groups are disjoint, so the union needs no member-level distinct
-    withinSetPairs(dupMemb, minJaccard)
-      .unionByName(expandDupPairs(repPairs, dupMemb, "jaccard"))
+    // groups are disjoint, so the union needs no member-level distinct.
+    // A duplicate-free corpus short-circuits to the rep pairs
+    val expanded = expandOrPass(repPairs, dupMemb, "jaccard")
+    dupMemb.fold(expanded)(m =>
+      withinSetPairs(m, minJaccard).unionByName(expanded))
   }
 
   /** Collapsed near-dup CLUSTER edges: rep-level verified jaccard pairs
@@ -557,11 +541,14 @@ object Dedup {
     val (repPairs, dupMemb) =
       jaccardRepPairs(df, textCol, idCol, n, minJaccard, maxShingleFreq)
     // same qualification gate as withinSetPairs: identical sets sit at
-    // jaccard exactly 1.0 (degenerate τ>1 constant-folds to empty)
-    val stars = dupMemb.filter(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-      .filter(lit(1.0) >= minJaccard)
-    repPairs.select("id_a", "id_b").unionByName(stars)
+    // jaccard exactly 1.0 (degenerate τ>1 constant-folds to empty); a
+    // duplicate-free corpus has no stars to add
+    dupMemb.fold(repPairs.select("id_a", "id_b")) { m =>
+      val stars = m.filter(col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"))
+        .filter(lit(1.0) >= minJaccard)
+      repPairs.select("id_a", "id_b").unionByName(stars)
+    }
   }
 
   /** shared core of the exact-jaccard family: (rep-level verified
@@ -569,7 +556,7 @@ object Dedup {
     */
   private def jaccardRepPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minJaccard: Double,
-      maxShingleFreq: Option[Int]): (DataFrame, DataFrame) = {
+      maxShingleFreq: Option[Int]): (DataFrame, Option[DataFrame]) = {
     // shingles join/aggregate by their 64-bit hash: every shuffle
     // (window count, both self-join sides, sizes) carries an 8-byte key
     // instead of an n-word string — the exploded shingle relation is
@@ -591,27 +578,21 @@ object Dedup {
     // constant-width (id, fp) rows: the sorted shingle arrays never
     // materialize past the map side. One window pass over fp yields the
     // duplicates-only membership (keyed is referenced exactly once, so
-    // only the tiny dup relation needs a boundary); the rep restriction
-    // below is an anti-join against non-rep duplicate ids — never a
-    // corpus-size semi-join against the distinct-set relation
+    // only the tiny dup relation needs a boundary — and the boundary
+    // reduces to None on a duplicate-free corpus, see [[dupMembership]]);
+    // the rep restriction below is an anti-join against non-rep
+    // duplicate ids — never a corpus-size semi-join against the
+    // distinct-set relation, and skipped entirely at zero duplicates
     val keyed = df.select(col(idCol).as("id"),
         array_sort(hashedShingles(col(textCol), n)).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("id"), struct(xxhash64(col("shs")).as("h1"),
         xxhash64(reverse(col("shs"))).as("h2")).as("fp"))
-    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val dupMemb = keyed
-      .withColumn("rep", min(col("id")).over(wFp))
-      .withColumn("__cnt", count(lit(1)).over(wFp))
-      .filter(col("__cnt") > 1)
-      .select(col("id"), col("rep"))
-      .stageBoundary
+    val dupMemb = dupMembership(keyed, "fp")
     // representative shingles re-derive from the raw docs (the arrays
     // are roughly the corpus — never cached; see lshCollapse); docs
     // with empty shingle sets explode to nothing either way
-    var sh = df.join(dupMemb.filter(col("id") =!= col("rep"))
-          .select(col("id").as("__did")),
-        col(idCol) === col("__did"), "left_anti")
+    var sh = repRestrict(df, col(idCol), dupMemb)
       .select(col(idCol).as("id"),
         explode(hashedShingles(col(textCol), n)).as("sh"))
     maxShingleFreq.foreach { cap =>
@@ -682,8 +663,9 @@ object Dedup {
     val c = lshCollapse(df, textCol, idCol, n, numPerms, bands)
     val repPairs = verifyJaccard(df.select(col(idCol), col(textCol)),
       textCol, idCol, n, minJaccard, selfCandidates(c.repBanded))
-    withinSetPairs(c.dupMemb, minJaccard)
-      .unionByName(expandDupPairs(repPairs, c.dupMemb, "jaccard"))
+    val expanded = expandOrPass(repPairs, c.dupMemb, "jaccard")
+    c.dupMemb.fold(expanded)(m =>
+      withinSetPairs(m, minJaccard).unionByName(expanded))
   }
 
   /** within-set pairs at jaccard exactly 1.0, no verification — off the
@@ -721,6 +703,74 @@ object Dedup {
     * broadcast threshold, trading the (nonexistent) broadcast skew for
     * real shuffles — 114→166 s on the m=20k StressCollapse wing.
     */
+  /** Duplicates-only membership (id, rep) off constant-width (id,
+    * `fpCol`) rows — ONE window pass over the fingerprint, eagerly
+    * materialized — reduced to None when the pass finds no exact
+    * duplicates at all.
+    *
+    * The None probe is one bounded driver decision per pair-generator
+    * call (the same pattern as the 1025-cap bucket list in
+    * [[editDistancePairsIncremental]]): the stage boundary already ran
+    * the window job, so `isEmpty` costs one scan of the materialized —
+    * normally empty — blocks. Zero duplicates is the COMMON case (the
+    * sf corpora carry none), and with the membership provably empty
+    * the whole collapse apparatus is the identity: the rep anti-join
+    * restricts nothing, within-group pairs are empty, and both
+    * expansion joins match nothing (every coalesce takes its
+    * fallback). Callers therefore skip those stages wholesale instead
+    * of leaving a chain of empty-build-side joins for AQE to simplify
+    * one query stage at a time (~0.2-1 s of planning/scheduling per
+    * call — the r9/r10 collapse premium on dup-free corpora).
+    * Duplicate-carrying corpora take the full collapse path unchanged
+    * (live in the q_dedup_hotcopy_* gate rows and StressCollapse).
+    */
+  private def dupMembership(keyed: DataFrame,
+      fpCol: String): Option[DataFrame] = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(fpCol)
+    val m = keyed
+      .withColumn("rep", min(col("id")).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") > 1)
+      .select(col("id"), col("rep"))
+    // probe the PLAN with count(), not isEmpty-on-a-boundary: count is
+    // ONE job (isEmpty's executeTake scales up 1→4→16→… partitions,
+    // paying several job rounds to learn there is nothing), and at zero
+    // duplicates the checkpoint never happens at all — only a
+    // duplicate-carrying corpus re-runs the window into the eager
+    // boundary its multi-consumer collapse machinery needs (the rerun
+    // is one constant-width window pass, paid exactly where the
+    // collapse is about to save m² work)
+    if (m.count() == 0) None else Some(m.stageBoundary)
+  }
+
+  /** restrict `df` to group representatives: anti-join away the
+    * non-rep duplicate ids — the identity when the membership is None
+    * (no duplicates), so the join is skipped, not planned
+    */
+  private def repRestrict(df: DataFrame, idC: Column,
+      dupMemb: Option[DataFrame]): DataFrame =
+    dupMemb.fold(df)(m =>
+      df.join(m.filter(col("id") =!= col("rep"))
+          .select(col("id").as("__did")),
+        idC === col("__did"), "left_anti"))
+
+  /** [[expandDupPairs]] with the zero-duplicate short-circuit: an
+    * empty membership makes the expansion provably the identity (both
+    * left joins match nothing, every coalesce takes its fallback), so
+    * the rep pairs pass through directly — `bothSides = false` callers
+    * still get the least/greatest reorder the expansion would have
+    * applied (their id_b is a raw history id that may sort under id_a)
+    */
+  private def expandOrPass(repPairs: DataFrame, dupMemb: Option[DataFrame],
+      metricCol: String, bothSides: Boolean = true): DataFrame =
+    dupMemb match {
+      case Some(m) => expandDupPairs(repPairs, m, metricCol, bothSides)
+      case None if bothSides => repPairs.select("id_a", "id_b", metricCol)
+      case None => repPairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col(metricCol))
+    }
+
   private def expandDupPairs(repPairs: DataFrame, dupMemb: DataFrame,
       metricCol: String, bothSides: Boolean = true): DataFrame = {
     val a = repPairs.as("p")
@@ -758,10 +808,11 @@ object Dedup {
     val c = lshCollapse(df, textCol, idCol, n, numPerms, bands)
     val repPairs = verifyJaccard(df.select(col(idCol), col(textCol)),
       textCol, idCol, n, minJaccard, selfCandidates(c.repBanded))
-    val nonReps = c.dupMemb.filter(col("id") =!= col("rep"))
-      .select(col("id"))
-      .filter(lit(1.0) >= minJaccard)
-    nonReps.union(repPairs.select(col("id_b").as("id")))
+    val repDoomed = repPairs.select(col("id_b").as("id"))
+    c.dupMemb.fold(repDoomed)(m =>
+      m.filter(col("id") =!= col("rep")).select(col("id"))
+        .filter(lit(1.0) >= minJaccard)
+        .union(repDoomed))
       .distinct().select(col("id").as(idCol))
   }
 
@@ -778,8 +829,8 @@ object Dedup {
     * rep pairs pass through expansion unchanged via LEFT joins against
     * dupMemb with coalesce fallback.
     */
-  private case class LshCollapsed(ids: DataFrame, dupMemb: DataFrame,
-      repBanded: DataFrame)
+  private case class LshCollapsed(ids: DataFrame,
+      dupMemb: Option[DataFrame], repBanded: DataFrame)
 
   /** Shared core of the collapsed LSH family: band the corpus tagged
     * with shingle-set fingerprints, collapse each set to its min-id
@@ -806,21 +857,14 @@ object Dedup {
     // duplicates-only membership in ONE window pass (no groupBy+join —
     // members is referenced once, so it needs no boundary of its own);
     // singleton docs never enter a membership row at all. The boundary
-    // output is sized by duplicates, ~empty in a mostly-unique corpus
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val dupMemb = members
-      .withColumn("rep", min(col("id")).over(w))
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .filter(col("__cnt") > 1)
-      .select(col("id"), col("rep"))
-      .stageBoundary
+    // output is sized by duplicates and reduces to None on a
+    // duplicate-free corpus (see [[dupMembership]])
+    val dupMemb = dupMembership(members, "fp")
     // representative band rows: drop non-rep duplicate members — a
     // broadcast anti-join against the (tiny) non-rep id set, cheap to
-    // recompute off the checkpointed banding, so no boundary here
-    val repBanded = banded
-      .join(dupMemb.filter(col("id") =!= col("rep"))
-          .select(col("id").as("__nid")),
-        col("id") === col("__nid"), "left_anti")
+    // recompute off the checkpointed banding, so no boundary here;
+    // identity (skipped) at zero duplicates
+    val repBanded = repRestrict(banded, col("id"), dupMemb)
       .select("id", "band", "bandHash")
     LshCollapsed(members.select("id"), dupMemb, repBanded)
   }
@@ -976,11 +1020,13 @@ object Dedup {
     // carry a history-only side (each member pair maps to exactly one
     // rep pair), self pairs span disjoint groups, and within-set pairs
     // stay inside one group — the three sources are pairwise disjoint
-    // and individually duplicate-free, so the union already is
-    withinSetPairs(c.dupMemb, minJaccard)
-      .unionByName(
-        expandDupPairs(crossPairs, c.dupMemb, "jaccard", bothSides = false))
-      .unionByName(expandDupPairs(selfPairs, c.dupMemb, "jaccard"))
+    // and individually duplicate-free, so the union already is. A
+    // duplicate-free increment short-circuits to the rep pairs
+    val expanded =
+      expandOrPass(crossPairs, c.dupMemb, "jaccard", bothSides = false)
+        .unionByName(expandOrPass(selfPairs, c.dupMemb, "jaccard"))
+    c.dupMemb.fold(expanded)(m =>
+      withinSetPairs(m, minJaccard).unionByName(expanded))
   }
 
   /** Incremental doomed set at representative granularity — the ids an
@@ -1014,28 +1060,33 @@ object Dedup {
       historyWins: Boolean = true): DataFrame = {
     val (c, crossPairs, selfPairs) = lshIncProbe(spark, newDocs, corpus,
       indexPath, textCol, idCol, n, minJaccard, numPerms, bands)
-    val nonReps = c.dupMemb.filter(col("id") =!= col("rep"))
-      .select(col("id"))
-      .filter(lit(1.0) >= minJaccard) // degenerate τ>1 → constant-folds to empty
     // group verdicts decompose over the duplicates-only membership: the
     // rep's own verdict comes straight off crossPairs (id_a IS the
-    // rep), non-rep members inherit through dupMemb
+    // rep), non-rep members inherit through dupMemb — both inheritance
+    // legs vanish on a duplicate-free increment
     val histDoomed =
       if (historyWins) {
         val hitReps = crossPairs.select(col("id_a").as("rep")).distinct()
-        hitReps.select(col("rep").as("id"))
-          .union(c.dupMemb.filter(col("id") =!= col("rep"))
-            .join(hitReps, Seq("rep"), "left_semi").select(col("id")))
+        val repIds = hitReps.select(col("rep").as("id"))
+        c.dupMemb.fold(repIds)(m => repIds
+          .union(m.filter(col("id") =!= col("rep"))
+            .join(hitReps, Seq("rep"), "left_semi").select(col("id"))))
       } else {
         val hmin = crossPairs.select(col("id_a").as("rep"), col("id_b"))
           .groupBy("rep").agg(min("id_b").as("__hmin"))
-        hmin.filter(col("__hmin") < col("rep"))
+        val repIds = hmin.filter(col("__hmin") < col("rep"))
           .select(col("rep").as("id"))
-          .union(c.dupMemb.filter(col("id") =!= col("rep"))
+        c.dupMemb.fold(repIds)(m => repIds
+          .union(m.filter(col("id") =!= col("rep"))
             .join(hmin, Seq("rep"))
-            .filter(col("__hmin") < col("id")).select(col("id")))
+            .filter(col("__hmin") < col("id")).select(col("id"))))
       }
-    nonReps.union(histDoomed)
+    val nonReps = c.dupMemb.fold(histDoomed)(m =>
+      m.filter(col("id") =!= col("rep")).select(col("id"))
+        // degenerate τ>1 → constant-folds to empty
+        .filter(lit(1.0) >= minJaccard)
+        .union(histDoomed))
+    nonReps
       .union(selfPairs.select(col("id_b").as("id")))
       .distinct().select(col("id").as(idCol))
   }
@@ -1135,12 +1186,14 @@ object Dedup {
     // emitting 4·m² bucket-join rows
     val repPairs = simhashRepPairs(c.repBanded, maxHamming)
     // within-group pairs: identical fingerprints, hamming exactly 0 —
-    // off the duplicates-only membership, ~empty in a mostly-unique
-    // corpus. Cross-group expansion: distinct groups have distinct
-    // fingerprints, so each member pair maps to exactly one rep pair —
-    // the union is duplicate-free without a member-level distinct
-    val within = withinHamming0(c.dupMemb)
-    within.unionByName(expandDupPairs(repPairs, c.dupMemb, "hamming"))
+    // off the duplicates-only membership. Cross-group expansion:
+    // distinct groups have distinct fingerprints, so each member pair
+    // maps to exactly one rep pair — the union is duplicate-free
+    // without a member-level distinct. A duplicate-free corpus
+    // short-circuits to the rep pairs
+    val expanded = expandOrPass(repPairs, c.dupMemb, "hamming")
+    c.dupMemb.fold(expanded)(m =>
+      withinHamming0(m).unionByName(expanded))
   }
 
   /** within-group pairs at hamming exactly 0 off the duplicates-only
@@ -1161,8 +1214,8 @@ object Dedup {
     * duplicates-only layout as [[LshCollapsed]] — no corpus-size
     * membership map is ever built or joined.
     */
-  private case class SimhashCollapsed(ids: DataFrame, dupMemb: DataFrame,
-      repBanded: DataFrame)
+  private case class SimhashCollapsed(ids: DataFrame,
+      dupMemb: Option[DataFrame], repBanded: DataFrame)
 
   private def simhashCollapse(df: DataFrame, textCol: String,
       idCol: String, tokenHash: Column => Column): SimhashCollapsed = {
@@ -1174,18 +1227,10 @@ object Dedup {
     val members = banded.filter(col("band") === 0).select("simhash", "id")
     // duplicates-only membership in one window pass; the rep band rows
     // are a broadcast anti-join recomputed off the checkpointed banding
-    // (see lshCollapse — same shape, same no-boundary reasoning)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
-    val dupMemb = members
-      .withColumn("rep", min(col("id")).over(w))
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .filter(col("__cnt") > 1)
-      .select(col("id"), col("rep"))
-      .stageBoundary
-    val repBanded = banded
-      .join(dupMemb.filter(col("id") =!= col("rep"))
-          .select(col("id").as("__nid")),
-        col("id") === col("__nid"), "left_anti")
+    // (see lshCollapse — same shape, same no-boundary reasoning, same
+    // None short-circuit on a duplicate-free corpus)
+    val dupMemb = dupMembership(members, "simhash")
+    val repBanded = repRestrict(banded, col("id"), dupMemb)
       .select("id", "simhash", "band", "bandVal")
     SimhashCollapsed(members.select("id"), dupMemb, repBanded)
   }
@@ -1269,11 +1314,13 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
     val selfPairs = simhashRepPairs(c.repBanded, maxHamming)
     // same three disjoint, individually duplicate-free sources as the
-    // batch operator — no member-level distinct
-    withinHamming0(c.dupMemb)
-      .unionByName(
-        expandDupPairs(crossPairs, c.dupMemb, "hamming", bothSides = false))
-      .unionByName(expandDupPairs(selfPairs, c.dupMemb, "hamming"))
+    // batch operator — no member-level distinct; a duplicate-free
+    // increment short-circuits to the rep pairs
+    val expanded =
+      expandOrPass(crossPairs, c.dupMemb, "hamming", bothSides = false)
+        .unionByName(expandOrPass(selfPairs, c.dupMemb, "hamming"))
+    c.dupMemb.fold(expanded)(m =>
+      withinHamming0(m).unionByName(expanded))
   }
 
   /** Transitive near-duplicate cluster resolution: connected components

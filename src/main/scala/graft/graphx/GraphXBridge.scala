@@ -1,6 +1,7 @@
 package graft.graphx
 
 import graft.graph.GraphProvider
+import org.apache.spark.HashPartitioner
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
@@ -15,28 +16,64 @@ import org.apache.spark.sql.functions._
   */
 object GraphXBridge {
 
-  /** Build a GraphX graph from selected (table, edge) adjacency columns.
-    * Vertex attribute = table name; edge attribute = edge name.
+  /** Built graphs, shared across ops: the r9/r10 shape rebuilt the
+    * vertex/edge RDDs per analytic call, so running CC + PageRank +
+    * SSSP over the same adjacency columns exploded the node tables
+    * three times and re-partitioned three disjoint vertex RDDs. Keyed
+    * by the edge selection plus the node-table DataFrame INSTANCES
+    * (reference identity — the table caches behind [[GraphProvider]]s
+    * hand out one instance per materialized table, so two providers
+    * over the same data share the entry while different sfDirs with an
+    * identical schema never collide). Entries hold cached RDDs sized by
+    * the graph, not the corpus; sessions running many distinct graphs
+    * can drop them with [[releaseGraphs]].
+    */
+  private val graphCache = scala.collection.concurrent.TrieMap
+    .empty[(Seq[(String, String)], Seq[DataFrame]), Graph[String, String]]
+
+  /** drop all shared graphs (unpersisting their RDDs) */
+  def releaseGraphs(): Unit = {
+    graphCache.values.foreach { g =>
+      g.unpersistVertices(blocking = false)
+      g.edges.unpersist(blocking = false)
+    }
+    graphCache.clear()
+  }
+
+  /** Build (or reuse) a GraphX graph from selected (table, edge)
+    * adjacency columns. Vertex attribute = table name; edge attribute =
+    * edge name. The vertex RDD is explicitly hash-partitioned before
+    * [[Graph]] construction — one deterministic partitioner that
+    * GraphX's `VertexRDD` adopts, instead of whatever layout the
+    * DataFrame scan produced — and the built graph is cached and shared
+    * (see [[graphCache]]), so the four analytics over one graph pay the
+    * explode + partition once.
     */
   def toGraphX(g: GraphProvider,
       edges: Seq[(String, String)]): Graph[String, String] = {
     val vertexTables = edges.flatMap { case (t, e) =>
       Seq(t, g.schema.table(t).edge(e).sinkTable)
     }.distinct
-    val vertices: RDD[(VertexId, String)] = vertexTables.map { t =>
-      g.nodeTable(t).select(col("GlobalNodeId"))
-        .rdd.map(r => (r.getLong(0), t))
-    }.reduce(_ union _)
-    val edgeRdd: RDD[Edge[String]] = edges.map { case (t, en) =>
-      val ed = g.schema.table(t).edge(en)
-      g.nodeTable(t)
-        .select(col("GlobalNodeId").as("src"),
-          explode(col(ed.columnName)).as("e"), col(ed.delColumnName).as("del"))
-        .filter(!array_contains(col("del"), col("e.edgeId")))
-        .select(col("src"), col("e.sink"))
-        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), en))
-    }.reduce(_ union _)
-    Graph(vertices, edgeRdd)
+    graphCache.getOrElseUpdate(
+      (edges, vertexTables.map(g.nodeTable)), {
+        val vertices: RDD[(VertexId, String)] = vertexTables.map { t =>
+          g.nodeTable(t).select(col("GlobalNodeId"))
+            .rdd.map(r => (r.getLong(0), t))
+        }.reduce(_ union _)
+        val edgeRdd: RDD[Edge[String]] = edges.map { case (t, en) =>
+          val ed = g.schema.table(t).edge(en)
+          g.nodeTable(t)
+            .select(col("GlobalNodeId").as("src"),
+              explode(col(ed.columnName)).as("e"),
+              col(ed.delColumnName).as("del"))
+            .filter(!array_contains(col("del"), col("e.edgeId")))
+            .select(col("src"), col("e.sink"))
+            .rdd.map(r => Edge(r.getLong(0), r.getLong(1), en))
+        }.reduce(_ union _)
+        val parts = math.max(vertices.getNumPartitions, 1)
+        Graph(vertices.partitionBy(new HashPartitioner(parts)), edgeRdd)
+          .cache()
+      })
   }
 
   /** connected components (undirected) → (GlobalNodeId, componentId) */
@@ -63,6 +100,16 @@ object GraphXBridge {
     * (self-loops dropped, src < dst, distinct) and vertex-cut
     * partitioned as GraphX's TriangleCount requires. Vertices that
     * appear in no edge are absent from the result.
+    *
+    * Runs `TriangleCount.runPreCanonicalized` directly: the edge list
+    * is canonicalized HERE, so `TriangleCount.run`'s own
+    * re-canonicalization would only rebuild the graph a second time —
+    * and its final `outerJoinVertices` joins the rebuilt graph's
+    * counters back across two unrelated vertex indexes (the
+    * "Joining two VertexPartitions with different indexes is slow"
+    * WARN the r9/r10 driver tails carried, an all-pairs index scan per
+    * partition at scale). The pre-canonicalized path keeps one vertex
+    * index end to end.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
@@ -72,11 +119,11 @@ object GraphXBridge {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    Graph.fromEdgeTuples(
-      canon.rdd.map(r => (r.getLong(0), r.getLong(1))),
-      defaultValue = 0,
-      uniqueEdges = Some(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut))
-      .triangleCount()
+    org.apache.spark.graphx.lib.TriangleCount.runPreCanonicalized(
+      Graph.fromEdgeTuples(
+        canon.rdd.map(r => (r.getLong(0), r.getLong(1))),
+        defaultValue = 0,
+        uniqueEdges = Some(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)))
       .vertices.toDF("id", "triangles")
   }
 

@@ -724,11 +724,23 @@ object Similarity {
     if (l > LiteralRoundCap)
       return trainKMeansParallelDistributed(pts, k, rounds, l, lloydIters, seed)
 
-    // cosine distance of __v to a literal centroid array: 1 - max dot
-    def minDistTo(cands: Seq[Array[Double]]): Column = {
-      val centArr = array(cands.map(c => typedlit(c.toSeq)): _*)
-      lit(1.0) - array_max(transform(centArr, c => round(cosine(col("__v"), c), 9)))
-    }
+    // cosine distance of __v to the candidate set: 1 - max rounded
+    // cosine. Literal array below LiteralCentroidLimit (codegen'd,
+    // fastest at small picks); above it the NearestCandidate broadcast
+    // expression — a round can pick ~l ≈ 2k vectors, and as literals
+    // those serialize into every consuming stage's task binary (the
+    // KMeansIvfSpec >1.5 MiB task WARN at k=1024), while the broadcast
+    // ships a handle. Same arithmetic by construction (see
+    // NearestCandidate's scaladoc)
+    def minDistTo(cands: Seq[Array[Double]]): Column =
+      if (cands.size <= LiteralCentroidLimit) {
+        val centArr = array(cands.map(c => typedlit(c.toSeq)): _*)
+        lit(1.0) - array_max(transform(centArr, c => round(cosine(col("__v"), c), 9)))
+      } else {
+        val bc = corpus.sparkSession.sparkContext.broadcast(cands.toArray)
+        lit(1.0) - graft.functions.NearestCandidate(col("__v"), bc)
+          .getField("cs")
+      }
 
     val first = pts.orderBy(col("__id")).limit(1).collect()
     require(first.nonEmpty, "k-means‖: empty corpus")
@@ -999,17 +1011,31 @@ object Similarity {
       }.toDF("__cid", "__cv")
   }
 
-  /** argmax-cosine assignment of `__v` rows to a literal centroid list
-    * (the [[assignCells]] shape over double vectors, cell = array index)
+  /** argmax-cosine assignment of `__v` rows to a candidate list (the
+    * [[assignCells]] shape over double vectors, cell = array index) —
+    * literal fold at small counts, the [[graft.functions.NearestCandidate]]
+    * broadcast above [[LiteralCentroidLimit]] (the trainer's weighting
+    * pass sees the ACCUMULATED sketch, ~rounds·l vectors — the largest
+    * literal the old path ever compiled). A NULL vector yields a NULL
+    * cell on both paths (the literal struct-max would otherwise fall
+    * through to the largest index — the [[assignCells]] r10 ADVICE bug
+    * class).
     */
   private def assignToNearest(pts: DataFrame,
-      cents: Seq[Array[Double]]): DataFrame = {
-    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(round(cosine(col("__v"), typedlit(c.toSeq)), 9).as("cs"),
-        lit(i).as("cell"))
-    }: _*)
-    pts.withColumn("__cell", array_max(centArr).getField("cell"))
-  }
+      cents: Seq[Array[Double]]): DataFrame =
+    if (cents.size <= LiteralCentroidLimit) {
+      val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(round(cosine(col("__v"), typedlit(c.toSeq)), 9).as("cs"),
+          lit(i).as("cell"))
+      }: _*)
+      pts.withColumn("__cell",
+        when(col("__v").isNull, lit(null).cast(IntegerType))
+          .otherwise(array_max(centArr).getField("cell")))
+    } else {
+      val bc = pts.sparkSession.sparkContext.broadcast(cents.toArray)
+      pts.withColumn("__cell",
+        graft.functions.NearestCandidate(col("__v"), bc).getField("cell"))
+    }
 
   /** Driver-local weighted spherical k-means++ seeding + Lloyd — the
     * candidate-reduction step of [[trainCentroidsKMeansParallel]].
@@ -1149,7 +1175,14 @@ object Similarity {
       val scored = transform(centArr, c => struct(
         round(cosine(col(vecCol), c.getField("cv")), 9).as("cs"),
         c.getField("cell").as("cell")))
-      corpus.withColumn(cellCol, array_max(scored).getField("cell"))
+      // NULL vector → NULL cell, matching the broadcast path's
+      // null-safe eval: unguarded, every struct carries a NULL cs and
+      // the lexicographic max falls through to the LARGEST cell id —
+      // so a null vector's assignment silently changed whenever k
+      // crossed LiteralCentroidLimit (r10 ADVICE)
+      corpus.withColumn(cellCol,
+        when(col(vecCol).isNull, lit(null).cast(IntegerType))
+          .otherwise(array_max(scored).getField("cell")))
     } else {
       // broadcast argmax — semantics identical to the literal fold by
       // construction (same CosineSim static, same Round-on-double

@@ -90,3 +90,71 @@ object NearestCell {
     ColumnBridge.column(
       new NearestCell(ColumnBridge.expression(vec), centroids))
 }
+
+/** (max rounded cosine, argmax index) over a broadcast DOUBLE candidate
+  * matrix — the k-means‖ trainer's large-sketch face of [[NearestCell]].
+  * One struct result serves both trainer passes off a single k×dim
+  * loop: `.getField("cs")` is the distance update (`1 − cs`),
+  * `.getField("cell")` the weighting/Lloyd argmax.
+  *
+  * Semantics match the trainer's literal folds by construction: the
+  * same [[CosineSim.compute]] double arithmetic, the same
+  * Catalyst-`Round` rounding to 9 (NaN/Infinity pass through), the
+  * same NaN-greatest total order, and on ties the LARGEST index — the
+  * lexicographic `array_max` over (cs, cell) structs the literal path
+  * applies. The reason to leave the literal regime at all is the task
+  * binary: ~2.5k candidate vectors as `typedlit`s serialize a >1.5 MiB
+  * expression tree into every consuming stage (the KMeansIvfSpec
+  * "broadcasting large task binary" WARN at k=1024), where this
+  * expression ships a few-byte broadcast handle. CodegenFallback for
+  * the same reason as [[NearestCell]]: the k×dim flop loop dominates.
+  */
+case class NearestCandidate(child: Expression,
+    cands: Broadcast[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cs", DoubleType), StructField("cell", IntegerType)))
+  override def prettyName: String = "nearest_candidate"
+
+  private lazy val vecIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"nearest_candidate expects ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  @transient private lazy val cells: Array[GenericArrayData] =
+    cands.value.map(v => new GenericArrayData(v.map(x => x: Any)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    var bestCs = Double.NegativeInfinity
+    var bestCell = Int.MinValue
+    var first = true
+    var i = 0
+    while (i < cells.length) {
+      val raw = CosineSim.compute(vec, cells(i), vecIsFloat, false)
+      val cs =
+        if (raw.isNaN || raw.isInfinite) raw
+        else BigDecimal(raw)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cmp = java.lang.Double.compare(cs, bestCs)
+      if (first || cmp > 0 || (cmp == 0 && i > bestCell)) {
+        bestCs = cs; bestCell = i; first = false
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestCs, bestCell)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCandidate =
+    copy(child = c)
+}
+
+object NearestCandidate {
+  def apply(vec: Column,
+      cands: Broadcast[Array[Array[Double]]]): Column =
+    ColumnBridge.column(
+      new NearestCandidate(ColumnBridge.expression(vec), cands))
+}

@@ -10,7 +10,19 @@ import org.apache.spark.sql.functions._
   * quantizer can beat the candidate fraction; `tools.IvfCheck` records
   * that measurement, PLANS.md discusses it.)
   */
+object KMeansIvfSpec {
+  /** serializable normalizer for executor-side fixture generation (a
+    * local def inside a test method would drag the suite into the
+    * closure)
+    */
+  private[ext] def unitV(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+}
+
 class KMeansIvfSpec extends SparkSpec {
+  import KMeansIvfSpec.unitV
 
   private val dim = 32
   private val nClusters = 8
@@ -148,13 +160,21 @@ class KMeansIvfSpec extends SparkSpec {
     def unit(v: Array[Double]) = {
       val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
     }
+    // centers on the driver (k x dim, small), ROWS generated on the
+    // executors from a per-row seeded rng: a driver-built Seq.toDF of
+    // ~100k vectors ships the whole corpus inside stage-0 task
+    // closures (the 2362 KiB "task of very large size" WARN this spec
+    // used to carry — fixture noise masquerading as a trainer problem)
     val centers = Array.fill(bigK)(unit(Array.fill(bigDim)(rng.nextGaussian())))
-    val big = (0 until bigK).flatMap { c =>
-      (0 until per).map { j =>
-        val p = unit(centers(c).map(_ + 0.02 * rng.nextGaussian()))
-        (c.toLong * 1000 + j, p.map(_.toFloat).toSeq, c)
-      }
-    }.toDF("vec_id", "embedding", "true_cluster")
+    val cbc = spark.sparkContext.broadcast(centers)
+    val big = spark.range(bigK.toLong * per)
+      .as[Long]
+      .map { i =>
+        val c = (i / per).toInt
+        val r = new scala.util.Random(13L ^ (i * 0x9E3779B97F4A7C15L))
+        val p = unitV(cbc.value(c).map(_ + 0.02 * r.nextGaussian()))
+        (c.toLong * 1000 + (i % per), p.map(_.toFloat).toSeq, c)
+      }.toDF("vec_id", "embedding", "true_cluster")
       .repartition(32).cache()
     assert(big.count() == bigK.toLong * per)
 
@@ -198,13 +218,18 @@ class KMeansIvfSpec extends SparkSpec {
     def unit(v: Array[Double]) = {
       val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
     }
+    // executor-side row generation, same reason as the k=1024 fixture
+    // (the old driver-built Seq rode in stage-0 tasks: 1557 KiB WARN)
     val centers = Array.fill(bigK)(unit(Array.fill(bigDim)(rng.nextGaussian())))
-    val big = (0 until bigK).flatMap { c =>
-      (0 until per).map { j =>
-        val p = unit(centers(c).map(_ + 0.02 * rng.nextGaussian()))
-        (c.toLong * 1000 + j, p.map(_.toFloat).toSeq, c)
-      }
-    }.toDF("vec_id", "embedding", "true_cluster")
+    val cbc = spark.sparkContext.broadcast(centers)
+    val big = spark.range(bigK.toLong * per)
+      .as[Long]
+      .map { i =>
+        val c = (i / per).toInt
+        val r = new scala.util.Random(29L ^ (i * 0x9E3779B97F4A7C15L))
+        val p = unitV(cbc.value(c).map(_ + 0.02 * r.nextGaussian()))
+        (c.toLong * 1000 + (i % per), p.map(_.toFloat).toSeq, c)
+      }.toDF("vec_id", "embedding", "true_cluster")
       .repartition(32).cache()
     assert(big.count() == bigK.toLong * per)
 
@@ -246,11 +271,12 @@ class KMeansIvfSpec extends SparkSpec {
     val corpus = ((0 until 400).map(i =>
       (i.toLong, Seq.fill(dim)(rng.nextGaussian().toFloat))) ++
       Seq((9001L, dupVec), // exact centroid hit -> the duplicate pair tie
-        (9002L, Seq.fill(dim)(0f)))) // zero vector -> NaN cosine path
+        (9002L, Seq.fill(dim)(0f)), // zero vector -> NaN cosine path
+        (9003L, null.asInstanceOf[Seq[Float]]))) // NULL vector -> NULL cell
       .toDF("vec_id", "embedding")
 
-    // literal reference: the same fold assignCells uses below the
-    // limit, built here directly so both paths run at the SAME k
+    // literal reference: the same guarded fold assignCells uses below
+    // the limit, built here directly so both paths run at the SAME k
     val centArr = array(cents.map { case (i, v) =>
       struct(lit(i).as("cell"), typedlit(v).as("cv"))
     }: _*)
@@ -258,21 +284,31 @@ class KMeansIvfSpec extends SparkSpec {
       round(Similarity.cosine(col("embedding"), c.getField("cv")), 9)
         .as("cs"),
       c.getField("cell").as("cell")))
-    val literal = corpus
-      .withColumn("cell", array_max(scored).getField("cell"))
-      .select("vec_id", "cell").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cellMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Int]] =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val literal = cellMap(corpus.withColumn("cell",
+      when(col("embedding").isNull,
+        lit(null).cast(org.apache.spark.sql.types.IntegerType))
+        .otherwise(array_max(scored).getField("cell"))))
 
     assert(k > Similarity.LiteralCentroidLimit)
-    val broadcastPath = Similarity.assignCells(
-      corpus, "embedding", "cell", cents)
-      .select("vec_id", "cell").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val broadcastPath = cellMap(Similarity.assignCells(
+      corpus, "embedding", "cell", cents))
     assert(broadcastPath == literal,
       s"diverged: ${(broadcastPath.toSet diff literal.toSet).take(5)}")
     // the tie really exercised the rule: the duplicated centroid pair
     // resolves to the larger id
-    assert(literal(9001L) == k - 10, literal(9001L).toString)
+    assert(literal(9001L) == Some(k - 10), literal(9001L).toString)
+    // null vector: NULL cell on BOTH paths — the r10 ADVICE divergence
+    // (literal fold fell through to the largest cell id) is pinned shut.
+    // The small-k literal path goes through assignCells itself here.
+    assert(literal(9003L).isEmpty && broadcastPath(9003L).isEmpty)
+    val smallK = cellMap(Similarity.assignCells(
+      corpus, "embedding", "cell", cents.take(8)))
+    assert(smallK(9003L).isEmpty,
+      s"literal assignCells path must yield NULL, got ${smallK(9003L)}")
   }
 
   test("semanticDedup accepts trained centroids") {

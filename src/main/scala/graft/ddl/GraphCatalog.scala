@@ -330,10 +330,38 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     * convenience rather than reference parity.
     */
   def clearData(): Unit = {
-    buckets.foreach(_ => schema.tables.foreach(td =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(td.name)}")))
-    schema.tables.foreach { td =>
-      val p = new HPath(tablePath(td.name))
+    // tombstone FIRST (r10 ADVICE): the pre-r11 order deleted table
+    // data and reset in-memory state BEFORE persisting the emptied
+    // meta, so a crash mid-clear left the persisted meta pointing at
+    // deleted paths. The marker names the table dirs this clear will
+    // delete; every step after it is idempotent, so a crash at ANY
+    // point is recovered by finishing the clear — which the next
+    // catalog open does automatically (see the recovery block at the
+    // end of the constructor). Same commit-marker discipline as the
+    // incremental indexes and [[rewrite]]'s two-rename swap.
+    writeClearMarker(schema.tables.map(_.name))
+    finishClear(schema.tables.map(_.name))
+  }
+
+  private val clearMarker = new HPath(s"$dir/_clear_pending")
+
+  private def writeClearMarker(names: Seq[String]): Unit = {
+    val fs = fsOf(clearMarker)
+    fs.mkdirs(clearMarker.getParent)
+    val out = fs.create(clearMarker, true)
+    try out.write(names.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** the idempotent tail of [[clearData]]: drop registrations, delete
+    * the named table dirs, persist the emptied meta, then release the
+    * marker — replayable from any crash point
+    */
+  private def finishClear(names: Seq[String]): Unit = {
+    buckets.foreach(_ => names.foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(n)}")))
+    names.foreach { n =>
+      val p = new HPath(tablePath(n))
       fsOf(p).delete(p, true)
     }
     schema = GraphSchema(Nil)
@@ -343,6 +371,7 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     procs = Nil
     cache.clear()
     persistMeta()
+    fsOf(clearMarker).delete(clearMarker, false)
   }
 
   /** DROP GRAPH — the reference's `ClearGraphDatabase`
@@ -519,6 +548,25 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     try out.write(CatalogJson.write(schema, propertyTypes,
       buckets, nodeViews, edgeViews, procs).getBytes("UTF-8"))
     finally out.close()
+  }
+
+  // ---- crash recovery, run once all persisted state above is loaded:
+  // an orphaned _clear_pending marker means a clearData died mid-flight
+  // (after the tombstone, before the final marker release). Finish it —
+  // every step of finishClear is idempotent, and the marker lists the
+  // table dirs, so recovery works whether the crash hit before, during
+  // or after the deletes / meta persist.
+  {
+    val fs = fsOf(clearMarker)
+    if (fs.exists(clearMarker)) {
+      val len = fs.getFileStatus(clearMarker).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(clearMarker)
+      try in.readFully(0, buf) finally in.close()
+      val names = new String(buf, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      finishClear(names)
+    }
   }
 }
 

@@ -715,4 +715,49 @@ class GraphDdlSpec extends SparkSpec {
     gs2.sql("INSERT NODE INTO Cats SELECT * FROM VALUES (1,'Tom') AS t(id, name)")
     assert(gs2.sql("SELECT COUNT(*) AS n FROM Cats").head().getLong(0) == 1L)
   }
+
+  test("clearData crash windows recover on the next catalog open") {
+    // r10 ADVICE: the pre-r11 clearData deleted table dirs BEFORE
+    // persisting the emptied meta, so a crash mid-clear left persisted
+    // meta pointing at deleted paths. Now a _clear_pending tombstone
+    // lands first; both crash windows replay to a finished clear.
+    def freshCatalog(): (String, GraphSession) = {
+      val dir = Files.createTempDirectory("graft_clear").toString
+      val gs = new GraphSession(spark, new GraphCatalog(spark, dir))
+      gs.sql("CREATE NODE TABLE People (id INT NODEID, name STRING)")
+      gs.sql("INSERT NODE INTO People SELECT * FROM VALUES (1,'A') AS t(id, name)")
+      (dir, gs)
+    }
+
+    // window 1: crash right AFTER the tombstone, before any delete —
+    // simulated by writing the marker by hand over a healthy catalog
+    val (dir1, _) = freshCatalog()
+    Files.writeString(java.nio.file.Paths.get(dir1, "_clear_pending"),
+      "People\n")
+    val rec1 = new GraphSession(spark, new GraphCatalog(spark, dir1))
+    assert(rec1.sql("SHOW NODE TABLES").count() == 0L,
+      "recovery must finish the clear")
+    assert(!Files.exists(java.nio.file.Paths.get(dir1, "_clear_pending")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir1, "tables", "People")))
+
+    // window 2: crash after the data delete, before the meta persist —
+    // marker present, table dir gone, meta still naming the table (the
+    // exact state the old ordering left UNMARKED and unrecoverable)
+    val (dir2, _) = freshCatalog()
+    Files.writeString(java.nio.file.Paths.get(dir2, "_clear_pending"),
+      "People\n")
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(c => deleteRec(c))
+      Files.deleteIfExists(p)
+    }
+    deleteRec(java.nio.file.Paths.get(dir2, "tables", "People"))
+    val rec2 = new GraphSession(spark, new GraphCatalog(spark, dir2))
+    assert(rec2.sql("SHOW NODE TABLES").count() == 0L)
+    assert(!Files.exists(java.nio.file.Paths.get(dir2, "_clear_pending")))
+    // the recovered catalog is immediately usable
+    rec2.sql("CREATE NODE TABLE Dogs (id INT NODEID, name STRING)")
+    rec2.sql("INSERT NODE INTO Dogs SELECT * FROM VALUES (1,'Rex') AS t(id, name)")
+    assert(rec2.sql("SELECT COUNT(*) AS n FROM Dogs").head().getLong(0) == 1L)
+  }
 }

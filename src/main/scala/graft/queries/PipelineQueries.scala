@@ -805,6 +805,17 @@ object PipelineQueries {
     // brute-force DuckDB oracle, not just spec-pinned. Copies also
     // inherit their original's near-dup partners, so cross-group
     // member expansion is exercised too.
+    //
+    // tau = 0.97, NOT 0.9 (r10 ADVICE): the oracle is brute force while
+    // the operator runs 8 bands x 8 rows, so a borderline pair at the
+    // threshold must be PROVABLY caught — at j >= 0.97 the banding-miss
+    // probability is (1-0.97^8)^8 ~ 5e-6 and falls with j, where at
+    // 0.9 it was ~1.1%: a deterministic, permanent gate failure waiting
+    // on any tokenizer/data drift that lands a natural pair in
+    // [0.9, 0.97). Exact copies bypass banding entirely (set-fp
+    // collapse), and verification-at-0.9 threshold coverage stays with
+    // q_dedup_minhash_lsh, whose corpus-recall argument is recorded
+    // there.
     "q_dedup_hotcopy_lsh" -> QueryDef(
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
@@ -827,7 +838,7 @@ object PipelineQueries {
          |FROM inter
          |JOIN sizes sa ON sa.id = id_a
          |JOIN sizes sb ON sb.id = id_b
-         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.9
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.97
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
       val copies = docs.filter(col("doc_id") < 20)
@@ -836,7 +847,7 @@ object PipelineQueries {
         .select((lit(100000) + col("doc_id") * 10 + col("__i")).as("doc_id"),
           col("text"))
       Dedup.minhashLshPairs(docs.unionByName(copies), "text", "doc_id",
-        n = 3, minJaccard = 0.9, numPerms = 64, bands = 8)
+        n = 3, minJaccard = 0.97, numPerms = 64, bands = 8)
         .orderBy("id_a", "id_b")
     },
 
@@ -917,7 +928,10 @@ object PipelineQueries {
     // carries exact duplicates (2 extra copies of every doc_id % 20 = 0
     // doc), so the increment collapse, rep-level index probe and the
     // three-source expansion run live. Oracle = brute jaccard over
-    // history ∪ increment restricted to increment-touching pairs
+    // history ∪ increment restricted to increment-touching pairs.
+    // tau = 0.97 for the same provable-recall reason as
+    // q_dedup_hotcopy_lsh above (8x8 banding miss ~5e-6 at the
+    // threshold vs ~1.1% at the old 0.9).
     "q_dedup_hotcopy_lsh_inc" -> QueryDef(
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
@@ -941,7 +955,7 @@ object PipelineQueries {
          |FROM inter
          |JOIN sizes sa ON sa.id = id_a
          |JOIN sizes sb ON sb.id = id_b
-         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.9
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.97
          |  AND (id_a % 10 = 0 OR id_b % 10 = 0
          |       OR id_a >= 100000 OR id_b >= 100000)
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
@@ -958,7 +972,7 @@ object PipelineQueries {
       Dedup.writeBandIndex(hist, "text", "doc_id", idx,
         n = 3, numPerms = 64, bands = 8)
       Dedup.minhashLshPairsIncremental(s, inc, hist, idx,
-        "text", "doc_id", n = 3, minJaccard = 0.9,
+        "text", "doc_id", n = 3, minJaccard = 0.97,
         numPerms = 64, bands = 8)
         .orderBy("id_a", "id_b")
     },

@@ -65,7 +65,27 @@ class PlanGuardSpec extends SparkSpec {
     // between prints without changing physical work — re-pin with a
     // note on deliberate plan changes
     "q_sql_view_varlen" -> Fingerprint(187, 83, 53, 0),
-    "q_sql_correlated_view" -> Fingerprint(429, 190, 126, 0))
+    "q_sql_correlated_view" -> Fingerprint(429, 190, 126, 0),
+    // collapse-shape pins (r10 #5): the hot-copy LSH rows construct
+    // exact duplicates, so the dup membership resolves Some and the
+    // FULL collapse path plans — and because the membership/candidate
+    // stage boundaries truncate the printed lineage, these fingerprints
+    // pin exactly the post-boundary collapse region (three disjoint
+    // pair sources + broadcast expansion joins + the output sort), the
+    // part a refactor could silently regress back to an output-sized
+    // shuffle (the 264 s m=20k StressCollapse failure mode). The
+    // membership probe is a driver decision, so the fingerprint is
+    // stable per corpus. Appended after the existing golden rows —
+    // cache warm-order unchanged (these rows never touch the graph).
+    // 1 exchange = the output sort's range partitioning, nothing else;
+    // all joins broadcast (within-pairs, both expansion sides, and the
+    // incremental's three cross sources)
+    "q_dedup_hotcopy_lsh" -> Fingerprint(1, 5, 0, 0),
+    "q_dedup_hotcopy_lsh_inc" -> Fingerprint(1, 10, 0, 0),
+    // doomed set: rep-granularity distinct on the single id column is
+    // the 2 extra hash exchanges (union → distinct → final sort) —
+    // bounded by reps, never member pairs
+    "q_dedup_lsh_doomed_inc" -> Fingerprint(3, 6, 0, 0))
 
   golden.foreach { case (q, expected) =>
     test(s"golden plan fingerprint: $q") {
@@ -104,6 +124,24 @@ class PlanGuardSpec extends SparkSpec {
       assert(!plan.contains("Exchange SinglePartition"),
         s"$q plans an Exchange SinglePartition — the TOP family must " +
           "keep the distributed cutoff-key shape (graft.ext.TiesCutoff)")
+    }
+  }
+
+  // The collapse contract's hard rule: NOTHING shuffles at member-pair
+  // (output) granularity. Rep pairs expand through broadcast left joins
+  // against the duplicates-only membership, so a hash exchange keyed on
+  // (id_a, id_b) in the post-boundary region means someone reintroduced
+  // a member-level distinct()/aggregate — O(output) shuffle, the exact
+  // shape the rep-granularity design exists to avoid (the doomed row's
+  // REP-granularity distinct on a single id column stays legal).
+  Seq("q_dedup_hotcopy_lsh", "q_dedup_hotcopy_lsh_inc").foreach { q =>
+    test(s"no member-pair-granularity exchange: $q") {
+      val plan = SparkEntry.defs(q).run(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(id_a"),
+        s"$q hash-partitions on (id_a, …) after expansion — a " +
+          "member-pair-granularity shuffle crept back in (the union of " +
+          "disjoint pair sources needs no distinct; see Dedup scaladoc)")
     }
   }
 

@@ -185,16 +185,17 @@ object Bench {
     */
   val DefaultBudgets: Map[String, Double] = Map(
     "ann" -> 10.0,
-    // dedup/pipeline re-recorded r9 (observed 43-59 s / 12-15 s local
-    // across warm+cold runs): the exact-duplicate collapse premium
-    // (~0.2-1 s per pair-generator call on a mostly-unique corpus,
-    // BASELINE.md r9), the new q_dedup_lsh_doomed_inc /
-    // edit-incremental rows, and the five q_dedup_hotcopy_* gate rows
-    // (~9 s) grew the sums — decided growth, budgeted at ~1.4x the
-    // worst observed sum
-    "dedup" -> 80.0, "dml" -> 4.0, "graphx" -> 3.0,
+    // dedup/pipeline/graphx re-tightened r11 (observed sums: dedup 47.9
+    // local / 49.5 r10 driver, pipeline 12.9 / 11.7, graphx 0.3 / 1.6):
+    // the r11 small-dup collapse bypass returned the LSH/simhash/edit
+    // rows to ≤r8 cost and the shared GraphX graph collapsed that
+    // family. Headroom is ~1.25x the worst observed sum — tighter than
+    // the r9 1.4x because confirmedViolations now re-runs a flagged
+    // family before failing, so single-row transients no longer need
+    // budget slack
+    "dedup" -> 60.0, "dml" -> 4.0, "graphx" -> 2.0,
     "match" -> 4.0, "multimodal" -> 17.0, "other" -> 85.0,
-    "path" -> 3.5, "pipeline" -> 22.0, "sql" -> 18.0, "text" -> 2.0,
+    "path" -> 3.5, "pipeline" -> 18.0, "sql" -> 18.0, "text" -> 2.0,
     // the one-time bulk load, budgeted as its own row (r9): the r8
     // driver run measured 8.97 s and the driver's own gate is 60 s —
     // >=3x headroom over the observed median means environment drift

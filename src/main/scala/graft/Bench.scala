@@ -185,15 +185,15 @@ object Bench {
     */
   val DefaultBudgets: Map[String, Double] = Map(
     "ann" -> 10.0,
-    // dedup/pipeline/graphx re-tightened r11 (observed sums: dedup 47.9
-    // local / 49.5 r10 driver, pipeline 12.9 / 11.7, graphx 0.3 / 1.6):
-    // the r11 small-dup collapse bypass returned the LSH/simhash/edit
-    // rows to ≤r8 cost and the shared GraphX graph collapsed that
-    // family. Headroom is ~1.25x the worst observed sum — tighter than
+    // dedup/pipeline/graphx re-tightened r11 (observed sums across two
+    // valid local windows + r10 driver: dedup 47.9-55.2 / 49.5,
+    // pipeline 12.9-13.2 / 11.7, graphx 1.7 / 1.6): the r11 small-dup
+    // collapse bypass returned the LSH/simhash/edit rows to ~r8 cost.
+    // Headroom is ~1.2x the worst observed WINDOW sum — tighter than
     // the r9 1.4x because confirmedViolations now re-runs a flagged
-    // family before failing, so single-row transients no longer need
-    // budget slack
-    "dedup" -> 60.0, "dml" -> 4.0, "graphx" -> 2.0,
+    // family before failing (covers single-row blips); the remaining
+    // margin covers whole-window drift, which the re-run does not
+    "dedup" -> 65.0, "dml" -> 4.0, "graphx" -> 2.5,
     "match" -> 4.0, "multimodal" -> 17.0, "other" -> 85.0,
     "path" -> 3.5, "pipeline" -> 18.0, "sql" -> 18.0, "text" -> 2.0,
     // the one-time bulk load, budgeted as its own row (r9): the r8

@@ -70,11 +70,24 @@ object Bench {
     // documented noise envelope); the median is the comparable statistic,
     // min/max record the spread
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // failures are COUNTED, never silent: the old bare catch made a
+    // broken query read as a fast row — an r11 mis-launched run (JDK-17
+    // add-opens flags missing) "measured" every GraphX row at 0.02 s of
+    // time-to-failure and the number almost entered the record. The
+    // bench still never aborts mid-run (one broken row must not cost
+    // the other 200 measurements), but errors surface on stderr, in
+    // bench_full.json, and in the summary line's error count.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to runsPer).map { _ =>
         time {
           try fn(spark, sfDir).count()
-          catch { case _: Throwable => () }
+          catch {
+            case e: Throwable =>
+              errors.getOrElseUpdate(name,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+              System.err.println(s"[bench-error] $name: $e")
+          }
         }
       }.sorted
       name -> ts
@@ -89,8 +102,16 @@ object Bench {
         "\"" + k + "\":{\"min\":" + ts.head + ",\"max\":" + ts.last + "}"
       }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
 
     // The harness tail-captures ~2000 chars of stdout, so the full
     // per-query JSON (10k+ chars at 140+ queries) goes to a FILE and the
@@ -122,7 +143,7 @@ object Bench {
       .map { case (f, v) => "\"" + f + "\":" + r3(v) }
       .mkString("{", ",", "}")
     def line(fams: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"runs_per_query":$runsPer,"sf":"$sfDir","full":"$fullPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"n_errors":${errors.size},"runs_per_query":$runsPer,"sf":"$sfDir","full":"$fullPath"}"""
     val out = if (line(famSums).length <= 1500) line(famSums) else line("{}")
     println(out)
 

@@ -684,6 +684,48 @@ object CurationQueries {
       CorpusDiff.diff(old, cur, "doc_id", "text").orderBy("doc_id")
     },
 
+    // sketched corpus-overlap estimate (r11): two id-sliced corpora of
+    // the SAME documents (A = ids not divisible by 3, B = odd ids)
+    // overlap in content exactly where the slices intersect; both
+    // engines build the identical KMV bottom-256 sketches over the
+    // portable 60-bit content hash and replay the SAME estimator
+    // arithmetic — estimator parity, not just ground-truth parity. At
+    // sf0.01 the union (~417 distinct) exceeds k, so the ESTIMATOR
+    // path (ratio + KMV cardinality formula) is the one under test
+    "q_corpus_overlap" -> QueryDef(
+      """WITH an AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+        |bn AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 2 <> 0 AND text IS NOT NULL),
+        |ska AS (SELECT h FROM an ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM bn ORDER BY h LIMIT 256),
+        |mrg AS (
+        |  SELECT COALESCE(a.h, b.h) AS h,
+        |         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+        |         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+        |  FROM ska a FULL JOIN skb b ON a.h = b.h
+        |  ORDER BY h LIMIT 256),
+        |agg AS (
+        |  SELECT COUNT(*) AS k_eff,
+        |         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS inter,
+        |         SUM(in_a) AS a_in_union, MAX(h) AS hmax
+        |  FROM mrg)
+        |SELECT CAST(k_eff AS BIGINT) AS k_eff, CAST(inter AS BIGINT) AS inter,
+        |       CAST(inter AS DOUBLE) / CAST(k_eff AS DOUBLE) AS est_jaccard,
+        |       CAST(inter AS DOUBLE) / CAST(a_in_union AS DOUBLE) AS est_containment_a,
+        |       CASE WHEN k_eff >= 256
+        |            THEN CAST(k_eff - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hmax AS DOUBLE)
+        |            ELSE CAST(k_eff AS DOUBLE) END AS est_union_distinct
+        |FROM agg""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      CorpusOverlap.overlapEstimate(
+        docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"),
+        "text", k = 256)
+    },
+
     // z-order clustered layout round-trip (r7): the corpus rewritten
     // Morton-clustered on (n_chars, doc_id) must preserve every row —
     // the layout only permutes; narrowness is pinned in ZOrderSpec

@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMV corpus-overlap estimation: exact when the union fits in the
+  * sketch, ~1/√k accurate when it doesn't, and the bottom-k-of-union
+  * lemma the method stands on holds verbatim.
+  */
+class CorpusOverlapSpec extends SparkSpec {
+
+  private def corpus(ids: Range, tag: String) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, s"document body $tag number $i with enough words"))
+      .toDF("doc_id", "text")
+  }
+
+  test("union inside the sketch: every estimate is exact") {
+    // |A|=60, |B|=50, shared content = 30 docs (same text both sides)
+    val a = corpus(0 until 60, "shared").select(col("doc_id"),
+      when(col("doc_id") < 30, col("text"))
+        .otherwise(concat(col("text"), lit(" a-only"))).as("text"))
+    val b = corpus(0 until 50, "shared").select(col("doc_id"),
+      when(col("doc_id") < 30, col("text"))
+        .otherwise(concat(col("text"), lit(" b-only"))).as("text"))
+    val r = CorpusOverlap.overlapEstimate(a, b, "text", k = 256).head()
+    val union = 30 + 30 + 20 // shared + a-only + b-only
+    assert(r.getLong(0) == union, s"k_eff ${r.getLong(0)}")
+    assert(r.getLong(1) == 30, s"inter ${r.getLong(1)}")
+    assert(r.getDouble(2) == 30.0 / union)
+    assert(r.getDouble(3) == 30.0 / 60)
+    assert(r.getDouble(4) == union.toDouble)
+  }
+
+  test("estimator path: jaccard/containment within ~3 sigma at k=256") {
+    // 3000 shared + 1500 a-only + 1500 b-only: jaccard 0.5,
+    // containment(A) = 3000/4500, union 6000 — all >> k
+    val shared = corpus(0 until 3000, "sh")
+    val a = shared.unionByName(corpus(10000 until 11500, "ax"))
+    val b = shared.unionByName(corpus(20000 until 21500, "bx"))
+    val r = CorpusOverlap.overlapEstimate(a, b, "text", k = 256).head()
+    assert(r.getLong(0) == 256)
+    val sigma = 3 * math.sqrt(0.5 * 0.5 / 256) // ~0.094
+    assert(math.abs(r.getDouble(2) - 0.5) <= sigma,
+      s"est_jaccard ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 3000.0 / 4500) <= sigma,
+      s"est_containment_a ${r.getDouble(3)}")
+    val u = r.getDouble(4)
+    assert(u > 6000 * 0.75 && u < 6000 * 1.25, s"est_union_distinct $u")
+  }
+
+  test("bottom-k of sketch union equals the sketch of the union corpus") {
+    val a = corpus(0 until 900, "a")
+    val b = corpus(600 until 1500, "a") // 300-doc content overlap
+    val k = 128
+    val merged = CorpusOverlap.kmvSketch(a, "text", k)
+      .unionByName(CorpusOverlap.kmvSketch(b, "text", k))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = CorpusOverlap.kmvSketch(a.unionByName(b), "text", k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == direct, "KMV sketches must be mergeable")
+  }
+
+  test("null text is dropped, not hashed") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = CorpusOverlap.overlapEstimate(a, a, "text", k = 16).head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1)
+  }
+}

@@ -66,6 +66,44 @@ object CorpusOverlap {
     */
   private val HashSpace = 1152921504606846976d
 
+  /** Pairwise overlap MATRIX across the groups of one corpus (per-
+    * source provenance screening: "which vendors resold each other's
+    * crawl?"): one row per unordered group pair (`g_a` < `g_b`) with
+    * (`k_eff`, `inter`, `est_jaccard`, `est_containment_a`).
+    *
+    * Scale shape: the per-group sketches come out of ONE aggregation —
+    * [[graft.functions.KmvAgg]] folds each task's rows into a ≤k-entry
+    * tree and the shuffle moves one ≤k-long buffer per (partition,
+    * group); the group's distinct hash set never shuffles and no
+    * per-group sort/rank window ever runs. The pairwise join is over
+    * the #groups-row sketch table (broadcast), and every estimate is
+    * codegen'd array arithmetic on two sorted ≤k arrays.
+    */
+  def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int = 256): DataFrame = {
+    val sk = docs.filter(col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(graft.functions.KmvAgg(
+        portableContentHash(col(textCol)), k).as("sk"))
+    val p = sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        col("a.sk").as("__ska"), col("b.sk").as("__skb"))
+    // bottom-k of the two sketches' union = the pair's union sketch
+    p.withColumn("__uk",
+        slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, k))
+      .select(col("g_a"), col("g_b"),
+        size(col("__uk")).cast(LongType).as("k_eff"),
+        size(array_intersect(array_intersect(col("__uk"), col("__ska")),
+          col("__skb"))).cast(LongType).as("inter"),
+        size(array_intersect(col("__uk"), col("__ska")))
+          .cast(LongType).as("__in_a"))
+      .select(col("g_a"), col("g_b"), col("k_eff"), col("inter"),
+        (col("inter").cast(DoubleType) / col("k_eff").cast(DoubleType))
+          .as("est_jaccard"),
+        (col("inter").cast(DoubleType) / col("__in_a").cast(DoubleType))
+          .as("est_containment_a"))
+  }
+
   /** One-row overlap estimate between corpora `a` and `b`:
     * (`k_eff`, `inter`, `est_jaccard`, `est_containment_a`,
     * `est_union_distinct`). `k_eff` = union-sketch size (= k unless

@@ -726,6 +726,58 @@ object CurationQueries {
         "text", k = 256)
     },
 
+    // pairwise overlap MATRIX via the KmvAgg bottom-k aggregate (r11):
+    // three constructed "vendor" corpora with real content overlap
+    // (id-slice intersections of the same documents); the per-group
+    // sketches come out of ONE map-side-combined aggregation — no
+    // per-group distinct shuffle, no rank window — and every estimate
+    // is codegen'd array math the oracle replays via the window-rank
+    // formulation of the same bottom-64 sketches. k = 64 < every
+    // union, so the ESTIMATOR path runs on all three pairs
+    "q_corpus_overlap_matrix" -> QueryDef(
+      """WITH tagged AS (
+        |  SELECT 'v_even' AS g, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'v_five' AS g, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'v_three' AS g, text FROM documents
+        |  WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+        |hh AS (
+        |  SELECT DISTINCT g,
+        |    CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+        |  FROM tagged),
+        |rk AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r FROM hh),
+        |sk AS (SELECT g, h FROM rk WHERE r <= 64),
+        |gs AS (SELECT DISTINCT g FROM sk),
+        |pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a, gs b WHERE a.g < b.g),
+        |u AS (
+        |  SELECT p.g_a, p.g_b, s.h,
+        |         MAX(CASE WHEN s.g = p.g_a THEN 1 ELSE 0 END) AS in_a,
+        |         MAX(CASE WHEN s.g = p.g_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s ON s.g IN (p.g_a, p.g_b)
+        |  GROUP BY 1, 2, 3),
+        |uk AS (SELECT u.*, ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY h) AS r FROM u),
+        |agg AS (
+        |  SELECT g_a, g_b, COUNT(*) AS k_eff,
+        |         SUM(in_a * in_b) AS inter, SUM(in_a) AS a_in
+        |  FROM uk WHERE r <= 64 GROUP BY 1, 2)
+        |SELECT g_a, g_b, CAST(k_eff AS BIGINT) AS k_eff,
+        |       CAST(inter AS BIGINT) AS inter,
+        |       CAST(inter AS DOUBLE) / CAST(k_eff AS DOUBLE) AS est_jaccard,
+        |       CAST(inter AS DOUBLE) / CAST(a_in AS DOUBLE) AS est_containment_a
+        |FROM agg ORDER BY g_a, g_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      def vendor(m: Int, name: String) =
+        docs.filter(col("doc_id") % m === 0).withColumn("vendor", lit(name))
+      val tagged = vendor(2, "v_even")
+        .unionByName(vendor(5, "v_five"))
+        .unionByName(vendor(3, "v_three"))
+      CorpusOverlap.overlapMatrix(tagged, "vendor", "text", k = 64)
+        .orderBy("g_a", "g_b")
+    },
+
     // z-order clustered layout round-trip (r7): the corpus rewritten
     // Morton-clustered on (n_chars, doc_id) must preserve every row —
     // the layout only permutes; narrowness is pinned in ZOrderSpec

@@ -63,6 +63,46 @@ class CorpusOverlapSpec extends SparkSpec {
     assert(merged == direct, "KMV sketches must be mergeable")
   }
 
+  test("KmvAgg: bottom-k distinct, ascending, merge-shape-independent") {
+    val s = spark
+    import s.implicits._
+    // duplicates + shuffled order + many partitions: the aggregate must
+    // produce the set-determined answer whatever the combine tree
+    val vals = (0L until 500L).flatMap(v => Seq(v, v)) // every value twice
+    val df = scala.util.Random.shuffle(vals).toDF("v").repartition(16)
+    val got = df.agg(graft.functions.KmvAgg(col("v"), 32)).head()
+      .getSeq[Long](0)
+    assert(got == (0L until 32L), s"got $got")
+    // fewer distinct values than k: the whole set, ascending
+    val small = Seq(9L, 3L, 9L, 1L).toDF("v")
+      .agg(graft.functions.KmvAgg(col("v"), 32)).head().getSeq[Long](0)
+    assert(small == Seq(1L, 3L, 9L))
+  }
+
+  test("overlapMatrix matches pairwise overlapEstimate ratios") {
+    val s = spark
+    import s.implicits._
+    val docs = corpus(0 until 600, "m")
+    def vendor(m: Int, name: String) =
+      docs.filter(col("doc_id") % m === 0).withColumn("vendor", lit(name))
+    val tagged = vendor(2, "va").unionByName(vendor(3, "vb"))
+    val row = CorpusOverlap.overlapMatrix(tagged, "vendor", "text", k = 64)
+      .head()
+    // same sketches, same estimator — the two faces must agree exactly
+    val ref = CorpusOverlap.overlapEstimate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 3 === 0), "text", k = 64).head()
+    assert(row.getString(0) == "va" && row.getString(1) == "vb")
+    assert(row.getLong(2) == ref.getLong(0), "k_eff")
+    assert(row.getLong(3) == ref.getLong(1), "inter")
+    assert(row.getDouble(4) == ref.getDouble(2), "est_jaccard")
+    assert(row.getDouble(5) == ref.getDouble(3), "est_containment_a")
+    // ground truth at this construction: |even∩three| = |%6| = 100,
+    // |even| = 300 → containment 1/3, jaccard 100/400 — within 3 sigma
+    assert(math.abs(row.getDouble(4) - 0.25) <= 3 * math.sqrt(0.25 * 0.75 / 64),
+      s"jaccard ${row.getDouble(4)}")
+  }
+
   test("null text is dropped, not hashed") {
     val s = spark
     import s.implicits._

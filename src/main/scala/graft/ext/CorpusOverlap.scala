@@ -66,6 +66,63 @@ object CorpusOverlap {
     */
   private val HashSpace = 1152921504606846976d
 
+  private def kmvParams(k: Int) =
+    Seq("kind" -> "kmv-sketch", "k" -> k.toString)
+
+  /** Persist the corpus's KMV sketch — the daily-ingest face the rest
+    * of the index family has: ≤k longs + the `_params.json` sidecar,
+    * so tomorrow's increment screens against today's 100 TB corpus by
+    * reading k values instead of rescanning anything.
+    */
+  def writeKmvSketch(docs: DataFrame, textCol: String, path: String,
+      k: Int = 256): Unit = {
+    kmvSketch(docs, textCol, k).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    IndexParams.write(docs.sparkSession, path, kmvParams(k))
+  }
+
+  /** Fold an increment into a persisted sketch: the updated sketch is
+    * the bottom-k of the union — exactly [[writeKmvSketch]] over
+    * history ∪ increment (KMV mergeability), so probes after any
+    * append ≡ a from-scratch build. Single writer, like every index
+    * in the family; a crash mid-rewrite re-runs the merge (the
+    * increment's own docs still exist at the caller).
+    */
+  def mergeKmvSketch(newDocs: DataFrame, textCol: String, path: String,
+      k: Int = 256): Unit = {
+    val spark = newDocs.sparkSession
+    IndexParams.check(spark, path, kmvParams(k))
+    val merged = spark.read.schema("h LONG").parquet(path)
+      .unionByName(kmvSketch(newDocs, textCol, k))
+      .distinct().orderBy(col("h")).limit(k)
+      // the k-row result must materialize BEFORE the overwrite deletes
+      // the files it was read from
+      .collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    merged.toDF("h").coalesce(1).write.mode("overwrite").parquet(path)
+    // the overwrite clears the directory, sidecar included — restore it
+    // or the next probe's k-check passes vacuously (spec-pinned)
+    IndexParams.write(spark, path, kmvParams(k))
+  }
+
+  /** Overlap of an increment against a persisted history sketch:
+    * the same one-row estimate as [[overlapEstimate]](history,
+    * increment) — `est_containment_a` is then "fraction of history
+    * already re-sent", and swapping the roles at the call site gives
+    * "fraction of the increment that is new". History is never
+    * rescanned: its side is the k persisted longs.
+    */
+  def overlapWithSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, textCol: String,
+      k: Int = 256): DataFrame = {
+    IndexParams.check(spark, path, kmvParams(k))
+    val hist = spark.read.schema("h LONG").parquet(path)
+      .withColumn("in_a", lit(1))
+    val inc = kmvSketch(newDocs, textCol, k)
+      .withColumnRenamed("h", "hb").withColumn("in_b", lit(1))
+    estimateFromSketches(hist, inc, k)
+  }
+
   /** Pairwise overlap MATRIX across the groups of one corpus (per-
     * source provenance screening: "which vendors resold each other's
     * crawl?"): one row per unordered group pair (`g_a` < `g_b`) with
@@ -111,10 +168,18 @@ object CorpusOverlap {
     * `inter` = union-sketch hashes present in both corpora.
     */
   def overlapEstimate(a: DataFrame, b: DataFrame, textCol: String,
-      k: Int = 256): DataFrame = {
-    val ska = kmvSketch(a, textCol, k).withColumn("in_a", lit(1))
-    val skb = kmvSketch(b, textCol, k)
-      .withColumnRenamed("h", "hb").withColumn("in_b", lit(1))
+      k: Int = 256): DataFrame =
+    estimateFromSketches(
+      kmvSketch(a, textCol, k).withColumn("in_a", lit(1)),
+      kmvSketch(b, textCol, k)
+        .withColumnRenamed("h", "hb").withColumn("in_b", lit(1)),
+      k)
+
+  /** shared estimator tail: (h, in_a) ⋈ (hb, in_b) sketches → the
+    * one-row estimate
+    */
+  private def estimateFromSketches(ska: DataFrame, skb: DataFrame,
+      k: Int): DataFrame = {
     // bottom-k of the sketch union = bottom-k of the corpus union
     // (both sketches are ≤k rows: the join broadcasts, the limit is a
     // TakeOrdered — nothing here scales with the corpora)

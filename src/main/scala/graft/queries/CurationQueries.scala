@@ -778,6 +778,52 @@ object CurationQueries {
         .orderBy("g_a", "g_b")
     },
 
+    // incremental overlap screening (r11): history (ids not divisible
+    // by 3) persists its bottom-256 sketch, an increment that is half
+    // replay / half new probes it, and one more batch is FOLDED into
+    // the sketch first (mergeKmvSketch) — so the probed state is a
+    // merged sketch, exercising the bottom-k-of-union maintenance
+    // path. Oracle = the identical sketches and estimator over the
+    // same slices (KMV merge ≡ from-scratch build, so the oracle just
+    // builds history ∪ folded from scratch)
+    "q_corpus_overlap_incremental" -> QueryDef(
+      """WITH an AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+        |  FROM documents
+        |  WHERE (doc_id % 3 <> 0 OR doc_id % 5 = 0) AND text IS NOT NULL),
+        |bn AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |ska AS (SELECT h FROM an ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM bn ORDER BY h LIMIT 256),
+        |mrg AS (
+        |  SELECT COALESCE(a.h, b.h) AS h,
+        |         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+        |         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+        |  FROM ska a FULL JOIN skb b ON a.h = b.h
+        |  ORDER BY h LIMIT 256),
+        |agg AS (
+        |  SELECT COUNT(*) AS k_eff,
+        |         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS inter,
+        |         SUM(in_a) AS a_in_union, MAX(h) AS hmax
+        |  FROM mrg)
+        |SELECT CAST(k_eff AS BIGINT) AS k_eff, CAST(inter AS BIGINT) AS inter,
+        |       CAST(inter AS DOUBLE) / CAST(k_eff AS DOUBLE) AS est_jaccard,
+        |       CAST(inter AS DOUBLE) / CAST(a_in_union AS DOUBLE) AS est_containment_a,
+        |       CASE WHEN k_eff >= 256
+        |            THEN CAST(k_eff - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hmax AS DOUBLE)
+        |            ELSE CAST(k_eff AS DOUBLE) END AS est_union_distinct
+        |FROM agg""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val hist = docs.filter(col("doc_id") % 3 =!= 0)
+      val folded = docs.filter(col("doc_id") % 5 === 0)
+      val inc = docs.filter(col("doc_id") % 2 === 0)
+      val idx = graft.QueryDef.scratchDir("graft_kmv_idx")
+      CorpusOverlap.writeKmvSketch(hist, "text", idx, k = 256)
+      CorpusOverlap.mergeKmvSketch(folded, "text", idx, k = 256)
+      CorpusOverlap.overlapWithSketch(s, idx, inc, "text", k = 256)
+    },
+
     // z-order clustered layout round-trip (r7): the corpus rewritten
     // Morton-clustered on (n_chars, doc_id) must preserve every row —
     // the layout only permutes; narrowness is pinned in ZOrderSpec

@@ -103,6 +103,33 @@ class CorpusOverlapSpec extends SparkSpec {
       s"jaccard ${row.getDouble(4)}")
   }
 
+  test("persisted sketch: merge ≡ from-scratch build, probe ≡ batch estimate") {
+    val hist = corpus(0 until 700, "inc")
+    val folded = corpus(500 until 900, "inc")
+    val inc = corpus(600 until 1200, "inc")
+    val dir = java.nio.file.Files.createTempDirectory("kmv_idx").toString
+    CorpusOverlap.writeKmvSketch(hist, "text", dir, k = 128)
+    CorpusOverlap.mergeKmvSketch(folded, "text", dir, k = 128)
+    // the maintained sketch equals a from-scratch build over the union
+    val maintained = spark.read.parquet(dir)
+      .orderBy("h").collect().map(_.getLong(0)).toSeq
+    val fromScratch = CorpusOverlap
+      .kmvSketch(hist.unionByName(folded), "text", 128)
+      .collect().map(_.getLong(0)).toSeq
+    assert(maintained == fromScratch)
+    // probing the sketch equals the batch estimator over the union
+    val probed = CorpusOverlap
+      .overlapWithSketch(spark, dir, inc, "text", k = 128).head()
+    val batch = CorpusOverlap
+      .overlapEstimate(hist.unionByName(folded), inc, "text", k = 128)
+      .head()
+    assert(probed.toSeq == batch.toSeq)
+    // params sidecar: a mismatched k refuses instead of mis-probing
+    intercept[IllegalArgumentException] {
+      CorpusOverlap.overlapWithSketch(spark, dir, inc, "text", k = 64)
+    }
+  }
+
   test("null text is dropped, not hashed") {
     val s = spark
     import s.implicits._

@@ -212,7 +212,7 @@ object Dedup {
     // reduces to None on a duplicate-free corpus (see [[dupMembership]]
     // — the rep restriction and expansion are then skipped wholesale)
     val members = docs0.select(col("id"), md5(col("t")).as("fp"))
-    val dupMemb = dupMembership(members, "fp")
+    val dupMemb = dupMembership(members, "fp", DupCollapseCutoff)
     val docs = repRestrict(docs0, col("id"), dupMemb)
     // the length window rides IN the join key (width-d+1 buckets,
     // same + adjacent joins — |len diff| <= d spans at most adjacent
@@ -412,7 +412,7 @@ object Dedup {
         md5(col(textCol)).as("fp"))
     // duplicates-only membership in one window pass (see
     // editDistancePairs — same shape, same None short-circuit)
-    val dupMemb = dupMembership(members0, "fp")
+    val dupMemb = dupMembership(members0, "fp", DupCollapseCutoff)
     val incIds = members0.select(col("id").as("__iid"))
     val repDocs = repRestrict(newDocs, col(idCol).cast(LongType), dupMemb)
     // the increment's prefixes MUST use the index's frozen gram order
@@ -703,29 +703,45 @@ object Dedup {
     * broadcast threshold, trading the (nonexistent) broadcast skew for
     * real shuffles — 114→166 s on the m=20k StressCollapse wing.
     */
+  /** Below this many duplicate-membership rows the collapse machinery
+    * costs more than it saves AND is provably unnecessary where the
+    * uncollapsed path is output-identical: ≤64 duplicate members means
+    * at most 64²/2 ≈ 2k extra candidate-join rows and verifications in
+    * the legacy shape — noise — while the collapse's boundary, rep
+    * anti-join and expansion joins are fixed per-call latency. The m²
+    * the collapse exists to kill needs HOT groups (StressCollapse's
+    * wings run m = 2k–20k). 64 keeps every duplicate-carrying gate row
+    * (q_dedup_hotcopy_*: ≥75 membership rows by construction) and all
+    * stress wings on the full collapse path, while the sf0.1 bench
+    * corpus's 8 natural duplicate text pairs (16 rows — discovered
+    * r11; the gate corpora carry zero) take the legacy path.
+    */
+  private[ext] val DupCollapseCutoff = 64L
+
   /** Duplicates-only membership (id, rep) off constant-width (id,
     * `fpCol`) rows — ONE window pass over the fingerprint, eagerly
-    * materialized — reduced to None when the pass finds no exact
-    * duplicates at all.
+    * materialized — reduced to None when the duplicate population is
+    * absent or (where the caller may allow it) too small for the
+    * collapse to pay.
     *
     * The None probe is one bounded driver decision per pair-generator
     * call (the same pattern as the 1025-cap bucket list in
-    * [[editDistancePairsIncremental]]): the stage boundary already ran
-    * the window job, so `isEmpty` costs one scan of the materialized —
-    * normally empty — blocks. Zero duplicates is the COMMON case (the
-    * sf corpora carry none), and with the membership provably empty
-    * the whole collapse apparatus is the identity: the rep anti-join
-    * restricts nothing, within-group pairs are empty, and both
-    * expansion joins match nothing (every coalesce takes its
-    * fallback). Callers therefore skip those stages wholesale instead
-    * of leaving a chain of empty-build-side joins for AQE to simplify
-    * one query stage at a time (~0.2-1 s of planning/scheduling per
-    * call — the r9/r10 collapse premium on dup-free corpora).
-    * Duplicate-carrying corpora take the full collapse path unchanged
-    * (live in the q_dedup_hotcopy_* gate rows and StressCollapse).
+    * [[editDistancePairsIncremental]]). With the membership None the
+    * whole collapse apparatus is skipped: the rep anti-join restricts
+    * nothing, within-group pairs come out of the ordinary
+    * band/prefix/verify path (identical content ⇒ identical keys ⇒
+    * candidate pairs that verify at distance 0 / jaccard 1), and both
+    * expansion joins match nothing. Callers pass `bypassBelow = 0`
+    * when the uncollapsed path is NOT provably output-identical for
+    * nonzero duplicates (the jaccard family: its hot-shingle cap is
+    * defined at representative granularity) and
+    * [[DupCollapseCutoff]] where it is (LSH, simhash, edit distance:
+    * banding and prefix filtering are cap-free, so group members
+    * simply ride the candidate join — Θ(m²) work that is noise below
+    * the cutoff and exactly what the collapse removes above it).
     */
-  private def dupMembership(keyed: DataFrame,
-      fpCol: String): Option[DataFrame] = {
+  private def dupMembership(keyed: DataFrame, fpCol: String,
+      bypassBelow: Long = 0L): Option[DataFrame] = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(fpCol)
     val m = keyed
       .withColumn("rep", min(col("id")).over(w))
@@ -734,13 +750,13 @@ object Dedup {
       .select(col("id"), col("rep"))
     // probe the PLAN with count(), not isEmpty-on-a-boundary: count is
     // ONE job (isEmpty's executeTake scales up 1→4→16→… partitions,
-    // paying several job rounds to learn there is nothing), and at zero
-    // duplicates the checkpoint never happens at all — only a
-    // duplicate-carrying corpus re-runs the window into the eager
-    // boundary its multi-consumer collapse machinery needs (the rerun
-    // is one constant-width window pass, paid exactly where the
+    // paying several job rounds to learn there is nothing), and on the
+    // bypass path the checkpoint never happens at all — only a corpus
+    // with a collapse-worthy duplicate population re-runs the window
+    // into the eager boundary its multi-consumer machinery needs (the
+    // rerun is one constant-width window pass, paid exactly where the
     // collapse is about to save m² work)
-    if (m.count() == 0) None else Some(m.stageBoundary)
+    if (m.count() <= bypassBelow) None else Some(m.stageBoundary)
   }
 
   /** restrict `df` to group representatives: anti-join away the
@@ -859,7 +875,7 @@ object Dedup {
     // singleton docs never enter a membership row at all. The boundary
     // output is sized by duplicates and reduces to None on a
     // duplicate-free corpus (see [[dupMembership]])
-    val dupMemb = dupMembership(members, "fp")
+    val dupMemb = dupMembership(members, "fp", DupCollapseCutoff)
     // representative band rows: drop non-rep duplicate members — a
     // broadcast anti-join against the (tiny) non-rep id set, cheap to
     // recompute off the checkpointed banding, so no boundary here;
@@ -1229,7 +1245,7 @@ object Dedup {
     // are a broadcast anti-join recomputed off the checkpointed banding
     // (see lshCollapse — same shape, same no-boundary reasoning, same
     // None short-circuit on a duplicate-free corpus)
-    val dupMemb = dupMembership(members, "simhash")
+    val dupMemb = dupMembership(members, "simhash", DupCollapseCutoff)
     val repBanded = repRestrict(banded, col("id"), dupMemb)
       .select("id", "simhash", "band", "bandVal")
     SimhashCollapsed(members.select("id"), dupMemb, repBanded)

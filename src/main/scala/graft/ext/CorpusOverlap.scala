@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.Stage.StageOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -136,15 +138,40 @@ object CorpusOverlap {
     * the #groups-row sketch table (broadcast), and every estimate is
     * codegen'd array arithmetic on two sorted ≤k arrays.
     */
+  /** The matrix is groups² by definition, so the group list itself must
+    * be metadata-scale; past this the caller should filter/shard the
+    * groups first (50M output rows is a different query).
+    */
+  val MaxMatrixGroups = 2048
+
   def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
       k: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
     val sk = docs.filter(col(textCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
       .agg(graft.functions.KmvAgg(
         portableContentHash(col(textCol)), k).as("sk"))
-    val p = sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
-      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
-        col("a.sk").as("__ska"), col("b.sk").as("__skb"))
+      .stageBoundary // two consumers below; the agg runs once
+    // unordered group pairs come from a BOUNDED driver list (the same
+    // documented-collect class as the ≤#cells lists elsewhere): a
+    // `g_a < g_b` self-join is a non-equi condition and would plan a
+    // nested-loop — the banned cartesian shape — while the pair list is
+    // metadata-scale by contract (guarded) and feeds two broadcast
+    // EQUI-joins instead
+    val gType = sk.schema("g").dataType
+    val groups = sk.select(col("g")).collect().map(_.get(0))
+    require(groups.length <= MaxMatrixGroups,
+      s"overlapMatrix over ${groups.length} groups exceeds " +
+        s"$MaxMatrixGroups — the matrix is groups²; filter or shard " +
+        "the group column first")
+    val sorted = groups.sortBy(_.toString)
+    val pairRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+      pairRows.add(org.apache.spark.sql.Row(sorted(i), sorted(j)))
+    val p = spark.createDataFrame(pairRows, StructType(Seq(
+        StructField("g_a", gType), StructField("g_b", gType))))
+      .join(sk.select(col("g").as("g_a"), col("sk").as("__ska")), "g_a")
+      .join(sk.select(col("g").as("g_b"), col("sk").as("__skb")), "g_b")
     // bottom-k of the two sketches' union = the pair's union sketch
     p.withColumn("__uk",
         slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, k))

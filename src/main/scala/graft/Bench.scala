@@ -214,9 +214,12 @@ object Bench {
     // the r9 1.4x because confirmedViolations now re-runs a flagged
     // family before failing (covers single-row blips); the remaining
     // margin covers whole-window drift, which the re-run does not
+    // pipeline/sql re-widened after the final r11 snapshot landed in a
+    // slow window (pipeline 17.5, sql 16.8 observed vs the 18 budgets —
+    // a same-window re-run would not absorb whole-window drift)
     "dedup" -> 65.0, "dml" -> 4.0, "graphx" -> 2.5,
     "match" -> 4.0, "multimodal" -> 17.0, "other" -> 85.0,
-    "path" -> 3.5, "pipeline" -> 18.0, "sql" -> 18.0, "text" -> 2.0,
+    "path" -> 3.5, "pipeline" -> 21.0, "sql" -> 21.0, "text" -> 2.0,
     // the one-time bulk load, budgeted as its own row (r9): the r8
     // driver run measured 8.97 s and the driver's own gate is 60 s —
     // >=3x headroom over the observed median means environment drift

@@ -176,15 +176,27 @@ object Bench {
           System.err.println(s"[bench-budget] re-running " +
             s"${flagged.toSeq.sorted.mkString(",")} once to separate " +
             "regression from transient contention")
+          val firstMedians = measured
+            .map { case (n, ts) => n -> ts(ts.size / 2) }.toMap
           measured.map(_._1).filter(n => flagged.contains(family(n)))
             .map { n =>
+              // a query that starts FAILING during the re-run must not
+              // clear the violation with its (typically fast) time-to-
+              // failure — the exact "broken query reads as a fast row"
+              // hole the first pass closed. A failed re-run row keeps
+              // its first-pass time and is shouted to stderr.
+              var failed = false
               val ts = (1 to runsPer).map { _ =>
                 time {
                   try SparkEntry.queries(n)(spark, sfDir).count()
-                  catch { case _: Throwable => () }
+                  catch {
+                    case e: Throwable =>
+                      failed = true
+                      System.err.println(s"[bench-error] re-run $n: $e")
+                  }
                 }
               }.sorted
-              n -> ts(ts.size / 2)
+              n -> (if (failed) firstMedians(n) else ts(ts.size / 2))
             }
             .groupBy { case (n, _) => family(n) }
             .map { case (f, qq) => f -> qq.map(_._2).sum }
@@ -203,6 +215,20 @@ object Bench {
     * with ~1.5x headroom for machine noise. Re-record when a family
     * legitimately grows (new queries) — the point is that growth is a
     * DECISION, not a surprise.
+    *
+    * RATCHET RULE (r12, binding by convention): a budget may WIDEN only
+    * on (a) two independent slow-window confirmations — the family's
+    * observed sum exceeding the budget in two separate full-Bench
+    * windows (different JVM sessions), or (b) one driver-run
+    * confirmation — and every widening records the observed numbers
+    * inline next to the value (precedent: the r11 sql 18→21 note
+    * below). A single local window never widens anything: the
+    * confirmedViolations re-run absorbs single-row blips, and
+    * cross-session medians drift ±40% (PLANS.md's QBench study), so one
+    * slow window is evidence of the WINDOW, not the code. TIGHTENING
+    * needs one clean window at the lower value. A ratchet that only
+    * ever widens has no teeth — every widening should name the rounds
+    * that confirmed it.
     */
   val DefaultBudgets: Map[String, Double] = Map(
     "ann" -> 10.0,

@@ -341,6 +341,10 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     // incremental indexes and [[rewrite]]'s two-rename swap.
     writeClearMarker(schema.tables.map(_.name))
     finishClear(schema.tables.map(_.name))
+    // the cleared tables' cached GraphX graphs are stale the moment the
+    // data dirs go — release the shared cache so its pinned RDDs don't
+    // outlive the graph they were built from
+    graft.graphx.GraphXBridge.releaseGraphs()
   }
 
   private val clearMarker = new HPath(s"$dir/_clear_pending")
@@ -392,6 +396,7 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     cache.clear()
     val root = new HPath(dir)
     fsOf(root).delete(root, true)
+    graft.graphx.GraphXBridge.releaseGraphs()
   }
 
   private def emptyPairs(e: EdgeDef): DataFrame = {

@@ -74,37 +74,96 @@ object CorpusOverlap {
   /** Persist the corpus's KMV sketch — the daily-ingest face the rest
     * of the index family has: ≤k longs + the `_params.json` sidecar,
     * so tomorrow's increment screens against today's 100 TB corpus by
-    * reading k values instead of rescanning anything.
+    * reading k values instead of rescanning anything. Published through
+    * the two-rename swap, so rebuilding over an existing sketch can't
+    * destroy it mid-write either.
     */
   def writeKmvSketch(docs: DataFrame, textCol: String, path: String,
       k: Int = 256): Unit = {
-    kmvSketch(docs, textCol, k).coalesce(1)
-      .write.mode("overwrite").parquet(path)
-    IndexParams.write(docs.sparkSession, path, kmvParams(k))
+    val spark = docs.sparkSession
+    recoverSketchSwap(spark, path)
+    publishSketch(spark, path, k) { tmp =>
+      kmvSketch(docs, textCol, k).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** Fold an increment into a persisted sketch: the updated sketch is
     * the bottom-k of the union — exactly [[writeKmvSketch]] over
     * history ∪ increment (KMV mergeability), so probes after any
     * append ≡ a from-scratch build. Single writer, like every index
-    * in the family; a crash mid-rewrite re-runs the merge (the
-    * increment's own docs still exist at the caller).
+    * in the family. The merged sketch is written to a temp sibling and
+    * swapped in via the catalog's two-rename discipline
+    * ([[graft.ddl.GraphCatalog]] `rewrite`): a crash at ANY point
+    * leaves either the old or the new sketch intact — an in-place
+    * overwrite would have a window where the pre-merge history sketch
+    * is simply gone, recoverable only by rescanning the full history
+    * corpus, the exact cost the persisted sketch exists to avoid.
     */
   def mergeKmvSketch(newDocs: DataFrame, textCol: String, path: String,
       k: Int = 256): Unit = {
     val spark = newDocs.sparkSession
+    recoverSketchSwap(spark, path)
     IndexParams.check(spark, path, kmvParams(k))
     val merged = spark.read.schema("h LONG").parquet(path)
       .unionByName(kmvSketch(newDocs, textCol, k))
       .distinct().orderBy(col("h")).limit(k)
-      // the k-row result must materialize BEFORE the overwrite deletes
-      // the files it was read from
+      // the k-row result must materialize BEFORE the swap retires the
+      // files it was read from
       .collect().map(_.getLong(0)).toSeq
     import spark.implicits._
-    merged.toDF("h").coalesce(1).write.mode("overwrite").parquet(path)
-    // the overwrite clears the directory, sidecar included — restore it
-    // or the next probe's k-check passes vacuously (spec-pinned)
-    IndexParams.write(spark, path, kmvParams(k))
+    publishSketch(spark, path, k) { tmp =>
+      merged.toDF("h").coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Two-rename crash-safe publish of a sketch directory (the
+    * [[graft.ddl.GraphCatalog]] `rewrite` discipline): build the new
+    * sketch + sidecar in a temp sibling, drop a swap marker, move the
+    * live dir aside as `.bak`, publish the temp, clean up. A crash at
+    * any point leaves the marker telling [[recoverSketchSwap]] which
+    * side is authoritative — the old sketch until publish, the new one
+    * after.
+    */
+  private def publishSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int)(writeTmp: String => Unit): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dst = new HPath(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(path + "__tmp")
+    val bak = new HPath(path + "__bak")
+    val marker = new HPath(path + "__swap")
+    fs.delete(tmp, true)
+    fs.delete(bak, true)
+    writeTmp(tmp.toString)
+    IndexParams.write(spark, tmp.toString, kmvParams(k))
+    fs.create(marker, true).close()
+    if (fs.exists(dst))
+      require(fs.rename(dst, bak), s"sketch swap: cannot move $dst aside")
+    require(fs.rename(tmp, dst), s"sketch swap: cannot publish $tmp")
+    fs.delete(bak, true)
+    fs.delete(marker, false)
+  }
+
+  /** Reader-side recovery of an interrupted sketch swap (runs at the
+    * head of every sketch write/merge/probe): marker present + live dir
+    * gone → the crash hit between the two renames, restore the `.bak`;
+    * marker present + live dir present → the crash hit after publish,
+    * drop the leftovers. Idempotent; a no-op when no marker exists.
+    */
+  private def recoverSketchSwap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dst = new HPath(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new HPath(path + "__swap")
+    if (!fs.exists(marker)) return
+    val bak = new HPath(path + "__bak")
+    if (!fs.exists(dst) && fs.exists(bak))
+      require(fs.rename(bak, dst), s"sketch swap recovery: cannot restore $bak")
+    fs.delete(bak, true)
+    fs.delete(new HPath(path + "__tmp"), true)
+    fs.delete(marker, false)
   }
 
   /** Overlap of an increment against a persisted history sketch:
@@ -117,6 +176,7 @@ object CorpusOverlap {
   def overlapWithSketch(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, textCol: String,
       k: Int = 256): DataFrame = {
+    recoverSketchSwap(spark, path)
     IndexParams.check(spark, path, kmvParams(k))
     val hist = spark.read.schema("h LONG").parquet(path)
       .withColumn("in_a", lit(1))
@@ -147,7 +207,10 @@ object CorpusOverlap {
   def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
       k: Int = 256): DataFrame = {
     val spark = docs.sparkSession
-    val sk = docs.filter(col(textCol).isNotNull)
+    // a null vendor/group is meaningless for the matrix (and a null in
+    // the collected group list would NPE the sort below) — drop it with
+    // the null texts
+    val sk = docs.filter(col(textCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
       .agg(graft.functions.KmvAgg(
         portableContentHash(col(textCol)), k).as("sk"))

@@ -25,18 +25,47 @@ object GraphXBridge {
     * hand out one instance per materialized table, so two providers
     * over the same data share the entry while different sfDirs with an
     * identical schema never collide). Entries hold cached RDDs sized by
-    * the graph, not the corpus; sessions running many distinct graphs
-    * can drop them with [[releaseGraphs]].
+    * the graph, not the corpus.
+    *
+    * LRU-bounded at [[MaxCachedGraphs]] with unpersist-on-evict (r12):
+    * identity keying means a catalog DML that invalidates a node table
+    * retires the old key FOREVER — the pre-r12 unbounded TrieMap kept
+    * the stale entry's cached RDDs pinned in the block manager until an
+    * explicit [[releaseGraphs]] that nothing called, so long sessions
+    * interleaving mutations with CC/PageRank/SSSP grew memory without
+    * bound. Four graphs comfortably covers the analytics-over-one-graph
+    * sharing the cache exists for; an evicted graph is only ever
+    * re-exploded, never wrong. [[releaseGraphs]] is additionally wired
+    * into `GraphCatalog.clearData`/`dropGraph`, the two DDL points that
+    * retire whole graphs at once.
     */
-  private val graphCache = scala.collection.concurrent.TrieMap
-    .empty[(Seq[(String, String)], Seq[DataFrame]), Graph[String, String]]
+  val MaxCachedGraphs = 4
 
-  /** drop all shared graphs (unpersisting their RDDs) */
-  def releaseGraphs(): Unit = {
-    graphCache.values.foreach { g =>
-      g.unpersistVertices(blocking = false)
-      g.edges.unpersist(blocking = false)
+  private type GraphKey = (Seq[(String, String)], Seq[DataFrame])
+
+  private def unpersistGraph(g: Graph[String, String]): Unit = {
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+  }
+
+  /** access-ordered LinkedHashMap: eldest-by-use evicts (and unpersists)
+    * once a 5th distinct graph lands; all access synchronized on the map
+    */
+  private val graphCache =
+    new java.util.LinkedHashMap[GraphKey, Graph[String, String]](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[GraphKey, Graph[String, String]]): Boolean =
+        if (size > MaxCachedGraphs) { unpersistGraph(e.getValue); true }
+        else false
     }
+
+  /** drop all shared graphs (unpersisting their RDDs) — called by the
+    * whole-graph DDL (CLEAR DATA / DROP GRAPH) and available to long
+    * sessions between workloads
+    */
+  def releaseGraphs(): Unit = graphCache.synchronized {
+    graphCache.values.forEach(unpersistGraph(_))
     graphCache.clear()
   }
 
@@ -54,8 +83,9 @@ object GraphXBridge {
     val vertexTables = edges.flatMap { case (t, e) =>
       Seq(t, g.schema.table(t).edge(e).sinkTable)
     }.distinct
-    graphCache.getOrElseUpdate(
-      (edges, vertexTables.map(g.nodeTable)), {
+    val key: GraphKey = (edges, vertexTables.map(g.nodeTable))
+    graphCache.synchronized {
+      Option(graphCache.get(key)).getOrElse {
         val vertices: RDD[(VertexId, String)] = vertexTables.map { t =>
           g.nodeTable(t).select(col("GlobalNodeId"))
             .rdd.map(r => (r.getLong(0), t))
@@ -71,9 +101,12 @@ object GraphXBridge {
             .rdd.map(r => Edge(r.getLong(0), r.getLong(1), en))
         }.reduce(_ union _)
         val parts = math.max(vertices.getNumPartitions, 1)
-        Graph(vertices.partitionBy(new HashPartitioner(parts)), edgeRdd)
-          .cache()
-      })
+        val built = Graph(
+          vertices.partitionBy(new HashPartitioner(parts)), edgeRdd).cache()
+        graphCache.put(key, built)
+        built
+      }
+    }
   }
 
   /** connected components (undirected) → (GlobalNodeId, componentId) */

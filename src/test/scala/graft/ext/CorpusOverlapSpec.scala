@@ -130,6 +130,56 @@ class CorpusOverlapSpec extends SparkSpec {
     }
   }
 
+  test("merge swap is crash-safe: every window leaves a readable sketch") {
+    val hist = corpus(0 until 700, "cw")
+    val folded = corpus(500 until 900, "cw")
+    val probe = corpus(600 until 1200, "cw")
+    def expected(dir: String) = CorpusOverlap
+      .overlapWithSketch(spark, dir, probe, "text", k = 128).head().toSeq
+    def build() = {
+      val dir = java.nio.file.Files.createTempDirectory("kmv_cw").toString
+      CorpusOverlap.writeKmvSketch(hist, "text", dir, k = 128)
+      CorpusOverlap.mergeKmvSketch(folded, "text", dir, k = 128)
+      dir
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val mergedAnswer = expected(build())
+
+    // window 1: crash BEFORE publish (marker dropped, live moved aside)
+    // → recovery restores the pre-merge sketch; re-running the merge
+    // reconverges (the increment still exists at the caller)
+    val d1 = java.nio.file.Files.createTempDirectory("kmv_cw1").toString
+    CorpusOverlap.writeKmvSketch(hist, "text", d1, k = 128)
+    fs.create(p(d1 + "__swap"), true).close()
+    assert(fs.rename(p(d1), p(d1 + "__bak")), "simulate mid-swap crash")
+    CorpusOverlap.mergeKmvSketch(folded, "text", d1, k = 128)
+    assert(expected(d1) == mergedAnswer, "pre-publish crash must keep the old sketch")
+    assert(!fs.exists(p(d1 + "__swap")) && !fs.exists(p(d1 + "__bak")))
+
+    // window 2: crash AFTER publish (marker + leftovers remain) →
+    // recovery keeps the new sketch and sweeps the debris
+    val d2 = build()
+    fs.create(p(d2 + "__swap"), true).close()
+    fs.mkdirs(p(d2 + "__bak"))
+    assert(expected(d2) == mergedAnswer, "post-publish crash must keep the new sketch")
+    assert(!fs.exists(p(d2 + "__swap")) && !fs.exists(p(d2 + "__bak")))
+  }
+
+  test("overlapMatrix drops null groups instead of NPEing") {
+    val s = spark
+    import s.implicits._
+    val docs = corpus(0 until 200, "ng")
+    val tagged = docs.withColumn("vendor",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .when(col("doc_id") % 2 === 0, lit("va")).otherwise(lit("vb")))
+    val m = CorpusOverlap.overlapMatrix(tagged, "vendor", "text", k = 64)
+      .collect()
+    assert(m.length == 1, "null group must not appear in the matrix")
+    assert(m.head.getString(0) == "va" && m.head.getString(1) == "vb")
+  }
+
   test("null text is dropped, not hashed") {
     val s = spark
     import s.implicits._

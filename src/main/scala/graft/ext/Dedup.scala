@@ -716,7 +716,19 @@ object Dedup {
     * corpus's 8 natural duplicate text pairs (16 rows — discovered
     * r11; the gate corpora carry zero) take the legacy path.
     */
-  private[ext] val DupCollapseCutoff = 64L
+  private[ext] val DupCollapseCutoffDefault = 64L
+
+  /** Spec-only override of the cutoff ([[DedupPropertySpec]]'s boundary-
+    * equivalence case drives ONE corpus through BOTH the bypass and the
+    * collapse path and asserts identical pair sets — the proof the
+    * scaladoc above argues in prose). Never set outside tests; consumed
+    * eagerly on the driver at pair-generation time, and the test suite
+    * runs suites sequentially in one forked JVM.
+    */
+  @volatile private[ext] var dupCollapseCutoffForSpec: Option[Long] = None
+
+  private[ext] def DupCollapseCutoff: Long =
+    dupCollapseCutoffForSpec.getOrElse(DupCollapseCutoffDefault)
 
   /** Duplicates-only membership (id, rep) off constant-width (id,
     * `fpCol`) rows — ONE window pass over the fingerprint, eagerly

@@ -314,6 +314,104 @@ class DedupPropertySpec extends SparkSpec {
       .forall(got.contains))
   }
 
+  /** One corpus whose duplicate-membership row count is exactly
+    * 40 + mB (group A: 40 verbatim copies, group B: mB copies of a
+    * 1-char-edit near-dup, plus a singleton near-dup and unique tails)
+    * — mB = 24 lands ON the cutoff (64 → bypass), mB = 25 just over it
+    * (65 → collapse).
+    */
+  private def boundaryCorpus(mB: Int): Seq[(Long, String)] = {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappz" // ed 1
+    val c = "alpha beta gamma delta epsilon zeta eta theta iota kappq" // ed 1
+    val uniques = Seq(
+      "one entirely different document body written here right now",
+      "second unrelated text with its own distinct word population",
+      "third standalone string that matches nothing else in the set",
+      "fourth filler document keeping the unique wing honest today")
+    (0 until 40).map(i => (i.toLong, a)) ++
+      (0 until mB).map(i => (100L + i, b)) ++
+      Seq((200L, c)) ++
+      uniques.zipWithIndex.map { case (t, i) => (300L + i.toLong, t) }
+  }
+
+  private def withCutoff[T](c: Option[Long])(f: => T): T = {
+    Dedup.dupCollapseCutoffForSpec = c
+    try f finally Dedup.dupCollapseCutoffForSpec = None
+  }
+
+  test("DupCollapseCutoff boundary: bypass and collapse paths emit " +
+    "identical pair sets for LSH, simhash and edit distance on both " +
+    "sides of the cutoff") {
+    val s = spark
+    import s.implicits._
+    for (mB <- Seq(24, 25)) {
+      val rows = boundaryCorpus(mB)
+      val df = rows.toDF("id", "t").cache()
+      // pin the construction to its intended side of the 64 cutoff:
+      // membership rows = members of multi-member identical-text groups
+      val memb = df.groupBy(md5(col("t"))).agg(count(lit(1)).as("m"))
+        .filter(col("m") > 1).agg(sum("m")).head().getLong(0)
+      assert(memb == 40L + mB, s"construction drifted: $memb rows")
+      val side = if (memb <= Dedup.DupCollapseCutoffDefault) "bypass"
+        else "collapse"
+      // each operator under: default routing, forced bypass
+      // (cutoff = MaxValue), forced collapse (cutoff = 0) — the three
+      // runs must be set-identical, which upgrades the scaladoc's
+      // output-identity argument from prose to an executed proof
+      val ops: Seq[(String, () => Set[Any])] = Seq(
+        ("lsh", () => Dedup.minhashLshPairs(df, "t", "id",
+          n = 3, minJaccard = 0.7)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)): Any)
+          .toSet),
+        ("simhash", () => Dedup.simhashPairs(df, "t", "id", maxHamming = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)): Any)
+          .toSet),
+        ("edit", () => Dedup.editDistancePairs(df, "t", "id", maxDist = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)): Any)
+          .toSet))
+      for ((opName, run) <- ops) {
+        val default = withCutoff(None)(run())
+        val bypass = withCutoff(Some(Long.MaxValue))(run())
+        val collapse = withCutoff(Some(0L))(run())
+        assert(default.nonEmpty, s"$opName found no pairs — dead test")
+        // the within-group pairs alone are C(40,2)+C(mB,2) — make sure
+        // the dup machinery (either path) is actually load-bearing here
+        assert(default.size >= 40 * 39 / 2 + mB * (mB - 1) / 2,
+          s"$opName at $side: only ${default.size} pairs")
+        assert(bypass == collapse,
+          s"$opName at $side (memb=$memb): bypass/collapse diverge: " +
+            s"${(bypass diff collapse) ++ (collapse diff bypass)}")
+        assert(default == bypass,
+          s"$opName at $side: default path diverges from the forced runs")
+      }
+      df.unpersist()
+    }
+  }
+
+  test("hot-copy gate rows construct >=75 membership rows, keeping the " +
+    "collapse path oracle-live above the cutoff") {
+    // replica of the q_dedup_hotcopy_* construction (3 extra verbatim
+    // copies of every doc_id < 20): if the corpus generator or the
+    // construction ever drops the membership to <= DupCollapseCutoff,
+    // the gate rows would silently fall onto the bypass path and the
+    // collapse machinery would lose its oracle coverage
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val copies = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(2))).as("__i"))
+      .select((lit(100000) + col("doc_id") * 10 + col("__i")).as("doc_id"),
+        col("text"))
+    val memb = docs.unionByName(copies)
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1).agg(sum("m")).head().getLong(0)
+    assert(memb >= 75,
+      s"hot-copy construction yields only $memb membership rows")
+    assert(memb > Dedup.DupCollapseCutoffDefault,
+      "hot-copy rows no longer exercise the collapse path")
+  }
+
   test("incremental substring spans equal the full-corpus spans on the " +
     "increment, across random corpora") {
     val s = spark

@@ -185,6 +185,50 @@ object CorpusOverlap {
     estimateFromSketches(hist, inc, k)
   }
 
+  /** Per-shard KMV sketches — one row (`shard`, `sk`) per shard, each
+    * `sk` the shard's bottom-k distinct hash array out of ONE
+    * [[graft.functions.KmvAgg]] aggregation (map-side combined: the
+    * shuffle moves one ≤k-long buffer per (partition, shard), never a
+    * hash per row). This is the per-ingest-unit face of the sketch: a
+    * 100 TB corpus arriving as thousands of shards sketches each shard
+    * where it lands, and [[kmvRollup]] folds the shard sketches into
+    * the corpus sketch without ever rescanning a shard — the
+    * mergeability contract ([[kmvSketch]]'s bottom-k-of-union lemma)
+    * made operational.
+    */
+  def kmvShardSketches(docs: DataFrame, shardCol: String,
+      textCol: String, k: Int = 256): DataFrame =
+    docs.filter(col(textCol).isNotNull && col(shardCol).isNotNull)
+      .groupBy(col(shardCol).as("shard"))
+      .agg(graft.functions.KmvAgg(
+        portableContentHash(col(textCol)), k).as("sk"))
+
+  /** Roll shard sketches up into the corpus sketch (standard one-column
+    * ascending `h` layout): explode the ≤k-long shard arrays and fold
+    * them through a second [[graft.functions.KmvAgg]] — a real merge
+    * tree over sketch buffers, N·k rows total whatever the corpus size.
+    * Bottom-k of a union of per-shard bottom-ks IS the bottom-k of the
+    * union, so the rollup is exactly [[kmvSketch]] over the unsharded
+    * corpus (spec- and oracle-pinned).
+    */
+  def kmvRollup(shardSketches: DataFrame, k: Int = 256): DataFrame =
+    shardSketches.select(explode(col("sk")).as("h"))
+      .agg(graft.functions.KmvAgg(col("h"), k).as("sk"))
+      .select(explode(col("sk")).as("h"))
+
+  /** [[overlapEstimate]] with corpus A already reduced to a sketch in
+    * the one-column `h` layout (a [[kmvRollup]] result or a loaded
+    * persisted sketch) — corpus B is sketched here; the estimator tail
+    * is shared.
+    */
+  def overlapFromSketch(sketchA: DataFrame, b: DataFrame,
+      textCol: String, k: Int = 256): DataFrame =
+    estimateFromSketches(
+      sketchA.withColumn("in_a", lit(1)),
+      kmvSketch(b, textCol, k)
+        .withColumnRenamed("h", "hb").withColumn("in_b", lit(1)),
+      k)
+
   /** Pairwise overlap MATRIX across the groups of one corpus (per-
     * source provenance screening: "which vendors resold each other's
     * crawl?"): one row per unordered group pair (`g_a` < `g_b`) with

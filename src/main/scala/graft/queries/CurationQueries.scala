@@ -824,6 +824,50 @@ object CurationQueries {
       CorpusOverlap.overlapWithSketch(s, idx, inc, "text", k = 256)
     },
 
+    // sharded rollup (r12): the full corpus arrives as 8 doc_id-hash
+    // shards, each shard reduces to its own KmvAgg bottom-k sketch,
+    // and a SECOND KmvAgg folds the 8 shard sketches into the corpus
+    // sketch — the mergeability contract at its 100 TB shape (per-shard
+    // sketches where the data lands, N·k rows to the rollup, no corpus
+    // rescan). Bottom-k of per-shard bottom-ks = bottom-k of the union,
+    // so the oracle builds the SAME estimate from the unsharded corpus
+    // — estimator parity across the merge tree, bit for bit
+    "q_corpus_overlap_sharded" -> QueryDef(
+      """WITH an AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |bn AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |ska AS (SELECT h FROM an ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM bn ORDER BY h LIMIT 256),
+        |mrg AS (
+        |  SELECT COALESCE(a.h, b.h) AS h,
+        |         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+        |         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+        |  FROM ska a FULL JOIN skb b ON a.h = b.h
+        |  ORDER BY h LIMIT 256),
+        |agg AS (
+        |  SELECT COUNT(*) AS k_eff,
+        |         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS inter,
+        |         SUM(in_a) AS a_in_union, MAX(h) AS hmax
+        |  FROM mrg)
+        |SELECT CAST(k_eff AS BIGINT) AS k_eff, CAST(inter AS BIGINT) AS inter,
+        |       CAST(inter AS DOUBLE) / CAST(k_eff AS DOUBLE) AS est_jaccard,
+        |       CAST(inter AS DOUBLE) / CAST(a_in_union AS DOUBLE) AS est_containment_a,
+        |       CASE WHEN k_eff >= 256
+        |            THEN CAST(k_eff - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hmax AS DOUBLE)
+        |            ELSE CAST(k_eff AS DOUBLE) END AS est_union_distinct
+        |FROM agg""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val sharded = docs.withColumn("shard", pmod(col("doc_id"), lit(8)))
+      val rolled = CorpusOverlap.kmvRollup(
+        CorpusOverlap.kmvShardSketches(sharded, "shard", "text", k = 256),
+        k = 256)
+      CorpusOverlap.overlapFromSketch(rolled,
+        docs.filter(col("doc_id") % 2 === 0), "text", k = 256)
+    },
+
     // z-order clustered layout round-trip (r7): the corpus rewritten
     // Morton-clustered on (n_chars, doc_id) must preserve every row —
     // the layout only permutes; narrowness is pinned in ZOrderSpec

@@ -130,6 +130,26 @@ class CorpusOverlapSpec extends SparkSpec {
     }
   }
 
+  test("sharded rollup: per-shard KmvAgg sketches fold to exactly the " +
+    "unsharded sketch, and the estimate matches the batch estimator") {
+    val docs = corpus(0 until 1200, "shard")
+      .withColumn("shard", pmod(col("doc_id"), lit(7)))
+    val rolled = CorpusOverlap.kmvRollup(
+      CorpusOverlap.kmvShardSketches(docs, "shard", "text", k = 128),
+      k = 128)
+    assert(rolled.collect().map(_.getLong(0)).toSeq.sorted ==
+      CorpusOverlap.kmvSketch(docs, "text", 128)
+        .collect().map(_.getLong(0)).toSeq,
+      "rollup of shard sketches must equal the from-scratch sketch")
+    val b = corpus(800 until 1600, "shard")
+    val viaShards = CorpusOverlap
+      .overlapFromSketch(rolled, b, "text", k = 128).head().toSeq
+    val batch = CorpusOverlap
+      .overlapEstimate(docs, b, "text", k = 128).head().toSeq
+    assert(viaShards == batch,
+      "estimate through the rolled sketch must equal the batch estimator")
+  }
+
   test("merge swap is crash-safe: every window leaves a readable sketch") {
     val hist = corpus(0 until 700, "cw")
     val folded = corpus(500 until 900, "cw")

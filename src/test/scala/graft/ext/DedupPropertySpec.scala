@@ -496,4 +496,34 @@ class DedupPropertySpec extends SparkSpec {
       assert(got == expected, s"corpus: $corpus")
     }
   }
+
+  test("membership-probe memo: one census per distinct corpus plan, " +
+    "memo-hit results equal cold results, distinct corpora get " +
+    "distinct entries") {
+    val s = spark
+    import s.implicits._
+    val a = boundaryCorpus(25).toDF("id", "t")
+    val b = boundaryCorpus(30)
+      .map { case (i, t) => (i, t + " tailword") }.toDF("id", "t")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccardPairs(df, "t", "id", n = 3, minJaccard = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.clearMembershipMemo()
+    assert(Dedup.membershipMemoSize == 0)
+    val coldA = pairs(a)
+    val afterA = Dedup.membershipMemoSize
+    assert(afterA >= 1, "first census never reached the memo")
+    val hitA = pairs(a)
+    assert(Dedup.membershipMemoSize == afterA,
+      "an identical corpus plan must hit the memo, not grow it")
+    assert(hitA == coldA, "memo-hit pairs diverge from the cold run")
+    val coldB = pairs(b)
+    assert(Dedup.membershipMemoSize > afterA,
+      "a distinct corpus plan must get its own entry")
+    assert(coldB != coldA || coldB.isEmpty,
+      "suspicious: disjoint corpora produced identical non-empty pairs")
+    Dedup.clearMembershipMemo()
+    assert(pairs(a) == coldA,
+      "a cleared memo must recompute to the same pairs")
+  }
 }

@@ -240,12 +240,15 @@ object Bench {
     // the r9 1.4x because confirmedViolations now re-runs a flagged
     // family before failing (covers single-row blips); the remaining
     // margin covers whole-window drift, which the re-run does not
-    // pipeline/sql re-widened after the final r11 snapshot landed in a
-    // slow window (pipeline 17.5, sql 16.8 observed vs the 18 budgets —
-    // a same-window re-run would not absorb whole-window drift)
+    // pipeline/sql re-widened to 21 after the final r11 snapshot landed
+    // in a slow window (pipeline 17.5, sql 16.8 observed vs the 18
+    // budgets), then re-tightened to 18 in r12 per the ratchet rule:
+    // the next normal window (r12 fresh control, bench total 168 s)
+    // measured sql 12.1 / pipeline 13.5 — the r11 snapshot window was
+    // the outlier, and 18 still clears even that window's sums
     "dedup" -> 65.0, "dml" -> 4.0, "graphx" -> 2.5,
     "match" -> 4.0, "multimodal" -> 17.0, "other" -> 85.0,
-    "path" -> 3.5, "pipeline" -> 21.0, "sql" -> 21.0, "text" -> 2.0,
+    "path" -> 3.5, "pipeline" -> 18.0, "sql" -> 18.0, "text" -> 2.0,
     // the one-time bulk load, budgeted as its own row (r9): the r8
     // driver run measured 8.97 s and the driver's own gate is 60 s —
     // >=3x headroom over the observed median means environment drift

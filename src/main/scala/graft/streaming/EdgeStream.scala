@@ -760,6 +760,98 @@ object EdgeStream {
       .drop("__rk")
   }
 
+  /** Streaming KMV sketch maintenance + per-batch ingest screening —
+    * the streaming face of the [[graft.ext.CorpusOverlap]] family
+    * (every other incremental family has one): each micro-batch of
+    * documents folds into the persisted corpus sketch at `sketchPath`
+    * through the family's crash-safe two-rename merge, and the batch's
+    * one-row overlap estimate against the PRE-batch sketch ("how much
+    * of this shard has the corpus already seen") goes to
+    * `sink(estimate, batchId)`. At 100 TB the per-batch cost is one
+    * map pass + one ≤k-long partial-aggregated exchange over the BATCH
+    * plus k persisted longs — history is never rescanned.
+    *
+    * Idempotence needs less machinery here than the index families:
+    * KMV merge is a set union under bottom-k, so re-merging a replayed
+    * batch is a mathematical no-op — the ledger marker only skips
+    * committed batches (wasted work + double-sinking), not corruption.
+    * The one replay hazard is the SCREEN: a crash between merge and
+    * commit would leave the replay estimating against a sketch that
+    * already absorbed the batch (containment reads ~inflated). So the
+    * pre-batch sketch is snapshotted — rename-committed — BEFORE the
+    * merge, and the screen always reads the snapshot: a replay at any
+    * crash point reproduces the sink row exactly. Applied batches'
+    * snapshots are swept at the head of later batches.
+    */
+  def kmvSketchStream(docs: DataFrame, textCol: String,
+      sketchPath: String, k: Int = 256)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmvBatch(batch, batchId, textCol, sketchPath, k, sink)
+      }
+
+  /** One [[kmvSketchStream]] micro-batch, exposed so a replay (same
+    * batchId, any crash window) is directly testable.
+    */
+  private[streaming] def kmvBatch(batch0: DataFrame, batchId: Long,
+      textCol: String, sketchPath: String, k: Int,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = batch0.sparkSession
+    val ledger = new BatchLedger(spark, s"$sketchPath._ledger", Seq())
+    if (ledger.applied(batchId)) return
+    val batch = batch0.stageBoundary
+    if (batch.count() == 0) { ledger.commit(batchId); return }
+    val fs = new HPath(sketchPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // sweep snapshots orphaned by a crash between commit and cleanup
+    val preRoot = new HPath(s"$sketchPath._pre")
+    if (fs.exists(preRoot))
+      fs.listStatus(preRoot).foreach { st =>
+        val bid = st.getPath.getName.stripPrefix("b")
+        if (bid.forall(_.isDigit) && bid.nonEmpty &&
+            ledger.applied(bid.toLong))
+          fs.delete(st.getPath, true)
+      }
+
+    // pre-batch snapshot, rename-committed BEFORE the merge: the
+    // replay-stable history side of the screen. k rows — copying it is
+    // O(k), not O(corpus)
+    val pre = new HPath(s"$sketchPath._pre/b$batchId")
+    if (!fs.exists(pre)) {
+      val tmp = new HPath(s"$sketchPath._pre/b${batchId}__tmp")
+      fs.delete(tmp, true)
+      val hist =
+        if (fs.exists(new HPath(sketchPath)))
+          spark.read.schema("h LONG").parquet(sketchPath)
+        else spark.range(0).select(col("id").as("h"))
+      hist.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.mkdirs(pre.getParent)
+      require(fs.rename(tmp, pre), s"kmv stream: cannot commit $pre")
+    }
+
+    if (fs.exists(new HPath(sketchPath)))
+      graft.ext.CorpusOverlap.mergeKmvSketch(batch, textCol, sketchPath, k)
+    else
+      graft.ext.CorpusOverlap.writeKmvSketch(batch, textCol, sketchPath, k)
+
+    // the bootstrap batch has no history to screen against (an empty
+    // history side would put 0 in the estimator's containment divisor)
+    // — the sketch is still written; screening starts at the next batch
+    val preSketch = spark.read.schema("h LONG").parquet(pre.toString)
+    if (preSketch.count() > 0) {
+      val est = graft.ext.CorpusOverlap
+        .overlapFromSketch(preSketch, batch, textCol, k)
+        .withColumn("batch_id", lit(batchId))
+      sink(est, batchId)
+    }
+    ledger.commit(batchId)
+    fs.delete(pre, true)
+  }
+
   /** convenience: run a streaming query to completion over a bounded
     * source (tests / backfills)
     */

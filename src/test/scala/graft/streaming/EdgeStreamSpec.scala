@@ -588,6 +588,75 @@ class EdgeStreamSpec extends SparkSpec {
     assert(inc == oneShot && inc.map(_._1) == Set("apple", "banana"))
   }
 
+  test("streaming KMV sketch: batches fold to exactly the from-scratch " +
+    "sketch, per-batch screens equal the batch estimator and are " +
+    "replay-stable across the merge-then-crash window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def docs(ids: Range) = ids
+      .map(i => (i.toLong, s"document body number $i with shared tail"))
+    val dir = Files.createTempDirectory("graft_kmv_stream").toString
+    val sketch = s"$dir/sketch"
+    val k = 64
+    val b0 = docs(0 until 100); val b1 = docs(60 until 160)
+    val ests = scala.collection.mutable.Map[Long, Seq[Any]]()
+    val stream = MemoryStream[(Long, String)]
+    val writer = EdgeStream.kmvSketchStream(
+      stream.toDF().toDF("doc_id", "text"), "text", sketch, k) {
+      (est, bid) => ests(bid) = est.drop("batch_id").head().toSeq
+    }
+    val q = writer.option("checkpointLocation", s"$dir/ckpt").start()
+    stream.addData(b0: _*); q.processAllAvailable()
+    stream.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+
+    def sketchVals() = spark.read.schema("h LONG").parquet(sketch)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val union = (b0 ++ b1).toDF("doc_id", "text")
+    assert(sketchVals() ==
+      graft.ext.CorpusOverlap.kmvSketch(union, "text", k)
+        .collect().map(_.getLong(0)).toSeq,
+      "streamed sketch must equal the from-scratch sketch of the union")
+    // batch 1's screen == the two-corpus batch estimator (history, inc)
+    val expected = graft.ext.CorpusOverlap.overlapEstimate(
+      b0.toDF("doc_id", "text"), b1.toDF("doc_id", "text"), "text", k)
+      .head().toSeq
+    assert(ests(1L) == expected,
+      "per-batch screen diverges from the batch estimator")
+    assert(!ests.contains(0L),
+      "bootstrap batch has no history — its screen row must be skipped")
+
+    // merge-then-crash window: batch 2 merges, sink throws before the
+    // commit — the replay must produce the row a replay-free run would
+    // (the screen reads the PRE-batch snapshot, not the merged sketch)
+    val b2 = docs(140 until 220).toDF("doc_id", "text")
+    val histB2 = union
+    val expect2 = graft.ext.CorpusOverlap.overlapEstimate(
+      histB2, b2, "text", k).head().toSeq
+    intercept[RuntimeException] {
+      EdgeStream.kmvBatch(b2, 2L, "text", sketch, k,
+        (_, _) => throw new RuntimeException("sink crash"))
+    }
+    var replayed: Seq[Any] = null
+    EdgeStream.kmvBatch(b2, 2L, "text", sketch, k,
+      (est, _) => replayed = est.drop("batch_id").head().toSeq)
+    assert(replayed == expect2,
+      "crash-window replay screen diverges from a replay-free run")
+    // committed replay: a no-op, sink untouched
+    EdgeStream.kmvBatch(b2, 2L, "text", sketch, k,
+      (_, _) => fail("committed batch replayed into the sink"))
+    assert(sketchVals() ==
+      graft.ext.CorpusOverlap.kmvSketch(
+        union.unionByName(b2), "text", k)
+        .collect().map(_.getLong(0)).toSeq,
+      "post-replay sketch must still equal the from-scratch sketch")
+    // the committed batch's snapshot is gone (swept at commit)
+    val pre = new org.apache.hadoop.fs.Path(s"$sketch._pre/b2")
+    assert(!pre.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(pre), "committed snapshot not swept")
+  }
+
   test("streaming clustered-store ingestion: empty bootstrap, tagged " +
     "appends replay as no-ops, ratio-triggered compaction") {
     val s = spark

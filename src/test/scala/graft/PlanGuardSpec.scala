@@ -85,7 +85,17 @@ class PlanGuardSpec extends SparkSpec {
     // doomed set: rep-granularity distinct on the single id column is
     // the 2 extra hash exchanges (union → distinct → final sort) —
     // bounded by reps, never member pairs
-    "q_dedup_lsh_doomed_inc" -> Fingerprint(3, 6, 0, 0))
+    "q_dedup_lsh_doomed_inc" -> Fingerprint(3, 6, 0, 0),
+    // sharded KMV rollup (r12): exactly 3 exchanges — the per-shard
+    // KmvAgg's partial→final (one ≤k-long buffer per (partition,
+    // shard) moves), the rollup KmvAgg's global final (bounded: one
+    // ≤k-long partial buffer per partition), and corpus B's sketch
+    // aggregation; the estimator tail joins two ≤k-row sketches (SMJ
+    // full outer — k-bounded by construction, broadcast can't do full
+    // outer). 2 generates = the two sketch-array explodes. A 4th
+    // exchange here means a distinct/rank shape crept back into the
+    // sketch path
+    "q_corpus_overlap_sharded" -> Fingerprint(3, 0, 2, 0))
 
   golden.foreach { case (q, expected) =>
     test(s"golden plan fingerprint: $q") {

@@ -241,4 +241,42 @@ object Pipeline {
     Dedup.appendBandIndex(exact.select(col(idCol), col("cleaned")),
       "cleaned", idCol, out("bands"))
   }
+
+  /** Leakage-safe train/validation/test split: every member of a
+    * near-duplicate cluster lands in its CANONICAL's split, so a
+    * training doc can never have a near-copy sitting in validation or
+    * test — the standard train/test-leakage guard a naive per-doc hash
+    * split silently violates (a 0.95-jaccard pair splits apart with
+    * probability ≈ 1 − Σ pᵢ²).
+    *
+    * Shape: the guard costs exactly the near-dup clustering — the
+    * collapsed cluster-edge graph ([[Dedup.ngramJaccardClusterEdges]],
+    * O(duplicates) edges, never member-pair cliques) closed by
+    * [[Dedup.resolveClusters]]; the split itself is a map-side hash of
+    * the canonical id (portable md5 reduction, replayable by the
+    * oracle), no shuffle beyond the closure. Singletons (the ~entire
+    * corpus) hash their own id — identical to the naive split wherever
+    * no near-dup exists.
+    *
+    * Returns (`idCol`, canonical, bucket, split) with buckets in
+    * [0, 100): [0, trainPct) → train, [trainPct, trainPct+valPct) →
+    * validation, rest → test.
+    */
+  def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minJaccard: Double = 0.8,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"split percentages must partition [0,100): train=$trainPct val=$valPct")
+    val edges = Dedup.ngramJaccardClusterEdges(docs, textCol, idCol,
+      n, minJaccard)
+    val clusters = Dedup.resolveClusters(edges, docs, idCol)
+    val bucket = conv(substring(
+      md5(concat(lit("split:"), col("canonical").cast("string"))), 1, 15),
+      16, 10).cast("long") % 100
+    clusters.select(col(idCol), col("canonical"),
+      bucket.cast("int").as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "validation")
+        .otherwise("test").as("split"))
+  }
 }

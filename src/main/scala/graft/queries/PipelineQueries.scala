@@ -380,6 +380,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // leakage-safe split (r12): near-dup cluster members follow their
+    // CANONICAL's split hash, so a training doc can never have a
+    // near-copy in validation/test — the guard the naive q_split_assign
+    // hash silently violates (sf0.01 carries 24 docs whose canonical
+    // differs, so the guard is load-bearing in this gate row, not
+    // vacuously equal to the naive split). Oracle: the q_dedup_clusters
+    // recursive-CTE closure + the same portable md5 bucket on canonical
+    "q_split_leakage_safe" -> QueryDef(
+      sqlJaccardCompCtes(0.8, Some(Dedup.DefaultMaxShingleFreq)) +
+        """,
+          |cl AS (
+          |  SELECT d.doc_id,
+          |         CAST(LEAST(d.doc_id, COALESCE(cn.mr, d.doc_id)) AS BIGINT)
+          |           AS canonical
+          |  FROM documents d LEFT JOIN canon cn ON cn.u = d.doc_id)
+          |SELECT doc_id, canonical,
+          |  CAST(CAST('0x' || substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 15)
+          |       AS BIGINT) % 100 AS INTEGER) AS bucket,
+          |  CASE WHEN CAST('0x' || substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 15)
+          |            AS BIGINT) % 100 < 80 THEN 'train'
+          |       WHEN CAST('0x' || substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 15)
+          |            AS BIGINT) % 100 < 90 THEN 'validation'
+          |       ELSE 'test' END AS split
+          |FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Pipeline.leakageSafeSplit(
+        Tables.load(s, d, "documents"), "text", "doc_id",
+        n = 3, minJaccard = 0.8)
+        .orderBy("doc_id")
+    },
+
     // Source-level quality gate (the C4/RefinedWeb domain-filter
     // shape): per-source mean quality via one map-combined aggregation
     // over a tiny key space, kept sources broadcast back against the

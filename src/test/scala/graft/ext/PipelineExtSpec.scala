@@ -958,4 +958,53 @@ class PipelineExtSpec extends SparkSpec {
     // smallest id of its component, drops under history-wins)
     assert(!largerId.contains(4L) && historyWins.contains(4L))
   }
+
+  test("leakage-safe split: cluster members share one split, the guard " +
+    "actually moves a doc off its naive bucket, singletons match naive") {
+    val s = spark
+    import s.implicits._
+    def naiveBucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 100).toInt
+    }
+    // a near-dup pair whose ids land in DIFFERENT naive buckets (found
+    // by probing the same portable hash the operator uses), plus
+    // distinct singleton docs
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val pairA = 1L
+    val pairB = (2L to 500L)
+      .find(b => naiveBucket(b) != naiveBucket(pairA)).get
+    val docs = (Seq(
+      (pairA, base),
+      (pairB, base + " extra")) ++
+      (1000L to 1019L).map(i =>
+        (i, s"completely unrelated singleton document number $i " +
+          s"carrying unique words w${i}a w${i}b w${i}c w${i}d w${i}e")))
+      .toDF("doc_id", "text")
+    val split = graft.ext.Pipeline
+      .leakageSafeSplit(docs, "text", "doc_id", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    // the pair clusters (canonical = min id) and shares ONE split
+    assert(split(pairB)._1 == pairA, "pair did not cluster")
+    assert(split(pairB)._3 == split(pairA)._3,
+      "cluster members landed in different splits — leakage")
+    // the guard is load-bearing: pairB's assigned bucket is its
+    // CANONICAL's, not its own naive bucket
+    assert(split(pairB)._2 == naiveBucket(pairA))
+    assert(split(pairB)._2 != naiveBucket(pairB),
+      "construction failed: pair ids hash to the same naive bucket")
+    // singletons are their own canonical and match the naive split
+    (1000L to 1019L).foreach { i =>
+      assert(split(i)._1 == i && split(i)._2 == naiveBucket(i))
+    }
+    // buckets stay in range and splits partition them correctly
+    split.values.foreach { case (_, b, sp) =>
+      assert(b >= 0 && b < 100)
+      assert(sp == (if (b < 80) "train"
+        else if (b < 90) "validation" else "test"))
+    }
+  }
 }

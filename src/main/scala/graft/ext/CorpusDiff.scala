@@ -38,4 +38,45 @@ object CorpusDiff {
       .filter(col("status").isNotNull)
       .select("doc_id", "status")
   }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * data-quality monitor a training pipeline runs between ingests
+    * ("did today's crawl change what the model will read?"): the
+    * `topK` tokens by absolute probability shift |p_cur − p_old|,
+    * with both sides' counts and probabilities. A pipeline alerts on
+    * the report's head (a template token surging, a language marker
+    * collapsing) long before an aggregate divergence number moves.
+    *
+    * Scale shape: one token explode + map-combined (token, count)
+    * aggregation per side — the classic word-count, Θ(vocab) after
+    * combine, never Θ(corpus) — each side's total rides a 1-row
+    * broadcast; one full-outer vocab join (absent → count 0); the
+    * top-k is a distributed TakeOrdered on (|Δp| desc, token), never a
+    * global window. Probabilities are single IEEE divisions of two
+    * longs — per-row, order-independent, bit-replayable by the oracle
+    * (no distributed float SUM anywhere: an aggregate KL would sum
+    * doubles in shuffle order and could never hash-match DuckDB).
+    */
+  def tokenDrift(old: DataFrame, cur: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame = {
+    def counts(df: DataFrame, cntName: String) = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as(cntName))
+    val o = counts(old, "cnt_old")
+    val c = counts(cur, "cnt_cur")
+    val tot = o.agg(sum("cnt_old").as("__to"))
+      .crossJoin(c.agg(sum("cnt_cur").as("__tc"))) // 1×1 rows — bounded
+    o.join(c, Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("cnt_old", "cnt_cur"))
+      .crossJoin(broadcast(tot)) // vocab × 1 — the broadcast is one row
+      .select(col("tok"), col("cnt_old"), col("cnt_cur"),
+        (col("cnt_old").cast("double") / col("__to").cast("double"))
+          .as("p_old"),
+        (col("cnt_cur").cast("double") / col("__tc").cast("double"))
+          .as("p_cur"))
+      .withColumn("abs_shift", abs(col("p_cur") - col("p_old")))
+      .orderBy(col("abs_shift").desc, col("tok"))
+      .limit(topK)
+  }
 }

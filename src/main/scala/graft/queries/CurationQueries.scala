@@ -684,6 +684,42 @@ object CurationQueries {
       CorpusDiff.diff(old, cur, "doc_id", "text").orderBy("doc_id")
     },
 
+    // token-distribution drift between snapshots (r12): top-20 tokens
+    // by |p_cur - p_old| across the even/odd id slices. Every number
+    // is per-row IEEE arithmetic (two long-to-double divisions, one
+    // subtraction) — deterministically bit-replayable; deliberately NO
+    // aggregate KL/PSI row, because a distributed double SUM is
+    // shuffle-order-dependent and could never hash-match the oracle.
+    // The (abs_shift DESC, tok) order is total, so the top-20 cut is
+    // engine-stable
+    "q_corpus_drift" -> QueryDef(
+      s"""WITH o AS (
+         |  SELECT unnest($SqlTokens) AS tok FROM documents WHERE doc_id % 2 = 0),
+         |c AS (
+         |  SELECT unnest($SqlTokens) AS tok FROM documents WHERE doc_id % 2 = 1),
+         |co AS (SELECT tok, COUNT(*) AS cnt_old FROM o WHERE tok <> '' GROUP BY tok),
+         |cc AS (SELECT tok, COUNT(*) AS cnt_cur FROM c WHERE tok <> '' GROUP BY tok),
+         |j AS (
+         |  SELECT COALESCE(co.tok, cc.tok) AS tok,
+         |         COALESCE(cnt_old, 0) AS cnt_old,
+         |         COALESCE(cnt_cur, 0) AS cnt_cur
+         |  FROM co FULL JOIN cc ON co.tok = cc.tok),
+         |t AS (SELECT (SELECT SUM(cnt_old) FROM co) AS tot_o,
+         |             (SELECT SUM(cnt_cur) FROM cc) AS tot_c)
+         |SELECT tok, CAST(cnt_old AS BIGINT) AS cnt_old,
+         |       CAST(cnt_cur AS BIGINT) AS cnt_cur,
+         |       CAST(cnt_old AS DOUBLE) / CAST(tot_o AS DOUBLE) AS p_old,
+         |       CAST(cnt_cur AS DOUBLE) / CAST(tot_c AS DOUBLE) AS p_cur,
+         |       ABS(CAST(cnt_cur AS DOUBLE) / CAST(tot_c AS DOUBLE)
+         |         - CAST(cnt_old AS DOUBLE) / CAST(tot_o AS DOUBLE)) AS abs_shift
+         |FROM j, t
+         |ORDER BY abs_shift DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      CorpusDiff.tokenDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", topK = 20)
+    },
+
     // sketched corpus-overlap estimate (r11): two id-sliced corpora of
     // the SAME documents (A = ids not divisible by 3, B = odd ids)
     // overlap in content exactly where the slices intersect; both

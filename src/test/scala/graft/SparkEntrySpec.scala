@@ -33,10 +33,13 @@ class SparkEntrySpec extends SparkSpec {
     //   q_ann_pq_rerank     same bounded-broadcast ADC shortlist stage;
     //                       the refinement itself is an equi hash join
     //                       on the shortlist ids
+    //   q_corpus_drift      two 1-row token-total aggregates broadcast
+    //                       against the vocab join (the q_unigram_logprob
+    //                       normalizing-constant pattern, twice)
     val cartesianByDesign =
       Set("q_cross_join", "q_scalar_subquery", "q_ann_topk",
         "q_dedup_embedding", "q_unigram_logprob", "q_ann_pq",
-        "q_ann_pq_fast", "q_ann_pq_rerank")
+        "q_ann_pq_fast", "q_ann_pq_rerank", "q_corpus_drift")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")

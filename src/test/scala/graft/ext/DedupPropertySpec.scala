@@ -497,6 +497,65 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split properties: exact corpus partition, " +
+    "cluster split purity, singleton-naive equality, across random " +
+    "dup-heavy corpora") {
+    val s = spark
+    import s.implicits._
+    def naiveBucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 100).toInt
+    }
+    samples(corpusGen, 8).foreach { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val rows = Pipeline
+        .leakageSafeSplit(docs, "text", "doc_id", n = 3, minJaccard = 0.8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      // exact partition: every doc exactly once
+      assert(rows.map(_._1).sorted.toSeq == corpus.map(_._1).sorted,
+        s"split is not a partition of the corpus: $corpus")
+      // split purity: one (bucket, split) per canonical
+      rows.groupBy(_._2).foreach { case (canon, members) =>
+        assert(members.map(m => (m._3, m._4)).distinct.length == 1,
+          s"cluster $canon spans splits: ${members.toSeq} ($corpus)")
+      }
+      // every bucket is the CANONICAL's portable hash; singletons are
+      // their own canonical, so they equal the naive split exactly
+      rows.foreach { case (_, canon, bucket, _) =>
+        assert(bucket == naiveBucket(canon))
+      }
+    }
+  }
+
+  test("tokenDrift equals a driver brute-force distribution diff " +
+    "across random corpora") {
+    val s = spark
+    import s.implicits._
+    samples(corpusGen, 6).foreach { corpus =>
+      val cut = corpus.size / 2
+      val a = corpus.take(cut); val b = corpus.drop(cut)
+      val got = CorpusDiff
+        .tokenDrift(a.toDF("doc_id", "text"), b.toDF("doc_id", "text"),
+          "text", topK = 1000)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      def cnt(docs: Seq[(Long, String)]) = docs
+        .flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (ca, cb) = (cnt(a), cnt(b))
+      val (ta, tb) = (ca.values.sum.toDouble, cb.values.sum.toDouble)
+      val want = (ca.keySet ++ cb.keySet).toSeq.map { t =>
+        val (x, y) = (ca.getOrElse(t, 0L), cb.getOrElse(t, 0L))
+        (t, x, y, x / ta, y / tb, math.abs(y / tb - x / ta))
+      }.sortBy(r => (-r._6, r._1))
+      assert(got == want, s"drift mismatch on $corpus")
+    }
+  }
+
   test("membership-probe memo: one census per distinct corpus plan, " +
     "memo-hit results equal cold results, distinct corpora get " +
     "distinct entries") {

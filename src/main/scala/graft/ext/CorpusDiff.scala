@@ -59,17 +59,21 @@ object CorpusDiff {
     */
   def tokenDrift(old: DataFrame, cur: DataFrame, textCol: String,
       topK: Int = 20): DataFrame = {
+    import graft.Stage.StageOps
     def counts(df: DataFrame, cntName: String) = df
       .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as(cntName))
-    val o = counts(old, "cnt_old")
-    val c = counts(cur, "cnt_cur")
-    val tot = o.agg(sum("cnt_old").as("__to"))
-      .crossJoin(c.agg(sum("cnt_cur").as("__tc"))) // 1×1 rows — bounded
-    o.join(c, Seq("tok"), "full_outer")
+    // the joined vocab feeds BOTH the totals and the report — boundary
+    // it so each corpus is token-scanned exactly once (totals re-derived
+    // from the Θ(vocab) table; long sums, so exact, and a full-outer
+    // join with 0-fill preserves each side's grand total)
+    val j = counts(old, "cnt_old")
+      .join(counts(cur, "cnt_cur"), Seq("tok"), "full_outer")
       .na.fill(0L, Seq("cnt_old", "cnt_cur"))
-      .crossJoin(broadcast(tot)) // vocab × 1 — the broadcast is one row
+      .stageBoundary
+    val tot = j.agg(sum("cnt_old").as("__to"), sum("cnt_cur").as("__tc"))
+    j.crossJoin(broadcast(tot)) // vocab × 1 — the broadcast is one row
       .select(col("tok"), col("cnt_old"), col("cnt_cur"),
         (col("cnt_old").cast("double") / col("__to").cast("double"))
           .as("p_old"),

@@ -151,6 +151,15 @@ object CorpusOverlap {
     * marker present + live dir present → the crash hit after publish,
     * drop the leftovers. Idempotent; a no-op when no marker exists.
     */
+  /** [[recoverSketchSwap]] for callers outside this object that read
+    * the sketch files directly (the streaming face snapshots the
+    * pre-batch sketch before merging — without recovery-at-head, a
+    * merge that crashed mid-swap would read as "no sketch" and the
+    * snapshot would silently record an empty history).
+    */
+  private[graft] def recoverSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = recoverSketchSwap(spark, path)
+
   private def recoverSketchSwap(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}

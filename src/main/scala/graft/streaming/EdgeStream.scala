@@ -806,6 +806,12 @@ object EdgeStream {
     if (batch.count() == 0) { ledger.commit(batchId); return }
     val fs = new HPath(sketchPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a merge that crashed mid-swap leaves the live dir possibly absent
+    // until the family's recovery runs — run it BEFORE the existence
+    // checks below, or the pre-batch snapshot would silently record an
+    // empty history (the screen's replay-stability depends on the
+    // snapshot being the true pre-batch sketch)
+    graft.ext.CorpusOverlap.recoverSketch(spark, sketchPath)
 
     // sweep snapshots orphaned by a crash between commit and cleanup
     val preRoot = new HPath(s"$sketchPath._pre")

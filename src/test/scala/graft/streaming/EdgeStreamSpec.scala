@@ -653,8 +653,25 @@ class EdgeStreamSpec extends SparkSpec {
       "post-replay sketch must still equal the from-scratch sketch")
     // the committed batch's snapshot is gone (swept at commit)
     val pre = new org.apache.hadoop.fs.Path(s"$sketch._pre/b2")
-    assert(!pre.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(pre), "committed snapshot not swept")
+    val fs = pre.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(pre), "committed snapshot not swept")
+
+    // a PRIOR merge crashed mid-swap (marker dropped, live dir moved
+    // aside) and batch 3 arrives: the batch head must run the sketch
+    // family's recovery BEFORE snapshotting, or the pre-batch snapshot
+    // reads "no sketch" and the screen silently records empty history
+    def hp(s2: String) = new org.apache.hadoop.fs.Path(s2)
+    fs.create(hp(sketch + "__swap"), true).close()
+    assert(fs.rename(hp(sketch), hp(sketch + "__bak")),
+      "simulate mid-swap crash")
+    val b3 = docs(200 until 260).toDF("doc_id", "text")
+    val expect3 = graft.ext.CorpusOverlap.overlapEstimate(
+      union.unionByName(b2), b3, "text", k).head().toSeq
+    var got3: Seq[Any] = null
+    EdgeStream.kmvBatch(b3, 3L, "text", sketch, k,
+      (est, _) => got3 = est.drop("batch_id").head().toSeq)
+    assert(got3 == expect3,
+      "screen after a mid-swap crash must see the RECOVERED history")
   }
 
   test("streaming clustered-store ingestion: empty bootstrap, tagged " +

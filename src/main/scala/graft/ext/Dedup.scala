@@ -776,12 +776,20 @@ object Dedup {
     * the boundary it needs.
     */
   private val MembershipMemoCap = 8
+  // keyed on (session id, canonicalized plan): a boundary DataFrame is
+  // bound to the session that checkpointed it, and one JVM can run
+  // several sessions over the same parquet paths (the canonicalized
+  // plans compare equal across sessions) — without the session
+  // component, a restarted session would be served a DataFrame whose
+  // owning session is stopped
+  private type MemoKey =
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
   private val membershipMemo =
-    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        (Long, Option[DataFrame])](16, 0.75f, true) {
+    new java.util.LinkedHashMap[MemoKey, (Long, Option[DataFrame])](
+        16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-            (Long, Option[DataFrame])]): Boolean = size > MembershipMemoCap
+          e: java.util.Map.Entry[MemoKey, (Long, Option[DataFrame])])
+          : Boolean = size > MembershipMemoCap
     }
   private[ext] def membershipMemoSize: Int =
     membershipMemo.synchronized(membershipMemo.size)
@@ -798,8 +806,10 @@ object Dedup {
         .filter(col("__cnt") > 1)
         .select(col("id"), col("rep"))
     }
-    val key = keyed.select(col("id"), col(fpCol))
-      .queryExecution.analyzed.canonicalized
+    val key: MemoKey = (
+      System.identityHashCode(keyed.sparkSession).toString,
+      keyed.select(col("id"), col(fpCol))
+        .queryExecution.analyzed.canonicalized)
     // probe the PLAN with count(), not isEmpty-on-a-boundary: count is
     // ONE job (isEmpty's executeTake scales up 1→4→16→… partitions,
     // paying several job rounds to learn there is nothing), and on the

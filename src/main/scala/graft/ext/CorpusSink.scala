@@ -132,6 +132,31 @@ object CorpusSink {
       .json(outDir)
   }
 
+  /** ORC interchange — the other columnar container warehouse stacks
+    * exchange (Hive/Trino lakehouses ship ORC where public LLM dumps
+    * ship JSONL): Spark's native vectorized ORC source keeps the same
+    * predicate-pushdown / column-pruning contract as parquet. With
+    * `sortCol` the shards write range-partitioned and sorted, so ORC's
+    * per-stripe min/max statistics prune id-range scans the way the
+    * Z-order face prunes multi-dimensional ones.
+    */
+  def writeOrc(df: DataFrame, outDir: String,
+      sortCol: Option[String] = None,
+      compression: String = "zstd"): Unit = {
+    val out = sortCol.fold(df)(c =>
+      df.repartitionByRange(col(c)).sortWithinPartitions(col(c)))
+    out.write.mode("overwrite")
+      .option("compression", compression).orc(outDir)
+  }
+
+  /** Read an ORC corpus with an EXPLICIT schema (never infer — the
+    * footer read is cheap, but pinning the schema keeps a drifted
+    * producer from silently widening downstream types).
+    */
+  def readOrc(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
   /** Read a JSONL corpus with an EXPLICIT schema and corrupt-line
     * quarantine: `(good, quarantined)`. Implemented as a raw text scan
     * + `from_json` per line — unlike the json datasource's

@@ -657,6 +657,27 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // ORC interchange round-trip (r12): the corpus written as
+    // id-sorted zstd ORC shards and read back through the
+    // explicit-schema reader must preserve every doc — same
+    // aggregate-the-round-trip proof shape as q_jsonl_roundtrip, and
+    // the same oracle reads the original parquet
+    "q_orc_roundtrip" -> QueryDef(
+      s"""SELECT source, COUNT(*) AS docs,
+         |       CAST(SUM(len($SqlTokens)) AS BIGINT) AS tok_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      CorpusSink.writeOrc(docs, dir, sortCol = Some("doc_id"))
+      CorpusSink.readOrc(s, dir, docs.schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast(LongType))
+            .as("tok_sum"))
+        .orderBy("source")
+    },
+
     // corpus snapshot diff (r7): old = ids < 400 as-is, new = ids >= 50
     // with every 10th doc's text edited — the diff must report exactly
     // the adds/removes/changes; the Spark side compares 64-bit

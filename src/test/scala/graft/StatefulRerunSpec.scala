@@ -28,7 +28,8 @@ class StatefulRerunSpec extends SparkSpec {
     // state dirs must not collide across two invocations
     "q_clustered_store",
     "q_zorder_roundtrip",
-    "q_jsonl_roundtrip")
+    "q_jsonl_roundtrip",
+    "q_orc_roundtrip")
 
   // one canonical rendering per row set: column-name-sorted values
   // (the driver's own compare shape), row-sorted so physical order

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Stage.StageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -177,4 +178,90 @@ object Decontaminate {
     corpus.select(col(idCol).as("doc_id"),
         bloomHitsCol(col(textCol), bloomBits, n, k).cast(LongType).as("hits"))
       .filter(col("hits") >= minHits)
+
+  // ---- Fuzzy (near-duplicate) decontamination ----
+  //
+  // The verbatim paths above catch docs that QUOTE the benchmark; a
+  // paraphrased or lightly-edited eval answer slips them when fewer than
+  // minHits n-grams survive verbatim. The fuzzy path flags corpus docs
+  // that are NEAR-DUPLICATES of a benchmark doc as a whole — MinHash-LSH
+  // candidate generation across the two corpora, then EXACT n-gram
+  // Jaccard verification — the cross-corpus analogue of
+  // [[Dedup.minhashLshPairs]], and what Dolma/RefinedWeb-style pipelines
+  // run between the training corpus and every eval suite.
+
+  /** Cross-corpus near-duplicate matches: (`doc_id`, `bench_id`,
+    * `jaccard`) for every corpus/benchmark pair whose exact n-gram
+    * Jaccard ≥ `minJaccard`, candidates generated by joining the two
+    * sides' LSH band rows (same signature family and banding as
+    * [[Dedup.minhashLshPairs]], so a persisted
+    * [[Dedup.writeBandIndex]] corpus index is probe-compatible).
+    *
+    * Output equals the brute-force cross join whenever banding recall
+    * is ~1 at the threshold (numPerms=64, bands=16 → 4 rows/band: a
+    * true pair at j=0.9 is missed with prob (1−0.9⁴)¹⁶ ≈ 4e-8).
+    *
+    * Scale shape: both sides reduce to constant-width (id, band,
+    * bandHash) rows — shingle arrays never shuffle. The benchmark side
+    * is tiny against a 100 TB corpus (eval suites), so its band rows
+    * and verification shingle sets BROADCAST: the corpus is touched in
+    * one banding map pass + one broadcast join, never self-joined and
+    * never exchanged. Hot corpus duplicates (m copies of one benchmark
+    * answer) cost m candidate rows — LINEAR, unlike within-corpus LSH's
+    * m² bucket blowup — so the exact-set collapse machinery is
+    * deliberately not replicated here. Verification shingles re-derive
+    * only for docs in some candidate pair (semi-join first), exactly
+    * like [[Dedup]]'s verify stage.
+    */
+  def fuzzyMatches(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, minJaccard: Double = 0.9,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val cb = Dedup.bandRows(corpus, textCol, idCol, n, numPerms, bands)
+    val bb = Dedup.bandRows(bench, textCol, idCol, n, numPerms, bands)
+    // materialized once (O(near-dup pairs), small): the final join and
+    // BOTH verification semi-joins read the candidate list without
+    // re-running the corpus-wide banding pipeline, and its measured
+    // stats let the semi-joins broadcast instead of exchanging the
+    // corpus (the [[Dedup.selfCandidates]] pattern)
+    val cand = cb.as("c")
+      .join(broadcast(bb.as("b")),
+        col("c.band") === col("b.band") &&
+          col("c.bandHash") === col("b.bandHash"))
+      .select(col("c.id").as("__ca"), col("b.id").as("__cb"))
+      .distinct()
+      .stageBoundary
+    val corpSh = corpus
+      .join(cand.select("__ca").distinct(), corpus(idCol) === col("__ca"),
+        "left_semi")
+      .select(col(idCol).as("__ca"),
+        Dedup.hashedShingles(col(textCol), n).as("__sha"))
+      .filter(size(col("__sha")) > 0)
+    val benchSh = bench
+      .join(cand.select("__cb").distinct(), bench(idCol) === col("__cb"),
+        "left_semi")
+      .select(col(idCol).as("__cb"),
+        Dedup.hashedShingles(col(textCol), n).as("__shb"))
+      .filter(size(col("__shb")) > 0)
+    cand
+      .join(corpSh, "__ca")
+      .join(broadcast(benchSh), "__cb")
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("jaccard", col("__i").cast(DoubleType) /
+        (size(col("__sha")) + size(col("__shb")) - col("__i"))
+          .cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("__ca").as("doc_id"), col("__cb").as("bench_id"),
+        col("jaccard"))
+  }
+
+  /** The fuzzily-clean corpus: drops every doc with a
+    * [[fuzzyMatches]] hit. One anti-join on the (small) flagged-id set.
+    */
+  def fuzzyClean(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      minJaccard: Double = 0.9): DataFrame = {
+    val bad = fuzzyMatches(corpus, bench, textCol, idCol, n, minJaccard)
+      .select(col("doc_id").as("__bad_id")).distinct()
+    corpus.join(bad, corpus(idCol) === col("__bad_id"), "left_anti")
+  }
 }

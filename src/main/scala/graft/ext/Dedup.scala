@@ -1040,9 +1040,10 @@ object Dedup {
   }
 
   /** (id, band, bandHash) rows of a corpus — the banding stage of
-    * [[minhashLshPairs]], exposed for index builds and probes
+    * [[minhashLshPairs]], exposed for index builds and probes (and for
+    * [[Decontaminate.fuzzyMatches]]' cross-corpus band join)
     */
-  private def bandRows(df: DataFrame, textCol: String, idCol: String,
+  private[ext] def bandRows(df: DataFrame, textCol: String, idCol: String,
       n: Int, numPerms: Int, bands: Int): DataFrame =
     bandRowsFp(df, textCol, idCol, n, numPerms, bands).drop("fp")
 

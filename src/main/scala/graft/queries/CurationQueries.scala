@@ -30,6 +30,44 @@ object CurationQueries {
   private def sqlIdHash(idExpr: String) =
     s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
 
+  /** DuckDB 3-gram mirror of Dedup.hashedShingles(text, 3) with source
+    * (string shingles; distinct-count semantics match the 64-bit-hash
+    * side, collision odds ~2⁻⁶⁴ per pair) — the same shingle universe
+    * the dedup-family oracles verify against
+    */
+  private val Sql3grams =
+    s"""SELECT DISTINCT doc_id, source,
+       |       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |FROM (SELECT doc_id, source, $SqlTokens AS w FROM documents) tok,
+       |     UNNEST(range(1, len(w)-1)) AS t(i)
+       |WHERE len(w) >= 3""".stripMargin
+
+  /** cross-corpus brute-force jaccard CTE chain (no leading WITH),
+    * ending in `fpairs(doc_id, bench_id, jaccard)` at τ ≥ `tau` —
+    * shared by the fuzzy-match and fuzzy-clean oracles. Valid as an
+    * LSH oracle because 16×4 banding recall at the threshold is ~1
+    * (miss ≤ 4e-8 per true pair at j = 0.9; this corpus's qualifying
+    * cross pairs all sit ≥ 0.90, so the expected oracle divergence is
+    * ~1e-7 — the q_dedup_minhash_lsh recall-argument class).
+    */
+  private def sqlFuzzyPairCtes(tau: Double) =
+    s"""sh AS MATERIALIZED ($Sql3grams),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |bench AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+       |corp AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+       |finter AS (
+       |  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS c
+       |  FROM corp c JOIN bench b ON c.s = b.s GROUP BY 1, 2),
+       |fpairs AS (
+       |  SELECT i.doc_id, i.bench_id,
+       |         CAST(i.c AS DOUBLE) / CAST(sa.sz + sb.sz - i.c AS DOUBLE)
+       |           AS jaccard
+       |  FROM finter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_id
+       |  JOIN sizes sb ON sb.doc_id = i.bench_id
+       |  WHERE CAST(i.c AS DOUBLE) / CAST(sa.sz + sb.sz - i.c AS DOUBLE)
+       |        >= $tau)""".stripMargin
+
   val defs: Map[String, QueryDef] = QueryDef.checked(
 
     // benchmark decontamination: corpus docs sharing >= 5 distinct
@@ -127,6 +165,41 @@ object CurationQueries {
         docs.filter(col("source") === "src0"),
         "text", "doc_id", n = 5)
         .orderBy("doc_id")
+    },
+
+    // fuzzy decontamination (r12): corpus docs that are NEAR-DUPLICATES
+    // of an eval doc as a whole — MinHash-LSH candidates across the two
+    // corpora, exact 3-gram jaccard verification at τ=0.9 (the
+    // paraphrase/light-edit leak the verbatim ≥5-hit gate can miss).
+    // The oracle is the brute-force cross join — see sqlFuzzyPairCtes
+    // for the banding-recall argument
+    "q_decontaminate_fuzzy" -> QueryDef(
+      s"""WITH ${sqlFuzzyPairCtes(0.9)}
+         |SELECT doc_id, bench_id, jaccard FROM fpairs
+         |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      Decontaminate.fuzzyMatches(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 3, minJaccard = 0.9)
+        .orderBy("doc_id", "bench_id")
+    },
+
+    // the fuzzily-clean corpus: per-source counts prove exactly the
+    // near-dup-flagged docs were dropped
+    "q_decontaminate_fuzzy_clean" -> QueryDef(
+      s"""WITH ${sqlFuzzyPairCtes(0.9)},
+         |fbad AS (SELECT DISTINCT doc_id FROM fpairs)
+         |SELECT source, COUNT(*) AS cnt FROM documents
+         |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM fbad)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      Decontaminate.fuzzyClean(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 3, minJaccard = 0.9)
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source")
     },
 
     // per-source TOKEN-budget selection (r7): greedy hash-order prefix

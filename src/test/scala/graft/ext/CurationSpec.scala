@@ -64,6 +64,44 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(11L))
   }
 
+  test("fuzzyMatches finds cross-corpus near-dups with exact jaccard; " +
+    "fuzzyClean drops exactly the flagged docs") {
+    val s = spark
+    import s.implicits._
+    val w = (1 to 40).map(i => s"w$i")
+    val b1 = w.mkString(" ")                        // 40 tokens, 38 shingles
+    val b2 = (1 to 40).map(i => s"v$i").mkString(" ")
+    val c1 = (w.init :+ "CHANGED").mkString(" ")    // last word edited
+    val bench = Seq((1L, b1), (2L, b2)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, c1),    // near-dup of bench 1
+      (11L, "totally unrelated content with its own private phrasing"),
+      (12L, b2)     // exact copy of bench 2
+    ).toDF("doc_id", "text")
+    // expected jaccard of (c1, b1) from first principles: editing the
+    // last of 40 tokens replaces the final 3 of 38 distinct 3-shingles
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val j1 = sh(c1).intersect(sh(b1)).size.toDouble /
+      sh(c1).union(sh(b1)).size
+    val got = Decontaminate.fuzzyMatches(corpus, bench, "text", "doc_id",
+      n = 3, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == Set((10L, 1L), (12L, 2L)))
+    assert(got((10L, 1L)) == j1)
+    assert(got((12L, 2L)) == 1.0)
+    // raising τ above the edited pair's jaccard drops it at the
+    // verification stage (the candidate still collides in the bands)
+    val strict = Decontaminate.fuzzyMatches(corpus, bench, "text", "doc_id",
+      n = 3, minJaccard = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((12L, 2L)))
+    val kept = Decontaminate.fuzzyClean(corpus, bench, "text", "doc_id",
+      n = 3, minJaccard = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+  }
+
   test("stratified sampling is deterministic and rate-monotone") {
     val s = spark
     import s.implicits._

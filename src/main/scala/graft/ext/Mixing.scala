@@ -138,6 +138,58 @@ object Mixing {
       .drop("__n")
   }
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: draw
+    * exactly `k` rows where a row's inclusion probability is
+    * proportional to `weightCol` (quality-weighted corpus selection,
+    * token-share-preserving downsampling). Each row gets the key
+    * `u^(1/w)` with `u = (idHash+1)/2⁶⁰` — computed as
+    * `ln(u)/w` (same ordering, numerically stable) — and the top-k by
+    * key IS an exact E–S sample (VLDB'06 Weighted Random Sampling).
+    * Deterministic like every mixing decision here: `u` is the
+    * portable md5 id hash, never `rand()`, so any engine replays the
+    * exact sample. Rows with weight ≤ 0 are excluded (their E–S
+    * inclusion probability is 0).
+    *
+    * Scale shape: the key is a narrow map stage; top-k plans as
+    * `TakeOrderedAndProject` (per-partition heaps, driver merges
+    * k·partitions rows) — no global sort, no single-partition
+    * exchange. Engine-replay caveat: the key uses `ln`, so an oracle
+    * engine's libm must agree to ~1 ulp — divergence requires two keys
+    * within one ulp EXACTLY at the rank-k boundary (~2⁻⁵² odds per
+    * boundary), far below the banding-miss odds the dedup oracles
+    * already accept.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.filter(weightCol > 0)
+      .withColumn("__wk", esKey(col(idCol), weightCol))
+      .orderBy(col("__wk").desc, col(idCol))
+      .limit(k)
+      .drop("__wk")
+  }
+
+  /** Per-stratum [[weightedSample]]: exactly `k` rows per stratum,
+    * inclusion probability ∝ weight within the stratum — "the best 10k
+    * docs per domain, quality-weighted but not deterministic-top-k"
+    * (pure top-k by score collapses to one template cluster; weighted
+    * sampling keeps diversity while still favoring quality). Runs on
+    * [[capPerStratum]]'s skew-safe two-phase top-k, so one giant
+    * stratum never funnels through a single window partition.
+    */
+  def weightedSamplePerStratum(df: DataFrame, idCol: String,
+      strataCol: String, weightCol: Column, k: Int): DataFrame =
+    capPerStratum(
+      df.filter(weightCol > 0)
+        .withColumn("__wk", esKey(col(idCol), weightCol)),
+      strataCol, k, Seq(col("__wk").desc, col(idCol)))
+      .drop("__wk")
+
+  /** the E–S key ln(u)/w with u = (idHash+1)/2⁶⁰ ∈ (0, 1] */
+  private def esKey(id: Column, weight: Column): Column =
+    log((idHash(id).cast(DoubleType) + 1.0) / math.pow(2.0, 60)) /
+      weight.cast(DoubleType)
+
   /** Token-budget sequence packing (context-window assembly): within
     * each stratum, docs in id order are laid head-to-tail and cut into
     * bins of ~`budgetTokens` — bin = ⌊exclusive-running-token-sum /

@@ -202,6 +202,56 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // Efraimidis–Spirakis weighted sampling without replacement (r12):
+    // exactly k docs, inclusion probability ∝ token count (the
+    // token-share-preserving downsample). Key = ln(u)/w with u the
+    // portable md5 id hash → the oracle replays the exact sample;
+    // boundary divergence needs two keys within 1 ulp at rank k
+    "q_weighted_sample" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len($SqlTokens) AS BIGINT) AS n_tokens,
+         |             ${sqlIdHash("doc_id")} AS h FROM documents),
+         |wk AS (SELECT doc_id, n_tokens,
+         |         ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
+         |           / n_tokens AS k
+         |       FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens FROM
+         |  (SELECT * FROM wk ORDER BY k DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      Mixing.weightedSample(docs, "doc_id", col("n_tokens"), 100)
+        .orderBy("doc_id")
+    },
+
+    // the per-stratum face: k docs per source, weighted within the
+    // stratum — skew-safe two-phase top-k underneath (capPerStratum)
+    "q_weighted_sample_stratified" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($SqlTokens) AS BIGINT) AS n_tokens,
+         |             ${sqlIdHash("doc_id")} AS h FROM documents),
+         |wk AS (SELECT doc_id, source, n_tokens,
+         |         ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
+         |           / n_tokens AS k
+         |       FROM t WHERE n_tokens > 0),
+         |r AS (SELECT doc_id, source, n_tokens,
+         |        CAST(ROW_NUMBER() OVER (
+         |          PARTITION BY source ORDER BY k DESC, doc_id) AS BIGINT)
+         |          AS keep_rank
+         |      FROM wk)
+         |SELECT source, doc_id, n_tokens, keep_rank FROM r
+         |WHERE keep_rank <= 3 ORDER BY source, keep_rank""".stripMargin) {
+      (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      Mixing.weightedSamplePerStratum(docs, "doc_id", "source",
+        col("n_tokens"), 3)
+        .select("source", "doc_id", "n_tokens", "keep_rank")
+        .orderBy("source", "keep_rank")
+    },
+
     // per-source TOKEN-budget selection (r7): greedy hash-order prefix
     // until each source's token budget fills; the prefix sum runs
     // bucketed (hash-range buckets + tiny offset table), never through

@@ -102,6 +102,49 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(11L))
   }
 
+  test("weightedSample matches an independent Efraimidis–Spirakis " +
+    "reference; zero-weight rows excluded; per-stratum face exact") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i % 7) match {
+        case 0 => 0L          // weight 0 → never sampled
+        case w => w.toLong
+      }))
+    val df = rows.toDF("id", "src", "w")
+    // independent reference: JDK md5, same 60-bit prefix, same key
+    def hash60(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.take(8).zipWithIndex.map { case (b, i) =>
+        (b & 0xffL) << (56 - 8 * i)
+      }.sum >>> 4 // 64 → top 60 bits = first 15 hex digits
+    }
+    def key(id: Long, w: Long): Double =
+      math.log((hash60(id) + 1.0) / math.pow(2.0, 60)) / w
+    val expect = rows.filter(_._3 > 0)
+      .sortBy { case (id, _, w) => (-key(id, w), id) }
+      .take(10).map(_._1).toSet
+    val got = Mixing.weightedSample(df, "id", col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // deterministic run-to-run
+    assert(Mixing.weightedSample(df, "id", col("w"), 10)
+      .collect().map(_.getLong(0)).toSet == got)
+    // per-stratum: exactly k per stratum, and each stratum's set is the
+    // reference top-k within the stratum
+    val perStratum = Mixing.weightedSamplePerStratum(
+      df, "id", "src", col("w"), 5)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    Seq("a", "b").foreach { stratum =>
+      val ref = rows.filter(r => r._2 == stratum && r._3 > 0)
+        .sortBy { case (id, _, w) => (-key(id, w), id) }
+        .take(5).map(_._1).toSet
+      assert(perStratum(stratum) == ref, s"stratum $stratum")
+    }
+  }
+
   test("stratified sampling is deterministic and rate-monotone") {
     val s = spark
     import s.implicits._

@@ -1328,6 +1328,44 @@ object CurationQueries {
         .limit(20)
     },
 
+    // Count-Min sketch point-frequency estimates (r12): build the fixed
+    // 5x2048 sketch over the corpus token stream, then estimate the
+    // exact top-20 tokens' counts from it — est >= exact always; the
+    // oracle replays every cell and every min bit-for-bit (portable md5
+    // double-hash), collisions included
+    "q_cms_counts" -> QueryDef(
+      s"""WITH toks AS (SELECT UNNEST($SqlTokens) AS t FROM documents),
+         |tok AS (SELECT t FROM toks WHERE len(t) > 0),
+         |h AS (SELECT t,
+         |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h1,
+         |        CAST(('0x' || substr(md5(t), 17, 15)) AS BIGINT) AS h2
+         |      FROM tok),
+         |cells AS (SELECT u.r, (h1 + u.r * h2) % 2048 AS b,
+         |            CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM h, UNNEST(range(0, 5)) AS u(r) GROUP BY 1, 2),
+         |cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact
+         |        FROM tok GROUP BY t),
+         |top AS (SELECT t, exact FROM cnt ORDER BY exact DESC, t LIMIT 20),
+         |x AS (SELECT top.t, top.exact, u.r,
+         |        (CAST(('0x' || substr(md5(top.t), 1, 15)) AS BIGINT)
+         |         + u.r *
+         |           CAST(('0x' || substr(md5(top.t), 17, 15)) AS BIGINT))
+         |          % 2048 AS b
+         |      FROM top, UNNEST(range(0, 5)) AS u(r))
+         |SELECT x.t AS token, x.exact, MIN(cl.c) AS est
+         |FROM x JOIN cells cl ON cl.r = x.r AND cl.b = x.b
+         |GROUP BY 1, 2 ORDER BY exact DESC, token""".stripMargin) { (s, d) =>
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) > 0)
+      val sk = Cms.sketch(toks, col("t"))
+      toks.groupBy("t").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("t")).limit(20)
+        .select(col("t").as("token"), col("exact"),
+          Cms.estimateCol(col("t"), sk).as("est"))
+        .orderBy(col("exact").desc, col("token"))
+    },
+
     // per-source quota cap (domain balancing): keep the 40 largest docs
     // of each source under a total order; skew-safe two-phase top-k
     // (salted local rank bounds any one stratum's window input)

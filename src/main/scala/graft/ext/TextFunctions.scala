@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Stage.StageOps
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -583,6 +584,48 @@ object TextFunctions {
           (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl))))
       .groupBy(col(idCol))
       .agg(round(sum(col("__c")), 6).as("bm25"))
+  }
+
+  /** Per-document TF-IDF keyword extraction: the top `k` terms of each
+    * doc by tf·idf — the per-doc topical summary (dataset cards, topic
+    * drill-downs, cluster labeling) where [[bm25]] answers the inverse
+    * question (rank docs for given terms).
+    *
+    * Scores are INTEGER: `tf · round(1e6 · ln(N/df))` (micro-nat idf,
+    * the DSIR/NB integer-log-ratio trick), so per-doc ranking is exact
+    * integer ordering with a term-text tiebreak — an external engine
+    * replays rank cuts bit-for-bit, no float-boundary ambiguity.
+    *
+    * Scale shape: explode → ONE map-combined (doc, term) count, a
+    * per-term df aggregate off that (map-combined, vocab-sized — never
+    * the token stream), one equi-join back on the term key, and the
+    * per-doc top-k window. The window partitions by doc — per-doc row
+    * count is the doc's distinct-term count, bounded by doc length, so
+    * no stratum-skew hazard. Terms in fewer than `minDf` docs are
+    * dropped before scoring (hapax noise).
+    */
+  def keywordsTfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, minDf: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minDf >= 1, "minDf must be >= 1")
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("__w"))
+    tf.join(dft, "__w")
+      .withColumn("score", col("tf") *
+        round(log(lit(n.toDouble) / col("__df")) * 1e6).cast(LongType))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("__w").as("term"), col("tf"),
+        col("score"), col("rank"))
   }
 
   /** Token-window document chunking (context-window corpus prep): one

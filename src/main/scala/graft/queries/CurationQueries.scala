@@ -1328,6 +1328,34 @@ object CurationQueries {
         .limit(20)
     },
 
+    // per-doc TF-IDF keyword extraction (r12): top-5 terms per doc with
+    // INTEGER micro-nat scores (tf * round(1e6*ln(N/df)) — the DSIR
+    // integer-log trick), so the rank cut replays exactly; hapax terms
+    // (df < 2) dropped before scoring
+    "q_keywords_tfidf" -> QueryDef(
+      s"""WITH tok AS (SELECT doc_id, UNNEST($SqlTokens) AS w FROM documents),
+         |tk AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |        GROUP BY 1 HAVING COUNT(*) >= 2),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, w, tf,
+         |         tf * CAST(ROUND(ln(CAST(n AS DOUBLE) / df) * 1e6)
+         |                   AS BIGINT) AS score
+         |       FROM tf JOIN dfq USING (w) CROSS JOIN nn),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, w) AS BIGINT)
+         |        AS kw_rank FROM sc)
+         |SELECT doc_id, w AS term, tf, score, kw_rank FROM r
+         |WHERE kw_rank <= 5 ORDER BY doc_id, kw_rank""".stripMargin) {
+      (s, d) =>
+      TextFunctions.keywordsTfIdf(
+        Tables.load(s, d, "documents"), "doc_id", "text", k = 5, minDf = 2)
+        .withColumnRenamed("rank", "kw_rank")
+        .orderBy("doc_id", "kw_rank")
+    },
+
     // Count-Min sketch point-frequency estimates (r12): build the fixed
     // 5x2048 sketch over the corpus token stream, then estimate the
     // exact top-20 tokens' counts from it — est >= exact always; the

@@ -788,6 +788,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("keywordsTfIdf: rare repeated terms outrank common ones, hapax " +
+    "dropped by minDf, scores are exact integer micro-nats") {
+    val s = spark
+    import s.implicits._
+    // "common" in all 4 docs (idf=0), "rare" in 2, "once" in 1 (hapax)
+    val docs = Seq(
+      (1L, "common rare rare rare once common"),
+      (2L, "common rare common"),
+      (3L, "common filler filler"),
+      (4L, "common filler")).toDF("doc_id", "text")
+    val got = TextFunctions.keywordsTfIdf(docs, "doc_id", "text",
+      k = 2, minDf = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1)
+    def idfMicro(df: Long): Long = math.round(math.log(4.0 / df) * 1e6)
+    // doc 1: rare tf=3 scores 3·ln(4/2)µ, common tf=2 scores 0 (idf ln1);
+    // "once" (df=1) must be absent entirely
+    val d1 = got(1L).sortBy(_._5)
+    assert(d1.map(t => (t._2, t._3, t._4)).toSeq == Seq(
+      ("rare", 3L, 3 * idfMicro(2)), ("common", 2L, 0L)))
+    assert(!got.values.flatten.exists(_._2 == "once"))
+    // doc 3: filler (df=2) outranks common (idf 0); exact scores
+    val d3 = got(3L).sortBy(_._5)
+    assert(d3.map(t => (t._2, t._4)).toSeq == Seq(
+      ("filler", 2 * idfMicro(2)), ("common", 0L)))
+    // k caps per doc
+    assert(got.values.forall(_.length <= 2))
+  }
+
   test("bm25 ranks exact term matches by tf saturation and rarity") {
     val s = spark
     import s.implicits._

@@ -69,4 +69,92 @@ object Cms {
           pmod(itemH1(item) + r.cast(LongType) * itemH2(item),
             lit(width.toLong)).cast(IntegerType) + 1)))
   }
+
+  // ---- persisted / incremental state (the streaming face's substrate) ----
+  //
+  // CMS merge is a SUM, not a set union: re-folding a replayed
+  // increment double-counts, so — unlike the KMV family, whose merge
+  // is idempotent by algebra — the persisted state uses the
+  // heavy-hitter family's versioned protocol: state lives under
+  // `s<version>` with a `_commits/s<version>` marker written last, an
+  // update whose version is already committed is a no-op, and a crash
+  // before the marker leaves the previous committed version as the
+  // read point (the half-written dir is invisible). Versions are the
+  // caller's batch ids — sparse is fine.
+
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** committed state versions, ascending */
+  def committedVersions(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Seq[Long] = {
+    val f = hfs(spark, stateDir)
+    val p = new HPath(s"$stateDir/_commits")
+    if (!f.exists(p)) Seq()
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("s") &&
+        s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit) =>
+        s.drop(1).toLong }
+      .sorted
+  }
+
+  /** (sketch, items-folded) at the LATEST committed version — zeros at
+    * an empty state. Shape is checked against (depth, width).
+    */
+  def readState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      depth: Int = DefaultDepth, width: Int = DefaultWidth)
+      : (Array[Long], Long) = {
+    val versions = committedVersions(spark, stateDir)
+    if (versions.isEmpty) return (new Array[Long](depth * width), 0L)
+    val rows = spark.read.schema("idx LONG, c LONG")
+      .parquet(s"$stateDir/s${versions.max}")
+      .collect() // depth·width rows — fixed size, never corpus-scaled
+    require(rows.length == depth * width,
+      s"cms state shape ${rows.length} != ${depth * width} — depth/width " +
+        "differ from the ones this state was built with")
+    val sk = new Array[Long](depth * width)
+    rows.foreach(r => sk(r.getLong(0).toInt) = r.getLong(1))
+    val f = hfs(spark, stateDir)
+    val in = f.open(new HPath(s"$stateDir/s${versions.max}/_n"))
+    val n = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    (sk, n)
+  }
+
+  /** Fold an increment's items into the state under `version`
+    * (idempotent: a committed version is a no-op — the replay
+    * contract). One aggregation over the increment; the merge is
+    * driver-side over two fixed 80 KB arrays; older committed versions
+    * are swept after the marker lands.
+    */
+  def updateState(increment: DataFrame, itemCol: Column, stateDir: String,
+      depth: Int = DefaultDepth, width: Int = DefaultWidth,
+      version: Option[Long] = None): Unit = {
+    val spark = increment.sparkSession
+    import spark.implicits._
+    val committed = committedVersions(spark, stateDir)
+    val v = version.getOrElse(if (committed.isEmpty) 0L else committed.max + 1)
+    if (committed.contains(v)) return
+    val inc = sketch(increment, itemCol, depth, width)
+    val (prev, nPrev) = readState(spark, stateDir, depth, width)
+    val nInc = inc.sum / depth // every item increments one cell per row
+    val merged = merge(prev, inc)
+    val dir = s"$stateDir/s$v"
+    merged.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+      .toDF("idx", "c")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = hfs(spark, stateDir)
+    val out = f.create(new HPath(s"$dir/_n"), true)
+    try out.write(s"${nPrev + nInc}".getBytes("UTF-8")) finally out.close()
+    val m = new HPath(s"$stateDir/_commits/s$v")
+    f.mkdirs(m.getParent)
+    f.create(m, true).close()
+    committed.filter(_ < v).foreach { old =>
+      f.delete(new HPath(s"$stateDir/s$old"), true)
+      f.delete(new HPath(s"$stateDir/_commits/s$old"), false)
+    }
+  }
 }

@@ -792,6 +792,59 @@ object EdgeStream {
         kmvBatch(batch, batchId, textCol, sketchPath, k, sink)
       }
 
+  /** Streaming Count-Min sketch maintenance + per-batch novelty screen
+    * — the streaming face of the [[graft.ext.Cms]] family: each
+    * micro-batch's tokens fold into the persisted corpus frequency
+    * sketch at `stateDir`, and a one-row screen against the PRE-batch
+    * sketch ("how many of this shard's distinct tokens has the corpus
+    * already seen ≥ `minCount` times") goes to `sink(df, batchId)`.
+    * Per-batch cost: one map-combined aggregation over the BATCH plus
+    * a fixed 80 KB state read/write — history is never rescanned.
+    *
+    * CMS merge is a SUM, so a replayed fold would double-count —
+    * idempotence rides [[graft.ext.Cms.updateState]]'s versioned
+    * commit protocol keyed on the batch id: a committed batch
+    * short-circuits the whole body (fold AND screen — the screen can't
+    * run against a post-batch sketch because the version commit is the
+    * LAST step; any earlier crash point replays from the previous
+    * committed state, reproducing the sink row exactly).
+    */
+  def cmsSketchStream(docs: DataFrame, textCol: String, stateDir: String,
+      depth: Int = graft.ext.Cms.DefaultDepth,
+      width: Int = graft.ext.Cms.DefaultWidth, minCount: Long = 2)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cmsBatch(batch, batchId, textCol, stateDir, depth, width,
+          minCount, sink)
+      }
+
+  /** One [[cmsSketchStream]] micro-batch, exposed so a replay (same
+    * batchId, any crash window) is directly testable.
+    */
+  private[streaming] def cmsBatch(batch0: DataFrame, batchId: Long,
+      textCol: String, stateDir: String, depth: Int, width: Int,
+      minCount: Long, sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch0.sparkSession
+    if (graft.ext.Cms.committedVersions(spark, stateDir).contains(batchId))
+      return
+    val toks = batch0.stageBoundary
+      .select(explode(graft.ext.TextFunctions.tokens(col(textCol)))
+        .as("__w"))
+      .filter(length(col("__w")) > 0)
+    val (pre, _) = graft.ext.Cms.readState(spark, stateDir, depth, width)
+    val est = toks.distinct()
+      .select(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(
+          graft.ext.Cms.estimateCol(col("__w"), pre, depth, width)
+            >= minCount, 1L).otherwise(0L)), lit(0L)).as("n_frequent"))
+      .withColumn("batch_id", lit(batchId))
+    sink(est, batchId)
+    graft.ext.Cms.updateState(toks, col("__w"), stateDir, depth, width,
+      Some(batchId))
+  }
+
   /** One [[kmvSketchStream]] micro-batch, exposed so a replay (same
     * batchId, any crash window) is directly testable.
     */

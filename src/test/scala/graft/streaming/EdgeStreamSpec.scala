@@ -674,6 +674,87 @@ class EdgeStreamSpec extends SparkSpec {
       "screen after a mid-swap crash must see the RECOVERED history")
   }
 
+  test("streaming CMS sketch: batches fold to the from-scratch sketch, " +
+    "screens are replay-stable across crash windows, committed batches " +
+    "are no-ops") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Cms, TextFunctions}
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, s"token${i % 40} shared corpus token${i % 7} text"))
+    val dir = Files.createTempDirectory("graft_cms_stream").toString
+    val state = s"$dir/state"
+    val (d, w, minCount) = (5, 256, 3L)
+    def toks(df: DataFrame) = df
+      .select(explode(TextFunctions.tokens($"text")).as("__w"))
+      .filter(length($"__w") > 0)
+    def screenOf(pre: Array[Long], batch: DataFrame): Seq[Any] =
+      toks(batch).distinct()
+        .select(count(lit(1)).as("n_tokens"),
+          coalesce(sum(when(Cms.estimateCol($"__w", pre, d, w) >= minCount,
+            1L).otherwise(0L)), lit(0L)).as("n_frequent"))
+        .head().toSeq
+
+    val b0 = docs(0 until 60); val b1 = docs(30 until 120)
+    val sunk = scala.collection.mutable.Map[Long, Seq[Any]]()
+    val stream = MemoryStream[(Long, String)]
+    val writer = EdgeStream.cmsSketchStream(
+      stream.toDF().toDF("doc_id", "text"), "text", state, d, w, minCount) {
+      (est, bid) => sunk(bid) = est.drop("batch_id").head().toSeq
+    }
+    val q = writer.option("checkpointLocation", s"$dir/ckpt").start()
+    stream.addData(b0: _*); q.processAllAvailable()
+    stream.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+
+    // streamed state == from-scratch sketch of the union's token stream
+    val union = (b0 ++ b1).toDF("doc_id", "text")
+    assert(Cms.readState(spark, state, d, w)._1.toSeq ==
+      Cms.sketch(toks(union), $"__w", d, w).toSeq,
+      "streamed sketch must equal the from-scratch union sketch")
+    // batch 1's screen ran against exactly batch 0's sketch
+    assert(sunk(1L) ==
+      screenOf(Cms.sketch(toks(b0.toDF("doc_id", "text")), $"__w", d, w),
+        b1.toDF("doc_id", "text")))
+
+    // sink-crash window: the fold runs AFTER the sink, so a crashed
+    // batch left no state change and the replay reproduces the row
+    val b2 = docs(100 until 160).toDF("doc_id", "text")
+    val preB2 = Cms.readState(spark, state, d, w)._1
+    intercept[RuntimeException] {
+      EdgeStream.cmsBatch(b2, 2L, "text", state, d, w, minCount,
+        (_, _) => throw new RuntimeException("sink crash"))
+    }
+    var replayed: Seq[Any] = null
+    EdgeStream.cmsBatch(b2, 2L, "text", state, d, w, minCount,
+      (est, _) => replayed = est.drop("batch_id").head().toSeq)
+    assert(replayed == screenOf(preB2, b2),
+      "crash-window replay screen diverges from a replay-free run")
+    assert(Cms.readState(spark, state, d, w)._1.toSeq ==
+      Cms.sketch(toks(union.unionByName(b2)), $"__w", d, w).toSeq,
+      "exactly-once fold: the crashed attempt must not double-count")
+    // committed replay: a no-op, sink untouched
+    EdgeStream.cmsBatch(b2, 2L, "text", state, d, w, minCount,
+      (_, _) => fail("committed batch replayed into the sink"))
+
+    // fold-crash window: a state dir written WITHOUT its commit marker
+    // (crash between parquet write and marker) is invisible — the
+    // replay overwrites it and the fold still lands exactly once
+    val b3 = docs(150 until 200).toDF("doc_id", "text")
+    spark.range(1).select(lit(0L).as("idx"), lit(999999L).as("c"))
+      .write.mode("overwrite").parquet(s"$state/s3")
+    var got3: Seq[Any] = null
+    EdgeStream.cmsBatch(b3, 3L, "text", state, d, w, minCount,
+      (est, _) => got3 = est.drop("batch_id").head().toSeq)
+    assert(got3 == screenOf(
+      Cms.sketch(toks(union.unionByName(b2)), $"__w", d, w), b3))
+    assert(Cms.readState(spark, state, d, w)._1.toSeq ==
+      Cms.sketch(toks(union.unionByName(b2).unionByName(b3)),
+        $"__w", d, w).toSeq,
+      "uncommitted half-written state must be overwritten, not read")
+  }
+
   test("streaming clustered-store ingestion: empty bootstrap, tagged " +
     "appends replay as no-ops, ratio-triggered compaction") {
     val s = spark

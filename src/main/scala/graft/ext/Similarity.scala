@@ -1264,6 +1264,38 @@ object Similarity {
     }
   }
 
+  /** Cross-corpus embedding near-dup matches: every (corpus, bench)
+    * pair with cosine ≥ `minCosine` — the embedding face of
+    * [[Decontaminate.fuzzyMatches]] (SemDeDup-style semantic
+    * decontamination: corpus docs whose EMBEDDING sits on top of an
+    * eval doc's, catching paraphrases that survive even fuzzy n-gram
+    * matching). Output (`id`, `bench_id`, `cs`).
+    *
+    * Scale shape: the benchmark side is BOUNDED (eval suites — the
+    * [[graft.ext.Decontaminate]] contract) and broadcasts through
+    * Spark's size-accounted BroadcastExchange; the corpus streams
+    * through in ONE scan with the codegen'd cosine in the join filter
+    * — the q_ann_topk bounded-broadcast class, so no corpus exchange
+    * and no self-join at any corpus size. The bench bound is enforced
+    * (fail fast past `benchLimit`), exactly like [[cosinePairs]]'
+    * refusal to go quadratic unblocked. NaN cosines (zero vectors)
+    * are dropped at the threshold site like every other kernel gate.
+    */
+  def crossCosineMatches(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double,
+      benchLimit: Long = BroadcastPairLimit): DataFrame = {
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    require(b.limit(benchLimit.toInt + 1).count() <= benchLimit,
+      s"crossCosineMatches: bench side exceeds $benchLimit rows — the " +
+        "broadcast contract is a bounded eval set; pre-block or shard " +
+        "the benchmark")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(b))
+      .withColumn("cs", cosine(col("v"), col("bv")))
+      .filter(col("cs") >= minCosine && !isnan(col("cs")))
+      .select(col("id"), col("bench_id"), col("cs"))
+  }
+
   /** exact upper-triangle pairs for a broadcastable corpus — the build
     * side ships through Spark's BroadcastExchange (size-accounted,
     * spillable), never a hand-rolled driver collect

@@ -1213,6 +1213,29 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // cross-corpus embedding decontamination (r12): corpus vectors
+    // sitting on top of an eval vector — the SemDeDup-style semantic
+    // complement of q_decontaminate_fuzzy (catches paraphrases that
+    // survive n-gram matching). Bench side bounded + broadcast; one
+    // corpus scan, no self-join
+    "q_decontaminate_embedding" -> QueryDef(
+      """SELECT a.vec_id AS id, b.vec_id AS bench_id,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cs
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.46
+        |ORDER BY id, bench_id""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.crossCosineMatches(
+        emb.filter(col("vec_id") % 20 =!= 0),
+        emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", minCosine = 0.46)
+        .select(col("id"), col("bench_id"), round(col("cs"), 4).as("cs"))
+        .orderBy("id", "bench_id")
+    },
+
     // embedding near-dup with mandatory blocking (the 100 TB shape):
     // exact within each label block, distributed equi-join on the block
     // key — the plan has no CartesianProduct and no driver-side collect

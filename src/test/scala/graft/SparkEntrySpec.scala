@@ -36,10 +36,14 @@ class SparkEntrySpec extends SparkSpec {
     //   q_corpus_drift      two 1-row token-total aggregates broadcast
     //                       against the vocab join (the q_unigram_logprob
     //                       normalizing-constant pattern, twice)
+    //   q_decontaminate_embedding  bounded eval-set broadcast against the
+    //                       corpus scan (the q_ann_topk class; bench bound
+    //                       enforced in crossCosineMatches)
     val cartesianByDesign =
       Set("q_cross_join", "q_scalar_subquery", "q_ann_topk",
         "q_dedup_embedding", "q_unigram_logprob", "q_ann_pq",
-        "q_ann_pq_fast", "q_ann_pq_rerank", "q_corpus_drift")
+        "q_ann_pq_fast", "q_ann_pq_rerank", "q_corpus_drift",
+        "q_decontaminate_embedding")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")

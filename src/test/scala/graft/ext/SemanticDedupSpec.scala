@@ -37,6 +37,40 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out(20L) == ((20L, true)))
   }
 
+  test("crossCosineMatches: flags exactly the corpus vectors on top of " +
+    "a bench vector, drops NaN (zero) vectors, enforces the bench bound") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.999f, 0.04f, 0.0f)),  // ~bench 100
+      (2L, Seq(0.0f, 0.98f, 0.2f)),    // ~bench 101
+      (3L, Seq(-1.0f, 0.0f, 0.0f)),    // opposite — below any τ>0
+      (4L, Seq(0.0f, 0.0f, 0.0f))      // zero vector → NaN cosine
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.crossCosineMatches(corpus, bench,
+      "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 101L)))
+    // exact kernel value: identical float math as the cosine helper
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val cs = Similarity.crossCosineMatches(corpus, bench,
+      "vec_id", "embedding", minCosine = 0.9)
+      .filter(col("id") === 1L).head().getDouble(2)
+    assert(cs == cos(Seq(0.999f, 0.04f, 0.0f), Seq(1.0f, 0.0f, 0.0f)))
+    // bounded-bench contract
+    intercept[IllegalArgumentException] {
+      Similarity.crossCosineMatches(corpus, bench,
+        "vec_id", "embedding", minCosine = 0.9, benchLimit = 1L)
+    }
+  }
+
   test("no two survivors in the same cell remain above the threshold") {
     val verdicts = SemanticDedup.semanticDedup(vecs, "vec_id", "embedding",
       k = 2, tau = 0.95)

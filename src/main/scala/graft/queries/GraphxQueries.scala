@@ -104,6 +104,29 @@ object GraphxQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // k-core peeling (r12): 4 synchronous peel rounds at k=16 over the
+    // undirected supplier↔part co-occurrence graph — the dense-subgraph
+    // prune between CC and LPA. Fixed rounds = the Lpa determinism
+    // contract; the oracle's chained CTEs are generated from the SAME
+    // code that drives the Spark rounds
+    "q_kcore" -> QueryDef({
+      val edgeCte =
+        """es AS (SELECT l_suppkey AS src, l_partkey + 1000000 AS dst
+          |       FROM lineitem),
+          |e AS (SELECT DISTINCT src, dst FROM
+          |       (SELECT src, dst FROM es
+          |        UNION ALL SELECT dst AS src, src AS dst FROM es))""".stripMargin
+      graft.ext.KCore.oracleSqlFor(edgeCte, k = 16, rounds = 4) +
+        "\nORDER BY node"
+    }) { (s, d) =>
+      val li = graft.Tables.load(s, d, "lineitem")
+      val es = li.select(col("l_suppkey").cast(LongType).as("src"),
+        (col("l_partkey") + 1000000L).cast(LongType).as("dst"))
+      val e = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.KCore.peel(e, "src", "dst", k = 16, rounds = 4)
+        .orderBy("node")
+    },
+
     // deterministic synchronous label propagation (r7): 4 rounds over
     // the undirected supplier↔nation bipartite graph; most-frequent
     // in-neighbor label, ties to the SMALLEST label, fixed round

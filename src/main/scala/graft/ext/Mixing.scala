@@ -162,11 +162,21 @@ object Mixing {
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    df.filter(weightCol > 0)
+    df.filter(weightPositive(weightCol))
       .withColumn("__wk", esKey(col(idCol), weightCol))
       .orderBy(col("__wk").desc, col(idCol))
       .limit(k)
       .drop("__wk")
+  }
+
+  /** `w > 0` with the explicit NaN drop (Spark orders NaN ABOVE every
+    * value, so a bare `> 0` would ADMIT a NaN weight — whose NaN key
+    * then sorts first here and last in an external engine; the
+    * [[SemanticDedup]] `!isnan`-at-every-threshold-site rule)
+    */
+  private def weightPositive(w: Column): Column = {
+    val d = w.cast(DoubleType)
+    d > 0 && !isnan(d)
   }
 
   /** Per-stratum [[weightedSample]]: exactly `k` rows per stratum,
@@ -180,7 +190,7 @@ object Mixing {
   def weightedSamplePerStratum(df: DataFrame, idCol: String,
       strataCol: String, weightCol: Column, k: Int): DataFrame =
     capPerStratum(
-      df.filter(weightCol > 0)
+      df.filter(weightPositive(weightCol))
         .withColumn("__wk", esKey(col(idCol), weightCol)),
       strataCol, k, Seq(col("__wk").desc, col(idCol)))
       .drop("__wk")

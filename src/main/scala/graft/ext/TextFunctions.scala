@@ -311,6 +311,46 @@ object TextFunctions {
     recount(tok, sketch.keys.toSeq, n, support)
   }
 
+  /** Per-GROUP heavy hitters: tokens above `support` × the group's
+    * token count, per group — "each source's dominant vocabulary" in
+    * one pass, where [[heavyHitters]] answers the corpus-wide question.
+    * One grouped [[graft.functions.MisraGriesAgg]] (the sketch is
+    * group-capable: each group folds its own ≤sketchK-entry buffer,
+    * map-side combined) gives candidates ⊇ truth per group; the exact
+    * recount joins the token stream against the (groups × ≤sketchK,
+    * broadcast) candidate list and decides — so the output is EXACT,
+    * independent of sketch merge order, whenever the survival
+    * guarantee covers the threshold (enforced: needs
+    * (sketchK+1) · support > 1, per group the same bound as global).
+    *
+    * Scale shape: the token stream is touched twice (sketch pass,
+    * recount pass), both map-combined on bounded keys; nothing
+    * shuffles the stream itself. A skewed group is fine — its sketch
+    * buffer is still ≤sketchK entries per task.
+    */
+  def heavyHittersPerGroup(df: org.apache.spark.sql.DataFrame,
+      textCol: String, groupCol: String, support: Double,
+      sketchK: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(support > 0 && support < 1, "support in (0,1)")
+    require(sketchK >= 1.0 / support,
+      s"sketchK=$sketchK too coarse for support=$support: the " +
+        "n/(sketchK+1) per-group survival guarantee must cover n*support")
+    val toks = df.select(col(groupCol).as("__g"),
+      explode(tokens(col(textCol))).as("__w"))
+    val cand = toks.groupBy("__g")
+      .agg(graft.functions.MisraGriesAgg(col("__w"), sketchK).as("__cands"),
+        count(lit(1)).as("__n"))
+      .select(col("__g"), col("__n"), explode(col("__cands")).as("__c"))
+      .select(col("__g").as("__cg"), col("__n"),
+        col("__c.token").as("token"))
+    toks.join(broadcast(cand),
+        col("__g") === col("__cg") && col("__w") === col("token"))
+      .groupBy(col("__g").as(groupCol), col("token"), col("__n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("__n") * support)
+      .drop("__n")
+  }
+
   /** one (sketch, token-count) pass over a `__w` token column */
   private def sketchOf(tok: org.apache.spark.sql.DataFrame)(
       sketchK: Int): (Map[String, Long], Long) = {

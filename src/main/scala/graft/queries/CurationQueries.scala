@@ -448,6 +448,22 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // per-group heavy hitters (r12): each source's dominant tokens —
+    // one GROUPED Misra-Gries sketch pass (per-group <=sketchK buffers,
+    // map-side combined) + an exact broadcast recount, so the answer is
+    // the plain per-group GROUP BY, sketch-order-independent
+    "q_heavy_tokens_grouped" -> QueryDef(
+      s"""WITH tok AS (SELECT source, unnest($SqlTokens) AS w FROM documents),
+         |tot AS (SELECT source, COUNT(*) AS t FROM tok GROUP BY source)
+         |SELECT tok.source, w AS token, COUNT(*) AS cnt
+         |FROM tok JOIN tot USING (source)
+         |GROUP BY tok.source, w, t HAVING COUNT(*) > t * 0.01
+         |ORDER BY source, cnt DESC, token""".stripMargin) { (s, d) =>
+      TextFunctions.heavyHittersPerGroup(Tables.load(s, d, "documents"),
+        "text", "source", support = 0.01, sketchK = 256)
+        .orderBy(col("source"), col("cnt").desc, col("token"))
+    },
+
     // incrementally maintained heavy hitters (r7): the candidate
     // sketch folds in two increments (never re-reading history), the
     // final isin recount over the corpus decides — the mergeable

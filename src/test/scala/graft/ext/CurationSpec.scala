@@ -64,6 +64,29 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(11L))
   }
 
+  test("heavyHittersPerGroup: per-group exact counts above the per-group " +
+    "support, guarantee guard enforced") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // group a: 10 tokens; "hot" 4/10 (> 0.3), "warm" 3/10 (equal to
+      // 0.3 → strictly-greater drops it), rest below
+      (1L, "a", "hot hot warm cold mild"),
+      (2L, "a", "hot hot warm warm cool"),
+      // group b: "hot" is NOT heavy here (1/10); "bulk" 5/10 is
+      (3L, "b", "bulk bulk bulk hot tiny"),
+      (4L, "b", "bulk bulk x y z")).toDF("doc_id", "source", "text")
+    val got = TextFunctions.heavyHittersPerGroup(
+      docs, "text", "source", support = 0.3, sketchK = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "hot") -> 4L, ("b", "bulk") -> 5L))
+    intercept[IllegalArgumentException] {
+      TextFunctions.heavyHittersPerGroup(
+        docs, "text", "source", support = 0.01, sketchK = 16)
+    }
+  }
+
   test("fuzzyMatches finds cross-corpus near-dups with exact jaccard; " +
     "fuzzyClean drops exactly the flagged docs") {
     val s = spark
@@ -131,6 +154,14 @@ class CurationSpec extends SparkSpec {
     // deterministic run-to-run
     assert(Mixing.weightedSample(df, "id", col("w"), 10)
       .collect().map(_.getLong(0)).toSet == got)
+    // NaN weights are dropped, not sorted first (Spark orders NaN above
+    // every value — a bare `w > 0` filter would admit them)
+    val withNaN = rows.map { case (id, src, w2) =>
+      (id, src, if (id <= 5) Double.NaN else w2.toDouble) }
+      .toDF("id", "src", "w")
+    val gotNaN = Mixing.weightedSample(withNaN, "id", col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotNaN.intersect(Set(1L, 2L, 3L, 4L, 5L)).isEmpty)
     // per-stratum: exactly k per stratum, and each stratum's set is the
     // reference top-k within the stratum
     val perStratum = Mixing.weightedSamplePerStratum(

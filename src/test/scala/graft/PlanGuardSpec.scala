@@ -95,7 +95,16 @@ class PlanGuardSpec extends SparkSpec {
     // outer). 2 generates = the two sketch-array explodes. A 4th
     // exchange here means a distinct/rank shape crept back into the
     // sketch path
-    "q_corpus_overlap_sharded" -> Fingerprint(3, 0, 2, 0))
+    "q_corpus_overlap_sharded" -> Fingerprint(3, 0, 2, 0),
+    // E–S weighted sample (r12): key is a narrow map, top-k is
+    // TakeOrderedAndProject — ANY exchange here means the heap top-k
+    // degraded to a global sort or the tokenize started shuffling
+    "q_weighted_sample" -> Fingerprint(0, 0, 0, 0),
+    // CMS estimates (r12): one hash exchange (the exact top-20 count)
+    // + the token explode; the estimate itself is a plan-literal
+    // column — a 2nd exchange or a broadcast means the sketch stopped
+    // riding the plan as a literal and became a join
+    "q_cms_counts" -> Fingerprint(1, 0, 1, 0))
 
   golden.foreach { case (q, expected) =>
     test(s"golden plan fingerprint: $q") {

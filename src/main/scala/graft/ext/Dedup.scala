@@ -278,6 +278,75 @@ object Dedup {
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
         lit(0).cast(IntegerType).as("dist"))
 
+  /** Cross-corpus edit-distance matching (fuzzy record linkage): every
+    * (left, right) pair within Levenshtein `maxDist` — match a corpus
+    * against a reference entity list / canonical-title table where
+    * [[editDistancePairs]] answers the within-corpus question. Output
+    * (id_a = left id, id_b = right id, dist); ids must be unique
+    * within each side (they may collide across sides — the pair is the
+    * key).
+    *
+    * Same Ed-Join prefix blocking, with the one cross-corpus subtlety:
+    * BOTH sides' prefixes must be selected under ONE global gram order
+    * (df over the UNION of the two gram streams) — per-side orders
+    * would break the shared-prefix-gram theorem. No symmetry breaking
+    * exists across corpora, so the adjacent-length-bucket join runs in
+    * both directions, and the short-doc fallback runs once per side
+    * (pair-level distinct absorbs the short×short overlap). The exact
+    * duplicate collapse is deliberately not replicated: m left copies
+    * of one right string cost m candidate rows — linear, not the m²
+    * the within-corpus self-join suffers.
+    */
+  def editDistanceMatches(left: DataFrame, right: DataFrame,
+      textCol: String, idCol: String, maxDist: Int, q: Int = 5)
+      : DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q must be >= 2")
+    val shortMax = editShortMax(maxDist, q)
+    def norm(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+    val l = norm(left)
+    val r = norm(right)
+    val gl = editGramRows(left, textCol, idCol, maxDist, q)
+    val gr = editGramRows(right, textCol, idCol, maxDist, q)
+    val dfLookup = gl.unionByName(gr)
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+    val pl = editPrefixFrom(gl, dfLookup, maxDist, q)
+    val pr = editPrefixFrom(gr, dfLookup, maxDist, q)
+    def bucketJoin(shift: Int): DataFrame =
+      pl.as("a").join(pr.as("b"),
+        col("a.g") === col("b.g") &&
+          col("a.b") + shift === col("b.b") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    def shortLeg(short: DataFrame, partners: DataFrame,
+        flip: Boolean): DataFrame = {
+      val sh = short.filter(col("len") <= shortMax)
+        .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+        .select(col("id"), col("len"),
+          explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+      val pa = partners.filter(col("len") <= shortMax + maxDist)
+        .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
+      val j = sh.as("a").join(pa.as("b"),
+        col("a.b") === col("b.b") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      if (flip) j.select(col("b.id").as("id_a"), col("a.id").as("id_b"))
+      else j.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }
+    val cand = bucketJoin(0)
+      .unionByName(bucketJoin(1)).unionByName(bucketJoin(-1))
+      .unionByName(shortLeg(l, r, flip = false))
+      .unionByName(shortLeg(r, l, flip = true))
+      .distinct()
+    cand
+      .join(l.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(r.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
+  }
+
   private def editParams(maxDist: Int, q: Int) =
     Seq("kind" -> "edit-prefix", "maxDist" -> maxDist.toString,
       "q" -> q.toString)

@@ -710,6 +710,38 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // cross-corpus edit-distance matching (r12): fuzzy record linkage —
+    // corpus docs against a reference list that contains the src0 docs
+    // plus lightly-edited copies of every 7th corpus doc (the
+    // constructed dist-1 matches). Ed-Join prefix blocking under ONE
+    // union-df gram order; both adjacent-bucket directions; per-side
+    // short fallback. Oracle = brute-force cross join
+    "q_edit_matches" -> QueryDef(
+      """WITH corp AS (SELECT doc_id, text FROM documents
+        |              WHERE source <> 'src0'),
+        |ref AS (SELECT doc_id, text FROM documents WHERE source = 'src0'
+        |        UNION ALL
+        |        SELECT doc_id + 20000 AS doc_id, text || ' y' AS text
+        |        FROM documents WHERE source <> 'src0' AND doc_id % 7 = 1)
+        |SELECT c.doc_id AS id_a, r.doc_id AS id_b,
+        |       CAST(levenshtein(c.text, r.text) AS INTEGER) AS dist
+        |FROM corp c JOIN ref r
+        |  ON abs(length(c.text) - length(r.text)) <= 3
+        |WHERE levenshtein(c.text, r.text) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val corp = docs.filter(col("source") =!= "src0")
+        .select("doc_id", "text")
+      val ref = docs.filter(col("source") === "src0")
+        .select("doc_id", "text")
+        .union(docs
+          .filter(col("source") =!= "src0" && col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            concat(col("text"), lit(" y")).as("text")))
+      Dedup.editDistanceMatches(corp, ref, "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // incremental edit distance (r8): cross pairs probe the persisted
     // prefix-gram index (partition-pruned to the increment's ±1 length
     // buckets), within-increment pairs are the batch operator; the

@@ -46,6 +46,45 @@ class DedupPropertySpec extends SparkSpec {
       s"diff: ${(got diff want) ++ (want diff got)}")
   }
 
+  test("editDistanceMatches: cross-corpus linkage equals driver brute " +
+    "force — short/long mixes, both adjacent-bucket directions, " +
+    "colliding ids across sides") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(47)
+    val alphabet = "abc"
+    def word(n: Int) = Seq.fill(n)(alphabet(rng.nextInt(3))).mkString
+    // lengths 2..11 straddle the q=2,d=2 short threshold (shortMax=5)
+    // and multiple width-3 buckets on both sides; ids deliberately
+    // overlap across the two tables
+    val left = (0 until 50).map(i => (i.toLong, word(2 + rng.nextInt(10))))
+    val right = (20 until 70).map(i => (i.toLong, word(2 + rng.nextInt(10))))
+    val got = Dedup.editDistanceMatches(
+      left.toDF("id", "t"), right.toDF("id", "t"), "t", "id",
+      maxDist = 2, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val want = (for {
+      (ia, ta) <- left; (ib, tb) <- right
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(want.nonEmpty, "fixture must induce matches")
+    assert(got == want,
+      s"diff: ${(got diff want) ++ (want diff got)}")
+  }
+
   test("editDistancePairs: exact-copy-heavy corpus — the collapse emits " +
     "every member pair exactly once with the rep pair's distance") {
     val s = spark

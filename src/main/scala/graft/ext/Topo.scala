@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Stage.StageOps
+
+/** Topological layering + cycle detection over a DIRECTED edge list
+  * (Kahn's algorithm as synchronous rounds): round t removes every
+  * node whose remaining in-degree is zero and stamps it `layer = t`;
+  * nodes still present when the peeling stops are ON or DOWNSTREAM OF
+  * a cycle and report `layer = -1`. The lineage/dependency primitive
+  * (dataset provenance DAGs, curation-stage ordering, FK hierarchies)
+  * beside [[KCore]]'s density peel — same determinism contract: a
+  * FIXED `rounds` count is a pure function of the graph an external
+  * engine replays exactly; [[sort]] is the run-to-fixpoint face
+  * (node removal is monotone, so the first round that removes nothing
+  * is the fixpoint — from there no in-degree ever drops again).
+  *
+  * Scale shape per round: one map-combined distinct-dst set + one
+  * anti-join (the zero-in-degree frontier) + two semi-joins
+  * restricting nodes/edges — frontier and node sets broadcast while
+  * small; stage boundaries cut lineage. No windows, no collects.
+  */
+object Topo {
+
+  /** (node, layer) after exactly `rounds` Kahn rounds — layer ∈
+    * [0, rounds) for removed nodes, -1 for nodes still present (which
+    * after convergence means cycle-involved; before convergence it
+    * just means "not yet removable")
+    */
+  def layers(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    run(edges, srcCol, dstCol, Some(rounds), rounds)
+  }
+
+  /** layers at the fixpoint: every `layer = -1` node is on or
+    * downstream of a cycle; an acyclic graph gets a complete
+    * topological layering. Bounded by `maxRounds` (longest path in a
+    * DAG), failing loudly rather than mislabeling.
+    */
+  def sort(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 1000): DataFrame =
+    run(edges, srcCol, dstCol, None, maxRounds)
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+      fixedRounds: Option[Int], maxRounds: Int): DataFrame = {
+    var e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct().stageBoundary
+    var nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().stageBoundary
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var out = Seq.empty[(Long, Long)].toDF("node", "layer")
+    var t = 0
+    var done = false
+    while (!done && t < maxRounds) {
+      val zero = nodes.join(e.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti").stageBoundary
+      val removedAny = fixedRounds.isDefined || zero.limit(1).count() > 0
+      if (!removedAny) done = true
+      else {
+        out = out.unionByName(
+          zero.select(col("node"), lit(t.toLong).as("layer")))
+        nodes = nodes.join(zero, Seq("node"), "left_anti").stageBoundary
+        e = e.join(zero.withColumnRenamed("node", "__z"),
+          col("src") === col("__z"), "left_anti").stageBoundary
+        t += 1
+        if (fixedRounds.contains(t)) done = true
+      }
+    }
+    if (fixedRounds.isEmpty && t >= maxRounds)
+      throw new IllegalStateException(
+        s"topo sort: no fixpoint after $maxRounds rounds — raise " +
+          "maxRounds (longest DAG path exceeds it)")
+    out.unionByName(nodes.select(col("node"), lit(-1L).as("layer")))
+  }
+
+  /** the DuckDB replay of [[layers]] as chained CTEs: `edgeCte` must
+    * define `e(src, dst)` (directed, already distinct); exposes
+    * (node, layer) after `rounds` rounds, -1 for survivors. Generated
+    * from the same recurrence the Spark rounds run (the
+    * [[Ppr]]/[[Lpa]]/[[KCore]] pattern).
+    */
+  def oracleSqlFor(edgeCte: String, rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { t =>
+      s"""z$t AS (SELECT node FROM n$t WHERE node NOT IN
+         |  (SELECT dst FROM e$t)),
+         |n${t + 1} AS (SELECT node FROM n$t WHERE node NOT IN
+         |  (SELECT node FROM z$t)),
+         |e${t + 1} AS (SELECT src, dst FROM e$t WHERE src IN
+         |  (SELECT node FROM n${t + 1}))""".stripMargin
+    }.mkString(",\n")
+    val layerRows = (0 until rounds)
+      .map(t => s"SELECT node, CAST($t AS BIGINT) AS layer FROM z$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $edgeCte,
+       |e0 AS (SELECT src, dst FROM e),
+       |n0 AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+       |$roundCtes
+       |$layerRows
+       |UNION ALL
+       |SELECT node, CAST(-1 AS BIGINT) AS layer FROM n$rounds""".stripMargin
+  }
+}

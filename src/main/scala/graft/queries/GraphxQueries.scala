@@ -104,6 +104,52 @@ object GraphxQueries {
         .orderBy(col("rank").desc, col("node")).limit(100)
     },
 
+    // topological layering + cycle detection (r12): Kahn rounds over a
+    // mixed graph — customer→order dependency edges (a true 2-layer
+    // DAG), order→lineitem-part edges (layer 2), and the nation ring
+    // (genuine cycles → layer -1). Fixed 3 rounds = the determinism
+    // contract; oracle CTEs generated from the same recurrence
+    "q_topo_layers" -> QueryDef({
+      val edgeCte =
+        """es AS (
+          |  SELECT c_custkey + 7000000 AS src, o_orderkey + 3000000 AS dst
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  UNION ALL
+          |  SELECT l_orderkey + 3000000 AS src, l_partkey + 1000000 AS dst
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT n_nationkey AS src,
+          |         COALESCE(LEAD(n_nationkey) OVER (
+          |             PARTITION BY n_regionkey ORDER BY n_nationkey),
+          |           MIN(n_nationkey) OVER (PARTITION BY n_regionkey))
+          |           AS dst
+          |  FROM nation),
+          |e AS (SELECT DISTINCT src, dst FROM es)""".stripMargin
+      graft.ext.Topo.oracleSqlFor(edgeCte, rounds = 3) +
+        "\nORDER BY layer, node"
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = graft.Tables.load(s, d, "orders")
+      val cust = graft.Tables.load(s, d, "customer")
+      val li = graft.Tables.load(s, d, "lineitem")
+      val nat = graft.Tables.load(s, d, "nation")
+      val co = ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .select((col("c_custkey") + 7000000L).cast(LongType).as("src"),
+          (col("o_orderkey") + 3000000L).cast(LongType).as("dst"))
+      val ol = li.select(
+        (col("l_orderkey") + 3000000L).cast(LongType).as("src"),
+        (col("l_partkey") + 1000000L).cast(LongType).as("dst"))
+      val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+      val ring = nat.select(col("n_nationkey").cast(LongType).as("src"),
+        coalesce(lead(col("n_nationkey"), 1).over(w),
+          min(col("n_nationkey")).over(
+            Window.partitionBy("n_regionkey")))
+          .cast(LongType).as("dst"))
+      graft.ext.Topo.layers(co.unionByName(ol).unionByName(ring),
+        "src", "dst", rounds = 3)
+        .orderBy("layer", "node")
+    },
+
     // k-core peeling (r12): 4 synchronous peel rounds at k=16 over the
     // undirected supplier↔part co-occurrence graph — the dense-subgraph
     // prune between CC and LPA. Fixed rounds = the Lpa determinism

@@ -78,7 +78,30 @@ object Bench {
     // the other 200 measurements), but errors surface on stderr, in
     // bench_full.json, and in the summary line's error count.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // stage→query attribution, opt-in via SPARK_GRAFT_STAGE_MAP=<path>:
+    // every stage submitted while a query runs records that query's
+    // name, and the map dumps at the end — the tool that turns a
+    // stage-numbered scheduler WARN (e.g. "task of very large size" at
+    // stage 10244, one per cold run in the r12 session tail, never
+    // reproducible standalone) into a query name without re-running
+    // anything. Costs one tiny listener callback per stage; the dump is
+    // one line per stage.
+    val stageMapPath = sys.env.get("SPARK_GRAFT_STAGE_MAP")
+    val stageMap =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference("")
+    stageMapPath.foreach { _ =>
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageSubmitted(
+              s: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+              : Unit =
+            stageMap.put(s.stageInfo.stageId, currentQuery.get())
+        })
+    }
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      currentQuery.set(name)
+      spark.sparkContext.setJobDescription(name)
       val ts = (1 to runsPer).map { _ =>
         time {
           try fn(spark, sfDir).count()
@@ -91,6 +114,14 @@ object Bench {
         }
       }.sorted
       name -> ts
+    }
+    spark.sparkContext.setJobDescription(null)
+    currentQuery.set("")
+    stageMapPath.foreach { path =>
+      val w2 = new java.io.PrintWriter(path, "UTF-8")
+      try {
+        stageMap.forEach { (sid, q) => w2.println(s"$sid\t$q") }
+      } finally w2.close()
     }
     val results = measured.map { case (n, ts) => n -> ts(ts.size / 2) } :+
       ("graph_build" -> buildSec)

@@ -89,18 +89,25 @@ object Bench {
     val stageMapPath = sys.env.get("SPARK_GRAFT_STAGE_MAP")
     val stageMap =
       new java.util.concurrent.ConcurrentHashMap[Int, String]()
-    val currentQuery = new java.util.concurrent.atomic.AtomicReference("")
+    // the query name rides a job-local property, which Spark SNAPSHOTS
+    // into the stage's properties at submission time — reading a mutable
+    // var inside the async listener callback instead would mis-attribute
+    // stages whenever the bus lags across a query boundary (or a
+    // speculative/skipped stage lands late)
+    val QueryProp = "graft.bench.query"
     stageMapPath.foreach { _ =>
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onStageSubmitted(
               s: org.apache.spark.scheduler.SparkListenerStageSubmitted)
               : Unit =
-            stageMap.put(s.stageInfo.stageId, currentQuery.get())
+            stageMap.put(s.stageInfo.stageId,
+              Option(s.properties)
+                .map(_.getProperty(QueryProp, "")).getOrElse(""))
         })
     }
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      currentQuery.set(name)
+      spark.sparkContext.setLocalProperty(QueryProp, name)
       spark.sparkContext.setJobDescription(name)
       val ts = (1 to runsPer).map { _ =>
         time {
@@ -116,7 +123,7 @@ object Bench {
       name -> ts
     }
     spark.sparkContext.setJobDescription(null)
-    currentQuery.set("")
+    spark.sparkContext.setLocalProperty(QueryProp, null)
     stageMapPath.foreach { path =>
       val w2 = new java.io.PrintWriter(path, "UTF-8")
       try {

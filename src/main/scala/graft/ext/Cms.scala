@@ -129,6 +129,17 @@ object Cms {
     * contract). One aggregation over the increment; the merge is
     * driver-side over two fixed 80 KB arrays; older committed versions
     * are swept after the marker lands.
+    *
+    * Writer contract: SINGLE WRITER per `stateDir` (the intended
+    * driver is a Structured Streaming `foreachBatch`, which Spark
+    * already serializes per sink). The version protocol makes
+    * same-version REPLAYS no-ops, but two concurrent writers that both
+    * read the same committed max would fold disjoint increments and
+    * the later commit would silently drop the earlier fold — so each
+    * commit records the parent version it folded on top of and the
+    * commit re-checks that the parent is still the committed max,
+    * turning the lost-update race into a loud failure at the second
+    * writer instead of silent undercounts.
     */
   def updateState(increment: DataFrame, itemCol: Column, stateDir: String,
       depth: Int = DefaultDepth, width: Int = DefaultWidth,
@@ -149,9 +160,21 @@ object Cms {
     val f = hfs(spark, stateDir)
     val out = f.create(new HPath(s"$dir/_n"), true)
     try out.write(s"${nPrev + nInc}".getBytes("UTF-8")) finally out.close()
+    // lost-update guard: if another writer committed since we read
+    // `prev`, our fold is based on a stale parent — fail before the
+    // marker lands (the state dir still holds the intruder's committed
+    // version; our orphaned s$v data dir is overwritten on retry)
+    val parent = if (committed.isEmpty) -1L else committed.max
+    val nowCommitted = committedVersions(spark, stateDir)
+    val nowMax = if (nowCommitted.isEmpty) -1L else nowCommitted.max
+    require(nowMax == parent || nowCommitted.contains(v),
+      s"cms updateState: concurrent writer detected on $stateDir — " +
+        s"folded on parent v$parent but committed max is now v$nowMax; " +
+        "this sink requires a single writer (see scaladoc)")
     val m = new HPath(s"$stateDir/_commits/s$v")
     f.mkdirs(m.getParent)
-    f.create(m, true).close()
+    val mo = f.create(m, true)
+    try mo.write(s"parent=$parent".getBytes("UTF-8")) finally mo.close()
     committed.filter(_ < v).foreach { old =>
       f.delete(new HPath(s"$stateDir/s$old"), true)
       f.delete(new HPath(s"$stateDir/_commits/s$old"), false)

@@ -1250,9 +1250,11 @@ object Similarity {
             col(c).cast(LongType).as("blk")), minCosine)
       case None =>
         // bounded existence check, not a full count: LocalLimit short-
-        // circuits the scan once limit+1 rows are seen
+        // circuits the scan once limit+1 rows are seen (clamped before
+        // toInt — a Long limit ≥ Int.MaxValue would overflow negative)
+        val blim = math.min(broadcastLimit, (Int.MaxValue - 1).toLong).toInt
         val small =
-          base.limit(broadcastLimit.toInt + 1).count() <= broadcastLimit
+          base.limit(blim + 1).count() <= blim
         if (small) smallAllPairs(base, minCosine)
         else if (allowApprox) srpBlockedPairs(base, minCosine, srpBits, srpBands)
         else throw new IllegalArgumentException(
@@ -1285,8 +1287,12 @@ object Similarity {
       idCol: String, vecCol: String, minCosine: Double,
       benchLimit: Long = BroadcastPairLimit): DataFrame = {
     val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
-    require(b.limit(benchLimit.toInt + 1).count() <= benchLimit,
-      s"crossCosineMatches: bench side exceeds $benchLimit rows — the " +
+    // clamp before toInt: a benchLimit ≥ Int.MaxValue would overflow to
+    // a negative limit and invert the guard. The guard's extra scan is
+    // bounded by the limit itself (limit+1 rows), never the full bench.
+    val lim = math.min(benchLimit, (Int.MaxValue - 1).toLong).toInt
+    require(b.limit(lim + 1).count() <= lim,
+      s"crossCosineMatches: bench side exceeds $lim rows — the " +
         "broadcast contract is a bounded eval set; pre-block or shard " +
         "the benchmark")
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))

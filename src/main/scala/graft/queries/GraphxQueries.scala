@@ -88,7 +88,7 @@ object GraphxQueries {
     // the Spark rounds, so the recurrences cannot drift)
     "q_ppr" -> QueryDef({
       val edgeCte =
-        """es AS (SELECT l_suppkey AS src, l_partkey + 1000000 AS dst
+        """es AS (SELECT l_suppkey AS src, l_partkey + 10000000000 AS dst
           |       FROM lineitem),
           |e AS (SELECT DISTINCT src, dst FROM
           |       (SELECT src, dst FROM es
@@ -98,7 +98,7 @@ object GraphxQueries {
     }) { (s, d) =>
       val li = graft.Tables.load(s, d, "lineitem")
       val es = li.select(col("l_suppkey").cast(LongType).as("src"),
-        (col("l_partkey") + 1000000L).cast(LongType).as("dst"))
+        (col("l_partkey") + 10000000000L).cast(LongType).as("dst"))
       val e = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
       graft.ext.Ppr.personalized(e, "src", "dst", source = 1L, rounds = 6)
         .orderBy(col("rank").desc, col("node")).limit(100)
@@ -108,14 +108,21 @@ object GraphxQueries {
     // mixed graph — customer→order dependency edges (a true 2-layer
     // DAG), order→lineitem-part edges (layer 2), and the nation ring
     // (genuine cycles → layer -1). Fixed 3 rounds = the determinism
-    // contract; oracle CTEs generated from the same recurrence
+    // contract; oracle CTEs generated from the same recurrence.
+    // Node-id namespaces use 1e10-scale offsets: TPC-H keys grow
+    // linearly with SF (orderkey = 6M·SF is the fastest), so 1e10
+    // keeps customer/order/part ids disjoint through SF 1000+ — the
+    // old 3M/7M offsets silently merged orders into the customer
+    // range once SF ≳ 0.7
     "q_topo_layers" -> QueryDef({
       val edgeCte =
         """es AS (
-          |  SELECT c_custkey + 7000000 AS src, o_orderkey + 3000000 AS dst
+          |  SELECT c_custkey + 20000000000 AS src,
+          |         o_orderkey + 10000000000 AS dst
           |  FROM orders JOIN customer ON o_custkey = c_custkey
           |  UNION ALL
-          |  SELECT l_orderkey + 3000000 AS src, l_partkey + 1000000 AS dst
+          |  SELECT l_orderkey + 10000000000 AS src,
+          |         l_partkey + 30000000000 AS dst
           |  FROM lineitem
           |  UNION ALL
           |  SELECT n_nationkey AS src,
@@ -134,11 +141,11 @@ object GraphxQueries {
       val li = graft.Tables.load(s, d, "lineitem")
       val nat = graft.Tables.load(s, d, "nation")
       val co = ord.join(cust, col("o_custkey") === col("c_custkey"))
-        .select((col("c_custkey") + 7000000L).cast(LongType).as("src"),
-          (col("o_orderkey") + 3000000L).cast(LongType).as("dst"))
+        .select((col("c_custkey") + 20000000000L).cast(LongType).as("src"),
+          (col("o_orderkey") + 10000000000L).cast(LongType).as("dst"))
       val ol = li.select(
-        (col("l_orderkey") + 3000000L).cast(LongType).as("src"),
-        (col("l_partkey") + 1000000L).cast(LongType).as("dst"))
+        (col("l_orderkey") + 10000000000L).cast(LongType).as("src"),
+        (col("l_partkey") + 30000000000L).cast(LongType).as("dst"))
       val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
       val ring = nat.select(col("n_nationkey").cast(LongType).as("src"),
         coalesce(lead(col("n_nationkey"), 1).over(w),
@@ -157,7 +164,7 @@ object GraphxQueries {
     // code that drives the Spark rounds
     "q_kcore" -> QueryDef({
       val edgeCte =
-        """es AS (SELECT l_suppkey AS src, l_partkey + 1000000 AS dst
+        """es AS (SELECT l_suppkey AS src, l_partkey + 10000000000 AS dst
           |       FROM lineitem),
           |e AS (SELECT DISTINCT src, dst FROM
           |       (SELECT src, dst FROM es
@@ -167,7 +174,7 @@ object GraphxQueries {
     }) { (s, d) =>
       val li = graft.Tables.load(s, d, "lineitem")
       val es = li.select(col("l_suppkey").cast(LongType).as("src"),
-        (col("l_partkey") + 1000000L).cast(LongType).as("dst"))
+        (col("l_partkey") + 10000000000L).cast(LongType).as("dst"))
       val e = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
       graft.ext.KCore.peel(e, "src", "dst", k = 16, rounds = 4)
         .orderBy("node")

@@ -12,11 +12,14 @@ index').
 
 Exit 1 on any missing-from-index or multi-cited-in-index query.
 """
+import os
 import re
 import subprocess
 import sys
 
-REPO = __file__.rsplit("/", 2)[0]
+# abspath-derived so `python coverage_check.py` from tools/ (or any
+# relative invocation) still resolves the repo root
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def query_names():

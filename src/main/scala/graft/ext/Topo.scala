@@ -78,6 +78,41 @@ object Topo {
     out.unionByName(nodes.select(col("node"), lit(-1L).as("layer")))
   }
 
+  /** the FIXPOINT oracle ([[sort]]'s contract) as ONE bounded
+    * recursive walk CTE — equivalent to, but far cheaper than, chaining
+    * [[oracleSqlFor]] round CTEs to an overshoot count (each chained
+    * round references its predecessors 2-3×, and engines that inline
+    * CTEs pay 2^rounds re-evaluations; the walk CTE is linear in the
+    * number of bounded walks).
+    *
+    * Equivalence (for `cap` > the graph's longest acyclic-ancestry
+    * path): Kahn removes node v at round t where t is the longest
+    * directed path ending at v whose every ancestor is cycle-free — for
+    * a node with NO cycle among its ancestors that is exactly the
+    * longest incoming walk, so `layer(v) = MAX(walk length)`. A node
+    * with a cycle among its ancestors has incoming walks of EVERY
+    * length (pump the cycle), so it — and only it — reaches `cap`,
+    * which maps to the survivor layer -1. An undershot `cap` on a
+    * deeper future fixture misclassifies deep DAG nodes as survivors
+    * and fails visibly as a hash mismatch, same failure mode as an
+    * undershot chained-round oracle.
+    */
+  def fixpointOracleSql(edgeCte: String, cap: Int): String = {
+    require(cap >= 1, "cap must be >= 1")
+    s"""WITH RECURSIVE $edgeCte,
+       |n0 AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |w(node, len) AS (
+       |  SELECT node, 0 FROM n0
+       |  UNION ALL
+       |  SELECT e.dst, w.len + 1 FROM w JOIN e ON e.src = w.node
+       |  WHERE w.len < $cap),
+       |m AS (SELECT node, MAX(len) AS ml FROM w GROUP BY node)
+       |SELECT node,
+       |  CAST(CASE WHEN ml >= $cap THEN -1 ELSE ml END AS BIGINT) AS layer
+       |FROM m""".stripMargin
+  }
+
   /** the DuckDB replay of [[layers]] as chained CTEs: `edgeCte` must
     * define `e(src, dst)` (directed, already distinct); exposes
     * (node, layer) after `rounds` rounds, -1 for survivors. Generated

@@ -180,6 +180,85 @@ object GraphxQueries {
         .orderBy("node")
     },
 
+    // run-to-fixpoint face of k-core (r13): KCore.core iterates until a
+    // peel removes nothing. The oracle exploits monotonicity — once the
+    // fixpoint is reached every further peel round is a no-op, so the
+    // SAME generated chained-CTE oracle at any round count ≥ convergence
+    // equals the fixpoint exactly. Measured convergence: ≤ 2 rounds at
+    // sf0.001, sf0.01 AND sf0.1 (DuckDB replay; degrees only grow with
+    // sf, so bigger scales converge no slower); 5 is the safe overshoot
+    // — kept small because the oracle engine inlines chained CTEs
+    // exponentially — and an undershoot on a future fixture fails
+    // visibly as a hash mismatch
+    "q_kcore_fixpoint" -> QueryDef({
+      val edgeCte =
+        """es AS (SELECT l_suppkey AS src, l_partkey + 10000000000 AS dst
+          |       FROM lineitem),
+          |e AS (SELECT DISTINCT src, dst FROM
+          |       (SELECT src, dst FROM es
+          |        UNION ALL SELECT dst AS src, src AS dst FROM es))""".stripMargin
+      graft.ext.KCore.oracleSqlFor(edgeCte, k = 16, rounds = 5) +
+        "\nORDER BY node"
+    }) { (s, d) =>
+      val li = graft.Tables.load(s, d, "lineitem")
+      val es = li.select(col("l_suppkey").cast(LongType).as("src"),
+        (col("l_partkey") + 10000000000L).cast(LongType).as("dst"))
+      val e = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.KCore.core(e, "src", "dst", k = 16)
+        .orderBy("node")
+    },
+
+    // run-to-fixpoint face of Kahn layering (r13): Topo.sort peels
+    // zero-in-degree frontiers until none remains; survivors (on or
+    // downstream of a cycle — the nation ring) report layer -1. The
+    // oracle is Topo.fixpointOracleSql's bounded-walk formulation (one
+    // linear recursive CTE; see its scaladoc for the equivalence
+    // proof) — this fixture's DAG depth is STRUCTURAL (customer→order→
+    // part = 3 layers at every sf; the nation ring never peels), so
+    // cap 5 overshoots at any scale
+    "q_topo_sort" -> QueryDef({
+      val edgeCte =
+        """es AS (
+          |  SELECT c_custkey + 20000000000 AS src,
+          |         o_orderkey + 10000000000 AS dst
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  UNION ALL
+          |  SELECT l_orderkey + 10000000000 AS src,
+          |         l_partkey + 30000000000 AS dst
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT n_nationkey AS src,
+          |         COALESCE(LEAD(n_nationkey) OVER (
+          |             PARTITION BY n_regionkey ORDER BY n_nationkey),
+          |           MIN(n_nationkey) OVER (PARTITION BY n_regionkey))
+          |           AS dst
+          |  FROM nation),
+          |e AS (SELECT DISTINCT src, dst FROM es)""".stripMargin
+      graft.ext.Topo.fixpointOracleSql(edgeCte, cap = 5) +
+        "\nORDER BY layer, node"
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = graft.Tables.load(s, d, "orders")
+      val cust = graft.Tables.load(s, d, "customer")
+      val li = graft.Tables.load(s, d, "lineitem")
+      val nat = graft.Tables.load(s, d, "nation")
+      val co = ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .select((col("c_custkey") + 20000000000L).cast(LongType).as("src"),
+          (col("o_orderkey") + 10000000000L).cast(LongType).as("dst"))
+      val ol = li.select(
+        (col("l_orderkey") + 10000000000L).cast(LongType).as("src"),
+        (col("l_partkey") + 30000000000L).cast(LongType).as("dst"))
+      val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+      val ring = nat.select(col("n_nationkey").cast(LongType).as("src"),
+        coalesce(lead(col("n_nationkey"), 1).over(w),
+          min(col("n_nationkey")).over(
+            Window.partitionBy("n_regionkey")))
+          .cast(LongType).as("dst"))
+      graft.ext.Topo.sort(co.unionByName(ol).unionByName(ring),
+        "src", "dst")
+        .orderBy("layer", "node")
+    },
+
     // deterministic synchronous label propagation (r7): 4 rounds over
     // the undirected supplier↔nation bipartite graph; most-frequent
     // in-neighbor label, ties to the SMALLEST label, fixed round

@@ -161,13 +161,21 @@ final case class ViewProvider(
   private def reversedOverlayCols(name: String): Seq[Column] =
     edgeViews.flatMap(ev => reversedColsFor(ev, name, forceEmit = false))
 
-  /** one member's slice of the view union, in the physical layout */
+  /** One member's slice of the view union, in the physical layout.
+    * `withEdges = false` is the PROBE-SAMPLE mode: stats samples are
+    * slim (no adjacency/tombstone arrays — [[graft.stats.GraphStats
+    * .slimSample]]), and plan-time probes only evaluate property
+    * conjuncts, so the view sample projects just id + type + properties.
+    */
   private[graph] def memberProjection(v: NodeViewDef, m: String,
-      t: DataFrame): DataFrame = {
+      t: DataFrame, withEdges: Boolean = true): DataFrame = {
     val props = v.mapping.map { case (vc, byM) =>
       val dt = propType(v, byM)
       byM.get(m).map(c => col(c).cast(dt)).getOrElse(lit(null).cast(dt)).as(vc)
     }
+    if (!withEdges)
+      return t.select((col("GlobalNodeId") +:
+        lit(m).as("_NodeType") +: props): _*)
     val myEdgeViews = edgeViews.filter(_.viewTable == v.name)
     val edgeCols = myEdgeViews.flatMap { ev =>
       val attrs = viewAttrs(ev)
@@ -254,7 +262,7 @@ object ViewProvider {
       val memberSamples = v.members.flatMap(m => base.samples.get(m).map(m -> _))
       if (memberSamples.size != v.members.size) None
       else Some(v.name -> memberSamples.map { case (m, s) =>
-        p.memberProjection(v, m, s)
+        p.memberProjection(v, m, s, withEdges = false)
       }.reduce(_ unionAll _))
     }.toMap
     base.copy(rows = base.rows ++ vRows, edges = base.edges ++ vEdges,

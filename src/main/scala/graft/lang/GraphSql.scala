@@ -282,11 +282,12 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   private var statsCache: Option[GraphStats] = statsOpt
 
   // plan-time probe memos: selectivity per (table, conjunct) and
-  // histogram per (table, conjunct set). Probes are driver-local scans
-  // of the ≤200-row stats samples, but each still costs a Spark job —
-  // without the memo the same probe ran once for costing and once for
-  // histogram refinement per statement, and again on every repeat of
-  // the statement. Cleared whenever stats refresh.
+  // histogram per (table, conjunct set). Probes run as Filter+Project
+  // over the ≤200-row slim sample LocalRelations, which constant-fold —
+  // pure driver-side plan evaluation, zero jobs — but each still pays
+  // parse+optimize; without the memo the same probe ran once for
+  // costing and once for histogram refinement per statement, and again
+  // on every repeat of the statement. Cleared whenever stats refresh.
   private val selProbeCache =
     scala.collection.concurrent.TrieMap[(String, String), Double]()
   private val histProbeCache =
@@ -1101,13 +1102,25 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         val s = selProbeCache.getOrElseUpdate((t, local), {
           try {
             val pred = org.apache.spark.sql.functions.expr(local)
-            val (probe, denom) = stats.samples.get(t) match {
-              case Some(sample) => (sample, sample.count().toDouble)
-              case None => (g.nodeTable(t), stats.tableRows(t))
+            stats.samples.get(t) match {
+              // sample probe: Filter+Project over a LocalRelation
+              // constant-folds, so BOTH counts are driver-side plan
+              // evaluations — zero jobs, zero task bytes (an Aggregate
+              // `.count()` would not fold and would ship the sample as
+              // one task's partition data)
+              case Some(sample) =>
+                val denom = sample.select(lit(1)).collect().length.toDouble
+                if (denom > 0)
+                  math.max(
+                    sample.filter(pred).select(lit(1)).collect().length /
+                      denom, 1e-9)
+                else 1.0
+              case None =>
+                val denom = stats.tableRows(t)
+                if (denom > 0)
+                  math.max(g.nodeTable(t).filter(pred).count() / denom, 1e-9)
+                else 1.0
             }
-            if (denom > 0)
-              math.max(probe.filter(pred).count() / denom, 1e-9)
-            else 1.0
           } catch { case _: Exception => 1.0 } // unparseable → selectivity 1
         })
         sel(a) = sel.getOrElse(a, 1.0) * s

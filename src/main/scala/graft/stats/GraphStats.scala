@@ -45,25 +45,70 @@ object GraphStats {
     */
   val DefaultAvgDegree = 5.0
 
-  /** Seeded random sample of ~`sampleRows` rows, re-materialized as a
-    * LocalRelation: the reference's `TABLESAMPLE (200 ROWS)` sampling
-    * tables (`GraphViewConnection.cs:2964-2969`). A seeded `df.sample`
-    * (no first-partition bias, deterministic run-to-run) capped at
-    * `sampleRows`; the collected rows are tiny, so downstream plan-time
-    * probes are driver-local scans of ≤200 rows.
+  /** Seeded random sample of ~`sampleRows` rows, collected driver-local:
+    * the reference's `TABLESAMPLE (200 ROWS)` sampling tables
+    * (`GraphViewConnection.cs:2964-2969`). A seeded `df.sample` (no
+    * first-partition bias, deterministic run-to-run) capped at
+    * `sampleRows`. Full-width rows — transient input for driver-side
+    * endpoint extraction; the RETAINED probe sample is the slim
+    * projection of [[slimSample]].
     */
-  def sampleOf(t: org.apache.spark.sql.DataFrame, totalRows: Long,
-      sampleRows: Int = EdgeSampleRows): org.apache.spark.sql.DataFrame = {
-    val spark = t.sparkSession
+  def sampledRowsOf(t: org.apache.spark.sql.DataFrame, totalRows: Long,
+      sampleRows: Int = EdgeSampleRows): Array[org.apache.spark.sql.Row] = {
     val frac =
       if (totalRows <= sampleRows) 1.0
       // oversample 25% so the post-sample cap usually still sees
       // sampleRows rows despite Bernoulli variance
       else math.min(1.0, sampleRows.toDouble * 1.25 / totalRows)
-    val local = t.sample(withReplacement = false, frac, seed = 42L)
+    t.sample(withReplacement = false, frac, seed = 42L)
       .limit(sampleRows).collect()
+  }
+
+  /** [[sampledRowsOf]] re-materialized as a full-width LocalRelation —
+    * the edge-sampling-table face (every adjacency of the sampled rows,
+    * the reference's 200-rows-per-edge-column contract).
+    */
+  def sampleOf(t: org.apache.spark.sql.DataFrame, totalRows: Long,
+      sampleRows: Int = EdgeSampleRows): org.apache.spark.sql.DataFrame =
+    t.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sampledRowsOf(t, totalRows, sampleRows): _*),
+      t.schema)
+
+  /** The RETAINED per-table probe sample: the sampled rows with the
+    * edge-machinery ARRAY columns (adjacency + tombstones, both
+    * directions) dropped. Plan-time predicate probes only ever evaluate
+    * node-property conjuncts and read GlobalNodeId, while the adjacency
+    * arrays grow LINEARLY with scale factor (a supplier at sf1 carries
+    * ~6000 adjacency entries) — keeping them would make each probe's
+    * LocalRelation megabytes of driver memory AND ship those bytes as
+    * task partition data whenever a probe plan doesn't constant-fold
+    * (the once-per-cold-bench "task of very large size" WARN the r12/r13
+    * stage maps pinned to the first stats-collecting query). Slim rows
+    * are bounded by ~200 × scalar width at EVERY scale factor.
+    */
+  def slimSample(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row],
+      heavyCols: Set[String]): org.apache.spark.sql.DataFrame = {
+    val keep = schema.fields.zipWithIndex.filterNot {
+      case (f, _) => heavyCols(f.name)
+    }
+    val slim = rows.map(r => org.apache.spark.sql.Row.fromSeq(
+      keep.map { case (_, i) => r.get(i) }.toSeq))
     spark.createDataFrame(
-      java.util.Arrays.asList(local: _*), t.schema)
+      java.util.Arrays.asList(slim: _*),
+      org.apache.spark.sql.types.StructType(keep.map(_._1)))
+  }
+
+  /** the ArrayType edge-machinery columns of `table` (outgoing adjacency
+    * + tombstones, incoming reversed mirrors + tombstones) — what
+    * [[slimSample]] drops; scalar degree columns stay
+    */
+  def edgeArrayCols(g: GraphProvider, table: String): Set[String] = {
+    val td = g.schema.table(table)
+    (td.edges.flatMap(e => Seq(e.columnName, e.delColumnName)) ++
+      g.schema.incomingEdges(table).flatMap(e =>
+        Seq(e.reversedColumnName, e.reversedDelColumnName))).toSet
   }
 
   def collect(g: GraphProvider): GraphStats = {
@@ -72,10 +117,13 @@ object GraphStats {
     val samples = Map.newBuilder[String, org.apache.spark.sql.DataFrame]
     g.schema.tables.foreach { td =>
       val t = g.nodeTable(td.name)
+      def slimOf(n: Long): org.apache.spark.sql.DataFrame =
+        slimSample(t.sparkSession, t.schema,
+          sampledRowsOf(t, n), edgeArrayCols(g, td.name))
       if (td.edges.isEmpty) {
         val n = t.count()
         rows += td.name -> n
-        samples += td.name -> sampleOf(t, n)
+        samples += td.name -> slimOf(n)
       } else {
         // live degree = adjacency size minus tombstones: after DELETE
         // EDGE (pre-compaction) the planner would otherwise cost
@@ -88,7 +136,7 @@ object GraphStats {
         val row = t.agg(aggs.head, aggs.tail: _*).head()
         val n = row.getAs[Long]("__n")
         rows += td.name -> n
-        samples += td.name -> sampleOf(t, n)
+        samples += td.name -> slimOf(n)
         td.edges.foreach { e =>
           val c = Option(row.getAs[Long](s"__c_${e.name}")).getOrElse(0L)
           degs += (td.name, e.name) -> ((c, if (n == 0) 0.0 else c.toDouble / n))
@@ -136,26 +184,40 @@ object GraphStats {
         val t = g.nodeTable(td.name)
         val n = t.count()
         // one seeded random sample per table (not limit(n): first-partition
-        // bias — the reference draws TABLESAMPLE, GraphViewConnection.cs:2964);
-        // histograms, degree estimates and plan-time selectivity probes all
-        // read this LocalRelation
-        val sample = sampleOf(t, n, sampleRows)
-        val sampled = sample.count() // local scan of <=sampleRows rows
-        val idHist = Histogram.build(
-          sample.select(col("GlobalNodeId")).collect().map(_.getLong(0)).toSeq)
+        // bias — the reference draws TABLESAMPLE, GraphViewConnection.cs:2964).
+        // The full-width rows are TRANSIENT: endpoint/degree extraction
+        // walks them right here on the driver (they were just collected —
+        // a Spark job over their LocalRelation would only ship the same
+        // bytes back out as task partition data), then only the slim
+        // scalar projection is retained for plan-time probes.
+        val rows = sampledRowsOf(t, n, sampleRows)
+        val sampled = rows.length
+        val schema = t.schema
+        val gidIdx = schema.fieldIndex("GlobalNodeId")
+        val idHist = Histogram.build(rows.map(_.getLong(gidIdx)).toSeq)
         val edgeStats = td.edges.map { e =>
-          val endpoints = sample
-            .select(col("GlobalNodeId").as("__src"),
-              explode(col(e.columnName)).as("__e"),
-              col(e.delColumnName).as("__del"))
-            .filter(!array_contains(col("__del"), col("__e.edgeId")))
-            .select(col("__src"), col("__e.sink")).collect()
-          val sinks = endpoints.map(_.getLong(1)).toSeq
+          val adjIdx = schema.fieldIndex(e.columnName)
+          val delIdx = schema.fieldIndex(e.delColumnName)
+          val endpoints = rows.iterator.flatMap { r =>
+            val src = r.getLong(gidIdx)
+            val adj =
+              if (r.isNullAt(adjIdx)) Seq.empty[org.apache.spark.sql.Row]
+              else r.getSeq[org.apache.spark.sql.Row](adjIdx)
+            val del: Set[Int] =
+              if (r.isNullAt(delIdx)) Set.empty
+              else r.getSeq[Int](delIdx).toSet
+            adj.iterator
+              .filter(er => !del.contains(er.getAs[Int]("edgeId")))
+              .map(er => (src, er.getAs[Long]("sink")))
+          }.toArray
+          val sinks = endpoints.map(_._2).toSeq
           val avgDeg = if (sampled == 0) 0.0 else sinks.size.toDouble / sampled
           (e.name, (math.round(avgDeg * n), avgDeg),
             Histogram.build(sinks),
-            Histogram.build(endpoints.map(_.getLong(0)).toSeq))
+            Histogram.build(endpoints.map(_._1).toSeq))
         }
+        val sample = slimSample(t.sparkSession, schema, rows,
+          edgeArrayCols(g, td.name))
         TableStat(td.name, n, sample, idHist, edgeStats)
       }}, Duration.Inf)
     val rowMap = perTable.map(s => s.name -> s.n).toMap

@@ -104,7 +104,20 @@ class PlanGuardSpec extends SparkSpec {
     // + the token explode; the estimate itself is a plan-literal
     // column — a 2nd exchange or a broadcast means the sketch stopped
     // riding the plan as a literal and became a join
-    "q_cms_counts" -> Fingerprint(1, 0, 1, 0))
+    "q_cms_counts" -> Fingerprint(1, 0, 1, 0),
+    // correlated EXISTS(MATCH) (r13, verdict #1 follow-through): the
+    // external-alias remat plans the outer alias as a regular pattern
+    // node and semi-joins on the binding GlobalNodeIds — the join
+    // inputs are PLANS over the cached graph, never collected rows, so
+    // the fingerprint pins a broadcast-joined shape with zero
+    // cartesians. The r12 1174 KiB task WARN in this query's window
+    // was the deferred stats collection's full-width sample jobs (since
+    // slimmed to constant-folding LocalRelations, GraphStats.slimSample);
+    // a LocalRelation-shipping regression here would surface as plan
+    // drift (the remat turning into a collected LocalTableScan changes
+    // the broadcast/exchange counts) or as the GraphSqlSpec slim-schema
+    // guard firing
+    "q_sql_correlated" -> Fingerprint(17, 13, 3, 0))
 
   golden.foreach { case (q, expected) =>
     test(s"golden plan fingerprint: $q") {

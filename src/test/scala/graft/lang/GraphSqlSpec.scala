@@ -283,6 +283,19 @@ class GraphSqlSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan"), plan)
     assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"), plan)
     assert(st.samples("People").count() <= GraphStats.EdgeSampleRows)
+    // the RETAINED sample is slim: the edge-machinery ARRAY columns
+    // (adjacency + tombstones) grow linearly with scale factor, so a
+    // full-width sample would put O(sf) bytes in driver memory and in
+    // any task closure that evaluates a non-folding probe over it (the
+    // once-per-cold-bench 1174 KiB task WARN, r12/r13 stage maps).
+    // Slim = ~200 × scalar width at every sf — no ArrayType survives
+    st.samples.foreach { case (t, sample) =>
+      val arrays = sample.schema.fields.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"retained stats sample for '$t' carries array columns " +
+          s"${arrays.map(_.name).toSeq} — slimSample must drop them")
+    }
     // and the probe still drives the plan: the filtered alias seeds the search
     val steps = gs.explainMatch(
       """SELECT B.name FROM People A, People B MATCH A-[Knows]->B

@@ -141,17 +141,22 @@ object DmlQueries {
     // even-keyed half — the reference's safety guard passes (no live
     // edges) while nodes with edges stay untouched
     // (TranslateDataModificationVisitor.cs:2085-2188)
+    // synthetic-node keys sit at +1e11 — far outside any replicated
+    // TPC-H key range (the sf1 replicator shifts keys by k*1e6; the r13
+    // sf1 full-suite run caught the old +1e6 offset colliding with
+    // replica 1's custkeys) and comfortably inside GlobalNodeId's
+    // 48-bit key space (2^48 ≈ 2.8e14)
     "q_dml_delete_node" -> QueryDef(
       """SELECT custkey FROM (
         |  SELECT c_custkey AS custkey FROM customer
         |  UNION ALL
-        |  SELECT s_suppkey + 1000000 AS custkey FROM supplier
-        |  WHERE (s_suppkey + 1000000) % 2 <> 0) t
+        |  SELECT s_suppkey + 100000000000 AS custkey FROM supplier
+        |  WHERE (s_suppkey + 100000000000) % 2 <> 0) t
         |ORDER BY custkey""".stripMargin) { (s, d) =>
       val g = TpchGraph.provider(s, d)
       val td = g.schema.table("Customer")
       val rows = graft.Tables.load(s, d, "supplier")
-        .select((col("s_suppkey") + 1000000L).as("c_custkey"),
+        .select((col("s_suppkey") + 100000000000L).as("c_custkey"),
           col("s_name").as("c_name"),
           col("s_acctbal").as("c_acctbal"),
           lit("SYNTH").as("c_mktsegment"))
@@ -245,12 +250,12 @@ object DmlQueries {
       """SELECT custkey FROM (
         |  SELECT c_custkey AS custkey FROM customer
         |  UNION ALL
-        |  SELECT s_suppkey + 1000000 AS custkey FROM supplier) t
+        |  SELECT s_suppkey + 100000000000 AS custkey FROM supplier) t
         |ORDER BY custkey""".stripMargin) { (s, d) =>
       val g = TpchGraph.provider(s, d)
       val td = g.schema.table("Customer")
       val rows = graft.Tables.load(s, d, "supplier")
-        .select((col("s_suppkey") + 1000000L).as("c_custkey"),
+        .select((col("s_suppkey") + 100000000000L).as("c_custkey"),
           col("s_name").as("c_name"),
           col("s_acctbal").as("c_acctbal"),
           lit("SYNTH").as("c_mktsegment"))

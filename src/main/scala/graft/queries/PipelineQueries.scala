@@ -1489,27 +1489,46 @@ object PipelineQueries {
     // brute-force exact top-5 cosine neighbors for 20 query vectors
     // MMR diversified retrieval (r7): greedy λ-tradeoff re-rank of the
     // query's shortlist on a 1e-9 integer similarity grid with min-id
-    // ties — the unrolled DuckDB CTE chain replays every pick exactly
+    // ties — the unrolled DuckDB CTE chain replays every pick exactly.
+    // The shortlist is the operator's own documented contract (r13):
+    // a DISTRIBUTED top-1024 by (sq DESC, id) — TakeOrdered, no global
+    // sort — feeds the driver-side greedy re-rank, so the collected set
+    // is ≤1024 rows at EVERY scale factor (the whole-corpus shortlist
+    // tripped Mmr.select's 8192-row guard at sf1, exactly what the
+    // guard is for). The oracle applies the identical cut on the same
+    // integer grid + id tie-break, so the replay stays exact.
     "q_mmr" -> QueryDef({
       val candCte =
         """q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
           |      FROM embeddings WHERE vec_id = 0),
-          |c AS MATERIALIZED (
-          |      SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+          |c0 AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
           |        CAST(ROUND(list_cosine_similarity(
           |          CAST(e.embedding AS DOUBLE[]), qv) * 1000000000, 0)
           |          AS BIGINT) AS sq,
           |        ROUND(list_cosine_similarity(
           |          CAST(e.embedding AS DOUBLE[]), qv), 4) AS cs4
-          |      FROM embeddings e, q WHERE e.vec_id <> 0)""".stripMargin
+          |      FROM embeddings e, q WHERE e.vec_id <> 0),
+          |c AS MATERIALIZED (
+          |      SELECT id, v, sq, cs4 FROM (
+          |        SELECT c0.*, ROW_NUMBER() OVER (ORDER BY sq DESC, id) AS rn
+          |        FROM c0) t
+          |      WHERE rn <= 1024)""".stripMargin
       graft.ext.Mmr.oracleSqlFor(candCte, k = 10)
     }) { (s, d) =>
       val emb = Tables.load(s, d, "embeddings")
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head()
         .getSeq[Float](0).map(_.toDouble).toArray
-      graft.ext.Mmr.select(emb.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", qv, k = 10)
+      val shortlist = emb.filter(col("vec_id") =!= 0)
+        // the same 1e9 integer grid Mmr.scaled/the oracle rank on:
+        // Spark round() is HALF_UP (away from zero), like DuckDB ROUND
+        .withColumn("__sq", round(graft.ext.Similarity.cosine(
+            col("embedding"), typedLit(qv.toSeq)) * 1000000000d, 0)
+          .cast(LongType))
+        .orderBy(col("__sq").desc, col("vec_id").asc)
+        .limit(1024)
+        .drop("__sq")
+      graft.ext.Mmr.select(shortlist, "vec_id", "embedding", qv, k = 10)
     },
 
     "q_ann_topk" -> QueryDef(

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val runCpu0 = CpuWindow.snapshot()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -50,6 +51,7 @@ object Bench {
     // warm the graph + stats caches (bulk-load phase), timed once; the 8
     // node-table builds are independent jobs — materialize them
     // concurrently (a real bulk load would submit them the same way)
+    val buildCpu0 = CpuWindow.snapshot()
     val buildSec = time {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -60,6 +62,7 @@ object Bench {
         Duration.Inf)
       queries.SqlQueries.session(spark, sfDir)
     }
+    val buildCpu = CpuWindow.delta(buildCpu0, CpuWindow.snapshot())
     // the node tables are materialized and persisted — the staged
     // edge-pair cache behind them is now dead weight; release it so the
     // whole bench run doesn't pin a second O(edges) copy
@@ -106,9 +109,21 @@ object Bench {
                 .map(_.getProperty(QueryProp, "")).getOrElse(""))
         })
     }
+    // per-query CPU-window accounting (/proc/stat + /proc/self/stat
+    // deltas over the query's runsPer window): on a shared/virtualized
+    // host, single-window medians swing 2-8x on UNTOUCHED code (the
+    // r11/r12 drift episodes; an r13 control measured the same build
+    // 49 s and 233 s minutes apart under a load-average-22 phantom with
+    // zero local processes). sys_pct (kernel churn), steal_pct
+    // (hypervisor taking the vCPU) and ext_pct (busy ticks this JVM did
+    // not burn) turn "was the window bad?" from a re-run-and-guess
+    // question into a number recorded NEXT TO the wall time it explains.
+    val cpuWindows = scala.collection.mutable.LinkedHashMap[String, String]()
+    buildCpu.foreach(c => cpuWindows += ("graph_build" -> c))
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.sparkContext.setLocalProperty(QueryProp, name)
       spark.sparkContext.setJobDescription(name)
+      val cpu0 = CpuWindow.snapshot()
       val ts = (1 to runsPer).map { _ =>
         time {
           try fn(spark, sfDir).count()
@@ -120,6 +135,8 @@ object Bench {
           }
         }
       }.sorted
+      CpuWindow.delta(cpu0, CpuWindow.snapshot())
+        .foreach(c => cpuWindows += (name -> c))
       name -> ts
     }
     spark.sparkContext.setJobDescription(null)
@@ -148,8 +165,11 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val cpuJson = cpuWindows
+      .map { case (k, c) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"errors":$errJson,"cpu":$cpuJson,"sf":"$sfDir"}"""
 
     // The harness tail-captures ~2000 chars of stdout, so the full
     // per-query JSON (10k+ chars at 140+ queries) goes to a FILE and the
@@ -180,8 +200,10 @@ object Bench {
     val famSums = famMap.toSeq.sortBy(_._1)
       .map { case (f, v) => "\"" + f + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val runCpu = CpuWindow.delta(runCpu0, CpuWindow.snapshot())
+      .map(c => s""","cpu":$c""").getOrElse("")
     def line(fams: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"n_errors":${errors.size},"runs_per_query":$runsPer,"sf":"$sfDir","full":"$fullPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"n_errors":${errors.size},"runs_per_query":$runsPer$runCpu,"sf":"$sfDir","full":"$fullPath"}"""
     val out = if (line(famSums).length <= 1500) line(famSums) else line("{}")
     println(out)
 
@@ -328,5 +350,65 @@ object Bench {
         else None
       }
     }
+  }
+}
+
+/** CPU-window accounting from `/proc/stat` + `/proc/self/stat` deltas —
+  * the instrument behind per-query window adjudication. This harness
+  * runs on a shared/virtualized host where single-window wall times
+  * swing 2-8x on untouched code (the r11/r12 drift episodes; an r13
+  * control measured the same sf1 graph build at 49 s and 233 s minutes
+  * apart while the box showed load-average 22 with zero local user
+  * processes). Three percentages of the window's total CPU ticks turn
+  * "was the window bad?" into recorded evidence beside each wall time:
+  *
+  *  - `sys_pct`: kernel time — syscall/futex churn (the r13 slow-build
+  *    windows burned 30-70 MINUTES of kernel CPU in 2-3 minute runs)
+  *  - `steal_pct`: the hypervisor scheduling our vCPU elsewhere
+  *  - `ext_pct`: busy ticks THIS JVM did not burn (other tenants /
+  *    daemons) — busyNonSteal minus /proc/self utime+stime
+  *
+  * A row whose wall time doubles while sys/steal/ext spike is a window
+  * verdict with the evidence attached; one that doubles at flat
+  * percentages is a code regression. Non-Linux / unreadable /proc →
+  * snapshots return None and the bench JSON simply omits "cpu".
+  */
+private[graft] object CpuWindow {
+  /** (user+nice, system+irq+softirq, idle+iowait, steal, selfTicks) */
+  final case class Snap(usr: Long, sys: Long, idle: Long, steal: Long,
+      self: Long)
+
+  def snapshot(): Option[Snap] = try {
+    val stat = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/stat"))
+    val cpu = stat.get(0).trim.split("\\s+")
+    require(cpu(0) == "cpu")
+    val t = cpu.drop(1).map(_.toLong)
+    def at(i: Int) = if (t.length > i) t(i) else 0L
+    // /proc/self/stat: utime+stime are fields 14/15 (1-indexed), after
+    // the parenthesized comm — parse from the last ')'
+    val selfLine = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+    val rest = selfLine.substring(selfLine.lastIndexOf(')') + 2).split(" ")
+    val selfTicks = rest(11).toLong + rest(12).toLong
+    Some(Snap(at(0) + at(1), at(2) + at(5) + at(6), at(3) + at(4), at(7),
+      selfTicks))
+  } catch { case _: Exception => None }
+
+  /** JSON fragment `{"sys_pct":…,"steal_pct":…,"ext_pct":…}` for the
+    * window between two snapshots, or None if either side is missing
+    * or the window is empty.
+    */
+  def delta(a: Option[Snap], b: Option[Snap]): Option[String] = for {
+    s0 <- a; s1 <- b
+    total = (s1.usr - s0.usr) + (s1.sys - s0.sys) +
+      (s1.idle - s0.idle) + (s1.steal - s0.steal)
+    if total > 0
+  } yield {
+    val busy = (s1.usr - s0.usr) + (s1.sys - s0.sys)
+    val ext = math.max(0L, busy - (s1.self - s0.self))
+    def pct(x: Long) = math.round(x * 1000.0 / total) / 10.0
+    s"""{"sys_pct":${pct(s1.sys - s0.sys)},"steal_pct":${pct(
+        s1.steal - s0.steal)},"ext_pct":${pct(ext)}}"""
   }
 }

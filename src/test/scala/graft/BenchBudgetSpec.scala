@@ -65,4 +65,43 @@ class BenchBudgetSpec extends AnyFunSuite {
       _ => fail("rerun must not be called on a clean first pass"))
     assert(got.isEmpty)
   }
+
+  // ---- CpuWindow (the per-query window-quality instrument) ----
+
+  test("CpuWindow.delta: percentages from tick deltas, self excluded from ext") {
+    val a = CpuWindow.Snap(usr = 100, sys = 50, idle = 800, steal = 0,
+      self = 120)
+    // window: usr +60, sys +20, idle +100, steal +20 (total 200);
+    // self burned 50 of the 80 busy ticks → ext = 30
+    val b = CpuWindow.Snap(usr = 160, sys = 70, idle = 900, steal = 20,
+      self = 170)
+    val got = CpuWindow.delta(Some(a), Some(b))
+    assert(got.contains(
+      """{"sys_pct":10.0,"steal_pct":10.0,"ext_pct":15.0}"""), got)
+  }
+
+  test("CpuWindow.delta: missing snapshot or empty window → None") {
+    val s = CpuWindow.Snap(1, 1, 1, 0, 0)
+    assert(CpuWindow.delta(None, Some(s)).isEmpty)
+    assert(CpuWindow.delta(Some(s), None).isEmpty)
+    assert(CpuWindow.delta(Some(s), Some(s)).isEmpty) // zero-tick window
+  }
+
+  test("CpuWindow.delta: self ticks above window busy clamp ext at 0") {
+    // self counts this process's threads; rounding or a snapshot race
+    // can put self-delta above the window's busy ticks — ext must clamp
+    val a = CpuWindow.Snap(0, 0, 0, 0, 0)
+    val b = CpuWindow.Snap(10, 0, 90, 0, self = 50)
+    assert(CpuWindow.delta(Some(a), Some(b)).get.contains("\"ext_pct\":0.0"))
+  }
+
+  test("CpuWindow.snapshot parses this machine's /proc (Linux-only contract)") {
+    val s = CpuWindow.snapshot()
+    // the bench targets this Linux harness; if /proc goes unreadable the
+    // bench must still run (delta → None), which the Nones above cover —
+    // but on the actual harness a snapshot must succeed and be sane
+    assert(s.nonEmpty)
+    val snap = s.get
+    assert(snap.usr >= 0 && snap.sys >= 0 && snap.idle > 0 && snap.self >= 0)
+  }
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val runCpu0 = CpuWindow.snapshot()
+    val spinPre = CpuWindow.spinMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -202,8 +203,11 @@ object Bench {
       .mkString("{", ",", "}")
     val runCpu = CpuWindow.delta(runCpu0, CpuWindow.snapshot())
       .map(c => s""","cpu":$c""").getOrElse("")
+    val spinPost = CpuWindow.spinMs()
+    val spinJson = s""","spin_ms":{"pre":[${spinPre._1},${spinPre._2}],""" +
+      s""""post":[${spinPost._1},${spinPost._2}]}"""
     def line(fams: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"n_errors":${errors.size},"runs_per_query":$runsPer$runCpu,"sf":"$sfDir","full":"$fullPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"n_errors":${errors.size},"runs_per_query":$runsPer$runCpu$spinJson,"sf":"$sfDir","full":"$fullPath"}"""
     val out = if (line(famSums).length <= 1500) line(famSums) else line("{}")
     println(out)
 
@@ -394,6 +398,42 @@ private[graft] object CpuWindow {
     Some(Snap(at(0) + at(1), at(2) + at(5) + at(6), at(3) + at(4), at(7),
       selfTicks))
   } catch { case _: Exception => None }
+
+  /** Fixed-work spin calibration: wall milliseconds for 2^29 xorshift64
+    * steps on one thread, and for the same loop on `par` concurrent
+    * threads (slowest thread's wall). sys/steal/ext percentages miss a
+    * whole class of window degradation — the r13 bisection found
+    * carried rows uniformly 1.45x slower in a window whose CPU
+    * percentages were all flat (host-side throttling/overcommit that
+    * the guest's tick accounting never sees). A fixed arithmetic
+    * workload is code-independent ground truth: its wall time moves
+    * ONLY with the window, so `spin_ms` beside a bench total converts
+    * "the whole run looks 1.4x slow" into a measured window multiplier.
+    */
+  def spinMs(par: Int = 32): (Long, Long) = {
+    def one(seed: Long): Long = {
+      var x = seed | 1L
+      var i = 0L
+      val n = 1L << 29
+      val t0 = System.nanoTime()
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1000000L
+      if (x == 42L) Console.err.print("") // defeat dead-code elimination
+      dt
+    }
+    val single = one(0x9E3779B97F4A7C15L)
+    class Spinner(seed: Long) extends Thread {
+      var ms = 0L
+      override def run(): Unit = ms = one(seed)
+    }
+    val threads = (1 to par).map { k =>
+      val t = new Spinner(k.toLong); t.start(); t
+    }
+    val worst = threads.map { t => t.join(); t.ms }.max
+    (single, worst)
+  }
 
   /** JSON fragment `{"sys_pct":…,"steal_pct":…,"ext_pct":…}` for the
     * window between two snapshots, or None if either side is missing

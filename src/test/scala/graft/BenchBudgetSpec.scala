@@ -95,6 +95,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(CpuWindow.delta(Some(a), Some(b)).get.contains("\"ext_pct\":0.0"))
   }
 
+  test("CpuWindow.spinMs returns sane fixed-work calibrations") {
+    val (one, par) = CpuWindow.spinMs(par = 4)
+    // 2^29 xorshift steps: > 0 always; the parallel leg's slowest
+    // thread can't beat physics by 100x in either direction vs single
+    assert(one > 0 && par > 0)
+    assert(par < one * 100 && one < par * 100, s"($one, $par)")
+  }
+
   test("CpuWindow.snapshot parses this machine's /proc (Linux-only contract)") {
     val s = CpuWindow.snapshot()
     // the bench targets this Linux harness; if /proc goes unreadable the

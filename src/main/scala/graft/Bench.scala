@@ -222,8 +222,13 @@ object Bench {
       val budgets =
         if (specRaw.trim == "default") DefaultBudgets
         else specRaw.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
-          val Array(k, v) = kv.split("=", 2)
-          k.trim -> v.trim.toDouble
+          kv.split("=", 2) match {
+            case Array(k, v) => k.trim -> v.trim.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"SPARK_GRAFT_BENCH_BUDGETS must be 'default' or a " +
+                s"'family=seconds,…' list, got: '$specRaw' — an r13 run " +
+                "passed '1' and the MatchError silently skipped the gate")
+          }
         }.toMap
       // re-run-once noise policy: a violation only FAILS the run when an
       // immediate re-measurement of the flagged families reproduces it.

@@ -106,6 +106,34 @@ object Mmr {
     }.toSeq.toDF("rank", "id", "rel")
   }
 
+  /** [[select]] behind its own distributed shortlist: a top-`shortlistN`
+    * cut of `candidates` by (1e-9-grid query similarity DESC, id ASC),
+    * then the driver-side greedy re-rank over those rows. This is the
+    * scale-safe face — the cut is a TakeOrderedAndProject (heap top-N
+    * per partition + driver merge, no global sort, no shuffle), so the
+    * collected set is ≤ shortlistN at EVERY corpus size, where calling
+    * [[select]] on a raw corpus trips its guard the moment the corpus
+    * outgrows `maxShortlist` (exactly what the r13 sf1 leg caught).
+    * The grid + id tie-break keep the cut engine-replayable: rank on
+    * the same integers the oracle ranks on, never on raw doubles.
+    */
+  def selectTopN(candidates: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, lambdaPct: Int = 70,
+      shortlistN: Int = 1024): DataFrame = {
+    require(shortlistN >= k, s"shortlistN=$shortlistN < k=$k")
+    val shortlist = candidates
+      // Spark round() is HALF_UP (away from zero), matching DuckDB
+      // ROUND and [[scaled]] — all three land on the same integer grid
+      .withColumn("__sq", round(Similarity.cosine(
+          col(vecCol), typedLit(queryVec.toSeq)) * Scale.toDouble, 0)
+        .cast(LongType))
+      .orderBy(col("__sq").desc, col(idCol).asc)
+      .limit(shortlistN)
+      .drop("__sq")
+    select(shortlist, idCol, vecCol, queryVec, k, lambdaPct,
+      maxShortlist = shortlistN)
+  }
+
   /** the DuckDB replay of [[select]]: `candCte` must define
     * `c(id, v, sq, cs4)` where `v` is DOUBLE[], `sq` the 1e9-scaled
     * BIGINT query similarity and `cs4` its ROUND(·, 4); exposes

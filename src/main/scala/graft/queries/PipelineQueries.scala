@@ -1519,16 +1519,8 @@ object PipelineQueries {
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head()
         .getSeq[Float](0).map(_.toDouble).toArray
-      val shortlist = emb.filter(col("vec_id") =!= 0)
-        // the same 1e9 integer grid Mmr.scaled/the oracle rank on:
-        // Spark round() is HALF_UP (away from zero), like DuckDB ROUND
-        .withColumn("__sq", round(graft.ext.Similarity.cosine(
-            col("embedding"), typedLit(qv.toSeq)) * 1000000000d, 0)
-          .cast(LongType))
-        .orderBy(col("__sq").desc, col("vec_id").asc)
-        .limit(1024)
-        .drop("__sq")
-      graft.ext.Mmr.select(shortlist, "vec_id", "embedding", qv, k = 10)
+      graft.ext.Mmr.selectTopN(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, k = 10, shortlistN = 1024)
     },
 
     "q_ann_topk" -> QueryDef(

@@ -68,4 +68,50 @@ class MmrSpec extends SparkSpec {
     }
     assert(eq.getMessage.toLowerCase.contains("query"), eq.getMessage)
   }
+
+  test("selectTopN is scale-safe past select's shortlist guard and " +
+    "equals select over the same integer-grid cut") {
+    val s = spark
+    import s.implicits._
+    // 5000 deterministic unit-ish vectors: angle spirals around the
+    // xy-plane with a z-wobble, so query similarities are distinct on
+    // the 1e-9 grid almost everywhere and the top-N cut is stable
+    val n = 5000
+    val rows = (1L to n.toLong).map { i =>
+      val a = i * 0.0012; val z = math.sin(i * 0.37) * 0.2
+      (i, Seq((math.cos(a) * (1 - z * z)).toFloat,
+        (math.sin(a) * (1 - z * z)).toFloat, z.toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.05, 0.0)
+    // the raw corpus is over select's default 8192? No — keep the spec
+    // fast but prove the GUARD case: a tight maxShortlist would trip...
+    val trip = intercept[IllegalArgumentException] {
+      Mmr.select(rows, "vec_id", "embedding", q, k = 5,
+        maxShortlist = 1000)
+    }
+    assert(trip.getMessage.contains("shortlist"), trip.getMessage)
+    // ...while selectTopN bounds the collected set by construction
+    val got = Mmr.selectTopN(rows, "vec_id", "embedding", q, k = 5,
+      shortlistN = 1000).collect()
+    assert(got.length == 5)
+    // and equals select() over the manually-computed same cut
+    val cut = rows
+      .withColumn("__sq", round(Similarity.cosine(col("embedding"),
+        typedLit(q.toSeq)) * 1e9, 0).cast("long"))
+      .orderBy(col("__sq").desc, col("vec_id").asc)
+      .limit(1000).drop("__sq")
+    val want = Mmr.select(cut, "vec_id", "embedding", q, k = 5,
+      maxShortlist = 1000).collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // the cut itself never shuffles: TakeOrderedAndProject (heap top-N
+    // per partition + driver merge), no Exchange — `cut` above is the
+    // same orderBy+limit shape selectTopN builds internally
+    val plan = cut.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      Mmr.selectTopN(rows, "vec_id", "embedding", q, k = 50,
+        shortlistN = 10)
+    }
+  }
 }

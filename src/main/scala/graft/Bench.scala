@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val runCpu0 = CpuWindow.snapshot()
     val spinPre = CpuWindow.spinMs()
+    // snapshot AFTER the pre-spin: the calibration deliberately burns
+    // 32 threads of CPU, and taking the run-level CPU window around it
+    // (while the post-spin sits outside) would asymmetrically dilute
+    // the sys/steal/ext percentages this row exists to adjudicate
+    val runCpu0 = CpuWindow.snapshot()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -47,6 +51,30 @@ object Bench {
       spark.read.parquet(tmp.toString).count()
       val p = new org.apache.hadoop.fs.Path(tmp.toString)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
+    // graph_build is one-time and un-re-runnable, and every cold run's
+    // build lands squarely in the drop_caches + sbt-launch contention
+    // window (r13 sf1: in-bench 258 s vs standalone cold 48.3 s, with
+    // spin pre [1228, 2044] naming the contended start). Before timing
+    // it, wait for the fixed-work spin to stabilize — re-spin until the
+    // 32-thread leg is within WindowSpinFactor of the clean-window
+    // calibration or the retry budget runs out — and record the spin
+    // the build actually ran under beside its wall time, so a slow
+    // build always carries its own window multiplier.
+    val cleanSpin32 = cleanSpin32Ms
+    val buildSpin = {
+      var s = CpuWindow.spinMs()
+      var tries = 0
+      while (tries < 4 && s._2 > WindowSpinFactor * cleanSpin32) {
+        System.err.println(s"[bench-window] build delayed: 32-thread spin " +
+          s"${s._2} ms > ${WindowSpinFactor}x clean $cleanSpin32 ms " +
+          s"(try ${tries + 1}/4)")
+        Thread.sleep(2000)
+        s = CpuWindow.spinMs()
+        tries += 1
+      }
+      s
     }
 
     // warm the graph + stats caches (bulk-load phase), timed once; the 8
@@ -120,7 +148,7 @@ object Bench {
     // not burn) turn "was the window bad?" from a re-run-and-guess
     // question into a number recorded NEXT TO the wall time it explains.
     val cpuWindows = scala.collection.mutable.LinkedHashMap[String, String]()
-    buildCpu.foreach(c => cpuWindows += ("graph_build" -> c))
+    buildCpu.foreach(c => cpuWindows += ("graph_build" -> c.json))
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.sparkContext.setLocalProperty(QueryProp, name)
       spark.sparkContext.setJobDescription(name)
@@ -137,7 +165,7 @@ object Bench {
         }
       }.sorted
       CpuWindow.delta(cpu0, CpuWindow.snapshot())
-        .foreach(c => cpuWindows += (name -> c))
+        .foreach(c => cpuWindows += (name -> c.json))
       name -> ts
     }
     spark.sparkContext.setJobDescription(null)
@@ -169,8 +197,18 @@ object Bench {
     val cpuJson = cpuWindows
       .map { case (k, c) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
+    // run-level CPU window closes here (before the post-spin, whose
+    // 32-thread burn must stay outside it, mirroring the pre-spin)
+    val runPcts = CpuWindow.delta(runCpu0, CpuWindow.snapshot())
+    val spinPost = CpuWindow.spinMs()
+    val spinJson = s""","spin_ms":{"pre":[${spinPre._1},${spinPre._2}],""" +
+      s""""post":[${spinPost._1},${spinPost._2}]},""" +
+      s""""build_spin_ms":[${buildSpin._1},${buildSpin._2}]"""
+    val runCpuFrag = runPcts.map(c => s""","cpu":${c.json}""").getOrElse("")
+    // the full artifact always carries the run-level window fields —
+    // the summary line may have to drop them to fit its budget
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"errors":$errJson,"cpu":$cpuJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"errors":$errJson,"cpu":$cpuJson$runCpuFrag$spinJson,"sf":"$sfDir"}"""
 
     // The harness tail-captures ~2000 chars of stdout, so the full
     // per-query JSON (10k+ chars at 140+ queries) goes to a FILE and the
@@ -201,14 +239,16 @@ object Bench {
     val famSums = famMap.toSeq.sortBy(_._1)
       .map { case (f, v) => "\"" + f + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val runCpu = CpuWindow.delta(runCpu0, CpuWindow.snapshot())
-      .map(c => s""","cpu":$c""").getOrElse("")
-    val spinPost = CpuWindow.spinMs()
-    val spinJson = s""","spin_ms":{"pre":[${spinPre._1},${spinPre._2}],""" +
-      s""""post":[${spinPost._1},${spinPost._2}]}"""
-    def line(fams: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"n_errors":${errors.size},"runs_per_query":$runsPer$runCpu$spinJson,"sf":"$sfDir","full":"$fullPath"}"""
-    val out = if (line(famSums).length <= 1500) line(famSums) else line("{}")
+    def line(fams: String, windowFields: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"families":$fams,"n_queries":${measured.size},"n_errors":${errors.size},"runs_per_query":$runsPer$windowFields,"sf":"$sfDir","full":"$fullPath"}"""
+    // length fallback order: the per-family breakdown is the more
+    // useful diagnostic and survives preferentially — the fixed-size
+    // cpu/spin fields drop first (they are always in the full artifact)
+    val out = Seq(
+      line(famSums, runCpuFrag + spinJson),
+      line(famSums, ""),
+      line("{}", runCpuFrag + spinJson))
+      .find(_.length <= 1500).getOrElse(line("{}", ""))
     println(out)
 
     // Per-family budget gate, OFF unless SPARK_GRAFT_BENCH_BUDGETS is
@@ -272,11 +312,72 @@ object Bench {
         })
       if (violations.nonEmpty) {
         violations.foreach(v => System.err.println(s"[bench-budget] $v"))
-        spark.stop()
-        sys.exit(3)
+        // the gate consults its own window evidence before blaming the
+        // code: a confirmed violation measured in a window whose spin
+        // calibration or steal accounting says the MACHINE was degraded
+        // exits with a distinct code (4) so a driver/harness never books
+        // a bad window as a code regression — the r12/r13 adjudications
+        // did this separation by hand; now the instrument is in the gate
+        windowVerdict(spinPre, spinPost, runPcts, cleanSpin32) match {
+          case Some(ev) =>
+            System.err.println("[bench-budget] window verdict: BAD — " +
+              ev + "; confirmed violation is not code-attributable, " +
+              "exiting 4 (bad window), not 3")
+            spark.stop()
+            sys.exit(4)
+          case None =>
+            System.err.println("[bench-budget] window verdict: clean " +
+              s"(spin pre [${spinPre._1},${spinPre._2}] post " +
+              s"[${spinPost._1},${spinPost._2}] vs clean $cleanSpin32 ms; " +
+              s"cpu ${runPcts.map(_.json).getOrElse("n/a")}) — violation " +
+              "is code-attributable, exiting 3")
+            spark.stop()
+            sys.exit(3)
+        }
       }
     }
     spark.stop()
+  }
+
+  /** Clean-window 32-thread spin calibration (wall ms for 2^29 xorshift
+    * steps, slowest of 32 threads) — the r13 clean-window driver run
+    * measured pre [1157, 1401] / post [1152, 1255] on this harness.
+    * Per-host override: SPARK_GRAFT_CLEAN_SPIN_MS.
+    */
+  private[graft] def cleanSpin32Ms: Long =
+    sys.env.get("SPARK_GRAFT_CLEAN_SPIN_MS").map(_.toLong).getOrElse(1400L)
+
+  /** a spin beyond this multiple of its reference marks the window bad */
+  private[graft] val WindowSpinFactor = 1.5
+
+  /** The budget gate's window adjudication, pure and unit-testable: the
+    * recorded spin calibrations and run-level CPU percentages decide
+    * whether a CONFIRMED budget violation ran in a window that was
+    * itself measurably degraded. Some(evidence) → the machine, not the
+    * code (bench exits 4); None → clean window, code-attributable
+    * (exits 3). Three independent signals, any one suffices:
+    * the post-spin degrading >1.5x beyond the run's own pre-calibration
+    * (window turned bad mid-run), BOTH calibrations >1.5x the recorded
+    * clean-window reference (the whole run sat in a bad window — covers
+    * a pre-spin that was itself contended), or hypervisor steal >5% of
+    * the run's CPU ticks.
+    */
+  private[graft] def windowVerdict(spinPre: (Long, Long),
+      spinPost: (Long, Long), cpu: Option[CpuWindow.Pcts],
+      cleanSpin32: Long): Option[String] = {
+    val reasons = Seq(
+      Option.when(spinPost._2 > WindowSpinFactor * spinPre._2)(
+        s"32-thread spin degraded mid-run: post ${spinPost._2} ms > " +
+          s"${WindowSpinFactor}x pre ${spinPre._2} ms"),
+      Option.when(
+        math.min(spinPre._2, spinPost._2) > WindowSpinFactor * cleanSpin32)(
+        s"whole run in a degraded window: spin pre ${spinPre._2} / post " +
+          s"${spinPost._2} ms both > ${WindowSpinFactor}x clean " +
+          s"$cleanSpin32 ms"),
+      cpu.filter(_.stealPct > 5.0).map(c =>
+        s"hypervisor steal ${c.stealPct}% of run CPU ticks (>5%)")
+    ).flatten
+    if (reasons.isEmpty) None else Some(reasons.mkString("; "))
   }
 
   /** Recorded per-family wall-clock budgets (seconds, family = sum of
@@ -440,20 +541,30 @@ private[graft] object CpuWindow {
     (single, worst)
   }
 
-  /** JSON fragment `{"sys_pct":…,"steal_pct":…,"ext_pct":…}` for the
-    * window between two snapshots, or None if either side is missing
-    * or the window is empty.
+  /** window percentages, renderable as the artifact's JSON fragment */
+  final case class Pcts(sysPct: Double, stealPct: Double, extPct: Double) {
+    def json: String =
+      s"""{"sys_pct":$sysPct,"steal_pct":$stealPct,"ext_pct":$extPct}"""
+  }
+
+  /** Percentages for the window between two snapshots, or None if
+    * either side is missing or the window is empty. Each component
+    * delta clamps at 0: on a virtualized host, vCPU hotplug or counter
+    * resets can step /proc/stat fields backwards, and a negative
+    * steal_pct/sys_pct would misread downstream (the ext component
+    * already clamped for the same reason).
     */
-  def delta(a: Option[Snap], b: Option[Snap]): Option[String] = for {
+  def delta(a: Option[Snap], b: Option[Snap]): Option[Pcts] = for {
     s0 <- a; s1 <- b
-    total = (s1.usr - s0.usr) + (s1.sys - s0.sys) +
-      (s1.idle - s0.idle) + (s1.steal - s0.steal)
+    usr = math.max(0L, s1.usr - s0.usr)
+    sysD = math.max(0L, s1.sys - s0.sys)
+    idle = math.max(0L, s1.idle - s0.idle)
+    steal = math.max(0L, s1.steal - s0.steal)
+    total = usr + sysD + idle + steal
     if total > 0
   } yield {
-    val busy = (s1.usr - s0.usr) + (s1.sys - s0.sys)
-    val ext = math.max(0L, busy - (s1.self - s0.self))
+    val ext = math.max(0L, usr + sysD - (s1.self - s0.self))
     def pct(x: Long) = math.round(x * 1000.0 / total) / 10.0
-    s"""{"sys_pct":${pct(s1.sys - s0.sys)},"steal_pct":${pct(
-        s1.steal - s0.steal)},"ext_pct":${pct(ext)}}"""
+    Pcts(pct(sysD), pct(steal), pct(ext))
   }
 }

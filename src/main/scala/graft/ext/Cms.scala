@@ -143,7 +143,19 @@ object Cms {
     */
   def updateState(increment: DataFrame, itemCol: Column, stateDir: String,
       depth: Int = DefaultDepth, width: Int = DefaultWidth,
-      version: Option[Long] = None): Unit = {
+      version: Option[Long] = None): Unit =
+    updateStateHooked(increment, itemCol, stateDir, depth, width, version,
+      afterFold = () => ())
+
+  /** [[updateState]] with a deterministic test seam: `afterFold` runs
+    * after this writer has read the committed state (the race window's
+    * opening) and before the guard re-check — the spec injects the
+    * second writer's commit there, so the lost-update guard is proven
+    * to fire without sleep-based thread interleaving.
+    */
+  private[graft] def updateStateHooked(increment: DataFrame,
+      itemCol: Column, stateDir: String, depth: Int, width: Int,
+      version: Option[Long], afterFold: () => Unit): Unit = {
     val spark = increment.sparkSession
     import spark.implicits._
     val committed = committedVersions(spark, stateDir)
@@ -153,6 +165,27 @@ object Cms {
     val (prev, nPrev) = readState(spark, stateDir, depth, width)
     val nInc = inc.sum / depth // every item increments one cell per row
     val merged = merge(prev, inc)
+    afterFold()
+    // lost-update guard, BEFORE any write: if another writer committed
+    // since we read `prev`, our fold is based on a stale parent — fail
+    // before touching the state dir. The pre-write position matters: a
+    // same-version intruder commit means `$stateDir/s$v` now holds
+    // COMMITTED data, and the r14 spec showed the old post-write check
+    // both overwrote it and then passed via its replay disjunct
+    // (`nowCommitted.contains(v)`) — a silent lost update. A genuine
+    // same-version REPLAY is handled by the early return above; any
+    // commit landing between that read and here is by definition a
+    // concurrent writer.
+    val parent = if (committed.isEmpty) -1L else committed.max
+    def guard(): Unit = {
+      val nowCommitted = committedVersions(spark, stateDir)
+      val nowMax = if (nowCommitted.isEmpty) -1L else nowCommitted.max
+      require(nowMax == parent,
+        s"cms updateState: concurrent writer detected on $stateDir — " +
+          s"folded on parent v$parent but committed max is now v$nowMax; " +
+          "this sink requires a single writer (see scaladoc)")
+    }
+    guard()
     val dir = s"$stateDir/s$v"
     merged.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("idx", "c")
@@ -160,17 +193,12 @@ object Cms {
     val f = hfs(spark, stateDir)
     val out = f.create(new HPath(s"$dir/_n"), true)
     try out.write(s"${nPrev + nInc}".getBytes("UTF-8")) finally out.close()
-    // lost-update guard: if another writer committed since we read
-    // `prev`, our fold is based on a stale parent — fail before the
-    // marker lands (the state dir still holds the intruder's committed
-    // version; our orphaned s$v data dir is overwritten on retry)
-    val parent = if (committed.isEmpty) -1L else committed.max
-    val nowCommitted = committedVersions(spark, stateDir)
-    val nowMax = if (nowCommitted.isEmpty) -1L else nowCommitted.max
-    require(nowMax == parent || nowCommitted.contains(v),
-      s"cms updateState: concurrent writer detected on $stateDir — " +
-        s"folded on parent v$parent but committed max is now v$nowMax; " +
-        "this sink requires a single writer (see scaladoc)")
+    // re-check before the marker: the data write above runs a Spark job
+    // and the race can also land inside it (defense in depth — the
+    // single-writer contract still holds; both checks exist to turn a
+    // misconfigured double writer into a loud failure, not to be a
+    // concurrency protocol)
+    guard()
     val m = new HPath(s"$stateDir/_commits/s$v")
     f.mkdirs(m.getParent)
     val mo = f.create(m, true)

@@ -121,15 +121,21 @@ object Mmr {
       queryVec: Array[Double], k: Int, lambdaPct: Int = 70,
       shortlistN: Int = 1024): DataFrame = {
     require(shortlistN >= k, s"shortlistN=$shortlistN < k=$k")
+    // collision-proofed internal sort key: a caller-owned column of the
+    // same name must survive into the shortlist handed to [[select]],
+    // not be silently overwritten and dropped
+    val sqCol = "__graft_mmr_sq"
+    require(!candidates.columns.contains(sqCol),
+      s"selectTopN reserves internal column name '$sqCol'")
     val shortlist = candidates
       // Spark round() is HALF_UP (away from zero), matching DuckDB
       // ROUND and [[scaled]] — all three land on the same integer grid
-      .withColumn("__sq", round(Similarity.cosine(
+      .withColumn(sqCol, round(Similarity.cosine(
           col(vecCol), typedLit(queryVec.toSeq)) * Scale.toDouble, 0)
         .cast(LongType))
-      .orderBy(col("__sq").desc, col(idCol).asc)
+      .orderBy(col(sqCol).desc, col(idCol).asc)
       .limit(shortlistN)
-      .drop("__sq")
+      .drop(sqCol)
     select(shortlist, idCol, vecCol, queryVec, k, lambdaPct,
       maxShortlist = shortlistN)
   }

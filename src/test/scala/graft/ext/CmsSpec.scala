@@ -53,4 +53,37 @@ class CmsSpec extends SparkSpec {
     intercept[Exception] { Cms.sketch(df, col("t"), depth = 8) }
     intercept[Exception] { Cms.sketch(df, col("t"), depth = 0) }
   }
+
+  test("updateState: interleaved second writer trips the lost-update " +
+      "guard; the intruder's committed fold survives intact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms_state").toString
+    val incA = Seq.fill(5)("a").toDF("t")
+    val incB = Seq.fill(3)("b").toDF("t")
+    Cms.updateState(incA, col("t"), dir) // v0: 5 a's committed
+    // writer A reads committed max v0 and folds; writer B commits v1
+    // inside A's race window (the afterFold seam) — A's commit must
+    // throw the documented require, BEFORE touching B's committed data
+    val e = intercept[IllegalArgumentException] {
+      Cms.updateStateHooked(incA, col("t"), dir,
+        Cms.DefaultDepth, Cms.DefaultWidth, version = None,
+        afterFold = () => Cms.updateState(incB, col("t"), dir))
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // B's v1 fold survived: state is (5 a's + 3 b's), A's double-fold
+    // of incA absent — the pre-write guard position is what protects
+    // the committed s1 data dir from being overwritten
+    val (sk, n) = Cms.readState(s, dir)
+    assert(n == 8, s"exact counter n=$n, want 8 (A's lost fold rejected)")
+    val est = Seq("a", "b").toDF("t")
+      .select(col("t"),
+        Cms.estimateCol(col("t"), sk, Cms.DefaultDepth, Cms.DefaultWidth)
+          .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") >= 5 && est("b") >= 3, est.toString)
+    // replay of the committed v1 stays a no-op after the restructure
+    Cms.updateState(incB, col("t"), dir, version = Some(1L))
+    assert(Cms.readState(s, dir)._2 == 8)
+  }
 }

@@ -52,13 +52,26 @@ object Cc {
       bCol: String = "id_b", maxRounds: Int = 64): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxRounds)._1
 
+  /** Edge-count bound under which the contraction finishes on the
+    * driver: 1M canonical edges = 16 MB collected — far under any
+    * driver budget, and the distributed loop's per-round scheduler
+    * latency (4+ jobs/round × O(log²) rounds, the dominant cost of
+    * q_dedup_cc_incremental at every measured sf) buys nothing at that
+    * size. Above the bound the star-contraction loop runs as before
+    * and RE-CHECKS each round — a shrinking frontier drops into the
+    * local finish the first round it fits (the verdict-r13 "early-exit
+    * when the active frontier fits a driver-bounded set" option).
+    */
+  val LocalEdgeLimit: Int = 1 << 20
+
   /** [[connectedComponents]] plus the number of contraction rounds it
     * took — the observable the O(log² n) claim is measured by
     * (`tools.StressCc`).
     */
   def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxRounds: Int = 64): (DataFrame, Int) = {
+      maxRounds: Int = 64,
+      localEdgeLimit: Int = LocalEdgeLimit): (DataFrame, Int) = {
     // canonical parent-pointer form: u > v, loops dropped, dups merged
     var edges = pairs.select(
         greatest(col(aCol), col(bCol)).cast(LongType).as("u"),
@@ -66,8 +79,15 @@ object Cc {
       .filter(col("u") =!= col("v")).distinct()
       .stageBoundary
     var round = 0
-    var converged = edges.isEmpty
-    while (!converged) {
+    // the stage boundary already measured the live edge set; one count
+    // per round decides convergence AND the local-finish early exit
+    var n = edges.count()
+    var localResult: Option[DataFrame] = None
+    var converged = n == 0
+    while (!converged && localResult.isEmpty) {
+      if (n <= localEdgeLimit) {
+        localResult = Some(localUnionFind(edges))
+      } else {
       round += 1
       require(round <= maxRounds,
         s"connectedComponents: no fixpoint after $maxRounds rounds")
@@ -108,13 +128,59 @@ object Cc {
         .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       converged = internal.isEmpty && multiParent.isEmpty
       edges = ss
+      n = edges.count()
+      }
     }
-    // at the fixpoint every edge points at its component minimum
-    val roots = edges.select(col("v").as("id")).distinct()
-      .withColumn("component", col("id"))
-    (edges.select(col("u").as("id"), col("v").as("component"))
-      .union(roots)
-      .distinct(), round)
+    localResult match {
+      case Some(df) => (df, round)
+      case None =>
+        // at the fixpoint every edge points at its component minimum
+        val roots = edges.select(col("v").as("id")).distinct()
+          .withColumn("component", col("id"))
+        (edges.select(col("u").as("id"), col("v").as("component"))
+          .union(roots)
+          .distinct(), round)
+    }
+  }
+
+  /** Driver-side finish for an edge set under [[LocalEdgeLimit]]:
+    * union-find with path compression, roots kept at the component
+    * MINIMUM (union always attaches the larger root under the smaller,
+    * so the final find(id) is exactly the distributed labeling — the
+    * min id reachable). Output schema matches the distributed path:
+    * one (id, component) row per distinct node in the edge set.
+    */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      es.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      if (p == null) { parent.put(x, x); return x }
+      while (p != x) {
+        val gp = parent.get(p.longValue)
+        parent.put(x, gp) // path halving
+        x = gp.longValue
+        p = parent.get(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        // min-id root: the component root is always its minimum member
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    parent.keySet.forEach { k =>
+      out(i) = (k.longValue, find(k.longValue)); i += 1
+    }
+    out.toSeq.toDF("id", "component")
   }
 
   /** Label a node table with its near-dup cluster canonical: every id

@@ -250,11 +250,23 @@ object TextFunctions {
     * is the mean over its bigram positions; docs with < 2 tokens have
     * no bigram and drop out.
     *
-    * Scale shape mirrors the unigram pass: one bigram-key count shuffle
-    * + one unigram-key count shuffle (both map-side combined — hot
-    * grams cost their occurrence rows, never pairs), three key joins
-    * back, one doc-key mean. Both vocabularies stay distributed; the
-    * only driver value is the corpus token total (one scalar).
+    * Scale shape: the token stream is collapsed to per-(doc, bigram)
+    * MULTIPLICITIES in one map-side-combined aggregation before
+    * anything joins — every downstream join carries distinct keys, not
+    * token positions. Each bigram TYPE is scored exactly once (a join
+    * of the |bigram types| count table against the unigram table
+    * twice), then the per-doc weighted mean Σm·s/Σm replays the
+    * per-position mean exactly (same terms, summation order absorbed
+    * by the ROUND(6) both engines apply). Both vocabularies stay
+    * distributed; the only driver value is the corpus token total.
+    *
+    * The shape also keeps the generated code small: the r13 sf1 leg
+    * caught this row burning 20+ MINUTES of kernel CPU in bad runs —
+    * thread-level /proc sampling attributed it to the C2 compiler
+    * thread JIT-ing the old position-level three-join codegen (futex/
+    * arena churn), not to shuffle or data volume. Scoring types
+    * instead of positions shrinks both the join inputs and the
+    * whole-stage-codegen method the JIT has to chew.
     */
   def bigramLogProb(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
@@ -271,17 +283,24 @@ object TextFunctions {
     // one scalar to the driver (the corpus token total), same pattern
     // as the DSIR totals — keeps a 1-row cross-join out of the plan
     val total = uni.agg(sum(col("__cu"))).head().getLong(0).toDouble
-    val big = pairs.groupBy("__p", "__w").agg(count(lit(1)).as("__cb"))
-    pairs
-      .join(big, Seq("__p", "__w"))
+    // per-(doc, bigram) multiplicity: the one pass over positions
+    val bgDoc = pairs.groupBy(col(idCol), col("__p"), col("__w"))
+      .agg(count(lit(1)).as("__m"))
+    val big = bgDoc.groupBy("__p", "__w").agg(sum(col("__m")).as("__cb"))
+    // score per bigram type, once
+    val score = big
       .join(uni.select(col("__w").as("__p"), col("__cu").as("__cp")), "__p")
       .join(uni, "__w")
+      .select(col("__p"), col("__w"),
+        (-log(
+          lit(lambda) * col("__cb").cast(DoubleType) /
+            col("__cp").cast(DoubleType) +
+          lit(1.0 - lambda) * col("__cu").cast(DoubleType) / lit(total)))
+          .as("__s"))
+    bgDoc.join(score, Seq("__p", "__w"))
       .groupBy(col(idCol))
-      .agg(round(avg(-log(
-        lit(lambda) * col("__cb").cast(DoubleType) /
-          col("__cp").cast(DoubleType) +
-        lit(1.0 - lambda) * col("__cu").cast(DoubleType) / lit(total))), 6)
-        .as("nll"))
+      .agg(round(sum(col("__s") * col("__m").cast(DoubleType)) /
+        sum(col("__m")).cast(DoubleType), 6).as("nll"))
   }
 
   /** Corpus-wide heavy-hitter tokens (boilerplate/stop-phrase mining)

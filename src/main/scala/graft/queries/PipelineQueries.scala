@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.Stage.StageOps
 import graft.ext._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -812,8 +813,14 @@ object PipelineQueries {
     "q_dedup_cc_incremental" -> QueryDef(
       sqlJaccardClusters(0.8, Some(Dedup.DefaultMaxShingleFreq))) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
+      // the pair pipeline is the expensive leg and feeds THREE branches
+      // (hp's semi-joins, incPairs' anti-join, and through both into
+      // the two CC passes) — without a boundary Spark re-runs the whole
+      // shingle/jaccard pipeline per branch (the r13 sf1 leg measured
+      // two extra ~11 s evaluations inside this one query)
       val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.8).select("id_a", "id_b")
+        .stageBoundary
       val histDocs = docs.filter(col("doc_id") % 10 =!= 0)
       val histIds = histDocs.select("doc_id")
       val hp = pairs

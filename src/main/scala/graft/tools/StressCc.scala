@@ -49,7 +49,11 @@ object StressCc {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"[cc] --- $tag: ${p.count()} pairs ---")
       val (labels, rounds) = time(s"$tag starContraction") {
-        val (l, r) = Cc.connectedComponentsWithRounds(p)
+        // force the distributed contraction loop (localEdgeLimit=0):
+        // this harness MEASURES the O(log²) round claim — the
+        // driver-side early exit would short-circuit every case here
+        val (l, r) = Cc.connectedComponentsWithRounds(p,
+          localEdgeLimit = 0)
         l.persist()
         println(s"[cc] $tag rounds=$r labeled=${l.count()}")
         (l, r)

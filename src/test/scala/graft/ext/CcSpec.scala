@@ -57,6 +57,29 @@ class CcSpec extends SparkSpec {
     }
   }
 
+  test("distributed contraction (localEdgeLimit=0) equals union-find " +
+    "and the local-finish path — the loop stays covered now that " +
+    "small graphs take the driver-side early exit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1234)
+    val pairs = (0 until 500).map { _ =>
+      (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong)
+    }.filter(p => p._1 != p._2)
+    val want = ufLabels(pairs)
+    val (dist, rounds) = Cc.connectedComponentsWithRounds(
+      pairs.toDF("id_a", "id_b"), "id_a", "id_b", 64, localEdgeLimit = 0)
+    val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(rounds >= 1)
+    // the diamond regression case must also hold through the loop
+    val dm = Cc.connectedComponentsWithRounds(
+      Seq((1L, 2L), (5L, 6L), (2L, 5L), (0L, 6L)).toDF("id_a", "id_b"),
+      "id_a", "id_b", 64, localEdgeLimit = 0)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dm == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
   test("resolveClustersDf matches the GraphX resolveClusters labeling") {
     val s = spark
     import s.implicits._

@@ -401,7 +401,11 @@ object Bench {
     * that confirmed it.
     */
   val DefaultBudgets: Map[String, Double] = Map(
-    "ann" -> 10.0,
+    // ann tightened 10→9 r14: clean-window cold runs measured 6.9
+    // (r13 snapshot) and 7.6 (r14 cold run 1, spin certificate pre
+    // [1165,1389] post [1172,1237], steal 0.3) — 9 is ~1.2x the worst
+    // observed clean-window sum
+    "ann" -> 9.0,
     // dedup/pipeline/graphx re-tightened r11 (observed sums across two
     // valid local windows + r10 driver: dedup 47.9-55.2 / 49.5,
     // pipeline 12.9-13.2 / 11.7, graphx 1.7 / 1.6): the r11 small-dup
@@ -417,7 +421,15 @@ object Bench {
     // measured sql 12.1 / pipeline 13.5 — the r11 snapshot window was
     // the outlier, and 18 still clears even that window's sums
     "dedup" -> 65.0, "dml" -> 4.0, "graphx" -> 2.5,
-    "match" -> 4.0, "multimodal" -> 17.0, "other" -> 85.0,
+    // other re-recorded 85→110 r14 for GROWTH, not drift: the family
+    // is the unprefixed catch-all and gained rows through r12-r13
+    // (fixpoint faces q_kcore_fixpoint/q_topo_sort oracle legs, etc.).
+    // Confirming windows, both CLEAN per their own certificates:
+    // r13 final snapshot 91.6 (re-run passed, the single-window-blip
+    // policy), r14 cold run 1 95.2 first pass / 86.8 CONFIRMED re-run
+    // (spin pre [1165,1389] post [1172,1237], sys 1.1, steal 0.3) —
+    // 110 is ~1.2x the worst observed clean-window first pass
+    "match" -> 4.0, "multimodal" -> 17.0, "other" -> 110.0,
     "path" -> 3.5, "pipeline" -> 18.0, "sql" -> 18.0, "text" -> 2.0,
     // the one-time bulk load, budgeted as its own row (r9): the r8
     // driver run measured 8.97 s and the driver's own gate is 60 s —

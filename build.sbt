@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Commit and pre-fault the whole heap at JVM start: without this the
+  // kernel zeroes pages on first touch DURING the run, and the first
+  // allocation-heavy query after the graph build eats that sys time in
+  // its measured window (r14: q_bigram_logprob alone carried sys_pct
+  // 62 in-bench at sf1 while standalone fresh-JVM runs were clean —
+  // the heap-growth zeroing landed in exactly its window). Start-up
+  // cost is untimed; measurement windows stay zeroing-free.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

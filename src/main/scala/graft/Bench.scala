@@ -205,10 +205,16 @@ object Bench {
       s""""post":[${spinPost._1},${spinPost._2}]},""" +
       s""""build_spin_ms":[${buildSpin._1},${buildSpin._2}]"""
     val runCpuFrag = runPcts.map(c => s""","cpu":${c.json}""").getOrElse("")
+    // run-level percentages live under their OWN key in the full
+    // artifact: the first r14 sf1 run appended them as a second "cpu"
+    // member, and JSON parsers keep the last duplicate — the whole
+    // per-query cpu map silently read as the 3-field run summary
+    val runCpuFull = runPcts
+      .map(c => s""","cpu_run":${c.json}""").getOrElse("")
     // the full artifact always carries the run-level window fields —
     // the summary line may have to drop them to fit its budget
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"errors":$errJson,"cpu":$cpuJson$runCpuFrag$spinJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$runsPer,"spread":$spread,"errors":$errJson,"cpu":$cpuJson$runCpuFull$spinJson,"sf":"$sfDir"}"""
 
     // The harness tail-captures ~2000 chars of stdout, so the full
     // per-query JSON (10k+ chars at 140+ queries) goes to a FILE and the

@@ -37,3 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )
+// The heap pre-commit only benefits MEASURED runs (Bench/tools via
+// runMain, which must stay flag-free for the driver's recipe): a Test
+// fork that hard-commits and pre-faults the full -Xmx at startup pays
+// multi-second pre-touch latency per fork and can refuse to start on a
+// memory-constrained host — Test forks keep the default lazy-commit
+// heap policy (r15 review item).
+Test / javaOptions := (Test / javaOptions).value
+  .filterNot(o => o == "-XX:+AlwaysPreTouch" || o.startsWith("-Xms"))

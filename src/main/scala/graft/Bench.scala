@@ -285,15 +285,23 @@ object Bench {
       // would false-trip on. graph_build is one-time and cannot re-run;
       // its first measurement stands (its budget already carries ≥3×
       // headroom for exactly that reason).
+      // the confirmation re-run is the measurement that actually
+      // confirms a violation — sample its own window (CPU deltas over
+      // the re-runs + a spin right after) so contention arising DURING
+      // the re-run is evidence the verdict sees, not a blind spot
+      var rerunSpin: Option[(Long, Long)] = None
+      var rerunCpu: Option[CpuWindow.Pcts] = None
       val violations = confirmedViolations(
         famMap + ("graph_build" -> buildSec), budgets,
         flagged => {
           System.err.println(s"[bench-budget] re-running " +
             s"${flagged.toSeq.sorted.mkString(",")} once to separate " +
             "regression from transient contention")
+          val rerunCpu0 = CpuWindow.snapshot()
           val firstMedians = measured
             .map { case (n, ts) => n -> ts(ts.size / 2) }.toMap
-          measured.map(_._1).filter(n => flagged.contains(family(n)))
+          val fresh = measured.map(_._1)
+            .filter(n => flagged.contains(family(n)))
             .map { n =>
               // a query that starts FAILING during the re-run must not
               // clear the violation with its (typically fast) time-to-
@@ -315,16 +323,27 @@ object Bench {
             }
             .groupBy { case (n, _) => family(n) }
             .map { case (f, qq) => f -> qq.map(_._2).sum }
+          rerunCpu = CpuWindow.delta(rerunCpu0, CpuWindow.snapshot())
+          rerunSpin = Some(CpuWindow.spinMs())
+          fresh
         })
       if (violations.nonEmpty) {
-        violations.foreach(v => System.err.println(s"[bench-budget] $v"))
+        violations.foreach { case (_, v) =>
+          System.err.println(s"[bench-budget] $v")
+        }
+        rerunSpin.foreach(s => System.err.println(
+          s"[bench-budget] re-run window: spin [${s._1},${s._2}] ms, " +
+            s"cpu ${rerunCpu.map(_.json).getOrElse("n/a")}"))
         // the gate consults its own window evidence before blaming the
         // code: a confirmed violation measured in a window whose spin
-        // calibration or steal accounting says the MACHINE was degraded
-        // exits with a distinct code (4) so a driver/harness never books
-        // a bad window as a code regression — the r12/r13 adjudications
-        // did this separation by hand; now the instrument is in the gate
-        windowVerdict(spinPre, spinPost, runPcts, cleanSpin32) match {
+        // calibration, steal accounting, iowait/PSI stalls or cgroup
+        // throttling says the MACHINE was degraded exits with a
+        // distinct code (4) so a driver/harness never books a bad
+        // window as a code regression — the r12/r13 adjudications did
+        // this separation by hand; now the instrument is in the gate
+        windowVerdict(WindowEvidence(spinPre, spinPost, buildSpin,
+          rerunSpin, runPcts, rerunCpu,
+          violations.map(_._1).toSet, cleanSpin32)) match {
           case Some(ev) =>
             System.err.println("[bench-budget] window verdict: BAD — " +
               ev + "; confirmed violation is not code-attributable, " +
@@ -356,32 +375,107 @@ object Bench {
   /** a spin beyond this multiple of its reference marks the window bad */
   private[graft] val WindowSpinFactor = 1.5
 
+  /** everything the gate knows about the run's measurement windows,
+    * bundled for [[windowVerdict]]: the run-bracketing spin
+    * calibrations, the calibration the graph build actually ran under
+    * (the 4-try stabilization loop's LAST spin — the queries segment
+    * starts right after it), the spin + CPU window taken around the
+    * confirmation re-runs (None when the first pass was clean), the
+    * run-level CPU window, and which families violated.
+    */
+  private[graft] final case class WindowEvidence(
+      spinPre: (Long, Long), spinPost: (Long, Long),
+      buildSpin: (Long, Long),
+      rerunSpin: Option[(Long, Long)] = None,
+      cpu: Option[CpuWindow.Pcts] = None,
+      rerunCpu: Option[CpuWindow.Pcts] = None,
+      violatedFamilies: Set[String] = Set.empty,
+      cleanSpin32: Long = 1400L)
+
+  /** iowait beyond this percent of the window's CPU ticks marks it bad */
+  private[graft] val IowaitPctBad = 10.0
+  /** PSI some-io stall beyond this percent of wall marks the window bad */
+  private[graft] val PsiIoPctBad = 15.0
+  /** PSI some-memory stall beyond this percent of wall marks it bad */
+  private[graft] val PsiMemPctBad = 5.0
+  /** cgroup throttled time beyond this percent of wall (with ≥1
+    * throttle event) marks the window bad
+    */
+  private[graft] val CgThrottlePctBad = 1.0
+
   /** The budget gate's window adjudication, pure and unit-testable: the
-    * recorded spin calibrations and run-level CPU percentages decide
+    * recorded spin calibrations and CPU/stall percentages decide
     * whether a CONFIRMED budget violation ran in a window that was
     * itself measurably degraded. Some(evidence) → the machine, not the
     * code (bench exits 4); None → clean window, code-attributable
-    * (exits 3). Three independent signals, any one suffices:
-    * the post-spin degrading >1.5x beyond the run's own pre-calibration
-    * (window turned bad mid-run), BOTH calibrations >1.5x the recorded
-    * clean-window reference (the whole run sat in a bad window — covers
-    * a pre-spin that was itself contended), or hypervisor steal >5% of
-    * the run's CPU ticks.
+    * (exits 3). Independent signals, any one suffices:
+    *
+    *  1. the post-spin degrading >1.5x beyond the run's own
+    *     pre-calibration (window turned bad mid-run)
+    *  2. BOTH run-bracketing calibrations >1.5x the recorded
+    *     clean-window reference (the whole run sat in a bad window —
+    *     covers a pre-spin that was itself contended)
+    *  3. graph_build among the violations AND the build spin — the
+    *     calibration the un-re-runnable build actually ran under —
+    *     >1.5x clean. Closes the pre-bad/post-clean hole the r14
+    *     review named: contention that the 4-try stabilization loop
+    *     gave up on and that cleared before the post-spin was invisible
+    *     to signals 1-2 even though `build_spin_ms` in the artifact
+    *     recorded it. Scoped to graph_build deliberately: a QUERY
+    *     family's violation is confirmed by the end-of-run re-run,
+    *     whose own window signal 4 covers — a bad build-time spin must
+    *     not excuse a cleanly re-confirmed query regression
+    *  4. the spin taken right after the confirmation re-runs >1.5x
+    *     clean — the re-run is the measurement that CONFIRMS the
+    *     violation, and contention arising during it must not read as
+    *     a clean-window confirmation
+    *  5. from the run-level or re-run CPU window (worst of the two):
+    *     hypervisor steal >5% of CPU ticks, iowait >10% of CPU ticks,
+    *     PSI some-io stall >15% of wall, PSI some-memory stall >5% of
+    *     wall, or ≥1 cgroup throttle event with throttled time >1% of
+    *     wall — the r14 invisible-window candidates (wall-clock stretch
+    *     with no sys/steal signature). PSI some-cpu is recorded but
+    *     never adjudicated: a 32-thread bench on 32 CPUs generates cpu
+    *     pressure by design.
     */
-  private[graft] def windowVerdict(spinPre: (Long, Long),
-      spinPost: (Long, Long), cpu: Option[CpuWindow.Pcts],
-      cleanSpin32: Long): Option[String] = {
+  private[graft] def windowVerdict(ev: WindowEvidence): Option[String] = {
+    val f = WindowSpinFactor
+    val clean = ev.cleanSpin32
+    val cpuWindows = Seq(
+      ev.cpu.map("run" -> _), ev.rerunCpu.map("re-run" -> _)).flatten
+    def cpuSignal(bad: CpuWindow.Pcts => Boolean,
+        render: (String, CpuWindow.Pcts) => String): Option[String] =
+      cpuWindows.filter { case (_, c) => bad(c) }
+        .sortBy { case (_, c) => -c.stealPct }.headOption
+        .map { case (tag, c) => render(tag, c) }
     val reasons = Seq(
-      Option.when(spinPost._2 > WindowSpinFactor * spinPre._2)(
-        s"32-thread spin degraded mid-run: post ${spinPost._2} ms > " +
-          s"${WindowSpinFactor}x pre ${spinPre._2} ms"),
+      Option.when(ev.spinPost._2 > f * ev.spinPre._2)(
+        s"32-thread spin degraded mid-run: post ${ev.spinPost._2} ms > " +
+          s"${f}x pre ${ev.spinPre._2} ms"),
       Option.when(
-        math.min(spinPre._2, spinPost._2) > WindowSpinFactor * cleanSpin32)(
-        s"whole run in a degraded window: spin pre ${spinPre._2} / post " +
-          s"${spinPost._2} ms both > ${WindowSpinFactor}x clean " +
-          s"$cleanSpin32 ms"),
-      cpu.filter(_.stealPct > 5.0).map(c =>
-        s"hypervisor steal ${c.stealPct}% of run CPU ticks (>5%)")
+        math.min(ev.spinPre._2, ev.spinPost._2) > f * clean)(
+        s"whole run in a degraded window: spin pre ${ev.spinPre._2} / " +
+          s"post ${ev.spinPost._2} ms both > ${f}x clean $clean ms"),
+      Option.when(ev.violatedFamilies.contains("graph_build") &&
+          ev.buildSpin._2 > f * clean)(
+        s"graph_build ran in a degraded window: build spin " +
+          s"${ev.buildSpin._2} ms > ${f}x clean $clean ms (stabilization " +
+          "loop gave up and the one-time build cannot re-run)"),
+      ev.rerunSpin.filter(_._2 > f * clean).map(s =>
+        s"confirmation re-run in a degraded window: re-run spin ${s._2} " +
+          s"ms > ${f}x clean $clean ms"),
+      cpuSignal(_.stealPct > 5.0, (t, c) =>
+        s"hypervisor steal ${c.stealPct}% of $t CPU ticks (>5%)"),
+      cpuSignal(_.iowaitPct > IowaitPctBad, (t, c) =>
+        s"iowait ${c.iowaitPct}% of $t CPU ticks (>$IowaitPctBad%)"),
+      cpuSignal(_.psiIoPct > PsiIoPctBad, (t, c) =>
+        s"PSI io-some stall ${c.psiIoPct}% of $t wall (>$PsiIoPctBad%)"),
+      cpuSignal(_.psiMemPct > PsiMemPctBad, (t, c) =>
+        s"PSI memory-some stall ${c.psiMemPct}% of $t wall " +
+          s"(>$PsiMemPctBad%)"),
+      cpuSignal(c => c.cgThrottled > 0 && c.cgThrottlePct > CgThrottlePctBad,
+        (t, c) => s"cgroup CPU throttled ${c.cgThrottled}x for " +
+          s"${c.cgThrottlePct}% of $t wall (>$CgThrottlePctBad%)")
     ).flatten
     if (reasons.isEmpty) None else Some(reasons.mkString("; "))
   }
@@ -456,14 +550,17 @@ object Bench {
     * re-measured ONCE via `rerun` (given the flagged family names,
     * returns fresh per-family sums for the families it could re-run);
     * only a family whose RE-RUN also exceeds its budget is reported —
-    * with both numbers, so the log distinguishes "reproduced" from the
-    * absorbed transient. A family `rerun` cannot re-measure (e.g. the
-    * one-time graph_build) keeps its first measurement. `rerun` is never
-    * called when the first pass is clean.
+    * as (family, message) with both numbers, so the log distinguishes
+    * "reproduced" from the absorbed transient and [[windowVerdict]]
+    * knows WHICH families violated (graph_build gets its own window
+    * signal). A family `rerun` cannot re-measure (e.g. the one-time
+    * graph_build) keeps its first measurement. `rerun` is never called
+    * when the first pass is clean.
     */
   private[graft] def confirmedViolations(famSums: Map[String, Double],
       budgets: Map[String, Double],
-      rerun: Set[String] => Map[String, Double]): Seq[String] = {
+      rerun: Set[String] => Map[String, Double])
+      : Seq[(String, String)] = {
     val flagged = budgets.keySet
       .filter(f => famSums.get(f).exists(_ > budgets(f)))
     if (flagged.isEmpty) Seq.empty
@@ -472,9 +569,9 @@ object Bench {
       flagged.toSeq.sorted.flatMap { f =>
         val first = famSums(f)
         val second = fresh.getOrElse(f, first)
-        if (second > budgets(f)) Some(
-          f"family '$f' at $first%.2f s (re-run $second%.2f s) exceeds " +
-            f"its ${budgets(f)}%.2f s budget")
+        if (second > budgets(f)) Some(f ->
+          (f"family '$f' at $first%.2f s (re-run $second%.2f s) exceeds " +
+            f"its ${budgets(f)}%.2f s budget"))
         else None
       }
     }
@@ -487,24 +584,96 @@ object Bench {
   * swing 2-8x on untouched code (the r11/r12 drift episodes; an r13
   * control measured the same sf1 graph build at 49 s and 233 s minutes
   * apart while the box showed load-average 22 with zero local user
-  * processes). Three percentages of the window's total CPU ticks turn
-  * "was the window bad?" into recorded evidence beside each wall time:
+  * processes). Percentages of the window's total CPU ticks (or of its
+  * wall clock, for the stall counters) turn "was the window bad?" into
+  * recorded evidence beside each wall time:
   *
   *  - `sys_pct`: kernel time — syscall/futex churn (the r13 slow-build
   *    windows burned 30-70 MINUTES of kernel CPU in 2-3 minute runs)
   *  - `steal_pct`: the hypervisor scheduling our vCPU elsewhere
   *  - `ext_pct`: busy ticks THIS JVM did not burn (other tenants /
   *    daemons) — busyNonSteal minus /proc/self utime+stime
+  *  - `iowait_pct`: CPUs idle WAITING on IO — wall-clock stretch with
+  *    no sys/steal signature (one of the r14 invisible-window
+  *    candidates: the driver window carried 3-5x row inflation that
+  *    sys/steal/ext all read as clean)
+  *  - `psi_{cpu,io,mem}_pct`: PSI `some` stall time
+  *    (`/proc/pressure/{cpu,io,memory}` total= deltas) as a percent of
+  *    the window's WALL time — "some task was stalled on this
+  *    resource". psi_cpu is recorded but never adjudicated on: a bench
+  *    that saturates all 32 CPUs with 32+ runnable threads generates
+  *    cpu-some pressure BY DESIGN; io/mem pressure at run level is the
+  *    foreign-interference signal
+  *  - `cg_throttled` / `cg_throttle_pct`: cgroup CPU-quota throttling
+  *    (`cpu.stat` nr_throttled count and throttled time as a percent
+  *    of wall) — a host-imposed quota stretches wall with NO guest-
+  *    visible sys/steal/iowait signature at all
   *
-  * A row whose wall time doubles while sys/steal/ext spike is a window
+  * A row whose wall time doubles while any of these spike is a window
   * verdict with the evidence attached; one that doubles at flat
   * percentages is a code regression. Non-Linux / unreadable /proc →
-  * snapshots return None and the bench JSON simply omits "cpu".
+  * snapshots return None and the bench JSON simply omits "cpu";
+  * missing PSI/cgroup files degrade to zero deltas (no evidence, never
+  * an error).
   */
 private[graft] object CpuWindow {
-  /** (user+nice, system+irq+softirq, idle+iowait, steal, selfTicks) */
+  /** one window endpoint: /proc/stat tick counters (idle and iowait
+    * split), this process's utime+stime, a wall-clock stamp for the
+    * stall-time percentages, PSI `some` stall totals (µs), and cgroup
+    * CPU throttle counters. New fields default to 0 — absent counters
+    * read as zero deltas (graceful degradation, same contract as the
+    * Option-valued snapshot itself).
+    */
   final case class Snap(usr: Long, sys: Long, idle: Long, steal: Long,
-      self: Long)
+      self: Long, iowait: Long = 0L, wallNs: Long = 0L,
+      psiCpuUs: Long = 0L, psiIoUs: Long = 0L, psiMemUs: Long = 0L,
+      cgThrottled: Long = 0L, cgThrottledUs: Long = 0L)
+
+  /** PSI `some` stall total in µs for cpu/io/memory — first line is
+    * `some avg10=… avg60=… avg300=… total=<µs>`; 0 when unreadable
+    */
+  private def psiSomeUs(kind: String): Long = try {
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"/proc/pressure/$kind")).get(0)
+    line.split("total=")(1).trim.toLong
+  } catch { case _: Exception => 0L }
+
+  /** cgroup CPU throttle counters (nr_throttled, throttled µs) for the
+    * cgroup THIS process runs in: cgroup-v2 `cpu.stat` (throttled_usec)
+    * first, then v1 (`throttled_time` in ns); per-process path from
+    * /proc/self/cgroup with a root-cgroup fallback. (0,0) when neither
+    * hierarchy is readable.
+    */
+  private def cgCpuStat(): (Long, Long) = {
+    def read(path: String, timeKey: String, div: Long): Option[(Long, Long)] =
+      try {
+        val m = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)))
+          .asScala
+          .map(_.split("\\s+"))
+          .collect { case Array(k, v) => k -> v.toLong }.toMap
+        m.get("nr_throttled").map(n => (n, m.getOrElse(timeKey, 0L) / div))
+      } catch { case _: Exception => None }
+    val selfCg = try scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/self/cgroup"))).asScala.toSeq
+      catch { case _: Exception => Seq.empty[String] }
+    val v2Path = selfCg.collectFirst {
+      case l if l.startsWith("0::") => l.stripPrefix("0::").stripSuffix("/")
+    }
+    val v1Path = selfCg.collectFirst {
+      case l if l.split(":").length == 3 &&
+        l.split(":")(1).split(",").contains("cpu") =>
+        l.split(":")(2).stripSuffix("/")
+    }
+    v2Path.flatMap(p =>
+        read(s"/sys/fs/cgroup$p/cpu.stat", "throttled_usec", 1L))
+      .orElse(read("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1L))
+      .orElse(v1Path.flatMap(p =>
+        read(s"/sys/fs/cgroup/cpu$p/cpu.stat", "throttled_time", 1000L)))
+      .orElse(read("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1000L))
+      .getOrElse((0L, 0L))
+  }
 
   def snapshot(): Option[Snap] = try {
     val stat = java.nio.file.Files.readAllLines(
@@ -519,8 +688,12 @@ private[graft] object CpuWindow {
       java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
     val rest = selfLine.substring(selfLine.lastIndexOf(')') + 2).split(" ")
     val selfTicks = rest(11).toLong + rest(12).toLong
-    Some(Snap(at(0) + at(1), at(2) + at(5) + at(6), at(3) + at(4), at(7),
-      selfTicks))
+    val (cgN, cgUs) = cgCpuStat()
+    Some(Snap(at(0) + at(1), at(2) + at(5) + at(6), at(3), at(7),
+      selfTicks, iowait = at(4), wallNs = System.nanoTime(),
+      psiCpuUs = psiSomeUs("cpu"), psiIoUs = psiSomeUs("io"),
+      psiMemUs = psiSomeUs("memory"),
+      cgThrottled = cgN, cgThrottledUs = cgUs))
   } catch { case _: Exception => None }
 
   /** Fixed-work spin calibration: wall milliseconds for 2^29 xorshift64
@@ -559,10 +732,21 @@ private[graft] object CpuWindow {
     (single, worst)
   }
 
-  /** window percentages, renderable as the artifact's JSON fragment */
-  final case class Pcts(sysPct: Double, stealPct: Double, extPct: Double) {
+  /** window percentages, renderable as the artifact's JSON fragment.
+    * sys/steal/ext/iowait are percents of the window's CPU ticks;
+    * psi_* and cg_throttle_pct are stall time as a percent of the
+    * window's WALL clock (0 when the snapshots carry no wall stamp);
+    * cg_throttled is the raw throttle-event count delta.
+    */
+  final case class Pcts(sysPct: Double, stealPct: Double, extPct: Double,
+      iowaitPct: Double = 0.0, psiCpuPct: Double = 0.0,
+      psiIoPct: Double = 0.0, psiMemPct: Double = 0.0,
+      cgThrottled: Long = 0L, cgThrottlePct: Double = 0.0) {
     def json: String =
-      s"""{"sys_pct":$sysPct,"steal_pct":$stealPct,"ext_pct":$extPct}"""
+      s"""{"sys_pct":$sysPct,"steal_pct":$stealPct,"ext_pct":$extPct,""" +
+        s""""iowait_pct":$iowaitPct,"psi_cpu_pct":$psiCpuPct,""" +
+        s""""psi_io_pct":$psiIoPct,"psi_mem_pct":$psiMemPct,""" +
+        s""""cg_throttled":$cgThrottled,"cg_throttle_pct":$cgThrottlePct}"""
   }
 
   /** Percentages for the window between two snapshots, or None if
@@ -577,12 +761,22 @@ private[graft] object CpuWindow {
     usr = math.max(0L, s1.usr - s0.usr)
     sysD = math.max(0L, s1.sys - s0.sys)
     idle = math.max(0L, s1.idle - s0.idle)
+    iow = math.max(0L, s1.iowait - s0.iowait)
     steal = math.max(0L, s1.steal - s0.steal)
-    total = usr + sysD + idle + steal
+    total = usr + sysD + idle + iow + steal
     if total > 0
   } yield {
     val ext = math.max(0L, usr + sysD - (s1.self - s0.self))
     def pct(x: Long) = math.round(x * 1000.0 / total) / 10.0
-    Pcts(pct(sysD), pct(steal), pct(ext))
+    val wallUs = (s1.wallNs - s0.wallNs) / 1000L
+    def wallPct(us: Long) =
+      if (wallUs <= 0L) 0.0
+      else math.round(math.max(0L, us) * 1000.0 / wallUs) / 10.0
+    Pcts(pct(sysD), pct(steal), pct(ext), iowaitPct = pct(iow),
+      psiCpuPct = wallPct(s1.psiCpuUs - s0.psiCpuUs),
+      psiIoPct = wallPct(s1.psiIoUs - s0.psiIoUs),
+      psiMemPct = wallPct(s1.psiMemUs - s0.psiMemUs),
+      cgThrottled = math.max(0L, s1.cgThrottled - s0.cgThrottled),
+      cgThrottlePct = wallPct(s1.cgThrottledUs - s0.cgThrottledUs))
   }
 }

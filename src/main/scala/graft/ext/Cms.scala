@@ -147,15 +147,18 @@ object Cms {
     updateStateHooked(increment, itemCol, stateDir, depth, width, version,
       afterFold = () => ())
 
-  /** [[updateState]] with a deterministic test seam: `afterFold` runs
+  /** [[updateState]] with deterministic test seams: `afterFold` runs
     * after this writer has read the committed state (the race window's
-    * opening) and before the guard re-check — the spec injects the
-    * second writer's commit there, so the lost-update guard is proven
-    * to fire without sleep-based thread interleaving.
+    * opening) and before the guard re-check, and `beforeMarker` runs
+    * after the data rename and just before the commit-marker create —
+    * the spec injects the second writer's commit at each seam, so both
+    * the lost-update guard and the atomic-marker last-writer check are
+    * proven to fire without sleep-based thread interleaving.
     */
   private[graft] def updateStateHooked(increment: DataFrame,
       itemCol: Column, stateDir: String, depth: Int, width: Int,
-      version: Option[Long], afterFold: () => Unit): Unit = {
+      version: Option[Long], afterFold: () => Unit,
+      beforeMarker: () => Unit = () => ()): Unit = {
     val spark = increment.sparkSession
     import spark.implicits._
     val committed = committedVersions(spark, stateDir)
@@ -186,26 +189,69 @@ object Cms {
           "this sink requires a single writer (see scaladoc)")
     }
     guard()
-    val dir = s"$stateDir/s$v"
-    merged.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
-      .toDF("idx", "c")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // the fold lands in a WRITER-UNIQUE temp dir and only renames into
+    // place after the final guard: the r14 shape wrote mode("overwrite")
+    // straight to s$v, so a commit slipping between guard #1 and the
+    // parquet job still clobbered the intruder's COMMITTED data before
+    // guard #2 threw — a corrupted committed version, not just a loud
+    // failure. With the temp dir, committed state is never touched by
+    // an uncommitted writer; the worst a racing pair leaves behind is
+    // an orphaned .tmp dir (swept by the next successful commit).
     val f = hfs(spark, stateDir)
-    val out = f.create(new HPath(s"$dir/_n"), true)
-    try out.write(s"${nPrev + nInc}".getBytes("UTF-8")) finally out.close()
-    // re-check before the marker: the data write above runs a Spark job
-    // and the race can also land inside it (defense in depth — the
-    // single-writer contract still holds; both checks exist to turn a
-    // misconfigured double writer into a loud failure, not to be a
-    // concurrency protocol)
-    guard()
+    val dir = new HPath(s"$stateDir/s$v")
+    val tmp = new HPath(
+      s"$stateDir/.s$v.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      merged.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("idx", "c")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val out = f.create(new HPath(s"$tmp/_n"), true)
+      try out.write(s"${nPrev + nInc}".getBytes("UTF-8")) finally out.close()
+      // re-check before publishing: the data write above runs a Spark
+      // job and the race can also land inside it (defense in depth —
+      // the single-writer contract still holds; the checks exist to
+      // turn a misconfigured double writer into a loud failure, not to
+      // be a concurrency protocol)
+      guard()
+      // an existing s$v dir HERE is a crash leftover, not a concurrent
+      // writer: guard() just proved v is uncommitted, so a dir at the
+      // committed path can only be a half-write from a writer that died
+      // before its marker (the crash-window replay the streaming sinks
+      // exercise) — replace it. The pre-delete also keeps Hadoop rename
+      // from moving the source INTO an existing dir. A concurrent
+      // same-version writer that got further (its marker landed) is
+      // caught by guard above or the atomic marker create below.
+      if (f.exists(dir)) f.delete(dir, true)
+      require(f.rename(tmp, dir),
+        s"cms updateState: publish of $dir failed — a concurrent writer " +
+          "created it after the guard re-check; this sink requires a " +
+          "single writer (see scaladoc)")
+    } finally f.delete(tmp, true) // no-op after a successful rename
+    beforeMarker()
     val m = new HPath(s"$stateDir/_commits/s$v")
     f.mkdirs(m.getParent)
-    val mo = f.create(m, true)
+    // overwrite=false: the marker CREATE is itself the last-writer
+    // check — if a concurrent writer committed this version between
+    // the rename and here, the atomic create fails loudly instead of
+    // silently re-pointing the intruder's committed marker at our data
+    val mo = try f.create(m, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"cms updateState: commit marker $m already exists — a " +
+            "concurrent writer committed this version; this sink " +
+            "requires a single writer (see scaladoc)", e)
+      }
     try mo.write(s"parent=$parent".getBytes("UTF-8")) finally mo.close()
+    // a successful commit sweeps superseded versions AND any orphaned
+    // temp dirs a crashed/raced writer left behind
     committed.filter(_ < v).foreach { old =>
       f.delete(new HPath(s"$stateDir/s$old"), true)
       f.delete(new HPath(s"$stateDir/_commits/s$old"), false)
+    }
+    f.listStatus(new HPath(stateDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".s") && n.contains(".tmp-") &&
+        st.getPath != tmp) f.delete(st.getPath, true)
     }
   }
 }

@@ -47,7 +47,9 @@ class BenchBudgetSpec extends AnyFunSuite {
       Map("dedup" -> 90.0, "ann" -> 5.0), Bench.DefaultBudgets,
       _ => Map("dedup" -> 88.5))
     assert(got.size == 1, got.toString)
-    assert(got.head.contains("90.00") && got.head.contains("88.50"),
+    // (family, message) so windowVerdict knows WHICH families violated
+    assert(got.head._1 == "dedup", got.head)
+    assert(got.head._2.contains("90.00") && got.head._2.contains("88.50"),
       got.head)
   }
 
@@ -55,7 +57,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // graph_build is one-time: rerun returns nothing for it
     val got = Bench.confirmedViolations(
       Map("graph_build" -> 31.0), Bench.DefaultBudgets, _ => Map.empty)
-    assert(got.size == 1 && got.head.contains("'graph_build'"), got.toString)
+    assert(got.size == 1 && got.head._1 == "graph_build", got.toString)
   }
 
   test("clean first pass never invokes the rerun") {
@@ -75,9 +77,45 @@ class BenchBudgetSpec extends AnyFunSuite {
     // self burned 50 of the 80 busy ticks → ext = 30
     val b = CpuWindow.Snap(usr = 160, sys = 70, idle = 900, steal = 20,
       self = 170)
-    val got = CpuWindow.delta(Some(a), Some(b)).map(_.json)
-    assert(got.contains(
-      """{"sys_pct":10.0,"steal_pct":10.0,"ext_pct":15.0}"""), got)
+    val got = CpuWindow.delta(Some(a), Some(b)).get
+    assert(got.sysPct == 10.0 && got.stealPct == 10.0 && got.extPct == 15.0,
+      got)
+    // no iowait/wall/psi/cgroup movement → the stall fields stay 0 and
+    // the json carries every field the r15 verdict mandated
+    assert(got.iowaitPct == 0.0 && got.psiIoPct == 0.0 &&
+      got.cgThrottled == 0L, got)
+    Seq("sys_pct", "iowait_pct", "psi_cpu_pct", "psi_io_pct",
+      "psi_mem_pct", "cg_throttled", "cg_throttle_pct").foreach(k =>
+      assert(got.json.contains("\"" + k + "\":"), s"$k missing: ${got.json}"))
+  }
+
+  test("CpuWindow.delta: iowait ticks and PSI/throttle stall-of-wall pcts") {
+    val a = CpuWindow.Snap(usr = 0, sys = 0, idle = 0, steal = 0, self = 0,
+      iowait = 0, wallNs = 0L, psiCpuUs = 0, psiIoUs = 0, psiMemUs = 0,
+      cgThrottled = 0, cgThrottledUs = 0)
+    // 10 s wall; ticks: usr 60, idle 100, iowait 40 (total 200 → 20%);
+    // PSI io some stalled 2 s of the 10 s wall (20%), memory 0.5 s
+    // (5%); cgroup throttled twice for 1 s (10%)
+    val b = CpuWindow.Snap(usr = 60, sys = 0, idle = 100, steal = 0,
+      self = 60, iowait = 40, wallNs = 10L * 1000 * 1000 * 1000,
+      psiCpuUs = 3000000, psiIoUs = 2000000, psiMemUs = 500000,
+      cgThrottled = 2, cgThrottledUs = 1000000)
+    val got = CpuWindow.delta(Some(a), Some(b)).get
+    assert(got.iowaitPct == 20.0, got)
+    assert(got.psiCpuPct == 30.0 && got.psiIoPct == 20.0 &&
+      got.psiMemPct == 5.0, got)
+    assert(got.cgThrottled == 2L && got.cgThrottlePct == 10.0, got)
+  }
+
+  test("CpuWindow.delta: no wall stamp → stall pcts 0, tick pcts intact") {
+    // spec-constructed snaps (wallNs 0) and clock oddities must never
+    // divide by a non-positive wall
+    val a = CpuWindow.Snap(usr = 0, sys = 0, idle = 0, steal = 0, self = 0,
+      psiIoUs = 0)
+    val b = CpuWindow.Snap(usr = 50, sys = 0, idle = 50, steal = 0,
+      self = 50, psiIoUs = 9999999)
+    val got = CpuWindow.delta(Some(a), Some(b)).get
+    assert(got.psiIoPct == 0.0 && got.cgThrottlePct == 0.0, got)
   }
 
   test("CpuWindow.delta: backwards counters clamp at 0, never negative pcts") {
@@ -112,17 +150,21 @@ class BenchBudgetSpec extends AnyFunSuite {
   // (r13 verdict #1b: a confirmed violation in a measurably-bad window
   // must exit 4, not read as a code regression)
 
+  // a clean-window evidence bundle the cases below perturb one signal
+  // at a time (spin values are the r13 clean-window driver run's)
+  private def cleanEv = Bench.WindowEvidence(
+    spinPre = (1157L, 1401L), spinPost = (1152L, 1255L),
+    buildSpin = (1160L, 1300L), rerunSpin = Some((1150L, 1280L)),
+    cpu = Some(CpuWindow.Pcts(0.9, 0.0, 0.0)),
+    rerunCpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0)),
+    violatedFamilies = Set("dedup"), cleanSpin32 = 1400L)
+
   test("windowVerdict: clean window → None (violation is code-attributable)") {
-    val got = Bench.windowVerdict(spinPre = (1157L, 1401L),
-      spinPost = (1152L, 1255L),
-      cpu = Some(CpuWindow.Pcts(0.9, 0.0, 0.0)), cleanSpin32 = 1400L)
-    assert(got.isEmpty, got)
+    assert(Bench.windowVerdict(cleanEv).isEmpty)
   }
 
   test("windowVerdict: post-spin >1.5x the run's own pre-calibration → bad") {
-    val got = Bench.windowVerdict(spinPre = (1157L, 1401L),
-      spinPost = (1160L, 2500L),
-      cpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0)), cleanSpin32 = 1400L)
+    val got = Bench.windowVerdict(cleanEv.copy(spinPost = (1160L, 2500L)))
     assert(got.exists(_.contains("degraded mid-run")), got)
   }
 
@@ -130,21 +172,86 @@ class BenchBudgetSpec extends AnyFunSuite {
       "(covers a contended pre-spin)") {
     // pre and post agree with each other (no mid-run degradation) but
     // both sit far above the recorded clean-window calibration
-    val got = Bench.windowVerdict(spinPre = (2300L, 2400L),
-      spinPost = (2250L, 2350L), cpu = None, cleanSpin32 = 1400L)
+    val got = Bench.windowVerdict(cleanEv.copy(
+      spinPre = (2300L, 2400L), spinPost = (2250L, 2350L), cpu = None,
+      rerunSpin = None, rerunCpu = None))
     assert(got.exists(_.contains("whole run in a degraded window")), got)
   }
 
   test("windowVerdict: steal >5% of run CPU ticks → bad") {
-    val got = Bench.windowVerdict(spinPre = (1157L, 1401L),
-      spinPost = (1152L, 1255L),
-      cpu = Some(CpuWindow.Pcts(2.0, 8.6, 1.0)), cleanSpin32 = 1400L)
+    val got = Bench.windowVerdict(cleanEv.copy(
+      cpu = Some(CpuWindow.Pcts(2.0, 8.6, 1.0))))
     assert(got.exists(_.contains("steal")), got)
   }
 
   test("windowVerdict: missing cpu accounting still adjudicates on spin") {
-    assert(Bench.windowVerdict((1157L, 1401L), (1152L, 1255L), None,
-      1400L).isEmpty)
+    assert(Bench.windowVerdict(cleanEv.copy(cpu = None, rerunSpin = None,
+      rerunCpu = None)).isEmpty)
+  }
+
+  // ---- the r15 signals: build-segment spin, re-run window, and the
+  // invisible-window class (iowait / PSI / cgroup throttle) that
+  // inflated q_dedup_edit_distance 4.8x through a 'clean' r14 verdict
+
+  test("windowVerdict: graph_build violation + bad build spin → bad " +
+      "(pre-bad/post-clean window the stabilization loop gave up on)") {
+    val got = Bench.windowVerdict(cleanEv.copy(
+      buildSpin = (1160L, 2400L),
+      violatedFamilies = Set("graph_build")))
+    assert(got.exists(_.contains("graph_build ran in a degraded window")),
+      got)
+  }
+
+  test("windowVerdict: bad build spin does NOT excuse a query family " +
+      "whose violation the re-run confirmed in a clean window") {
+    // the build-spin signal is scoped to graph_build: dedup's
+    // confirmation re-ran at the END of the run under its own clean
+    // rerunSpin/rerunCpu — blaming the build-time contention would
+    // excuse a real regression
+    assert(Bench.windowVerdict(cleanEv.copy(
+      buildSpin = (1160L, 2400L))).isEmpty)
+  }
+
+  test("windowVerdict: confirmation re-run in a degraded window → bad") {
+    val got = Bench.windowVerdict(cleanEv.copy(
+      rerunSpin = Some((1150L, 2600L))))
+    assert(got.exists(_.contains("confirmation re-run")), got)
+  }
+
+  test("windowVerdict: iowait >10% of CPU ticks → bad (wall stretch " +
+      "with no sys/steal signature)") {
+    val got = Bench.windowVerdict(cleanEv.copy(
+      cpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0, iowaitPct = 14.2))))
+    assert(got.exists(_.contains("iowait")), got)
+  }
+
+  test("windowVerdict: PSI io-some stall >15% of wall → bad") {
+    val got = Bench.windowVerdict(cleanEv.copy(
+      cpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0, psiIoPct = 22.5))))
+    assert(got.exists(_.contains("PSI io-some")), got)
+  }
+
+  test("windowVerdict: PSI memory-some stall >5% of wall → bad") {
+    val got = Bench.windowVerdict(cleanEv.copy(
+      rerunCpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0, psiMemPct = 7.1))))
+    assert(got.exists(_.contains("PSI memory-some")), got)
+  }
+
+  test("windowVerdict: cgroup throttling >1% of wall → bad; a lone " +
+      "throttle event below the time threshold is not evidence") {
+    val got = Bench.windowVerdict(cleanEv.copy(
+      cpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0, cgThrottled = 12L,
+        cgThrottlePct = 4.4))))
+    assert(got.exists(_.contains("cgroup CPU throttled")), got)
+    assert(Bench.windowVerdict(cleanEv.copy(
+      cpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0, cgThrottled = 1L,
+        cgThrottlePct = 0.2)))).isEmpty)
+  }
+
+  test("windowVerdict: PSI cpu-some is recorded but never adjudicated " +
+      "(a 32-thread bench on 32 CPUs makes cpu pressure by design)") {
+    assert(Bench.windowVerdict(cleanEv.copy(
+      cpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0, psiCpuPct = 55.0)))).isEmpty)
   }
 
   test("CpuWindow.spinMs returns sane fixed-work calibrations") {

@@ -86,4 +86,72 @@ class CmsSpec extends SparkSpec {
     Cms.updateState(incB, col("t"), dir, version = Some(1L))
     assert(Cms.readState(s, dir)._2 == 8)
   }
+
+  test("updateState: a commit racing the MARKER itself fails loudly on " +
+      "the atomic create — committed markers are never re-pointed") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms_mark").toString
+    val incA = Seq.fill(5)("a").toDF("t")
+    Cms.updateState(incA, col("t"), dir) // v0 committed
+    // writer A passes every guard and publishes its data dir; the
+    // intruder then drops A's OWN marker for v1 inside the
+    // rename-to-marker window (the beforeMarker seam simulates a racer
+    // that won the marker create) — A's overwrite=false create must
+    // throw instead of silently re-pointing the committed marker
+    val conf = s.sparkContext.hadoopConfiguration
+    val e = intercept[IllegalArgumentException] {
+      Cms.updateStateHooked(incA, col("t"), dir,
+        Cms.DefaultDepth, Cms.DefaultWidth, version = Some(1L),
+        afterFold = () => (),
+        beforeMarker = () => {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/_commits/s1")
+          val f = p.getFileSystem(conf)
+          f.mkdirs(p.getParent)
+          val o = f.create(p, false)
+          try o.write("parent=0".getBytes("UTF-8")) finally o.close()
+        })
+    }
+    assert(e.getMessage.contains("commit marker"), e.getMessage)
+    // the intruder's marker content survived untouched
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf)
+    val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/_commits/s1"))
+    val body = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+    assert(body == "parent=0", body)
+  }
+
+  test("updateState: an uncommitted fold never touches committed data " +
+      "dirs (temp-dir publish), and orphaned temps are swept") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms_tmp").toString
+    val incA = Seq.fill(5)("a").toDF("t")
+    val incB = Seq.fill(3)("b").toDF("t")
+    Cms.updateState(incA, col("t"), dir) // v0: 5 a's
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // plant an orphan temp (a crashed writer's leftover)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.s9.tmp-deadbeef"))
+    // a racing writer that fails its guard must leave s0 byte-identical:
+    // snapshot s0's file list+sizes before, compare after
+    def listing() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/s0"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val before = listing()
+    intercept[IllegalArgumentException] {
+      Cms.updateStateHooked(incA, col("t"), dir,
+        Cms.DefaultDepth, Cms.DefaultWidth, version = None,
+        afterFold = () => Cms.updateState(incB, col("t"), dir))
+    }
+    // v0 was swept by B's successful v1 commit — assert against the
+    // SURVIVING committed version instead: state reads exactly A+B
+    assert(Cms.readState(s, dir)._2 == 8)
+    // B's commit swept the planted orphan
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    assert(before.nonEmpty) // the snapshot itself was real
+  }
 }

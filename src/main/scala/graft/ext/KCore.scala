@@ -34,10 +34,17 @@ object KCore {
     * may report nodes still below k; [[core]] never does)
     */
   def peel(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int,
+      localEdgeLimit: Int = LocalGraph.LocalEdgeLimit): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     var e = normalized(edges, srcCol, dstCol).stageBoundary
+    // bounded driver-local finish (the Cc r14 pattern) — the same
+    // synchronous peel recurrence on the collected edge list;
+    // spec-pinned equal to the forced-distributed path
+    if (e.count() <= localEdgeLimit)
+      return localPeel(edges.sparkSession, LocalGraph.collectEdges(e),
+        k, Some(rounds), rounds)
     for (_ <- 1 to rounds) e = peelOnce(e, k)
     degrees(e)
   }
@@ -48,10 +55,14 @@ object KCore {
     * than silently returning a non-core.
     */
   def core(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 100): DataFrame = {
+      k: Int, maxRounds: Int = 100,
+      localEdgeLimit: Int = LocalGraph.LocalEdgeLimit): DataFrame = {
     require(k >= 1, "k must be >= 1")
     var e = normalized(edges, srcCol, dstCol).stageBoundary
     var prev = e.count()
+    if (prev <= localEdgeLimit)
+      return localPeel(edges.sparkSession, LocalGraph.collectEdges(e),
+        k, None, maxRounds)
     var rounds = 0
     while (rounds < maxRounds) {
       e = peelOnce(e, k)
@@ -80,6 +91,57 @@ object KCore {
 
   private def degrees(e: DataFrame): DataFrame =
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+
+  /** Driver-side replay of the peel recurrence: per round, keep =
+    * nodes whose OUT-degree over the live edge set is ≥ k (the
+    * doubled-list degree convention), live edges = both endpoints
+    * kept; fixed mode runs exactly `rounds` peels, fixpoint mode
+    * stops at the first peel that removes nothing (edge-count
+    * comparison, like the distributed face) and throws past
+    * `maxRounds`. Output = out-degrees of the final edge set.
+    */
+  private def localPeel(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)], k: Int, fixedRounds: Option[Int],
+      maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    val (srcs, dsts, in) = LocalGraph.internEdges(es)
+    val n = in.size
+    val m = srcs.length
+    val live = Array.fill(m)(true)
+    var liveCount = m.toLong
+    def peelLocalOnce(): Unit = {
+      val outDeg = new Array[Int](n)
+      var i = 0
+      while (i < m) { if (live(i)) outDeg(srcs(i)) += 1; i += 1 }
+      i = 0
+      while (i < m) {
+        if (live(i) &&
+            (outDeg(srcs(i)) < k || outDeg(dsts(i)) < k)) {
+          live(i) = false; liveCount -= 1
+        }
+        i += 1
+      }
+    }
+    fixedRounds match {
+      case Some(r) => for (_ <- 1 to r) peelLocalOnce()
+      case None =>
+        var prev = liveCount
+        var rounds = 0
+        var fixed = false
+        while (!fixed && rounds < maxRounds) {
+          peelLocalOnce()
+          if (liveCount == prev) fixed = true
+          else { prev = liveCount; rounds += 1 }
+        }
+        if (!fixed) throw new IllegalStateException(
+          s"kCore: no fixpoint after $maxRounds rounds — raise maxRounds")
+    }
+    val deg = new Array[Long](n)
+    var i = 0
+    while (i < m) { if (live(i)) deg(srcs(i)) += 1L; i += 1 }
+    (0 until n).filter(deg(_) > 0L).map(v => (in.name(v), deg(v)))
+      .toDF("node", "deg")
+  }
 
   /** the DuckDB replay of [[peel]] as chained CTEs: `edgeCte` must
     * define `e(src, dst)` (already distinct, both directions); exposes

@@ -31,10 +31,20 @@ import graft.Stage.StageOps
 object Lpa {
 
   def propagate(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      localEdgeLimit: Int = LocalGraph.LocalEdgeLimit): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst")).distinct()
+      col(dstCol).cast(LongType).as("dst")).distinct().stageBoundary
+    // bounded driver-local finish (the Cc r14 pattern): each
+    // distributed round is 4 jobs of joins/aggregations; below the
+    // edge bound the same synchronous recurrence (most-frequent
+    // in-neighbor label, ties to SMALLEST — fully deterministic, no
+    // randomness to diverge on) runs on the collected edge list.
+    // Spec-pinned equal to the forced-distributed path.
+    if (e.count() <= localEdgeLimit)
+      return localPropagate(edges.sparkSession,
+        LocalGraph.collectEdges(e), rounds)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
@@ -56,6 +66,56 @@ object Lpa {
         .stageBoundary
     }
     labels
+  }
+
+  /** Driver-side replay of the synchronous recurrence: labels start
+    * as the node id; each round every node with in-edges adopts the
+    * most frequent label among its in-neighbors' PREVIOUS-round
+    * labels, ties to the smallest label. Bit-identical to the
+    * distributed rounds (integer counts, total-order tie-break).
+    */
+  private def localPropagate(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)], rounds: Int): DataFrame = {
+    import spark.implicits._
+    val (srcs, dsts, in) = LocalGraph.internEdges(es)
+    val n = in.size
+    // in-adjacency: for each node, the list of its in-neighbors
+    val (start, inAdj) = LocalGraph.csr(n, dsts, srcs)
+    var labels = Array.tabulate(n)(i => in.name(i))
+    val counts = new java.util.HashMap[Long, Integer]()
+    for (_ <- 1 to rounds) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        if (start(v) == start(v + 1)) next(v) = labels(v)
+        else {
+          counts.clear()
+          var j = start(v)
+          while (j < start(v + 1)) {
+            val l = labels(inAdj(j))
+            val c = counts.get(l)
+            counts.put(l, if (c == null) 1 else c.intValue + 1)
+            j += 1
+          }
+          var bestLabel = Long.MaxValue
+          var bestCnt = 0
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val kv = it.next()
+            val c = kv.getValue.intValue
+            if (c > bestCnt ||
+                (c == bestCnt && kv.getKey < bestLabel)) {
+              bestCnt = c; bestLabel = kv.getKey
+            }
+          }
+          next(v) = bestLabel
+        }
+        v += 1
+      }
+      labels = next
+    }
+    Array.tabulate(n)(i => (in.name(i), labels(i))).toSeq
+      .toDF("node", "label")
   }
 
   /** the DuckDB replay of [[propagate]] as chained CTEs: `edgeCte`

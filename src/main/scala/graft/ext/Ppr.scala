@@ -39,14 +39,23 @@ object Ppr {
 
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
       source: Long, rounds: Int, alphaPct: Int = 15,
-      scale: Long = 1000000000000L, boundaryEvery: Int = 2): DataFrame = {
+      scale: Long = 1000000000000L, boundaryEvery: Int = 2,
+      localEdgeLimit: Int = LocalGraph.LocalEdgeLimit): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     require(alphaPct >= 1 && alphaPct <= 99, "alphaPct in [1,99]")
     require(boundaryEvery >= 1, "boundaryEvery must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst")).distinct()
+      col(dstCol).cast(LongType).as("dst")).distinct().stageBoundary
+    // bounded driver-local finish (the Cc r14 pattern): the integral
+    // recurrence is already exact and order-free, so replaying it on
+    // the collected edge list yields the IDENTICAL longs without the
+    // per-round join/aggregate scheduler latency. Spec-pinned equal
+    // to the forced-distributed path; above the bound nothing changes.
+    if (e.count() <= localEdgeLimit)
+      return localPersonalized(spark, LocalGraph.collectEdges(e),
+        source, rounds, alphaPct, scale)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ewd = e.join(deg, "src").stageBoundary
     val restart = alphaPct * scale / 100
@@ -69,6 +78,67 @@ object Ppr {
       if (t % boundaryEvery == 0 || t == rounds) r = r.stageBoundary
     }
     r
+  }
+
+  /** Driver-side replay of the integral recurrence — the same longs
+    * in, the same longs out (integer division truncates identically;
+    * integer sums are order-free): r₀ = {source → S}; each round
+    * inflow(v) = Σ_{u→v, u∈r} r(u) div deg(u), then
+    * rank(v) = (keep·inflow) div 100 (+ α·S div 100 at the source).
+    * Nodes with rank 0 stay IN the map exactly like the distributed
+    * union keeps their rows.
+    */
+  private def localPersonalized(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)], source: Long, rounds: Int,
+      alphaPct: Int, scale: Long): DataFrame = {
+    import spark.implicits._
+    val (srcs, dsts, in) = LocalGraph.internEdges(es)
+    val n = in.size
+    val m = srcs.length
+    val outDeg = new Array[Long](n)
+    srcs.foreach(outDeg(_) += 1L)
+    val restart = alphaPct * scale / 100
+    val keep = 100L - alphaPct
+    // a source absent from the edge list still ranks (restart mass
+    // only) — intern it after the degree array is sized; no edge can
+    // index the extra slot
+    val srcIdx = in.intern(source)
+    var rank = new java.util.HashMap[Integer, java.lang.Long]()
+    rank.put(srcIdx, java.lang.Long.valueOf(scale))
+    for (_ <- 1 to rounds) {
+      val inflow = new java.util.HashMap[Integer, java.lang.Long]()
+      var i = 0
+      while (i < m) {
+        val r = rank.get(srcs(i))
+        if (r != null) {
+          val contrib = r.longValue / outDeg(srcs(i))
+          val prev = inflow.get(dsts(i))
+          inflow.put(dsts(i),
+            java.lang.Long.valueOf(
+              (if (prev == null) 0L else prev.longValue) + contrib))
+        }
+        i += 1
+      }
+      val next = new java.util.HashMap[Integer, java.lang.Long]()
+      val it = inflow.entrySet().iterator()
+      while (it.hasNext) {
+        val kv = it.next()
+        next.put(kv.getKey,
+          java.lang.Long.valueOf(keep * kv.getValue.longValue / 100))
+      }
+      val sPrev = next.get(srcIdx)
+      next.put(srcIdx, java.lang.Long.valueOf(
+        (if (sPrev == null) 0L else sPrev.longValue) + restart))
+      rank = next
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      rank.size)
+    val it = rank.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next()
+      out += ((in.name(kv.getKey.intValue), kv.getValue.longValue))
+    }
+    out.toSeq.toDF("node", "rank")
   }
 
   /** the DuckDB replay of [[personalized]] as a chained-CTE SQL text:

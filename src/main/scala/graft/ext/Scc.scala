@@ -86,11 +86,20 @@ object Scc {
     * irrelevant to SCC membership and dropped. */
   def strongComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 100,
-      roundObserver: Int => Unit = _ => ()): DataFrame = {
+      roundObserver: Int => Unit = _ => (),
+      localEdgeLimit: Int = LocalGraph.LocalEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().stageBoundary
+    // bounded driver-local finish (the Cc r14 pattern): the label
+    // refinement pays ~10 jobs per outer round; below the edge bound
+    // one Tarjan pass over the collected edge list produces the SAME
+    // unique labeling (component = min member — order-independent, so
+    // DFS order cannot leak into the answer). Spec-pinned equal to the
+    // forced-distributed path; above the bound nothing changes.
+    if (e0.count() <= localEdgeLimit)
+      return localScc(spark, LocalGraph.collectEdges(e0))
     val allNodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct().stageBoundary
     var remaining = allNodes
@@ -131,6 +140,76 @@ object Scc {
         .stageBoundary
     }
     result
+  }
+
+  /** Driver-side finish for an edge set under the local bound:
+    * iterative Tarjan over a CSR adjacency, each SCC labeled by its
+    * MINIMUM member — exactly the distributed refinement's unique
+    * labeling (both are "component = min id of the mutual-reachability
+    * class"; no tie-breaking exists to diverge on). Self-loops were
+    * dropped and edges de-duplicated by the caller.
+    */
+  private def localScc(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val (srcs, dsts, in) = LocalGraph.internEdges(es)
+    val n = in.size
+    val (start, adj) = LocalGraph.csr(n, srcs, dsts)
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val compOf = new Array[Int](n)
+    val compMin = new scala.collection.mutable.ArrayBuffer[Long]()
+    val sccStack = new java.util.ArrayDeque[Integer]()
+    // explicit DFS stack (node + next-edge cursor): recursion depth is
+    // O(n) on chains, far past the JVM stack at the 2M-edge bound
+    val dfsNode = new Array[Int](n)
+    val dfsEdge = new Array[Int](n)
+    var counter = 0
+    var v = 0
+    while (v < n) {
+      if (index(v) == -1) {
+        var sp = 0
+        dfsNode(0) = v; dfsEdge(0) = start(v)
+        index(v) = counter; low(v) = counter; counter += 1
+        sccStack.push(Integer.valueOf(v)); onStack(v) = true
+        while (sp >= 0) {
+          val u = dfsNode(sp)
+          if (dfsEdge(sp) < start(u + 1)) {
+            val w = adj(dfsEdge(sp)); dfsEdge(sp) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              sccStack.push(Integer.valueOf(w)); onStack(w) = true
+              sp += 1; dfsNode(sp) = w; dfsEdge(sp) = start(w)
+            } else if (onStack(w) && index(w) < low(u)) low(u) = index(w)
+          } else {
+            if (low(u) == index(u)) {
+              var mn = Long.MaxValue
+              val members = new scala.collection.mutable.ArrayBuffer[Int]()
+              var w = -1
+              while (w != u) {
+                w = sccStack.pop().intValue; onStack(w) = false
+                members += w
+                if (in.name(w) < mn) mn = in.name(w)
+              }
+              val cid = compMin.length
+              members.foreach(compOf(_) = cid)
+              compMin += mn
+            }
+            sp -= 1
+            if (sp >= 0) {
+              val p = dfsNode(sp)
+              if (low(u) < low(p)) low(p) = low(u)
+            }
+          }
+        }
+      }
+      v += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    var i = 0
+    while (i < n) { out(i) = (in.name(i), compMin(compOf(i))); i += 1 }
+    out.toSeq.toDF("node", "component")
   }
 
   /** DuckDB replay from the transitive closure: `edgeCte` must define

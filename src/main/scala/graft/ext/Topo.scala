@@ -31,9 +31,10 @@ object Topo {
     * just means "not yet removable")
     */
   def layers(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      localEdgeLimit: Int = LocalGraph.LocalEdgeLimit): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    run(edges, srcCol, dstCol, Some(rounds), rounds)
+    run(edges, srcCol, dstCol, Some(rounds), rounds, localEdgeLimit)
   }
 
   /** layers at the fixpoint: every `layer = -1` node is on or
@@ -42,13 +43,24 @@ object Topo {
     * DAG), failing loudly rather than mislabeling.
     */
   def sort(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 1000): DataFrame =
-    run(edges, srcCol, dstCol, None, maxRounds)
+      maxRounds: Int = 1000,
+      localEdgeLimit: Int = LocalGraph.LocalEdgeLimit): DataFrame =
+    run(edges, srcCol, dstCol, None, maxRounds, localEdgeLimit)
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
-      fixedRounds: Option[Int], maxRounds: Int): DataFrame = {
+      fixedRounds: Option[Int], maxRounds: Int,
+      localEdgeLimit: Int): DataFrame = {
     var e = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst")).distinct().stageBoundary
+    // bounded driver-local finish (the Cc r14 pattern): each Kahn
+    // round is 4+ jobs (frontier anti-join + two semi-joins + count);
+    // below the edge bound the same peel recurrence runs on the
+    // collected edge list with in-degree decrements. Deterministic by
+    // construction (layer stamps are a pure function of the graph);
+    // spec-pinned equal to the forced-distributed path.
+    if (e.count() <= localEdgeLimit)
+      return localRun(edges.sparkSession, LocalGraph.collectEdges(e),
+        fixedRounds, maxRounds)
     var nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().stageBoundary
     val spark = edges.sparkSession
@@ -76,6 +88,53 @@ object Topo {
         s"topo sort: no fixpoint after $maxRounds rounds — raise " +
           "maxRounds (longest DAG path exceeds it)")
     out.unionByName(nodes.select(col("node"), lit(-1L).as("layer")))
+  }
+
+  /** Driver-side replay of the Kahn recurrence: round t removes every
+    * live node with no remaining in-edge and stamps it `layer = t`
+    * (in-degrees drop only when a REMOVED node's out-edges leave);
+    * fixed-round mode runs exactly `rounds` rounds (empty frontiers
+    * included), fixpoint mode stops at the first empty frontier;
+    * survivors report -1. Identical to the distributed rounds.
+    */
+  private def localRun(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)], fixedRounds: Option[Int],
+      maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    val (srcs, dsts, in) = LocalGraph.internEdges(es)
+    val n = in.size
+    val (start, outAdj) = LocalGraph.csr(n, srcs, dsts)
+    val inDeg = new Array[Int](n)
+    dsts.foreach(inDeg(_) += 1)
+    val layer = Array.fill(n)(-1L)
+    var frontier = (0 until n).filter(inDeg(_) == 0).toArray
+    var t = 0
+    var done = false
+    while (!done && t < maxRounds) {
+      if (fixedRounds.isEmpty && frontier.isEmpty) done = true
+      else {
+        val next = new scala.collection.mutable.ArrayBuffer[Int]()
+        frontier.foreach { u =>
+          layer(u) = t.toLong
+          var j = start(u)
+          while (j < start(u + 1)) {
+            val w = outAdj(j)
+            inDeg(w) -= 1
+            if (inDeg(w) == 0 && layer(w) == -1L) next += w
+            j += 1
+          }
+        }
+        frontier = next.toArray
+        t += 1
+        if (fixedRounds.contains(t)) done = true
+      }
+    }
+    if (fixedRounds.isEmpty && !done)
+      throw new IllegalStateException(
+        s"topo sort: no fixpoint after $maxRounds rounds — raise " +
+          "maxRounds (longest DAG path exceeds it)")
+    Array.tabulate(n)(i => (in.name(i), layer(i))).toSeq
+      .toDF("node", "layer")
   }
 
   /** the FIXPOINT oracle ([[sort]]'s contract) as ONE bounded

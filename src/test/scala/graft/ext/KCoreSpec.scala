@@ -53,4 +53,29 @@ class KCoreSpec extends SparkSpec {
       KCore.core(g, "src", "dst", k = 2, maxRounds = 1)
     }
   }
+  test("driver-local finish (default) equals the forced-distributed " +
+    "peels, fixed and fixpoint faces — the r15 local-fast-path pin") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    for (trial <- 0 until 2) {
+      val n = 40
+      val und = Seq.fill(n * 3)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val e = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+      val lp = KCore.peel(e, "src", "dst", k = 3, rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dp = KCore.peel(e, "src", "dst", k = 3, rounds = 2,
+        localEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lp == dp, s"peel trial $trial")
+      val lc = KCore.core(e, "src", "dst", k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dc = KCore.core(e, "src", "dst", k = 3, localEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lc == dc, s"core trial $trial")
+    }
+  }
+
 }

@@ -66,4 +66,25 @@ class LpaSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
   }
+  test("driver-local finish (default) equals the forced-distributed " +
+    "rounds on random graphs — the r15 local-fast-path pin") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    for (trial <- 0 until 2) {
+      val n = 50
+      val und = Seq.fill(n * 2)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+      val local = Lpa.propagate(e, "src", "dst", rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Lpa.propagate(e, "src", "dst", rounds = 3,
+        localEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial: " +
+        (local.toSet diff dist.toSet).take(5).toString)
+    }
+  }
+
 }

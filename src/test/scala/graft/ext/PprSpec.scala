@@ -74,4 +74,23 @@ class PprSpec extends SparkSpec {
     assert(got.values.sum <= 1000000000000L)
     assert(got.values.forall(_ >= 0L))
   }
+  test("driver-local finish (default) equals the forced-distributed " +
+    "recurrence bit-for-bit — the r15 local-fast-path pin") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29)
+    for (trial <- 0 until 2) {
+      val n = 30
+      val und = Seq.fill(n * 2)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val e = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+      val local = ranks(Ppr.personalized(e, "src", "dst", 0L, rounds = 5))
+      val dist = ranks(Ppr.personalized(e, "src", "dst", 0L, rounds = 5,
+        localEdgeLimit = 0))
+      assert(local == dist, s"trial $trial: " +
+        (local.toSet diff dist.toSet).take(5).toString)
+    }
+  }
+
 }

@@ -165,4 +165,24 @@ class SccSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L), a.toString)
     assert(a == b)
   }
+  test("driver-local finish (default) equals the forced-distributed " +
+    "refinement on random digraphs — the r15 local-fast-path pin") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 2) {
+      val n = 60
+      val e = Seq.fill(n * 3)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val local = Scc.strongComponents(e.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Scc.strongComponents(e.toDF("src", "dst"), "src", "dst",
+        localEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial: " +
+        (local.toSet diff dist.toSet).take(5).toString)
+    }
+  }
+
 }

@@ -51,4 +51,31 @@ class TopoSpec extends SparkSpec {
       Topo.sort(chain, "src", "dst", maxRounds = 3)
     }
   }
+  test("driver-local finish (default) equals the forced-distributed " +
+    "rounds, fixed and fixpoint faces — the r15 local-fast-path pin") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    for (trial <- 0 until 2) {
+      val n = 40
+      // random DAG-ish edges plus a deliberate cycle
+      val e = (Seq.fill(n * 2)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++
+        Seq((100L, 101L), (101L, 102L), (102L, 100L))).distinct
+        .toDF("src", "dst")
+      val lf = Topo.layers(e, "src", "dst", rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val df2 = Topo.layers(e, "src", "dst", rounds = 3,
+        localEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lf == df2, s"layers trial $trial")
+      val ls = Topo.sort(e, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ds = Topo.sort(e, "src", "dst", localEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ls == ds, s"sort trial $trial")
+    }
+  }
+
 }

@@ -2261,8 +2261,14 @@ object PipelineQueries {
         |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
       import Multimodal._
       import s.implicits._
+      // every media row derives from doc_id alone, but the fixture
+      // parquet is one scan split — without the (cores-derived, tiny:
+      // longs only) repartition the whole synth+codec pipeline of each
+      // multimodal row ran in ONE task (r15: video_frames spent 5.5 s
+      // serial in javax.imageio on a 32-core box). Same repartition on
+      // all 8 media queries below.
       val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticPng(id), "image/png"))
       val meta = Multimodal.decodeImages(media).toDF()
         .select(col("id"), col("width"), col("height"), col("format"),
@@ -2286,7 +2292,7 @@ object PipelineQueries {
       import Multimodal._
       import s.implicits._
       val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticPatternPng(id),
           "image/png"))
       Multimodal.dHashGroups(media)
@@ -2304,7 +2310,7 @@ object PipelineQueries {
       import Multimodal._
       import s.implicits._
       val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticPatternWav(id),
           "audio/wav"))
       Multimodal.audioFingerprintGroups(media)
@@ -2328,7 +2334,7 @@ object PipelineQueries {
       import Multimodal._
       import s.implicits._
       val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticMp4(id), "video/mp4"))
       Multimodal.demuxMp4(media).toDF()
         .select(col("id"), col("brand"), col("timescale"),
@@ -2352,7 +2358,7 @@ object PipelineQueries {
       import Multimodal._
       import s.implicits._
       val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticAviMjpeg(id),
           "video/x-msvideo"))
       Multimodal.decodeAviFrames(media).toDF()
@@ -2377,7 +2383,7 @@ object PipelineQueries {
       import Multimodal._
       import s.implicits._
       val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticAviRaw(id),
           "video/x-msvideo"))
       Multimodal.decodeAviFrames(media).toDF()
@@ -2398,7 +2404,7 @@ object PipelineQueries {
       import Multimodal._
       import s.implicits._
       val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticPatternAvi(id),
           "video/x-msvideo"))
       Multimodal.videoFingerprintGroups(media)
@@ -2420,7 +2426,7 @@ object PipelineQueries {
       import Multimodal._
       import s.implicits._
       val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => MediaRow(id, Multimodal.syntheticWav(id), "audio/wav"))
       Multimodal.decodeAudio(media).toDF()
         .select(col("id"), col("sampleRate").as("sample_rate"),

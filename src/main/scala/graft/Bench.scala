@@ -23,6 +23,23 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // AQE coalescing by TARGET SIZE, not parallelism (r15): the
+      // upstream default (parallelismFirst=true) keeps ~defaultParallelism
+      // post-shuffle partitions however small the data, so every stage
+      // of every query schedules `cpus` near-empty tasks — pure
+      // scheduler latency at any scale where a stage's bytes fit fewer
+      // partitions. false is Spark's own documented recommendation
+      // ("it's recommended to set this config to false and respect the
+      // configured target size"); the 64m advisory equals the upstream
+      // default and is env-overridable for cluster runs, where
+      // size-driven coalescing picks the honest partition count for
+      // big shuffles (guide §2.2: 100 MB-1 GB partitions). Measured
+      // +7..53% per query across a 18-query A/B at sf0.1, no
+      // regressions outside noise (OPTIMIZATION_r15.md).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

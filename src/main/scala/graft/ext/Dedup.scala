@@ -257,6 +257,11 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("id_b"))
     val texts = docs.select(col("id"), col("t"))
     val repPairs = candLong.unionByName(candShort).distinct()
+      // keep the banded-DP verify stage wide: levenshtein is CPU-dense
+      // per byte, and the candidate list is small enough that
+      // size-driven AQE coalescing would serialize it (r15; same move
+      // as verifyJaccard)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
@@ -342,6 +347,9 @@ object Dedup {
       .unionByName(shortLeg(l, r, flip = false))
       .unionByName(shortLeg(r, l, flip = true))
       .distinct()
+      // wide DP verify under size-driven AQE coalescing (r15; same
+      // move as editDistancePairs)
+      .repartition(left.sparkSession.sparkContext.defaultParallelism)
     cand
       .join(l.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(r.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
@@ -568,6 +576,9 @@ object Dedup {
       .dropDuplicates("id") // a replayed rep's text arrives from both
       .stageBoundary
     val repPairs = candidates
+      // wide DP verify under size-driven AQE coalescing (r15; same
+      // move as editDistancePairs)
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
@@ -1068,6 +1079,12 @@ object Dedup {
       .filter(size(col("shs")) > 0)
       .stageBoundary
     candidates
+      // the intersect/jaccard stage is CPU-dense per BYTE (array
+      // intersections over whole shingle sets), so size-driven AQE
+      // coalescing under-parallelizes it; an explicit cores-derived
+      // repartition of the (tiny) pair list is exempt from coalescing
+      // and keeps the verify stage wide at any scale (r15)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .join(verifyDocs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(verifyDocs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))

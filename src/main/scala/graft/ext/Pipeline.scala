@@ -138,7 +138,18 @@ object Pipeline {
       dir: String, k: Int = 8, minCleanTokens: Int = 10): Unit = {
     val spark = docs.sparkSession
     val gated = docs.filter(TextFunctions.gopherKeep(col(textCol)))
-    SubstringDedup.writeWindowIndex(gated, textCol, idCol, k, s"$dir/windows")
+    // the window index derives from the GATED RAW text and nothing
+    // downstream of it — overlap its build with the span-clean chain
+    // (guide §2.6: independent actions submitted concurrently back-fill
+    // each other's stragglers; job descriptions are thread-local, so
+    // the overlap never mislabels the enclosing query's jobs)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val windowsF = Future {
+      SubstringDedup.writeWindowIndex(gated, textCol, idCol, k,
+        s"$dir/windows")
+    }
     val cleaned = SubstringDedup.cleanedText(gated, textCol, idCol, k)
       .filter(TextFunctions.tokenCount(col("cleaned")) >= minCleanTokens)
       .stageBoundary
@@ -152,6 +163,7 @@ object Pipeline {
       .write.mode("overwrite").parquet(s"$dir/exact_docs")
     Dedup.writeBandIndex(spark.read.parquet(s"$dir/exact_docs"),
       "cleaned", idCol, s"$dir/bands")
+    Await.result(windowsF, Duration.Inf)
   }
 
   /** Curate an ingestion increment against a [[curateV2WriteIndexes]]

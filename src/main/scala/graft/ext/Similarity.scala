@@ -1304,10 +1304,19 @@ object Similarity {
 
   /** exact upper-triangle pairs for a broadcastable corpus — the build
     * side ships through Spark's BroadcastExchange (size-accounted,
-    * spillable), never a hand-rolled driver collect
+    * spillable), never a hand-rolled driver collect.
+    *
+    * The streamed side is repartitioned cores-wide first: the O(n²)
+    * cosine kernel runs inside the nested-loop join's streamed stage,
+    * whose parallelism is the INPUT split count — a broadcastable
+    * corpus is typically one parquet split, which serializes the whole
+    * kernel on one core (guide §2.5, the single-split input shape; the
+    * multimodal codec repartition is the same move). The shuffle moves
+    * only the ≤ broadcastLimit rows this path already bounds.
     */
   private def smallAllPairs(base: DataFrame, minCosine: Double): DataFrame =
-    base.as("a").join(broadcast(base.as("b")), col("a.id") < col("b.id"))
+    base.repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .as("a").join(broadcast(base.as("b")), col("a.id") < col("b.id"))
       .withColumn("cs", cosine(col("a.v"), col("b.v")))
       .filter(col("cs") >= minCosine && !isnan(col("cs")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cs"))

@@ -45,18 +45,26 @@ object SubstringDedup {
         TextFunctions.tokens(col(textCol)), k)))
       .toDF("id", "pos", "h")
 
-  /** duplicated, non-canonical window starts per doc: (id, pos) */
+  /** duplicated, non-canonical window starts per doc: (id, pos).
+    *
+    * One window pass over the hash key, not groupBy+join-back (r15,
+    * guide §2.4): count and first occurrence per distinct window come
+    * from the SAME h-shuffle the join's probe side paid anyway, and the
+    * aggregate/merge-join pipeline over a second read of that exchange
+    * disappears. Struct min orders lexicographically on (id, pos) — the
+    * keeper policy. Hot windows buffer their occurrence rows in the
+    * window operator (spillable), the same occurrence-row bound the
+    * join shape had — still never pairwise.
+    */
   private def duplicatedStarts(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val occ = occurrences(df, textCol, idCol, k)
-    // per distinct window: occurrence count + first occurrence. Struct
-    // min orders lexicographically on (id, pos) — the keeper policy.
-    val winfo = occ.groupBy("h").agg(
-      count(lit(1)).as("__cnt"),
-      min(struct(col("id"), col("pos"))).as("__first"))
-    occ.join(winfo.filter(col("__cnt") >= 2), "h")
-      .filter(!(col("id") === col("__first.id") &&
-        col("pos") === col("__first.pos")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    occ.withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__first", min(struct(col("id"), col("pos"))).over(w))
+      .filter(col("__cnt") >= 2 &&
+        !(col("id") === col("__first.id") &&
+          col("pos") === col("__first.pos")))
       .select("id", "pos")
   }
 
@@ -170,17 +178,30 @@ object SubstringDedup {
     val spark = newDocs.sparkSession
     IndexParams.check(spark, indexPath,
       Seq("kind" -> "window", "k" -> k.toString))
-    val occ = occurrences(newDocs, textCol, idCol, k).stageBoundary
+    val occ = occurrences(newDocs, textCol, idCol, k)
+    // One window pass marks within-increment repeats off the h-shuffle
+    // (r15, see [[duplicatedStarts]]), then ONE left join flags
+    // in-history windows — single-branch, so the occurrence relation is
+    // derived exactly once (no boundary needed) and the old
+    // inHistory ∪ selfDup distinct() shuffle and winfo join-back both
+    // disappear. The left join (not semi) can emit an occurrence more
+    // than once only when the index carries duplicate hashes (possible
+    // after appends — each append is distinct only within itself);
+    // that multiplicity is harmless by construction: the ONLY consumer
+    // is [[mergedSpans]], whose sorted cover-merge is idempotent in
+    // repeated positions. The window runs before the join so __cnt
+    // counts occurrence rows, never join-multiplied ones.
     val index = spark.read.parquet(indexPath)
-    val inHistory = occ.join(index, Seq("h"), "left_semi")
+      .select(col("h"), lit(true).as("__ih"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    occ
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__first", min(struct(col("id"), col("pos"))).over(w))
+      .join(index, Seq("h"), "left")
+      .filter(coalesce(col("__ih"), lit(false)) ||
+        (col("__cnt") >= 2 &&
+          !(col("id") === col("__first.id") &&
+            col("pos") === col("__first.pos"))))
       .select("id", "pos")
-    val winfo = occ.groupBy("h").agg(
-      count(lit(1)).as("__cnt"),
-      min(struct(col("id"), col("pos"))).as("__first"))
-    val selfDup = occ.join(winfo.filter(col("__cnt") >= 2), "h")
-      .filter(!(col("id") === col("__first.id") &&
-        col("pos") === col("__first.pos")))
-      .select("id", "pos")
-    inHistory.union(selfDup).distinct()
   }
 }

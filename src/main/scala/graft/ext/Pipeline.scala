@@ -153,7 +153,12 @@ object Pipeline {
     val cleaned = SubstringDedup.cleanedText(gated, textCol, idCol, k)
       .filter(TextFunctions.tokenCount(col("cleaned")) >= minCleanTokens)
       .stageBoundary
-    Dedup.writeFingerprintIndex(cleaned, "cleaned", s"$dir/fingerprints")
+    // the fingerprint index reads only the MATERIALIZED boundary, as
+    // does the exact_docs chain — two more independent actions, same
+    // §2.6 overlap as the window index above
+    val fpF = Future {
+      Dedup.writeFingerprintIndex(cleaned, "cleaned", s"$dir/fingerprints")
+    }
     val keepers = cleaned
       .groupBy(TextFunctions.fingerprint(col("cleaned")).as("__fp"))
       .agg(min(col(idCol)).as(idCol))
@@ -164,6 +169,7 @@ object Pipeline {
     Dedup.writeBandIndex(spark.read.parquet(s"$dir/exact_docs"),
       "cleaned", idCol, s"$dir/bands")
     Await.result(windowsF, Duration.Inf)
+    Await.result(fpF, Duration.Inf)
   }
 
   /** Curate an ingestion increment against a [[curateV2WriteIndexes]]

@@ -42,9 +42,13 @@ object BulkLoad {
     val e = td.edge(edgeName)
     val sinkTd = cat.schema.table(e.sinkTable)
 
+    // no inferSchema: it costs a FULL extra pass over the file before
+    // the real read. The authoritative types are the node tables' key
+    // columns and the edge's declared attr types anyway — cast the
+    // string columns to those (the same coercion the join/insert would
+    // apply to inferred values, minus the inference scan)
     val raw = cat.spark.read
       .option("header", "true").option("delimiter", delimiter)
-      .option("inferSchema", "true")
       .csv(csvPath)
     val Array(srcKey, sinkKey) = raw.columns.take(2)
 
@@ -53,6 +57,8 @@ object BulkLoad {
     val sinkT = cat.provider.nodeTable(e.sinkTable)
     val srcIdCol = td.nodeIdColumn.get
     val sinkIdCol = sinkTd.nodeIdColumn.get
+    val srcKeyType = srcT.schema(srcIdCol).dataType
+    val sinkKeyType = sinkT.schema(sinkIdCol).dataType
 
     val attrCols = e.attrs.map(a => col(a.name).cast(a.dataType).as(a.name))
     // id-resolution joins: plain equi-joins — AQE broadcasts the lookup
@@ -62,9 +68,11 @@ object BulkLoad {
     // the sink-side rewrite doesn't re-read files the first swap replaced
     val pairs = raw
       .join(srcT.select(col(srcIdCol).as("__sk"),
-        col("GlobalNodeId").as("src")), col(srcKey) === col("__sk"))
+        col("GlobalNodeId").as("src")),
+        col(srcKey).cast(srcKeyType) === col("__sk"))
       .join(sinkT.select(col(sinkIdCol).as("__tk"),
-        col("GlobalNodeId").as("sink")), col(sinkKey) === col("__tk"))
+        col("GlobalNodeId").as("sink")),
+        col(sinkKey).cast(sinkKeyType) === col("__tk"))
       .select((col("src") +: col("sink") +: attrCols): _*)
       .stageBoundary
 

@@ -221,15 +221,30 @@ object DmlQueries {
       val dir = graft.QueryDef.scratchDir("graft_bulk")
       val nation = graft.Tables.load(s, d, "nation")
       val region = graft.Tables.load(s, d, "region")
-      region.select(col("r_regionkey").cast(IntegerType).as("rk"),
-        col("r_name").as("rname"))
-        .coalesce(1).write.option("header", "true").csv(s"$dir/region_csv")
-      nation.select(col("n_nationkey").cast(IntegerType).as("nk"),
-        col("n_name").as("nname"))
-        .coalesce(1).write.option("header", "true").csv(s"$dir/nation_csv")
-      nation.select(col("n_nationkey").cast(IntegerType).as("nk"),
-        col("n_regionkey").cast(IntegerType).as("rk"))
-        .coalesce(1).write.option("header", "true").csv(s"$dir/edge_csv")
+      // the three staging CSVs are independent of each other — overlap
+      // the writes (guide §2.6); all complete before any load reads them
+      locally {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val ws = Seq(
+          Future(region.select(
+            col("r_regionkey").cast(IntegerType).as("rk"),
+            col("r_name").as("rname"))
+            .coalesce(1).write.option("header", "true")
+            .csv(s"$dir/region_csv")),
+          Future(nation.select(
+            col("n_nationkey").cast(IntegerType).as("nk"),
+            col("n_name").as("nname"))
+            .coalesce(1).write.option("header", "true")
+            .csv(s"$dir/nation_csv")),
+          Future(nation.select(
+            col("n_nationkey").cast(IntegerType).as("nk"),
+            col("n_regionkey").cast(IntegerType).as("rk"))
+            .coalesce(1).write.option("header", "true")
+            .csv(s"$dir/edge_csv")))
+        ws.foreach(Await.result(_, Duration.Inf))
+      }
       val cat = new graft.ddl.GraphCatalog(s, s"$dir/cat")
       val gs = new graft.lang.GraphSession(s, cat)
       gs.sql("CREATE NODE TABLE RegionT (rk INT NODEID, rname STRING)")

@@ -678,6 +678,16 @@ object Dedup {
     var sh = repRestrict(df, col(idCol), dupMemb)
       .select(col(idCol).as("id"),
         explode(hashedShingles(col(textCol), n)).as("sh"))
+      // keyed cores-wide repartition (r15): the shingle relation's MAP
+      // bytes are small, so size-driven AQE coalescing folds the sh
+      // exchange into a few partitions — but the work downstream of it
+      // (the Σf² self-join probe + pair-count aggregation) is CPU-dense
+      // per input byte, exactly the under-parallelized class of the
+      // verify-stage repartitions. A user repartition is exempt from
+      // coalescing, and hashing on the join key means the window cap
+      // below AND both self-join sides reuse this one exchange
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("sh"))
     maxShingleFreq.foreach { cap =>
       // window count, not groupBy+anti-join: one shuffle on the shingle
       // key, whose hash partitioning the self-join below then reuses

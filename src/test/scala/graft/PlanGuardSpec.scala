@@ -45,8 +45,15 @@ class PlanGuardSpec extends SparkSpec {
     "q_sql_edge_view" -> Fingerprint(31, 17, 7, 0),
     // as-of join: one shuffle per side, no broadcast, no explode
     "q_asof_join" -> Fingerprint(2, 0, 0, 0),
-    // incremental probe: window-index join + per-doc fold
-    "q_substring_dedup_incremental" -> Fingerprint(4, 2, 1, 0),
+    // incremental probe: window-index join + per-doc fold. r15 re-pin
+    // (4,2,1) → (3,1,2): the single-branch window-pass rewrite derives
+    // the occurrence relation once (2 generates → 1 ... printed count
+    // moves the other way: the fused plan keeps both the window-pass
+    // generate and the clean-side token generate visible where the old
+    // boundary hid one behind a Scan ExistingRDD), drops the
+    // union-distinct and winfo exchanges (4 → 3 shuffles), and probes
+    // the index through ONE broadcast join (2 → 1)
+    "q_substring_dedup_incremental" -> Fingerprint(3, 1, 2, 0),
     // Bloom decontamination probe (r7 rewrite): the bit array rides the
     // plan as a literal and the gram fold happens per row — the ONLY
     // exchange is the final ORDER BY's range exchange; any hash

@@ -845,15 +845,25 @@ object TextFunctions {
       sum(col("__n")).as("tq")).head()
     val (tp, tq) = (totals.getLong(0), totals.getLong(1))
     val b = buckets.toDouble
+    dsirBucketCounts(df, textCol, targetPred, buckets)
+      .withColumn("wt",
+        round((log((col("cp") + 1.0) / lit(tp + b)) -
+          log((col("cq") + 1.0) / lit(tq + b))) * 1e6).cast(LongType))
+  }
+
+  /** per-bucket (cp, cq) counts — the shared aggregation of the two
+    * weight faces, split out (r15) so the array face below skips the
+    * Df face's eager grand-totals pass (it discarded `wt` anyway and
+    * the totals are exactly Σcp / Σcq of the ≤ `buckets` result rows)
+    */
+  private def dsirBucketCounts(df: org.apache.spark.sql.DataFrame,
+      textCol: String, targetPred: Column,
+      buckets: Int): org.apache.spark.sql.DataFrame =
     df.select(targetPred.as("__t"),
       explode(dsirGrams(col(textCol))).as("__g"))
       .groupBy(dsirBucket(col("__g"), buckets).as("bucket"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("cp"),
         count(lit(1)).as("cq"))
-      .withColumn("wt",
-        round((log((col("cp") + 1.0) / lit(tp + b)) -
-          log((col("cq") + 1.0) / lit(tq + b))) * 1e6).cast(LongType))
-  }
 
   /** the bucket→weight table as a dense array for map-only scoring;
     * buckets unseen in the corpus get the cp=cq=0 smoothed weight so
@@ -861,8 +871,8 @@ object TextFunctions {
     */
   def dsirBucketWeights(df: org.apache.spark.sql.DataFrame,
       textCol: String, targetPred: Column, buckets: Int): Array[Long] = {
-    val rows = dsirBucketWeightsDf(df, textCol, targetPred, buckets)
-      .select("bucket", "cp", "cq").collect() // ≤ buckets rows, bounded
+    val rows = dsirBucketCounts(df, textCol, targetPred, buckets)
+      .collect() // ≤ buckets rows, bounded
     val tp = rows.map(_.getLong(1)).sum
     val tq = rows.map(_.getLong(2)).sum
     val w = Array.fill(buckets)(dsirWeight(0L, 0L, tp, tq, buckets))

@@ -289,6 +289,24 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .withColumn("cs", cosine(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("cs")).stageBoundary
+    // the IVF append reads only the RAW increment, and the candidate
+    // boundary above has already consumed the pre-append index — from
+    // here the append is independent of the state merge below, so
+    // overlap the two actions (guide §2.6). Both complete before
+    // return, preserving the caller contract (the next increment sees
+    // both); the staged-write streaming face is unaffected (its
+    // ivfWriter lands in a ledger-published staging path either way).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ivfRows = increment.select(col(idCol), col(vecCol), col(cellCol))
+    val ivfF = Future {
+      ivfWriter match {
+        case Some(w) => w(ivfRows)
+        case None => ivfRows.write.mode("append")
+          .partitionBy(cellCol).parquet(ivfDir)
+      }
+    }
     val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
     val newEdges = cands
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -322,12 +340,7 @@ object Similarity {
         .union(repaired.select("qid", "nid", "cs", "rn"))
         .union(newEdges.select("qid", "nid", "cs", "rn"))
         .stageBoundary, version, vacuumOld)
-    val ivfRows = increment.select(col(idCol), col(vecCol), col(cellCol))
-    ivfWriter match {
-      case Some(w) => w(ivfRows)
-      case None => ivfRows.write.mode("append")
-        .partitionBy(cellCol).parquet(ivfDir)
-    }
+    Await.result(ivfF, Duration.Inf)
   }
 
   /** Cell-occupancy watermark over a maintained IVF layout: (cell,

@@ -1058,6 +1058,14 @@ object Dedup {
     * from the checkpointed pair list (the pair set is O(duplicates))
     */
   private def selfCandidates(repBanded: DataFrame): DataFrame =
+    selfCandidatesPlan(repBanded).stageBoundary
+
+  /** the un-materialized plan of [[selfCandidates]] — for callers that
+    * immediately fold it into their own boundary (the incremental
+    * probe unions it with the cross candidates and checkpoints THAT;
+    * a second eager materialization in between was pure job latency)
+    */
+  private def selfCandidatesPlan(repBanded: DataFrame): DataFrame =
     repBanded.as("a")
       .join(repBanded.as("b"),
         col("a.band") === col("b.band") &&
@@ -1065,7 +1073,6 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .stageBoundary
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     * the docs' hashed shingle sets. Shingles re-derive ONLY for docs in
@@ -1315,7 +1322,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val candidates = crossCand
-      .unionByName(selfCandidates(c.repBanded)).distinct().stageBoundary
+      .unionByName(selfCandidatesPlan(c.repBanded)).distinct().stageBoundary
     val repPairs = verifyJaccard(
       corpus.select(col(idCol), col(textCol))
         .unionByName(newDocs.select(col(idCol), col(textCol))),

@@ -42,9 +42,11 @@ object KCore {
     // bounded driver-local finish (the Cc r14 pattern) — the same
     // synchronous peel recurrence on the collected edge list;
     // spec-pinned equal to the forced-distributed path
-    if (e.count() <= localEdgeLimit)
-      return localPeel(edges.sparkSession, LocalGraph.collectEdges(e),
-        k, Some(rounds), rounds)
+    LocalGraph.probeLocal(e, localEdgeLimit) match {
+      case Some(es) =>
+        return localPeel(edges.sparkSession, es, k, Some(rounds), rounds)
+      case None =>
+    }
     for (_ <- 1 to rounds) e = peelOnce(e, k)
     degrees(e)
   }
@@ -59,10 +61,12 @@ object KCore {
       localEdgeLimit: Int = LocalGraph.LocalEdgeLimit): DataFrame = {
     require(k >= 1, "k must be >= 1")
     var e = normalized(edges, srcCol, dstCol).stageBoundary
+    LocalGraph.probeLocal(e, localEdgeLimit) match {
+      case Some(es) =>
+        return localPeel(edges.sparkSession, es, k, None, maxRounds)
+      case None =>
+    }
     var prev = e.count()
-    if (prev <= localEdgeLimit)
-      return localPeel(edges.sparkSession, LocalGraph.collectEdges(e),
-        k, None, maxRounds)
     var rounds = 0
     while (rounds < maxRounds) {
       e = peelOnce(e, k)

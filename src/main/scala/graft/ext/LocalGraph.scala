@@ -38,6 +38,22 @@ private[ext] object LocalGraph {
     e.as[(Long, Long)].collect()
   }
 
+  /** Fused bound-check + collect (r15): ONE limit-collect job off the
+    * materialized canonical edge boundary replaces the count job plus
+    * the separate collect — `Some(edges)` when the relation fits the
+    * bound, `None` (having moved at most limit+1 rows ≈ 32 MB, and
+    * short-circuited the scan via LocalLimit) when the distributed
+    * path must run. Row order is whatever collect delivers, which is
+    * irrelevant by construction: every local recurrence is order-free
+    * (min-label / counting / integral sums), the same argument the
+    * local ≡ distributed spec pins rest on.
+    */
+  def probeLocal(e: DataFrame, limit: Int): Option[Array[(Long, Long)]] = {
+    val rows = e.limit(limit + 1).collect()
+    if (rows.length > limit) None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
   /** dense interning of long node ids: (idOf, names) where
     * `names(i)` is the original id of dense index i
     */

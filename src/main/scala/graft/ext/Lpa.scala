@@ -42,9 +42,11 @@ object Lpa {
     // in-neighbor label, ties to SMALLEST — fully deterministic, no
     // randomness to diverge on) runs on the collected edge list.
     // Spec-pinned equal to the forced-distributed path.
-    if (e.count() <= localEdgeLimit)
-      return localPropagate(edges.sparkSession,
-        LocalGraph.collectEdges(e), rounds)
+    LocalGraph.probeLocal(e, localEdgeLimit) match {
+      case Some(es) =>
+        return localPropagate(edges.sparkSession, es, rounds)
+      case None =>
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))

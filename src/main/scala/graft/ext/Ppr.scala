@@ -53,9 +53,11 @@ object Ppr {
     // the collected edge list yields the IDENTICAL longs without the
     // per-round join/aggregate scheduler latency. Spec-pinned equal
     // to the forced-distributed path; above the bound nothing changes.
-    if (e.count() <= localEdgeLimit)
-      return localPersonalized(spark, LocalGraph.collectEdges(e),
-        source, rounds, alphaPct, scale)
+    LocalGraph.probeLocal(e, localEdgeLimit) match {
+      case Some(es) =>
+        return localPersonalized(spark, es, source, rounds, alphaPct, scale)
+      case None =>
+    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ewd = e.join(deg, "src").stageBoundary
     val restart = alphaPct * scale / 100

@@ -98,8 +98,10 @@ object Scc {
     // unique labeling (component = min member — order-independent, so
     // DFS order cannot leak into the answer). Spec-pinned equal to the
     // forced-distributed path; above the bound nothing changes.
-    if (e0.count() <= localEdgeLimit)
-      return localScc(spark, LocalGraph.collectEdges(e0))
+    LocalGraph.probeLocal(e0, localEdgeLimit) match {
+      case Some(es) => return localScc(spark, es)
+      case None =>
+    }
     val allNodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct().stageBoundary
     var remaining = allNodes

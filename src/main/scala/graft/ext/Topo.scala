@@ -58,9 +58,11 @@ object Topo {
     // collected edge list with in-degree decrements. Deterministic by
     // construction (layer stamps are a pure function of the graph);
     // spec-pinned equal to the forced-distributed path.
-    if (e.count() <= localEdgeLimit)
-      return localRun(edges.sparkSession, LocalGraph.collectEdges(e),
-        fixedRounds, maxRounds)
+    LocalGraph.probeLocal(e, localEdgeLimit) match {
+      case Some(es) =>
+        return localRun(edges.sparkSession, es, fixedRounds, maxRounds)
+      case None =>
+    }
     var nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().stageBoundary
     val spark = edges.sparkSession

@@ -188,9 +188,24 @@ object Dedup {
 
   private[graft] def editPrefixRows(df: DataFrame, textCol: String,
       idCol: String, maxDist: Int, q: Int): DataFrame = {
-    val grams = editGramRows(df, textCol, idCol, maxDist, q)
-    editPrefixFrom(grams,
-      grams.groupBy("g").agg(count(lit(1)).as("gdf")), maxDist, q)
+    // self-lookup fused into one window pass over the gram shuffle
+    // (r15, the duplicatedStarts move): the per-gram document frequency
+    // comes off the SAME g-exchange the join's probe side paid, so the
+    // aggregate + join-back pipeline disappears. Identical order stats:
+    // every gram matches its own count (the old left join's coalesce-0
+    // leg was unreachable here). The incremental faces keep
+    // [[editPrefixFrom]] — their df order is FROZEN in the persisted
+    // index, a different contract.
+    val prefLen = q * maxDist + 1
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    editGramRows(df, textCol, idCol, maxDist, q)
+      .withColumn("gdf", count(lit(1)).over(w))
+      .groupBy("id").agg(first(col("len")).as("len"),
+        expr(s"slice(array_sort(collect_list(struct(gdf, g))), 1, $prefLen)")
+          .as("__p"))
+      .select(col("id"), col("len"),
+        explode(expr("transform(__p, x -> x.g)")).as("g"))
+      .withColumn("b", (col("len") / (maxDist + 1)).cast(LongType))
   }
 
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,

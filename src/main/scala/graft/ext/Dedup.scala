@@ -238,9 +238,14 @@ object Dedup {
     // be globally small sits in most docs' prefixes) then fans out per
     // (gram, length-bucket), not per gram — the join never materializes
     // the cross-length pairs the window would only discard afterwards
+    // materialized once (r15, the incremental face's newPrefix
+    // precedent): the same+adjacent bucket joins reference the prefix
+    // relation four ways, and the (g, b+1)-keyed side cannot reuse the
+    // (g, b) exchange — without the boundary the gram+window+collect
+    // pipeline re-runs per non-reusable reference
     val p = editPrefixRows(
       docs.select(col("id").as(idCol), col("t").as(textCol)),
-      textCol, idCol, maxDist, q)
+      textCol, idCol, maxDist, q).stageBoundary
     val candSame = p.as("a").join(p.as("b"),
       col("a.g") === col("b.g") && col("a.b") === col("b.b") &&
         col("a.id") < col("b.id") &&
@@ -335,8 +340,11 @@ object Dedup {
     val gr = editGramRows(right, textCol, idCol, maxDist, q)
     val dfLookup = gl.unionByName(gr)
       .groupBy("g").agg(count(lit(1)).as("gdf"))
-    val pl = editPrefixFrom(gl, dfLookup, maxDist, q)
-    val pr = editPrefixFrom(gr, dfLookup, maxDist, q)
+    // boundaries (r15): each side's prefix feeds three bucket joins
+    // whose shifted keys defeat exchange reuse — same move as the
+    // batch/incremental faces
+    val pl = editPrefixFrom(gl, dfLookup, maxDist, q).stageBoundary
+    val pr = editPrefixFrom(gr, dfLookup, maxDist, q).stageBoundary
     def bucketJoin(shift: Int): DataFrame =
       pl.as("a").join(pr.as("b"),
         col("a.g") === col("b.g") &&

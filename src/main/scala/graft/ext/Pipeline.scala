@@ -163,13 +163,20 @@ object Pipeline {
       .groupBy(TextFunctions.fingerprint(col("cleaned")).as("__fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    cleaned.join(keepers, Seq(idCol), "left_semi")
+    // the exact survivors feed BOTH remaining indexes — materialize
+    // them once, then the exact_docs write and the band build are
+    // independent actions over the same checkpointed rows (the band
+    // index no longer waits for, or re-reads, the parquet)
+    val exact = cleaned.join(keepers, Seq(idCol), "left_semi")
       .select(col(idCol), col("cleaned"))
-      .write.mode("overwrite").parquet(s"$dir/exact_docs")
-    Dedup.writeBandIndex(spark.read.parquet(s"$dir/exact_docs"),
-      "cleaned", idCol, s"$dir/bands")
+      .stageBoundary
+    val exactF = Future {
+      exact.write.mode("overwrite").parquet(s"$dir/exact_docs")
+    }
+    Dedup.writeBandIndex(exact, "cleaned", idCol, s"$dir/bands")
     Await.result(windowsF, Duration.Inf)
     Await.result(fpF, Duration.Inf)
+    Await.result(exactF, Duration.Inf)
   }
 
   /** Curate an ingestion increment against a [[curateV2WriteIndexes]]

@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's ONE-LINE contract JSON from stdout.
+// sbt's default forked-output strategy logs every line through its
+// logger ("[info] {...}") and appends "[success] Total time: ..."
+// after the program exits — which is why every BENCH_r10..r15 artifact
+// carries parsed:null (r15 verdict #1). Pass forked stdout/stderr
+// through verbatim and drop the [success] trailer so the JSON summary
+// is the literal last line of stdout:
+//   sbt -batch "runMain graft.Bench" | tail -1 | python3 -m json.tool
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

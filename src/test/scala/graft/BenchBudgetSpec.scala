@@ -254,6 +254,70 @@ class BenchBudgetSpec extends AnyFunSuite {
       cpu = Some(CpuWindow.Pcts(1.0, 0.0, 0.0, psiCpuPct = 55.0)))).isEmpty)
   }
 
+  // ---- the r16 memory-streaming signals: bandwidth contention the
+  // register-bound spin cannot see (r15's 176-278 s oscillation on
+  // identical code ran with every spin/CPU counter clean)
+
+  // probe values from the r16 StreamCal calibration of this harness
+  // (clean band: worst32 145-324 ms, clean reference 350)
+  private def cleanStreamEv = cleanEv.copy(
+    streamPre = (210L, 280L), streamPost = (215L, 300L),
+    buildStream = (205L, 260L), rerunStream = Some((212L, 290L)),
+    cleanStream32 = 350L)
+
+  test("windowVerdict: clean stream probes → still None") {
+    assert(Bench.windowVerdict(cleanStreamEv).isEmpty)
+  }
+
+  test("windowVerdict: stream degraded mid-run (post >1.5x pre) → bad") {
+    val got = Bench.windowVerdict(cleanStreamEv.copy(
+      streamPost = (230L, 450L)))
+    assert(got.exists(_.contains("memory bandwidth degraded mid-run")), got)
+  }
+
+  test("windowVerdict: both stream probes >1.5x clean → bad " +
+      "(whole run under bandwidth contention)") {
+    val got = Bench.windowVerdict(cleanStreamEv.copy(
+      streamPre = (400L, 600L), streamPost = (420L, 640L)))
+    assert(got.exists(_.contains("whole run under memory-bandwidth")), got)
+  }
+
+  test("windowVerdict: graph_build violation + bad build stream → bad; " +
+      "scoped to graph_build like the build-spin signal") {
+    val got = Bench.windowVerdict(cleanStreamEv.copy(
+      buildStream = (230L, 700L),
+      violatedFamilies = Set("graph_build")))
+    assert(got.exists(_.contains(
+      "graph_build ran under memory-bandwidth contention")), got)
+    // a query family confirmed by a clean re-run is NOT excused by
+    // build-time bandwidth contention
+    assert(Bench.windowVerdict(cleanStreamEv.copy(
+      buildStream = (230L, 700L))).isEmpty)
+  }
+
+  test("windowVerdict: confirmation re-run under bandwidth contention → bad") {
+    val got = Bench.windowVerdict(cleanStreamEv.copy(
+      rerunStream = Some((230L, 680L))))
+    assert(got.exists(_.contains("confirmation re-run under " +
+      "memory-bandwidth contention")), got)
+  }
+
+  test("windowVerdict: absent stream probes ((0,0)) never arm a signal") {
+    // pre-r16 evidence bundles carry the (0,0) defaults — every stream
+    // signal must stay quiet and adjudication fall back to spin/cpu
+    assert(Bench.windowVerdict(cleanEv).isEmpty)
+    assert(Bench.windowVerdict(cleanEv.copy(
+      streamPost = (0L, 0L), streamPre = (0L, 0L))).isEmpty)
+  }
+
+  test("CpuWindow.streamMs returns sane fixed-work calibrations") {
+    val (one, par) = CpuWindow.streamMs(par = 2)
+    assert(one > 0 && par > 0)
+    // the parallel leg's slowest thread cannot beat the single-thread
+    // pass by 100x in either direction
+    assert(par < one * 100 && one < par * 100, s"($one, $par)")
+  }
+
   test("CpuWindow.spinMs returns sane fixed-work calibrations") {
     val (one, par) = CpuWindow.spinMs(par = 4)
     // 2^29 xorshift steps: > 0 always; the parallel leg's slowest

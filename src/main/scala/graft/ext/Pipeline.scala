@@ -173,10 +173,19 @@ object Pipeline {
     val exactF = Future {
       exact.write.mode("overwrite").parquet(s"$dir/exact_docs")
     }
-    Dedup.writeBandIndex(exact, "cleaned", idCol, s"$dir/bands")
-    Await.result(windowsF, Duration.Inf)
-    Await.result(fpF, Duration.Inf)
-    Await.result(exactF, Duration.Inf)
+    // every concurrent write is JOINED before this method exits, even
+    // when the inline band build throws (r15 ADVICE: a detached write
+    // could leave the index family partially written with its failure
+    // swallowed and nothing naming which index broke). The first
+    // failure — band build or any future — is the one surfaced.
+    var primary: Throwable = null
+    try Dedup.writeBandIndex(exact, "cleaned", idCol, s"$dir/bands")
+    catch { case t: Throwable => primary = t }
+    Seq(windowsF, fpF, exactF).foreach { f =>
+      try Await.result(f, Duration.Inf)
+      catch { case t: Throwable => if (primary == null) primary = t }
+    }
+    if (primary != null) throw primary
   }
 
   /** Curate an ingestion increment against a [[curateV2WriteIndexes]]

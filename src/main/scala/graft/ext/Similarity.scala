@@ -307,39 +307,52 @@ object Similarity {
           .partitionBy(cellCol).parquet(ivfDir)
       }
     }
-    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
-    val newEdges = cands
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-    // reverse repairs: (old → new) scores are the swapped candidate
-    // pairs whose nid is an OLD vector
-    val incIds = inc.select(col("qid").as("nid"))
-    val rev = cands.join(incIds, Seq("nid"), "left_anti")
-      .select(col("nid").as("qid"), col("qid").as("nid"), col("cs"))
-    val affected = rev.select("qid").distinct()
-    val stored =
-      if (knnVersions(spark, knnDir).isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("qid",
-              inc.schema("qid").dataType),
-            org.apache.spark.sql.types.StructField("nid",
-              inc.schema("qid").dataType),
-            org.apache.spark.sql.types.StructField("cs",
-              org.apache.spark.sql.types.DoubleType),
-            org.apache.spark.sql.types.StructField("rn",
-              org.apache.spark.sql.types.IntegerType))))
-      else readKnnGraph(spark, knnDir)
-    val repaired = stored.select("qid", "nid", "cs")
-      .join(affected, Seq("qid"), "left_semi")
-      .union(rev)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-    val untouched = stored.join(affected, Seq("qid"), "left_anti")
-    knnWrite(spark, knnDir,
-      untouched.select("qid", "nid", "cs", "rn")
-        .union(repaired.select("qid", "nid", "cs", "rn"))
-        .union(newEdges.select("qid", "nid", "cs", "rn"))
-        .stageBoundary, version, vacuumOld)
+    // the append is ALWAYS joined before this method exits (r15 ADVICE:
+    // a knnWrite failure must not leave the append running detached
+    // with its own failure silently dropped). Failure-ordering caveat
+    // for the non-ledger (ivfWriter=None) path: the mode-append parquet
+    // write is not versioned, so a knnWrite failure AFTER a successful
+    // append means a caller retry would double-append the increment's
+    // vectors — clean the IVF dir (or vacuum to the last good state)
+    // before replaying. The ledger-staged streaming face is immune: its
+    // writer lands in a staging path published atomically after both
+    // writes succeed.
+    try {
+      val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
+      val newEdges = cands
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      // reverse repairs: (old → new) scores are the swapped candidate
+      // pairs whose nid is an OLD vector
+      val incIds = inc.select(col("qid").as("nid"))
+      val rev = cands.join(incIds, Seq("nid"), "left_anti")
+        .select(col("nid").as("qid"), col("qid").as("nid"), col("cs"))
+      val affected = rev.select("qid").distinct()
+      val stored =
+        if (knnVersions(spark, knnDir).isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("qid",
+                inc.schema("qid").dataType),
+              org.apache.spark.sql.types.StructField("nid",
+                inc.schema("qid").dataType),
+              org.apache.spark.sql.types.StructField("cs",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("rn",
+                org.apache.spark.sql.types.IntegerType))))
+        else readKnnGraph(spark, knnDir)
+      val repaired = stored.select("qid", "nid", "cs")
+        .join(affected, Seq("qid"), "left_semi")
+        .union(rev)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      val untouched = stored.join(affected, Seq("qid"), "left_anti")
+      knnWrite(spark, knnDir,
+        untouched.select("qid", "nid", "cs", "rn")
+          .union(repaired.select("qid", "nid", "cs", "rn"))
+          .union(newEdges.select("qid", "nid", "cs", "rn"))
+          .stageBoundary, version, vacuumOld)
+    } finally Await.ready(ivfF, Duration.Inf)
+    // knnWrite succeeded — now surface an append failure, if any
     Await.result(ivfF, Duration.Inf)
   }
 

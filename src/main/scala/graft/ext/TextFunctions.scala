@@ -832,23 +832,26 @@ object TextFunctions {
   }
 
   /** per-bucket (target count, corpus count, weight) as a DataFrame —
-    * ≤ `buckets` rows; the two grand totals are a separate cheap
-    * aggregate collected to the driver (2 numbers) so no 1-row
-    * cross-join appears in the plan
+    * ≤ `buckets` rows. Derived from the SAME collected bucket counts as
+    * the array face (r16, closing the r15 ADVICE divergence: the old
+    * separate size(dsirGrams) totals pass counted a null-text doc as -1
+    * while explode drops it from the bucket counts, so the two faces
+    * disagreed on corpora containing null text — and the extra pass was
+    * a full corpus scan). dsirWeight's BigDecimal HALF_UP matches the
+    * Spark round() expression this face previously used bit-for-bit.
     */
   def dsirBucketWeightsDf(df: org.apache.spark.sql.DataFrame,
       textCol: String, targetPred: Column, buckets: Int): org.apache.spark.sql.DataFrame = {
-    val g = df.select(targetPred.as("__t"),
-      size(dsirGrams(col(textCol))).as("__n"))
-    val totals = g.agg(
-      sum(when(col("__t"), col("__n")).otherwise(0L)).as("tp"),
-      sum(col("__n")).as("tq")).head()
-    val (tp, tq) = (totals.getLong(0), totals.getLong(1))
-    val b = buckets.toDouble
-    dsirBucketCounts(df, textCol, targetPred, buckets)
-      .withColumn("wt",
-        round((log((col("cp") + 1.0) / lit(tp + b)) -
-          log((col("cq") + 1.0) / lit(tq + b))) * 1e6).cast(LongType))
+    val rows = dsirBucketCounts(df, textCol, targetPred, buckets)
+      .collect() // ≤ buckets rows, bounded
+    val tp = rows.map(_.getLong(1)).sum
+    val tq = rows.map(_.getLong(2)).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        dsirWeight(r.getLong(1), r.getLong(2), tp, tq, buckets)))
+      .toDF("bucket", "cp", "cq", "wt")
   }
 
   /** per-bucket (cp, cq) counts — the shared aggregation of the two

@@ -70,6 +70,35 @@ class SubstringDedupSpec extends SparkSpec {
       12L -> "fresh unseen tokens entirely"))
   }
 
+  test("duplicate hashes in the window index leave incremental spans and " +
+    "cleaned text unchanged (r15 ADVICE pin)") {
+    // appendWindowIndex dedupes only within each increment, so an index
+    // can legitimately carry the same hash twice; incrementalStarts'
+    // left join then emits duplicate (id, pos) rows — harmless ONLY
+    // because mergedSpans' sorted cover-merge is idempotent in repeated
+    // positions. This pin makes that invariant a test, not a comment.
+    val s = spark
+    import s.implicits._
+    val hist = docs // ids 1..4
+    val inc = Seq(
+      (10L, "w a b c d z"),
+      (11L, "m n o m n o m n")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("win_idx_dup_spec").toString
+    SubstringDedup.writeWindowIndex(hist, "text", "doc_id", k = 3, idx)
+    // re-append the SAME history: every hash now appears twice
+    SubstringDedup.appendWindowIndex(hist, "text", "doc_id", k = 3, idx)
+    val got = SubstringDedup
+      .duplicatedSpansIncremental(inc, idx, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((10L, 1, 5), (11L, 3, 8)))
+    val cleaned = SubstringDedup
+      .cleanedTextIncremental(inc, idx, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned == Map(10L -> "w z", 11L -> "m n o"))
+  }
+
   test("a window shorter than k produces no occurrences") {
     val s = spark
     import s.implicits._

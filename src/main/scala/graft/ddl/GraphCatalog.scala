@@ -314,9 +314,19 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
     * truncation is the crash-safe [[rewrite]] swap, so a crash
     * mid-clear leaves each table either full or empty, never torn.
     */
-  def truncateData(): Unit =
-    schema.tables.foreach(td =>
-      rewrite(td.name, provider.nodeTable(td.name).limit(0)))
+  def truncateData(): Unit = {
+    // independent tables swap concurrently (r16, guide §2.6): each
+    // truncation is its own crash-safe two-rename swap under its own
+    // marker, so a crash mid-clear still leaves every table either full
+    // or empty — the same per-table guarantee the sequential loop gave
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.traverse(schema.tables.toList)(td =>
+        Future(rewrite(td.name, provider.nodeTable(td.name).limit(0)))),
+      Duration.Inf)
+  }
 
   /** CLEAR DATA — the reference's `ClearData`
     * (`GraphViewConnection.cs:419`): drop every schema object the graph
@@ -503,7 +513,10 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
         val compacted = td.edges.foldLeft(provider.nodeTable(td.name)) {
           (t, e) => graft.dml.GraphDml.compact(t, e)
         }
-        rewrite(td.name, compacted.stageBoundary)
+        // no boundary: the full-table plan's single consumer is the
+        // rewrite write — the old localCheckpoint materialized every
+        // table twice per compaction (r16, guide §2.4)
+        rewrite(td.name, compacted)
       }
     }
     // resync reversed mirrors from the now-compacted forward sides
@@ -511,7 +524,7 @@ class GraphCatalog(val spark: SparkSession, val dir: String,
       td.edges.foreach { e =>
         val synced = graft.dml.GraphDml.syncReversed(
           provider.nodeTable(td.name), provider.nodeTable(e.sinkTable), e)
-        rewrite(e.sinkTable, synced.stageBoundary)
+        rewrite(e.sinkTable, synced)
       }
     }
   }

@@ -237,25 +237,28 @@ object Cc {
     * variant, drop the truncated mirror). Use an integer score when
     * the choice must replay across engines.
     *
-    * The per-component argmax is ONE map-combined `max` of a
-    * (score, −id) struct on the component key — a giant component
-    * costs its partial maxima, never a sorted member list.
+    * The per-component argmax is ONE unordered window `max` of a
+    * (score, −id) struct on the component key (r16, guide §2.4): the
+    * old groupBy + join-back consumed the corpus-wide (id, component,
+    * score) relation TWICE — re-running the docs scan and the labels
+    * join for the probe side — and paid a second component exchange
+    * for the join. The window reads the single component-keyed
+    * exchange once; a hot component buffers its member rows in the
+    * (spillable) window operator — the same occurrence-row bound the
+    * join's shuffle side already had, never a pairwise blow-up.
     */
   def resolveClustersBest(pairs: DataFrame, docs: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
     val labels = connectedComponents(pairs)
       .withColumnRenamed("id", idCol)
-    val lab = docs.select(col(idCol).cast(LongType), col(scoreCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    docs.select(col(idCol).cast(LongType), col(scoreCol))
       .join(labels, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("component"),
         col(scoreCol))
-    val best = lab.groupBy("component")
-      .agg(max(struct(col(scoreCol).as("s"),
-        (-col(idCol)).as("negid"))).as("b"))
-      .select(col("component"),
-        (-col("b.negid")).cast(LongType).as("canonical"))
-    lab.join(best, "component")
-      .select(col(idCol), col("canonical"))
+      .withColumn("__b", max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("negid"))).over(w))
+      .select(col(idCol), (-col("__b.negid")).cast(LongType).as("canonical"))
   }
 }

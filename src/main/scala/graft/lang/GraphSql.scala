@@ -856,12 +856,17 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
   private def insertNodeSql(table: String, select: String): DataFrame = {
     val cat = requireCatalog()
     val td = cat.schema.table(table)
-    val rows = evalInner(select)
+    // pin the INCREMENT once (r16, guide §2.4): the old shape evaluated
+    // the SELECT three times (affected-count, collision check, union)
+    // and then localCheckpointed the ENTIRE unioned table before
+    // rewrite's own write materialized it AGAIN — two full-table passes
+    // where one suffices. The boundary belongs on the O(increment) rows;
+    // the full-table plan is evaluated exactly once, by the write.
+    val rows = evalInner(select).stageBoundary
     val key = td.nodeIdColumn.getOrElse(rows.columns.head)
     val n = rows.count()
     cat.rewrite(table,
-      graft.dml.GraphDml.insertNodes(provider.nodeTable(table), td, rows, key)
-        .stageBoundary)
+      graft.dml.GraphDml.insertNodes(provider.nodeTable(table), td, rows, key))
     affected(n)
   }
 
@@ -895,11 +900,33 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     // the sink mirror records these as srcEdgeId
     val numbered = graft.dml.GraphDml.numberNewEdges(srcT, e, pairs)
       .stageBoundary
-    cat.rewrite(table,
-      graft.dml.GraphDml.insertEdges(srcT, e, pairs).stageBoundary)
-    cat.rewrite(e.sinkTable,
-      graft.dml.GraphDml.insertEdgesSinkSide(
-        provider.nodeTable(e.sinkTable), e, numbered).stageBoundary)
+    // no boundary on the full-table plans (r16, §2.4): each side is
+    // evaluated exactly once, by rewrite's tmp write — the old
+    // localCheckpoint materialized every full table twice. pairs and
+    // numbered (the O(increment) inputs both sides share) stay pinned.
+    if (table == e.sinkTable) {
+      // self-edge: the mirror must read the POST-insert table
+      cat.rewrite(table,
+        graft.dml.GraphDml.insertEdges(srcT, e, pairs))
+      cat.rewrite(e.sinkTable,
+        graft.dml.GraphDml.insertEdgesSinkSide(
+          provider.nodeTable(e.sinkTable), e, numbered))
+    } else {
+      // distinct tables: both rewrites read pre-statement snapshots
+      // (srcT/sinkT bound above, pairs/numbered checkpointed) and swap
+      // DIFFERENT tables, each under its own two-rename crash marker —
+      // overlap them (r16, guide §2.6; the r15 verdict: per-table swaps
+      // are crash-safe independently)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val srcF = Future(cat.rewrite(table,
+        graft.dml.GraphDml.insertEdges(srcT, e, pairs)))
+      try cat.rewrite(e.sinkTable,
+        graft.dml.GraphDml.insertEdgesSinkSide(sinkT, e, numbered))
+      finally Await.ready(srcF, Duration.Inf)
+      Await.result(srcF, Duration.Inf)
+    }
     affected(n)
   }
 
@@ -925,14 +952,31 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
         s"${dstA}__GlobalNodeId AS sink FROM $view $cond")
       .stageBoundary
     val n = doomed.count()
-    val afterDel = graft.dml.GraphDml.deleteEdges(
-      provider.nodeTable(srcTable), e, doomed)
-    cat.rewrite(srcTable, afterDel.stageBoundary)
-    // incremental sink-side mirror tombstone — O(deleted), never a
-    // mirror rebuild (syncReversed stays a compaction-time resync only)
-    cat.rewrite(e.sinkTable, graft.dml.GraphDml.deleteEdgesSinkSide(
-      provider.nodeTable(e.sinkTable), e, doomed)
-      .stageBoundary)
+    val srcT = provider.nodeTable(srcTable)
+    // full-table plans carry no boundary (r16, §2.4 — single consumer:
+    // the rewrite write); `doomed` is the pinned O(deleted) input
+    if (srcTable == e.sinkTable) {
+      cat.rewrite(srcTable,
+        graft.dml.GraphDml.deleteEdges(srcT, e, doomed))
+      // incremental sink-side mirror tombstone — O(deleted), never a
+      // mirror rebuild (syncReversed stays a compaction-time resync only)
+      cat.rewrite(e.sinkTable, graft.dml.GraphDml.deleteEdgesSinkSide(
+        provider.nodeTable(e.sinkTable), e, doomed))
+    } else {
+      // distinct tables: forward tombstones and the sink mirror both
+      // read pre-statement snapshots (doomed is checkpointed) and swap
+      // different tables — overlap, as in insertEdgeSql (r16, §2.6)
+      val sinkT = provider.nodeTable(e.sinkTable)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val srcF = Future(cat.rewrite(srcTable,
+        graft.dml.GraphDml.deleteEdges(srcT, e, doomed)))
+      try cat.rewrite(e.sinkTable, graft.dml.GraphDml.deleteEdgesSinkSide(
+        sinkT, e, doomed))
+      finally Await.ready(srcF, Duration.Inf)
+      Await.result(srcF, Duration.Inf)
+    }
     affected(n)
   }
 
@@ -952,8 +996,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val pred = where.map(expr).getOrElse(lit(true))
     val n = t.filter(pred).count()
     cat.rewrite(table,
-      graft.dml.GraphDml.updateProperties(t, td, assignments, pred)
-        .stageBoundary)
+      graft.dml.GraphDml.updateProperties(t, td, assignments, pred))
     affected(n)
   }
 
@@ -964,7 +1007,7 @@ class GraphSession(val spark: SparkSession, val provider: GraphProvider,
     val pred = where.map(org.apache.spark.sql.functions.expr).getOrElse(lit(true))
     val n = t.filter(pred).count()
     cat.rewrite(table,
-      graft.dml.GraphDml.deleteNodes(t, td, pred).stageBoundary)
+      graft.dml.GraphDml.deleteNodes(t, td, pred))
     affected(n)
   }
 
